@@ -1,0 +1,125 @@
+"""Debug helpers — reference `python/pathway/debug/__init__.py`
+(table_from_markdown 446, table_from_pandas 358, table_from_rows 327,
+compute_and_print 222). The correctness-test workhorse (SURVEY §3.2)."""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .schema import Schema, schema_from_dict
+from .table import ID, Table
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+    return get_spark()
+
+
+def _parse_cell(s: str) -> Any:
+    s = s.strip()
+    if s in ("", "None"):
+        return None
+    if s == "True":
+        return True
+    if s == "False":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s.strip('"')
+
+
+def table_from_markdown(md: str, *, spark: SparkSession | None = None,
+                        id_from=None, **kw) -> Table:
+    """Parse the reference's markdown/whitespace table format, including
+    optional `__time__` / `__diff__` columns (debug/__init__.py:446)."""
+    spark = spark or _spark()
+    lines = [ln.strip() for ln in md.strip().splitlines() if ln.strip()]
+    lines = [ln for ln in lines if not re.match(r"^[|\s:-]+$", ln)]
+    split = (lambda ln: [c for c in ln.strip("|").split("|")]) if "|" in lines[0] \
+        else (lambda ln: ln.split())
+    header = [h.strip() for h in split(lines[0])]
+    rows = [[_parse_cell(c) for c in split(ln)] for ln in lines[1:]]
+    data = [dict(zip(header, r)) for r in rows]
+
+    # rename engine columns like the reference does
+    rename = {"__time__": "_pw_time", "__diff__": "_pw_diff"}
+    data = [{rename.get(k, k): v for k, v in row.items()} for row in data]
+    cols = [rename.get(h, h) for h in header]
+
+    # infer python types per column from first non-null
+    coltypes: dict[str, Any] = {}
+    for c in cols:
+        tp = str
+        for row in data:
+            v = row.get(c)
+            if v is not None:
+                tp = type(v)
+                break
+        coltypes[c] = tp
+    # promote int -> float if any float appears
+    for c in cols:
+        if coltypes[c] is int and any(isinstance(r.get(c), float) for r in data):
+            coltypes[c] = float
+            for r in data:
+                if r.get(c) is not None:
+                    r[c] = float(r[c])
+    schema = schema_from_dict(coltypes)
+    df = spark.createDataFrame(data, schema.to_struct_type())
+    if id_from:
+        return Table.from_spark(df, id_columns=list(id_from))
+    return Table.from_spark(df)
+
+
+# alias used heavily in the reference's tests (tests/utils.py:629)
+T = table_from_markdown
+
+
+def table_from_pandas(pdf: pd.DataFrame, *, spark: SparkSession | None = None,
+                      id_from=None, **kw) -> Table:
+    spark = spark or _spark()
+    df = spark.createDataFrame(pdf)
+    return Table.from_spark(df, id_columns=list(id_from) if id_from else None)
+
+
+def table_from_rows(schema: type[Schema], rows: list[tuple], *, spark=None, **kw) -> Table:
+    spark = spark or _spark()
+    df = spark.createDataFrame(rows, schema.to_struct_type())
+    pk = schema.primary_key_columns()
+    return Table.from_spark(df, id_columns=pk or None)
+
+
+def table_to_pandas(table: Table, include_id: bool = True) -> pd.DataFrame:
+    df = table._df if include_id else table.to_df()
+    pdf = df.toPandas()
+    if include_id and ID in pdf.columns:
+        pdf = pdf.set_index(ID)
+    return pdf
+
+
+def compute_and_print(table: Table, *, include_id: bool = True, sort_by_id: bool = True,
+                      n_rows: int | None = None) -> None:
+    """debug/__init__.py:222 — collect, sort by key, print."""
+    pdf = table_to_pandas(table, include_id=include_id)
+    if sort_by_id and include_id:
+        pdf = pdf.sort_index()
+    if n_rows is not None:
+        pdf = pdf.head(n_rows)
+    print(pdf.to_string())
+
+
+def compute_and_print_update_stream(table: Table, **kw) -> None:
+    """Batch: every row is a single +1 diff at time 0."""
+    pdf = table_to_pandas(table)
+    pdf["__time__"] = 0
+    pdf["__diff__"] = 1
+    print(pdf.to_string())

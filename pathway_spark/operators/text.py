@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure built-in-function expressions (regexp/split/HOF) — zero python
+in the hot path, so they run inside whole-stage codegen and scale
+linearly with no shuffles (per-row projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..table import ID, Table
+from .dedup import char_ngrams, _tokens
+
+# tiny deterministic stopword lists per language (public common words)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "für"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish regex variant below)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs —
+    `\\w+`-split plus non-space symbols (deterministic, SQL-expressible)."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(col), r"[^\w]+"),
+            lambda x: F.length(x) > 0,
+        )
+    ).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] doc-quality heuristic: mean word length band,
+    alpha ratio, and repetition penalty (distinct/total token ratio)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(n, F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) /
+        F.greatest(F.length(col), F.lit(1))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    len_score = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        (len_score * 0.34 + alpha_ratio * 0.33 + distinct_ratio * 0.33).cast("double"), 6
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = _tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def detect_language(col: Column) -> Column:
+    """Stopword-vote language ID over STOPWORDS — returns the language
+    with the highest stopword hit count ('und' if all zero)."""
+    toks = _tokens(col)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        # zh has no word boundaries: count substring hits instead
+        if lang == "zh":
+            score = sum(
+                (F.length(col) - F.length(F.replace(col, F.lit(w), F.lit("")))) / len(w)
+                for w in words
+            )
+        else:
+            score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        scores.append(F.struct(score.cast("double").alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, *, n: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    char n-gram hashes -> sliding min over `window` -> distinct sorted
+    fingerprint hash set."""
+    hashes = F.transform(char_ngrams(col, n), lambda g: F.xxhash64(g))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def fingerprint64(col: Column, *, n: int = 5, window: int = 4) -> Column:
+    """Single 64-bit rolling fingerprint (hash of the winnowed set)."""
+    return F.xxhash64(fingerprint(col, n=n, window=window).cast("string"))
+
+
+def analyze(table: Table, text_col: str = "text") -> Table:
+    """One-pass text profile: token/char counts, quality, language."""
+    c = F.col(text_col)
+    df = table._df.withColumns({
+        "n_tokens": token_count(c),
+        "n_subwords": subword_count(c),
+        "quality": quality_score(c),
+        "lang_detected": detect_language(c),
+        "fp64": fingerprint64(c),
+    })
+    return Table(df)

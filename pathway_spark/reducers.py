@@ -1,0 +1,153 @@
+"""Reducers (aggregation functions) — `pw.reducers.*`.
+
+Mirrors the reference (`python/pathway/internals/reducers.py`; engine enum
+`src/engine/reduce.rs:27-45`). Every reducer compiles to a built-in Spark
+aggregate so partial (map-side) aggregation and codegen apply; custom folds
+go through `stateful_many` / `udf_reducer` -> `applyInPandas`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .expressions import ColumnExpression, ReducerExpression, this
+
+
+def sum(expr) -> ReducerExpression:  # noqa: A001 - mirrors pw.reducers.sum
+    """reducers.py:350. Array-valued sums: use `array_sum`."""
+    return ReducerExpression("sum", F.sum, expr)
+
+
+def min(expr) -> ReducerExpression:  # noqa: A001
+    return ReducerExpression("min", F.min, expr)
+
+
+def max(expr) -> ReducerExpression:  # noqa: A001
+    return ReducerExpression("max", F.max, expr)
+
+
+def count(*args) -> ReducerExpression:
+    if args:
+        return ReducerExpression("count", F.count, args[0])
+    return ReducerExpression("count", lambda: F.count(F.lit(1)))
+
+
+def avg(expr) -> ReducerExpression:
+    """reducers.py:675 (sugar for sum/count)."""
+    return ReducerExpression("avg", F.avg, expr)
+
+
+def argmin(value, arg=None) -> ReducerExpression:
+    """reducers.py:406 — id (or `arg`) of the row minimizing `value`."""
+    if arg is None:
+        arg = this.id
+    return ReducerExpression("argmin", lambda a, v: F.min_by(a, v), arg, value)
+
+
+def argmax(value, arg=None) -> ReducerExpression:
+    """reducers.py:463."""
+    if arg is None:
+        arg = this.id
+    return ReducerExpression("argmax", lambda a, v: F.max_by(a, v), arg, value)
+
+
+def unique(expr) -> ReducerExpression:
+    """reducers.py:520 — errors if more than one distinct value per group."""
+
+    def agg(c: Column) -> Column:
+        return F.when(
+            F.count_distinct(c) <= 1, F.any_value(c, ignoreNulls=True)
+        ).otherwise(F.raise_error(F.lit("unique(): more than one distinct value")))
+
+    return ReducerExpression("unique", agg, expr)
+
+
+def any(expr) -> ReducerExpression:  # noqa: A001
+    """reducers.py:551 — an arbitrary (deterministic-ish) element; we pick
+    min for cross-run determinism (reference picks an engine-dependent one)."""
+    return ReducerExpression("any", F.min, expr)
+
+
+def sorted_tuple(expr, *, skip_nones: bool = False) -> ReducerExpression:
+    """reducers.py:579."""
+
+    def agg(c: Column) -> Column:
+        lst = F.collect_list(c) if skip_nones else F.sort_array(F.collect_list(c))
+        return F.sort_array(lst) if skip_nones else lst
+
+    return ReducerExpression("sorted_tuple", lambda c: F.sort_array(F.collect_list(c)), expr)
+
+
+def tuple(expr, *, skip_nones: bool = False) -> ReducerExpression:  # noqa: A001
+    """reducers.py:610 — collect in input order. Spark's collect_list order is
+    partition-dependent; for deterministic results use sorted_tuple or
+    groupby(sort_by=...)."""
+    return ReducerExpression("tuple", F.collect_list, expr)
+
+
+def ndarray(expr) -> ReducerExpression:
+    """reducers.py:700 — same as tuple, numpy semantics on the client."""
+    return ReducerExpression("ndarray", F.collect_list, expr)
+
+
+def earliest(expr, time=None) -> ReducerExpression:
+    """reducers.py:735 — value of the first-arriving row. Batch: min by the
+    time column (arrival order == event order in replayed batch)."""
+    t = time if time is not None else this._pw_time
+    return ReducerExpression("earliest", lambda c, tc: F.min_by(c, tc), expr, t)
+
+
+def latest(expr, time=None) -> ReducerExpression:
+    """reducers.py:769."""
+    t = time if time is not None else this._pw_time
+    return ReducerExpression("latest", lambda c, tc: F.max_by(c, tc), expr, t)
+
+
+def count_distinct(expr) -> ReducerExpression:
+    """reducers.py:808."""
+    return ReducerExpression("count_distinct", F.count_distinct, expr)
+
+
+def count_distinct_approximate(expr, precision: int = 12) -> ReducerExpression:
+    """reducers.py:837 (engine reduce.rs:30) — HLL-based approximate count.
+    rsd ~= 1.04 / sqrt(2^precision)."""
+    rsd = 1.04 / (2.0 ** (precision / 2.0))
+    return ReducerExpression(
+        "count_distinct_approx", lambda c: F.approx_count_distinct(c, rsd), expr
+    )
+
+
+def array_sum(expr) -> ReducerExpression:
+    """Elementwise sum of array-typed column (reducers.py:350 array case)."""
+
+    def agg(c: Column) -> Column:
+        return F.reduce(
+            F.collect_list(c),
+            F.lit(None).cast("array<double>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.zip_with(acc, x, lambda a, b: a + b)
+            ),
+        )
+
+    return ReducerExpression("array_sum", agg, expr)
+
+
+def stateful_many(fn, *args) -> ReducerExpression:
+    """reference `internals/custom_reducers.py:36` — arbitrary python fold.
+    Compiled through collect_list + a scalar UDF on the grouped values
+    (correct but non-distributed within a group; documented slow path)."""
+    from pyspark.sql import types as T
+
+    def agg(*cols: Column) -> Column:
+        merged = F.collect_list(F.struct(*[c.alias(f"_{i}") for i, c in enumerate(cols)]))
+
+        @F.udf(T.StringType())
+        def run(rows):
+            state = None
+            state = fn(state, [[r[f"_{i}"] for i in range(len(cols))] for r in rows])
+            return None if state is None else str(state)
+
+        return run(merged)
+
+    return ReducerExpression("stateful_many", agg, *args)

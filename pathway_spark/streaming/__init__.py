@@ -1,0 +1,96 @@
+"""Streaming semantics — temporal behaviors -> watermarks/output modes.
+
+Reference (`stdlib/temporal/temporal_behavior.py`): `common_behavior
+(delay, cutoff, keep_results)` line 29, `exactly_once_behavior(shift)` 83.
+SURVEY §2.5: `cutoff` == `withWatermark`; delay/exactly-once == append
+output mode (emit on window close); keep_results == update vs append.
+This is native Structured Streaming — the reference hand-built these from
+buffer/freeze/forget engine primitives.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..table import ID, Table
+
+
+@dataclass
+class CommonBehavior:
+    """temporal_behavior.py:29."""
+    delay: Any = None
+    cutoff: Any = None
+    keep_results: bool = True
+
+    @property
+    def output_mode(self) -> str:
+        return "update" if self.keep_results and self.delay is None else "append"
+
+
+@dataclass
+class ExactlyOnceBehavior:
+    """temporal_behavior.py:83."""
+    shift: Any = None
+
+    @property
+    def output_mode(self) -> str:
+        return "append"
+
+
+def common_behavior(delay=None, cutoff=None, keep_results=True) -> CommonBehavior:
+    return CommonBehavior(delay, cutoff, keep_results)
+
+
+def exactly_once_behavior(shift=None) -> ExactlyOnceBehavior:
+    return ExactlyOnceBehavior(shift)
+
+
+def _fmt_interval(d) -> str:
+    if isinstance(d, _dt.timedelta):
+        return f"{int(d.total_seconds() * 1000)} milliseconds"
+    return str(d)
+
+
+def apply_behavior(df: DataFrame, time_col: str, behavior) -> DataFrame:
+    """apply_temporal_behavior (temporal_behavior.py:101): cutoff ->
+    watermark (state eviction + late-data drop)."""
+    if behavior is None or not df.isStreaming:
+        return df
+    cutoff = getattr(behavior, "cutoff", None) or getattr(behavior, "shift", None)
+    if cutoff is not None:
+        df = df.withWatermark(time_col, _fmt_interval(cutoff))
+    return df
+
+
+def deduplicate_stream(table: Table, value_cols: list[str], *, time_col: str,
+                       within) -> Table:
+    """Streaming dedup (reference table.py:1315 with persisted name) ->
+    dropDuplicatesWithinWatermark — state bounded by the watermark."""
+    df = table._df.withWatermark(time_col, _fmt_interval(within))
+    return Table(df.dropDuplicatesWithinWatermark(value_cols))
+
+
+def stream_from_directory(spark, path: str, schema, fmt: str = "parquet",
+                          max_files_per_trigger: int = 1) -> Table:
+    """File-watch source — the reference's `mode='streaming'` fs connector;
+    `maxFilesPerTrigger` replays deterministically for tests."""
+    r = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", max_files_per_trigger))
+    df = getattr(r, fmt)(path)
+    return Table(df.withColumn(ID, F.xxhash64(*[F.col(c) for c in df.columns])))
+
+
+def run_to_memory(table_or_df, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion synchronously (test harness):
+    memory sink + processAllAvailable (guide §Structured Streaming)."""
+    df = table_or_df._df if isinstance(table_or_df, Table) else table_or_df
+    q = (df.writeStream.outputMode(output_mode).format("memory")
+         .queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -51,6 +51,14 @@ class RowContext(EvalContext):
                 side = "this"
             elif side == "this" and len(self.frames) == 1:
                 side = next(iter(self.frames))
+            elif side == "this":
+                # two-sided context: disambiguate by column membership
+                owners = [s for s, df in self.frames.items() if ref._name in df.columns]
+                if len(owners) != 1:
+                    raise KeyError(
+                        f"pw.this.{ref._name} is ambiguous here; use pw.left/pw.right"
+                    )
+                side = owners[0]
             else:
                 raise KeyError(f"no table bound for pw.{ref._side} in this context")
         if side in self.alias:
@@ -188,7 +196,10 @@ _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
-    "//": lambda a, b: F.floor(a / b).cast("long"),
+    # floor-div must stay exact for 64-bit ints (ns timestamps exceed
+    # double's 53-bit mantissa): a - pmod(a,b) is exactly divisible, and
+    # decimal division of it is exact — no double rounding anywhere.
+    "//": lambda a, b: ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long"),
     "%": lambda a, b: F.pmod(a, b),
     "**": lambda a, b: F.pow(a, b),
     "==": lambda a, b: a == b,

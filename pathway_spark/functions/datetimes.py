@@ -68,11 +68,11 @@ class DateTimeNamespace:
     # --- formatting / parsing (497/555) ---
     def strftime(self, fmt):
         spark_fmt = _strftime_to_spark(fmt) if isinstance(fmt, str) else fmt
-        return self._f("strftime", lambda c, f_: F.date_format(c, f_), _wrap(spark_fmt))
+        return self._f("strftime", lambda c: F.date_format(c, spark_fmt))
 
     def strptime(self, fmt, contains_timezone: bool = False):
         spark_fmt = _strftime_to_spark(fmt) if isinstance(fmt, str) else fmt
-        return self._f("strptime", lambda c, f_: F.to_timestamp(c, f_), _wrap(spark_fmt))
+        return self._f("strptime", lambda c: F.to_timestamp(c, spark_fmt))
 
     # --- timezone (660/750) ---
     def to_utc(self, from_timezone: str):

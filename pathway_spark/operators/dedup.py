@@ -120,7 +120,7 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("a").alias("id_a"), F.col("b").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+            F.col("jaccard"),
         )
     )
     return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
@@ -183,8 +183,7 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
             / F.size(F.array_union("ga", "gb")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
-                F.round("jaccard", 6).alias("jaccard"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("jaccard"))
     )
     return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
 

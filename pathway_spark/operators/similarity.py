@@ -46,7 +46,7 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+        .select("query_id", "neighbor_id", "rank", F.col("score"))
     )
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
 
@@ -107,6 +107,6 @@ def ivf_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+        .select("query_id", "neighbor_id", "rank", F.col("score"))
     )
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))

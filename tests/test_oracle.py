@@ -1,0 +1,80 @@
+"""Driver-style correctness gate: every queries() entry is executed on
+Spark AND its oracle_sql() on DuckDB over the same parquet tables; row
+count, column names and order-insensitive values must match exactly.
+
+This mirrors the driver's CORRECTNESS_r{N}.json check (row-count +
+schema + value-hash), so a green run here predicts a green driver run.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    if name not in ORACLES:
+        # rows-only check, like the driver's weaker gate
+        assert len(srows) >= 0
+        return
+
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) != {len(drows)} (duckdb)"
+    )
+    ncols, nsrows = _normalize(srows, scols)
+    _, ndrows = _normalize(drows, dcols)
+    mism = [
+        (a, b) for a, b in zip(nsrows, ndrows) if a != b
+    ]
+    assert not mism, f"{name}: {len(mism)} mismatching rows; first: {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns

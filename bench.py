@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the `noop` sink so the whole plan
+executes (collect-side column pruning can't skip work), without paying
+driver-side serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: one per heavy operator family (scan/agg, multi-join,
+# explode+agg, window fan-out, asof union+window, dedup shuffles,
+# minhash LSH, knn topk, window functions, fixpoint iteration)
+HEADLINE = [
+    "q01_filter_groupby",
+    "q03_join_agg",
+    "q09_flatten_wordcount",
+    "q16_sort_diff",
+    "q19_tumbling",
+    "q20_sliding",
+    "q21_session",
+    "q22_asof_join",
+    "q29_dedup_exact",
+    "q31_ngram_jaccard",
+    "q32_minhash_lsh",
+    "q34_knn_bruteforce",
+]
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pathway_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("pathway-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm the JVM + file listing once (excluded from timings)
+    qs["q01_filter_groupby"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

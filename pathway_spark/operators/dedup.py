@@ -100,7 +100,11 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
     scale; None = exact).
     """
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    sh = df.select("doc", F.explode(word_ngrams(F.col("t"), n)).alias("g"))
+    # hash shingles to 8-byte keys before the join: the shuffle carries
+    # longs instead of strings (collision odds ~|shingles|²/2⁶⁴ — nil)
+    sh = df.select(
+        "doc", F.explode(word_ngrams(F.col("t"), n)).alias("gs")
+    ).select("doc", F.xxhash64("gs").alias("g"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         keep = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
@@ -130,13 +134,38 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
 
 def minhash_signature(col: Column, *, n: int = 3, num_hashes: int = 64,
                       char_level: bool = False) -> Column:
-    """Array of `num_hashes` minhash values — min over shingles of
-    xxhash64(shingle, seed_j). Pure JVM higher-order functions."""
+    """Array of `num_hashes` minhash values in one pass over the shingles
+    (single fold; the shingling subtree is evaluated once per row, not
+    once per hash — HOFs are interpreted, so repeated subtrees are not
+    CSE'd by codegen)."""
     grams = char_ngrams(col, n) if char_level else word_ngrams(col, n)
-    return F.array(*[
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(j))))
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(g, F.lit(j)) for j in range(num_hashes)]),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def minhash_signatures_df(df, text_col: str, id_col: str, *, n: int = 3,
+                          num_hashes: int = 64, char_level: bool = False):
+    """(id, h0..h{k-1}) minhash signature frame via explode → hash →
+    min-agg. This is the scale path: the projection after explode is
+    whole-stage-codegen'd (xxhash64 is a codegen expression, unlike
+    array HOF lambdas), and the min-agg is map-side partial, so the
+    shuffle carries one signature row per document."""
+    grams = char_ngrams(F.col(text_col), n) if char_level else word_ngrams(F.col(text_col), n)
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+    aggs = [
+        F.min(F.xxhash64(F.col("g"), F.lit(j))).alias(f"h{j}")
         for j in range(num_hashes)
-    ])
+    ]
+    return ex.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
@@ -151,13 +180,13 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     """
     r = num_hashes // bands
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    sig = df.withColumn("sig", minhash_signature(F.col("t"), n=n, num_hashes=num_hashes))
+    sig = minhash_signatures_df(df, "t", "doc", n=n, num_hashes=num_hashes)
     banded = sig.select(
         "doc",
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
+                F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
             )
             for bi in range(bands)
         ])).alias("bb"),
@@ -191,24 +220,57 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
 # ------------------------------------------------------------------ simhash
 
 def simhash64(col: Column, *, n: int = 2) -> Column:
-    """64-bit SimHash of word n-grams, packed into a long. Bit j is set
-    iff sum over shingles of sign(bit j of xxhash64(shingle)) > 0."""
+    """64-bit SimHash of word n-grams, packed into a long, in ONE fold
+    over the shingles: the accumulator is the array of 64 bit-votes.
+    Bit j is set iff sum over shingles of sign(bit j of hash) > 0."""
     grams = word_ngrams(col, n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    # bit j vote: sum over shingle hashes of ±1; unrolled in python so
-    # shift amounts are literals (single pass per bit, all JVM-side)
+    votes = F.aggregate(
+        grams,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.shiftright(F.xxhash64(g), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for j in range(64)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
     packed = None
     for j in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
         mask = (1 << j) if j < 63 else -(1 << 63)  # j=63: long sign bit
-        bit = F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(votes[j] > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return packed
+
+
+def simhash64_df(df, text_col: str, id_col: str, *, n: int = 2):
+    """(doc, sh) simhash frame via explode → codegen hash → vote aggs —
+    the scale path (same shape as minhash_signatures_df)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select("doc", F.xxhash64("g").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = ex.groupBy("doc").agg(*votes)
+    packed = None
+    for j in range(64):
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return agg.select("doc", packed.alias("sh"))
 
 
 def simhash_pairs(table: Table, text_col: str, id_col: str, *,
@@ -220,8 +282,10 @@ def simhash_pairs(table: Table, text_col: str, id_col: str, *,
     exact hamming via bit_count(xor)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    df = table._df.select(F.col(id_col).alias("doc"),
-                          simhash64(F.col(text_col), n=n).alias("sh"))
+    df = simhash64_df(
+        table._df.select(F.col(id_col).alias("d"), F.col(text_col).alias("t")),
+        "t", "d", n=n,
+    )
     parts = df.select(
         "doc", "sh",
         F.explode(F.array(*[

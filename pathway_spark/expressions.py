@@ -316,8 +316,14 @@ class GetItem(ColumnExpression):
             out = base.getField(item._value) if self._strict else base.getField(item._value)
         else:
             idx = item._to_col(ctx)
-            # pathway tuples are 0-indexed; element_at is 1-indexed
-            out = F.element_at(base, (idx + F.lit(1)).cast("int"))
+            # pathway tuples are 0-indexed; element_at is 1-indexed.
+            # non-strict get() tolerates out-of-bounds (NULL + default).
+            one_based = (idx + F.lit(1)).cast("int")
+            out = (
+                F.element_at(base, one_based)
+                if self._strict
+                else F.try_element_at(base, one_based)
+            )
         if not self._strict and self._default is not None:
             out = F.coalesce(out, self._default._to_col(ctx))
         return out

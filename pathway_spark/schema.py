@@ -93,6 +93,8 @@ class SchemaMeta(type):
             cols.update(getattr(base, "_columns", {}))
         annots = ns.get("__annotations__", {})
         for cname, tp in annots.items():
+            if cname == "_columns":  # internal registry, never a column
+                continue
             default = ns.get(cname)
             if isinstance(default, ColumnDefinition):
                 cd = default
@@ -116,7 +118,7 @@ class Schema(metaclass=SchemaMeta):
         pet: str = pw.column_definition(primary_key=True)
     """
 
-    _columns: dict[str, ColumnDefinition] = {}
+    _columns = {}  # no annotation: must not be picked up as a column
 
     @classmethod
     def to_struct_type(cls) -> T.StructType:

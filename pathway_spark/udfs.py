@@ -31,9 +31,12 @@ class UDF:
 
         import pandas as pd
 
-        def vec(*series: pd.Series) -> pd.Series:
-            return pd.Series([fn(*vals) for vals in zip(*series)])
-
+        # pandas_udf requires a fixed-arity signature — synthesize one
+        params = ", ".join(f"s{i}" for i in range(len(args)))
+        vec = eval(  # noqa: S307 - generated from arity only
+            f"lambda {params}: pd.Series([fn(*v) for v in zip({params})])",
+            {"pd": pd, "fn": fn},
+        )
         return ApplyExpression(vec, self._return_type, *args, vectorized=True)
 
 

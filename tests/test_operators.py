@@ -1,0 +1,465 @@
+"""Golden tests for temporal/ordered/dedup/similarity/text/graph/index
+operators — reference test style (tests/temporal/, stdlib tests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import pathway_spark as pw
+from pathway_spark import this
+from pathway_spark import reducers as R
+from pathway_spark.table import ID, Table
+
+from tests.test_table_api import rows
+
+
+def T(spark, data, schema, id_cols=None):
+    return Table.from_spark(spark.createDataFrame(data, schema), id_columns=id_cols)
+
+
+# ---------------------------------------------------------------- temporal
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    # (key, t, v) numeric time axis
+    data = [("a", 0, 1.0), ("a", 10, 2.0), ("a", 25, 3.0), ("a", 31, 4.0),
+            ("b", 5, 10.0), ("b", 47, 20.0)]
+    return T(spark, data, "k string, t long, v double", ["k", "t"])
+
+
+def test_tumbling_window(ticks):
+    wt = ticks.windowby(this.t, window=pw.temporal.tumbling(10))
+    out = wt.reduce(ws=this._pw_window_start, n=R.count())
+    assert rows(out) == sorted(
+        [(0, 2), (10, 1), (20, 1), (30, 1), (40, 1)],
+        key=lambda t: tuple(repr(x) for x in t),
+    )
+
+
+def test_sliding_window(ticks):
+    wt = ticks.windowby(this.t, window=pw.temporal.sliding(hop=10, duration=20))
+    out = wt.reduce(ws=this._pw_window_start, n=R.count())
+    got = dict(rows(out))
+    # verify against brute force
+    pts = [0, 10, 25, 31, 5, 47]
+    expect = {}
+    for p in pts:
+        for ws in range(((p // 10) - 1) * 10, p + 1, 10):
+            if ws <= p < ws + 20:
+                expect[ws] = expect.get(ws, 0) + 1
+    assert got == expect
+
+
+def test_session_window(ticks):
+    wt = ticks.windowby(
+        this.t, window=pw.temporal.session(max_gap=10), instance=this.k
+    )
+    out = wt.reduce(k=this._pw_instance, start=this._pw_window_start, n=R.count())
+    # a: 0,10 gap10 ok |25,31 one session (gap 15>10 splits at 25)
+    assert rows(out) == sorted(
+        [("a", 0, 2), ("a", 25, 2), ("b", 5, 1), ("b", 47, 1)],
+        key=lambda t: tuple(repr(x) for x in t),
+    )
+
+
+def test_intervals_over(spark, ticks):
+    at = T(spark, [(10,), (30,)], "t long")
+    wt = ticks.windowby(
+        this.t, window=pw.temporal.intervals_over(at=at, lower_bound=-10, upper_bound=5)
+    )
+    out = wt.reduce(at_t=this._pw_window_start, n=R.count())
+    # at 10: t in [0,15] → 0,10,5 → 3 ; at 30: t in [20,35] → 25,31 → 2
+    assert rows(out) == [(10, 3), (30, 2)]
+
+
+def test_interval_join(spark):
+    l = T(spark, [(1, 10), (2, 30)], "lid int, lt long", ["lid"])
+    r = T(spark, [(101, 8), (102, 12), (103, 40)], "rid int, rt long", ["rid"])
+    jr = pw.temporal.interval_join(
+        l, r, this.lt, this.rt, (-3, 3), []
+    )
+    out = jr.select(lid=pw.left.lid, rid=pw.right.rid)
+    assert rows(out) == [(1, 101), (1, 102)]
+
+
+def test_window_join(spark):
+    l = T(spark, [(1, 5), (2, 15)], "lid int, lt long", ["lid"])
+    r = T(spark, [(11, 7), (12, 19)], "rid int, rt long", ["rid"])
+    jr = pw.temporal.window_join(l, r, this.lt, this.rt, pw.temporal.tumbling(10), [])
+    out = jr.select(lid=pw.left.lid, rid=pw.right.rid)
+    assert rows(out) == [(1, 11), (2, 12)]
+
+
+def test_asof_join_directions(spark):
+    trades = T(spark, [(1, 10, "t1"), (2, 25, "t2")], "tid int, t long, tag string", ["tid"])
+    quotes = T(spark, [(5, 1.0), (9, 2.0), (20, 3.0)], "qt long, px double", ["qt"])
+    back = trades.asof_join(
+        quotes, pw.left.t, pw.right.qt, how="inner", direction="backward"
+    ).select(this.tid, this.px)
+    assert rows(back) == [(1, 2.0), (2, 3.0)]
+    fwd = trades.asof_join(
+        quotes, pw.left.t, pw.right.qt, how="left", direction="forward"
+    ).select(this.tid, this.px)
+    assert rows(fwd) == [(1, 3.0), (2, None)]
+
+
+def test_asof_join_keys_and_defaults(spark):
+    l = T(spark, [("a", 10), ("b", 10)], "k string, t long", ["k", "t"])
+    r = T(spark, [("a", 5, 100.0)], "k string, t long, v double")
+    out = l.asof_join(
+        r, pw.left.t, pw.right.t, pw.left.k == pw.right.k,
+        how="left", defaults={"v": -1.0},
+    ).select(this.k, this.v)
+    assert rows(out) == [("a", 100.0), ("b", -1.0)]
+
+
+def test_asof_now_join(spark):
+    from pathway_spark.operators.asof import asof_now_join
+
+    l = T(spark, [(1, "x")], "k int, a string", ["k"])
+    r = T(spark, [(1, "y")], "k int, b string", ["k"])
+    out = asof_now_join(l, r, pw.left.k == pw.right.k)
+    assert rows(out, "a", "b") == [("x", "y")]
+
+
+# ---------------------------------------------------------------- ordered
+
+
+def test_sort_prev_next(spark):
+    t = T(spark, [(1, 30), (2, 10), (3, 20)], "k int, v int", ["k"])
+    out = t.sort(this.v)
+    got = {r["k"]: (r["prev"], r["next"]) for r in out._df.collect()}
+    ids = {r["k"]: r[ID] for r in t._df.collect()}
+    assert got[2] == (None, ids[3])
+    assert got[3] == (ids[2], ids[1])
+    assert got[1] == (ids[3], None)
+
+
+def test_diff(spark):
+    t = T(spark, [(1, 10, 5.0), (2, 20, 8.0), (3, 30, 2.0)], "k int, t long, v double", ["k"])
+    out = t.diff(this.t, this.v)
+    assert rows(out, "k", "diff_v") == [(1, None), (2, 3.0), (3, -6.0)]
+
+
+def test_interpolate(spark):
+    t = T(spark, [(0, 0.0), (10, None), (20, 10.0), (30, None)],
+          "t long, v double", ["t"])
+    out = pw.interpolate(t, this.t, this.v)
+    assert rows(out, "t", "v") == [(0, 0.0), (10, 5.0), (20, 10.0), (30, 10.0)]
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different text about spark engines"),
+    ]
+    return T(spark, data, "doc_id long, text string", ["doc_id"])
+
+
+def test_exact_dedup(docs):
+    from pathway_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    kept = exact_dedup(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept._df.collect()) == [1, 3, 4]
+    pairs = exact_dup_groups(docs, "text", "doc_id")
+    assert rows(pairs, "canonical_id", "dup_id") == [(1, 2)]
+
+
+def test_ngram_jaccard(docs):
+    from pathway_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in out._df.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh(docs):
+    from pathway_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs, "text", "doc_id", n=2, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in out._df.collect()}
+    assert (1, 2) in got  # exact dups always collide
+    assert not any(4 in p for p in got)
+
+
+def test_simhash(docs):
+    from pathway_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(docs, "text", "doc_id", n=2, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out._df.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_embedding_neardup(spark):
+    from pathway_spark.operators.dedup import embedding_neardup_pairs
+
+    vecs = T(spark, [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ], "vec_id long, embedding array<double>", ["vec_id"])
+    out = embedding_neardup_pairs(vecs, "embedding", "vec_id", threshold=0.99, exact=True)
+    got = {(r["id_a"], r["id_b"]) for r in out._df.collect()}
+    assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk(spark):
+    from pathway_spark.operators.similarity import brute_force_topk
+
+    corpus = T(spark, [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ], "vec_id long, embedding array<double>", ["vec_id"])
+    queries = corpus.filter(this.vec_id == 1)
+    out = brute_force_topk(corpus, queries, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out._df.collect()]
+    assert sorted(got, key=lambda x: x[1]) == [(2, 1), (3, 2)]
+
+
+def test_ivf_topk_returns_k(spark):
+    from pathway_spark.operators.similarity import ivf_topk
+
+    import random
+
+    rnd = random.Random(7)
+    data = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    corpus = T(spark, data, "vec_id long, embedding array<double>", ["vec_id"])
+    queries = corpus.filter(this.vec_id < 3)
+    out = ivf_topk(corpus, queries, k=5, nlist=4, nprobe=2)
+    counts = out._df.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_text_analysis(spark):
+    from pathway_spark.operators.text import (
+        detect_language, quality_score, subword_count, token_count,
+    )
+
+    t = spark.createDataFrame(
+        [("the cat and the dog in the house",),
+         ("el perro y la casa es de un gato",)],
+        "text string",
+    )
+    out = t.select(
+        token_count(F.col("text")).alias("n"),
+        subword_count(F.col("text")).alias("s"),
+        detect_language(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0]["n"] == 8 and out[0]["lang"] == "en"
+    assert out[1]["lang"] == "es"
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_fingerprint_deterministic(spark):
+    from pathway_spark.operators.text import fingerprint64
+
+    t = spark.createDataFrame([("some document text here",)] * 2, "text string")
+    fps = [r["fp"] for r in t.select(fingerprint64(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------------------------------------------------------- graphs
+
+
+def test_pagerank(spark):
+    from pathway_spark.operators.iterate import pagerank
+
+    edges = T(spark, [(1, 2), (2, 3), (3, 1), (4, 3)], "u long, v long")
+    out = pagerank(edges, steps=20)
+    ranks = {r["w"]: r["rank"] for r in out._df.collect()}
+    assert ranks[3] > ranks[2] > ranks[4]
+
+
+def test_connected_components(spark):
+    from pathway_spark.operators.iterate import connected_components
+
+    edges = T(spark, [(1, 2), (2, 3), (10, 11)], "u long, v long")
+    out = connected_components(edges)
+    comp = {r["w"]: r["label"] for r in out._df.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_bellman_ford(spark):
+    from pathway_spark.operators.iterate import bellman_ford
+
+    verts = T(spark, [(1,), (2,), (3,)], "w long")
+    edges = T(spark, [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 10.0)], "u long, v long, dist double")
+    out = bellman_ford(verts, edges, 1)
+    d = {r["w"]: r["d"] for r in out._df.collect()}
+    assert d[3] == 3.0
+
+
+def test_iterate_fixpoint(spark):
+    t = Table(spark.createDataFrame([(1,), (5,), (30,)], "v int"))
+
+    def halve(state):
+        return Table(
+            state._df.select(
+                F.when(F.col("v") > 2, (F.col("v") / 2).cast("int")).otherwise(F.col("v")).alias("v")
+            )
+        )
+
+    out = pw.iterate(halve, state=t)
+    assert sorted(r["v"] for r in out._df.collect()) == [1, 1, 2]
+
+
+# ---------------------------------------------------------------- indexing / ml
+
+
+def test_bm25(spark):
+    from pathway_spark.indexing import tfidf_score
+
+    docs = T(spark, [
+        (1, "spark streaming engine"),
+        (2, "cats and dogs"),
+        (3, "spark catalyst optimizer engine"),
+    ], "doc_id long, text string", ["doc_id"])
+    qs = Table(spark.createDataFrame([(100, "spark engine")], "query_id long, query string"))
+    out = tfidf_score(docs, qs, k=2)
+    got = sorted((r["rank"], r["doc_id"]) for r in out._df.collect())
+    assert {d for _, d in got} == {1, 3}
+
+
+def test_data_index_knn(spark):
+    from pathway_spark.indexing import BruteForceKnnFactory, DataIndex
+
+    corpus = T(spark, [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7]),
+    ], "vec_id long, embedding array<double>", ["vec_id"])
+    idx = DataIndex(corpus, BruteForceKnnFactory())
+    res = idx.query(corpus.filter(this.vec_id == 1), number_of_matches=1)
+    assert [r["neighbor_id"] for r in res._df.collect()] == [3]
+
+
+def test_fuzzy_match(spark):
+    from pathway_spark.ml import fuzzy_match_tables, smart_fuzzy_join
+
+    l = T(spark, [(1, "apple iphone 12"), (2, "samsung galaxy")],
+          "k long, name string", ["k"])
+    r = T(spark, [(10, "iphone 12 pro apple"), (20, "pixel phone")],
+          "k long, name string", ["k"])
+    m = fuzzy_match_tables(l, r, left_col="name", right_col="name", threshold=0.3)
+    assert m._df.count() == 1
+    best = smart_fuzzy_join(l, r, left_col="name", right_col="name", threshold=0.1)
+    assert best._df.count() >= 1
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features(spark):
+    from pathway_spark.operators.multimodal import extract_features
+
+    t = Table(spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, bytearray(b"other"))],
+        "media_id long, content binary",
+    ))
+    out = extract_features(t, dim=16)
+    got = out._df.select("media_id", "features").collect()
+    assert all(len(r["features"]) == 16 for r in got)
+    # deterministic: same content → same features
+    again = extract_features(t, dim=16)._df.select("features").collect()
+    assert sorted(map(str, [r["features"] for r in got])) == sorted(
+        map(str, [r["features"] for r in again])
+    )
+
+
+def test_multimodal_stubs_raise(spark):
+    from pathway_spark.operators.multimodal import (
+        DecoderUnavailable, resize_images, sample_frames,
+    )
+
+    t = Table(spark.createDataFrame([(1,)], "media_id long"))
+    with pytest.raises(DecoderUnavailable):
+        resize_images(t, 10, 10)
+    with pytest.raises(DecoderUnavailable):
+        sample_frames(t, 100)
+
+
+# ---------------------------------------------------------------- io / debug
+
+
+def test_io_roundtrip_csv_json(spark, tmp_path):
+    t = T(spark, [(1, "a"), (2, "b")], "k int, s string", ["k"])
+    csv_dir = str(tmp_path / "csv")
+    pw.io.csv.write(t, csv_dir, header=True)
+    back = pw.io.csv.read(csv_dir, csv_settings={"inferSchema": "true"}, spark=spark)
+    assert rows(back, "k", "s") == [(1, "a"), (2, "b")]
+    j_dir = str(tmp_path / "json")
+    pw.io.jsonlines.write(t, j_dir)
+    backj = pw.io.jsonlines.read(j_dir, spark=spark)
+    assert rows(backj, "k", "s") == [(1, "a"), (2, "b")]
+
+
+def test_subscribe_batch(spark):
+    t = T(spark, [(1,), (2,)], "k int", ["k"])
+    seen = []
+    pw.io.subscribe(
+        t, on_change=lambda key, row, time, is_addition: seen.append((row["k"], is_addition))
+    )
+    assert sorted(seen) == [(1, True), (2, True)]
+
+
+def test_python_connector(spark):
+    class Subject(pw.io.python.ConnectorSubject):
+        def run(self):
+            self.next(k=1, s="x")
+            self.next(k=2, s="y")
+
+    schema = pw.schema_from_types(k=int, s=str)
+    t = Subject().to_table(schema, spark=spark)
+    assert rows(t, "k", "s") == [(1, "x"), (2, "y")]
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    import pathway_spark.streaming as st
+
+    src = str(tmp_path / "stream")
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i)) for i in range(10)], "k int, ts timestamp"
+    )
+    df.coalesce(2).write.parquet(src)
+    t = st.stream_from_directory(spark, src, "k int, ts timestamp")
+    agg = t._df.withWatermark("ts", "1 minute").groupBy(
+        F.window("ts", "5 minutes")
+    ).count()
+    res = st.run_to_memory(agg, "win_counts", output_mode="append")
+    got = sorted(r["count"] for r in res.collect())
+    assert sum(got) <= 10 and len(got) >= 1
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import pathway_spark.streaming as st
+
+    src = str(tmp_path / "dstream")
+    spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (1, "a", dt.datetime(2024, 1, 1, 0, 1)),
+         (2, "b", dt.datetime(2024, 1, 1))],
+        "k int, v string, ts timestamp",
+    ).write.parquet(src)
+    t = st.stream_from_directory(spark, src, "k int, v string, ts timestamp")
+    out = st.deduplicate_stream(t, ["k"], time_col="ts", within=dt.timedelta(hours=1))
+    res = st.run_to_memory(out.to_df(), "dedup_out", output_mode="append")
+    ks = sorted(r["k"] for r in res.collect())
+    assert ks == [1, 2]

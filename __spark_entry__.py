@@ -686,6 +686,188 @@ def q40_iterate(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# extended coverage (round 1 widening)
+# ---------------------------------------------------------------------------
+
+
+def q41_restrict(spark, sf):
+    """restrict — orders of BUILDING-segment customers (semi on key)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    building = c.filter(this.c_mktsegment == "BUILDING").with_id_from(this.c_custkey)
+    ok = o.with_id_from(this.o_custkey)
+    out = ok.restrict(building).select(this.o_orderkey, this.o_custkey)
+    return out.to_df()
+
+
+def q42_udf(spark, sf):
+    """pw.udf — vectorized python UDF in a projection."""
+
+    @pw.udf
+    def bucket(q: float) -> str:
+        return "high" if q >= 30 else ("mid" if q >= 10 else "low")
+
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.select(this.l_orderkey, this.l_linenumber, b=bucket(this.l_quantity))
+    )
+    return out.to_df()
+
+
+def q43_intervals_over(spark, sf):
+    """intervals_over — error-event stats around each signup time."""
+    e = _t(spark, sf, "events")
+    signups = e.filter(this.event_type == "signup").select(at_t=this.ts // 1000)
+    errs = e.filter(this.event_type == "error").with_columns(ts_us=this.ts // 1000)
+    wt = errs.windowby(
+        this.ts_us,
+        window=pw.temporal.intervals_over(
+            at=signups, lower_bound=-600_000_000, upper_bound=600_000_000
+        ),
+    )
+    out = wt.reduce(at_t=this._pw_window_start, n_errors=R.count())
+    return out.to_df()
+
+
+def q44_asof_now(spark, sf):
+    """asof_now_join — batch collapses to equi-join on current state."""
+    from pathway_spark.operators.asof import asof_now_join
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    out = asof_now_join(o, c, pw.left.o_custkey == pw.right.c_custkey)
+    return out.select(this.o_orderkey, this.c_name).to_df()
+
+
+def q45_fuzzy_match(spark, sf):
+    """fuzzy_match_tables — token-Jaccard similarity join, natural keys."""
+    from pathway_spark.ml import fuzzy_match_tables
+
+    d = _t(spark, sf, "documents")
+    l = d.filter(this.doc_id < 50)
+    r = d.filter((this.doc_id >= 50) & (this.doc_id < 100))
+    m = fuzzy_match_tables(l, r, left_col="text", right_col="text", threshold=0.6)
+    lmap = l._df.select(F.col("_pw_id").alias("left_id"), F.col("doc_id").alias("doc_a"))
+    rmap = r._df.select(F.col("_pw_id").alias("right_id"), F.col("doc_id").alias("doc_b"))
+    out = (
+        m._df.join(lmap, "left_id").join(rmap, "right_id")
+        .select("doc_a", "doc_b", F.col("score").cast("double").alias("score"))
+    )
+    return out
+
+
+def q46_bm25(spark, sf):
+    """BM25 retrieval over documents for two fixed queries."""
+    from pathway_spark.indexing import tfidf_score
+
+    d = _t(spark, sf, "documents")
+    qs = Table(
+        spark.createDataFrame(
+            [(1, "spark table join"), (2, "data stream window")],
+            "query_id long, query string",
+        )
+    )
+    out = tfidf_score(d, qs, text_col="text", id_col="doc_id", k=10)
+    return out.to_df().select("query_id", "doc_id", "rank")
+
+
+def q47_dt_components(spark, sf):
+    """dt namespace on ns-long event times (hour/minute/weekday/week)."""
+    from pathway_spark.expressions import SparkFunc
+
+    e = _t(spark, sf, "events")
+    tsx = SparkFunc("to_ts", lambda c: F.timestamp_micros(c), this.ts // 1000)
+    out = e.select(
+        this.event_id,
+        hr=tsx.dt.hour(),
+        mi=tsx.dt.minute(),
+        wd=tsx.dt.weekday(),
+        wk=tsx.dt.week(),
+    )
+    return out.to_df()
+
+
+def q48_str_search(spark, sf):
+    """str namespace: count/find/rfind/removeprefix."""
+    d = _t(spark, sf, "documents")
+    out = d.select(
+        this.doc_id,
+        n_the=this.text.str.count("the"),
+        p_data=this.text.str.find("data"),
+        rp_data=this.text.str.rfind("data"),
+        noprefix=this.text.str.removeprefix("the "),
+    )
+    return out.to_df()
+
+
+def q49_concat_reindex(spark, sf):
+    """concat_reindex — overlapping slices kept as duplicates."""
+    c = _t(spark, sf, "customer")
+    a = c.filter(this.c_custkey % 2 == 0)
+    b = c.filter(this.c_custkey % 3 == 0)
+    out = a.concat_reindex(b).select(this.c_custkey)
+    return out.to_df()
+
+
+def q50_deduplicate_method(spark, sf):
+    """Table.deduplicate — one surviving row per distinct text
+    (rows-only: the survivor is picked by engine-internal id order)."""
+    d = _t(spark, sf, "documents")
+    out = d.deduplicate(value=this.text)
+    return out.to_df().select("text")
+
+
+def q51_pagerank(spark, sf):
+    """pagerank over the user co-occurrence graph (rows-only: iterative
+    float ranks are engine-specific)."""
+    from pathway_spark.operators.iterate import pagerank
+
+    e = _t(spark, sf, "events")
+    ns_per_h = F.lit(_US_H * 1000)
+    bucket = (
+        (F.col("ts") - F.pmod(F.col("ts"), ns_per_h)).cast("decimal(38,0)") / ns_per_h
+    ).cast("long")
+    df = e._df.select(F.col("user_id"), bucket.alias("bucket")).distinct()
+    a, b = df.alias("a"), df.alias("b")
+    edges = (
+        a.join(b, "bucket")
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    out = pagerank(Table(edges), steps=5)
+    return out._df.select(F.col("w").alias("user_id"), F.round("rank", 4).alias("rank"))
+
+
+def q52_embedding_lsh(spark, sf):
+    """embedding near-dup via random-hyperplane LSH (rows-only:
+    candidate set is engine-specific; pairs are exact-verified)."""
+    from pathway_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    out = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.99, num_planes=16, bands=8
+    )
+    return out.to_df().select("id_a", "id_b")
+
+
+def q53_multimodal_features(spark, sf):
+    """multimodal plumbing — binary column → mapInPandas feature extract
+    (rows-only: the stub decoder is python-side)."""
+    from pathway_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf, "documents")
+    media = Table(
+        d._df.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    out = extract_features(media, dim=8)
+    return out._df.select("media_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -732,6 +914,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_fingerprint": q38_fingerprint,
         "q39_approx_distinct": q39_approx_distinct,
         "q40_iterate": q40_iterate,
+        "q41_restrict": q41_restrict,
+        "q42_udf": q42_udf,
+        "q43_intervals_over": q43_intervals_over,
+        "q44_asof_now": q44_asof_now,
+        "q45_fuzzy_match": q45_fuzzy_match,
+        "q46_bm25": q46_bm25,
+        "q47_dt_components": q47_dt_components,
+        "q48_str_search": q48_str_search,
+        "q49_concat_reindex": q49_concat_reindex,
+        "q50_deduplicate_method": q50_deduplicate_method,
+        "q51_pagerank": q51_pagerank,
+        "q52_embedding_lsh": q52_embedding_lsh,
+        "q53_multimodal_features": q53_multimodal_features,
     }
 
 
@@ -1031,6 +1226,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "q41_restrict": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """,
+        "q42_udf": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity >= 30 THEN 'high'
+                        WHEN l_quantity >= 10 THEN 'mid'
+                        ELSE 'low' END AS b
+            FROM lineitem
+        """,
+        "q43_intervals_over": """
+            WITH sign AS (
+                SELECT DISTINCT epoch_us(ts) AS at_t FROM events
+                WHERE event_type = 'signup'
+            ), err AS (
+                SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+            )
+            SELECT s.at_t, COUNT(*) AS n_errors
+            FROM sign s JOIN err e
+              ON e.t >= s.at_t - 600000000 AND e.t <= s.at_t + 600000000
+            GROUP BY s.at_t
+        """,
+        "q44_asof_now": """
+            SELECT o.o_orderkey, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q45_fuzzy_match": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS ts
+                FROM documents
+            ), l AS (SELECT * FROM toks WHERE doc_id < 50),
+               r AS (SELECT * FROM toks WHERE doc_id >= 50 AND doc_id < 100),
+            le AS (SELECT doc_id, t.t AS t FROM l, UNNEST(ts) AS t(t)),
+            re AS (SELECT doc_id, t.t AS t FROM r, UNNEST(ts) AS t(t)),
+            common AS (
+                SELECT le.doc_id AS doc_a, re.doc_id AS doc_b, COUNT(*) AS c
+                FROM le JOIN re ON le.t = re.t
+                GROUP BY le.doc_id, re.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(c AS DOUBLE) / (len(l.ts) + len(r.ts) - c) AS score
+            FROM common
+            JOIN l ON l.doc_id = doc_a
+            JOIN r ON r.doc_id = doc_b
+            WHERE CAST(c AS DOUBLE) / (len(l.ts) + len(r.ts) - c) >= 0.6
+        """,
+        "q46_bm25": """
+            WITH toks AS (
+                SELECT doc_id, t.t AS term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS t(t)
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT AVG(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+                SELECT term, LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                FROM dfreq, stats
+            ), q AS (
+                SELECT * FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'join'),
+                                      (2, 'data'), (2, 'stream'), (2, 'window'))
+                     AS v(query_id, term)
+            ), scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+                           AS score
+                FROM q JOIN tf USING (term) JOIN idf USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id, stats
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored QUALIFY rank <= 10
+        """,
+        "q47_dt_components": """
+            SELECT event_id,
+                   CAST(HOUR(ts) AS BIGINT) AS hr,
+                   CAST(MINUTE(ts) AS BIGINT) AS mi,
+                   CAST(ISODOW(ts) - 1 AS BIGINT) AS wd,
+                   CAST(WEEKOFYEAR(ts) AS BIGINT) AS wk
+            FROM events
+        """,
+        "q48_str_search": """
+            SELECT doc_id,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT)
+                       AS n_the,
+                   CAST(STRPOS(text, 'data') - 1 AS BIGINT) AS p_data,
+                   CAST(CASE WHEN STRPOS(REVERSE(text), REVERSE('data')) = 0 THEN -1
+                        ELSE LENGTH(text) - STRPOS(REVERSE(text), REVERSE('data'))
+                             - LENGTH('data') + 1 END AS BIGINT) AS rp_data,
+                   CASE WHEN STARTS_WITH(text, 'the ')
+                        THEN SUBSTRING(text, 5) ELSE text END AS noprefix
+            FROM documents
+        """,
+        "q49_concat_reindex": """
+            SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

@@ -27,7 +27,7 @@ def fuzzy_match_tables(left: Table, right: Table, *, left_col: str, right_col: s
         common.join(sa, "left_id").join(sb, "right_id")
         .withColumn("score", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
         .filter(F.col("score") >= threshold)
-        .select("left_id", "right_id", F.round("score", 6).alias("score"))
+        .select("left_id", "right_id", "score")
     )
     return Table(out.withColumn(ID, F.xxhash64("left_id", "right_id")))
 

@@ -10,7 +10,7 @@ physical optimization.
 
 from __future__ import annotations
 
-from . import debug, io, reducers
+from . import debug, demo, io, reducers, streaming
 from .expressions import (
     ColumnExpression,
     ColumnReference,
@@ -69,7 +69,8 @@ __all__ = [
     "Table", "Schema", "this", "left", "right", "reducers", "io", "debug",
     "sql", "udf", "UDF", "apply", "apply_with_type", "apply_async", "cast",
     "coalesce", "if_else", "require", "unwrap", "fill_error", "make_tuple",
-    "declare_type", "iterate", "temporal", "run", "get_spark",
+    "declare_type", "iterate", "temporal", "run", "get_spark", "demo",
+    "streaming",
     "schema_from_types", "schema_from_dict", "schema_from_pandas",
     "schema_builder", "column_definition", "interpolate",
 ]

@@ -71,24 +71,31 @@ def any(expr) -> ReducerExpression:  # noqa: A001
 
 def sorted_tuple(expr, *, skip_nones: bool = False) -> ReducerExpression:
     """reducers.py:579."""
-
-    def agg(c: Column) -> Column:
-        lst = F.collect_list(c) if skip_nones else F.sort_array(F.collect_list(c))
-        return F.sort_array(lst) if skip_nones else lst
-
     return ReducerExpression("sorted_tuple", lambda c: F.sort_array(F.collect_list(c)), expr)
 
 
-def tuple(expr, *, skip_nones: bool = False) -> ReducerExpression:  # noqa: A001
-    """reducers.py:610 — collect in input order. Spark's collect_list order is
-    partition-dependent; for deterministic results use sorted_tuple or
-    groupby(sort_by=...)."""
-    return ReducerExpression("tuple", F.collect_list, expr)
+class OrderedReducer(ReducerExpression):
+    """Order-sensitive collector: with `groupby(sort_by=...)` the values
+    are collected as (sort_key, value) structs, sorted post-agg, and
+    unwrapped — deterministic regardless of partitioning. Without
+    sort_by, falls back to partition-order collect_list."""
+
+    def _agg_col_sorted(self, row_ctx, sort_col: Column) -> Column:
+        val = self._args[0]._to_col(row_ctx)
+        collected = F.collect_list(F.struct(sort_col.alias("k"), val.alias("v")))
+        return F.transform(F.array_sort(collected), lambda s: s["v"])
 
 
-def ndarray(expr) -> ReducerExpression:
+def tuple(expr, *, skip_nones: bool = False) -> OrderedReducer:  # noqa: A001
+    """reducers.py:610 — collect in input order (use groupby(sort_by=...)
+    for a deterministic order; bare collect_list order is
+    partition-dependent)."""
+    return OrderedReducer("tuple", F.collect_list, expr)
+
+
+def ndarray(expr) -> OrderedReducer:
     """reducers.py:700 — same as tuple, numpy semantics on the client."""
-    return ReducerExpression("ndarray", F.collect_list, expr)
+    return OrderedReducer("ndarray", F.collect_list, expr)
 
 
 def earliest(expr, time=None) -> ReducerExpression:

@@ -85,6 +85,37 @@ def stream_from_directory(spark, path: str, schema, fmt: str = "parquet",
     return Table(df.withColumn(ID, F.xxhash64(*[F.col(c) for c in df.columns])))
 
 
+def subscribe_stream(table_or_df, on_change, *, key_cols: list[str],
+                     output_mode: str = "update", on_time_end=None):
+    """Reference-style change stream (`io/_subscribe.py:17`): emits
+    (key, row, time, is_addition) with retractions — a changed key first
+    emits its previous row with is_addition=False, then the new row.
+
+    Update-mode micro-batches carry only changed keys; the previous
+    value snapshot lives with the sink (at scale: foreachBatch MERGE
+    into a Delta table with Change Data Feed instead of a dict)."""
+    df = table_or_df._df if isinstance(table_or_df, Table) else table_or_df
+    state: dict = {}
+
+    def batch_fn(bdf: DataFrame, batch_id: int):
+        for row in bdf.collect():
+            d = row.asDict()
+            d.pop(ID, None)
+            key = tuple(d[k] for k in key_cols)
+            old = state.get(key)
+            if old == d:
+                continue
+            if old is not None:
+                on_change(key=key, row=old, time=batch_id, is_addition=False)
+            state[key] = d
+            on_change(key=key, row=d, time=batch_id, is_addition=True)
+        if on_time_end:
+            on_time_end(batch_id)
+
+    q = df.writeStream.outputMode(output_mode).foreachBatch(batch_fn).start()
+    return q
+
+
 def run_to_memory(table_or_df, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion synchronously (test harness):
     memory sink + processAllAvailable (guide §Structured Streaming)."""

@@ -523,10 +523,18 @@ class GroupedTable:
                 key_names.append(n)
 
         reducers = _collect_reducers(outputs.values())
-        # sort_by feeds order-sensitive reducers (tuple/ndarray): wrap
-        # collect_list args into structs sorted post-hoc
+        # sort_by feeds order-sensitive reducers (tuple/ndarray):
+        # collect (sort_key, value) structs, sort post-agg, unwrap
+        from .reducers import OrderedReducer
+
+        sort_col = to_col(self._sort_by, row_ctx) if self._sort_by is not None else None
         alias = {key: f"__agg_{i}" for i, (key, _) in enumerate(reducers.items())}
-        agg_cols = [red._agg_col(row_ctx).alias(alias[key]) for key, red in reducers.items()]
+        agg_cols = [
+            red._agg_col_sorted(row_ctx, sort_col).alias(alias[key])
+            if sort_col is not None and isinstance(red, OrderedReducer)
+            else red._agg_col(row_ctx).alias(alias[key])
+            for key, red in reducers.items()
+        ]
         if not agg_cols:
             agg_cols = [F.count(F.lit(1)).alias("__pw_dummy_count")]
 

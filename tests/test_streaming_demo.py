@@ -1,0 +1,123 @@
+"""Streaming semantics + demo generators — reference test style
+(tests/temporal/test_windows_stream.py, demo/__init__.py doctests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import pathway_spark as pw
+from pathway_spark import this
+from pathway_spark import reducers as R
+from pathway_spark.table import Table
+
+from tests.test_table_api import rows
+
+
+def test_groupby_sort_by_tuple(spark):
+    t = Table.from_spark(
+        spark.createDataFrame(
+            [("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y"), ("b", 9, "q")],
+            "g string, ord int, v string",
+        ),
+        id_columns=["g", "ord"],
+    )
+    out = t.groupby(this.g, sort_by=this.ord).reduce(
+        this.g, vs=R.tuple(this.v)
+    )
+    assert rows(out) == [("a", ["x", "y", "z"]), ("b", ["q"])]
+
+
+def test_demo_range_stream_static(spark):
+    t = pw.demo.range_stream(5, offset=10, spark=spark)
+    assert rows(t) == [(10,), (11,), (12,), (13,), (14,)]
+
+
+def test_demo_noisy_linear(spark):
+    t = pw.demo.noisy_linear(4, spark=spark)
+    got = rows(t, "x", "y")
+    assert [x for x, _ in got] == [0.0, 1.0, 2.0, 3.0]
+    assert all(abs(y - x) <= 0.5 for x, y in got)
+
+
+def test_demo_custom_stream(spark):
+    schema = pw.schema_from_types(i=int, s=str)
+    t = pw.demo.generate_custom_stream(
+        {"i": lambda k: k * 2, "s": lambda k: f"r{k}"},
+        schema=schema, nb_rows=3, spark=spark,
+    )
+    assert rows(t) == [(0, "r0"), (2, "r1"), (4, "r2")]
+
+
+def test_demo_replay_csv(spark, tmp_path):
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "csvsrc"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,one\n")
+    (src / "b.csv").write_text("k,v\n2,two\n")
+    schema = pw.schema_from_types(k=int, v=str)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming", spark=spark)
+    res = st.run_to_memory(t.to_df(), "replay_out")
+    assert sorted(tuple(r) for r in res.collect()) == [(1, "one"), (2, "two")]
+
+
+def test_streaming_change_stream_with_retractions(spark, tmp_path):
+    """Aggregation over a 2-file replay emits +1 for the first state and
+    a retraction (+ new value) when the second file updates a key —
+    the reference's insert/retract update-stream semantics."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "cs"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,1\nb,5\n")
+    (src / "f2.csv").write_text("k,v\na,2\n")
+    schema = pw.schema_from_types(k=str, v=int)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming", spark=spark)
+    agg = t._df.groupBy("k").agg(F.sum("v").alias("total"))
+
+    events = []
+    q = st.subscribe_stream(
+        agg,
+        lambda key, row, time, is_addition: events.append(
+            (key[0], row["total"], is_addition)
+        ),
+        key_cols=["k"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = {}
+    for k, total, is_add in events:
+        if is_add:
+            final[k] = total
+        elif final.get(k) == total:
+            del final[k]
+    assert final == {"a": 3, "b": 5}
+    assert ("a", 1, True) in events and ("a", 1, False) in events and ("a", 3, True) in events
+
+
+def test_streaming_windowed_update_mode(spark, tmp_path):
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "wstream"
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i % 10)) for i in range(20)],
+        "k int, ts timestamp",
+    ).coalesce(4).write.parquet(str(src))
+    t = st.stream_from_directory(spark, str(src), "k int, ts timestamp",
+                                 max_files_per_trigger=2)
+    agg = t._df.groupBy(F.window("ts", "5 minutes").alias("w")).count()
+    res = st.run_to_memory(agg, "upd_counts", output_mode="complete")
+    got = {(r["w"]["start"].minute, r["count"]) for r in res.collect()}
+    assert got == {(0, 10), (5, 10)}
+
+
+def test_behavior_output_modes():
+    b = pw.streaming.common_behavior(cutoff=dt.timedelta(minutes=1))
+    assert b.output_mode == "update"
+    b2 = pw.streaming.common_behavior(delay=dt.timedelta(minutes=1), keep_results=False)
+    assert b2.output_mode == "append"
+    assert pw.streaming.exactly_once_behavior().output_mode == "append"

@@ -50,6 +50,37 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def exploded_word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int,
+                         *, distinct: bool = True) -> DataFrame:
+    """(doc, g) word n-gram rows via posexplode + window lead.
+
+    The scale path for shingling: array HOF lambdas (transform/slice/
+    array_join) are interpreted per element, which dominates runtime;
+    posexplode + lead + concat_ws stays in whole-stage codegen, paying
+    only one per-doc sort for the window. `distinct=False` skips the
+    set-semantics shuffle for consumers where duplicates are harmless
+    (minhash: min over duplicates == min over distinct)."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    if n == 1:
+        out = toks.select("doc", F.col("tok").alias("g"))
+    else:
+        w = W.partitionBy("doc").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        last = F.lead("tok", n - 1).over(w)
+        out = (
+            toks.select("doc", F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("g"))
+            .filter(F.col("g").isNotNull())
+        )
+    return out.distinct() if distinct else out
+
+
 def char_ngrams(col: Column, n: int) -> Column:
     s = F.lower(F.trim(col))
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
@@ -99,12 +130,17 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
     `max_doc_freq` drops ubiquitous shingles (bounded join fan-out at
     scale; None = exact).
     """
+    from pyspark.storagelevel import StorageLevel
+
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
     # hash shingles to 8-byte keys before the join: the shuffle carries
-    # longs instead of strings (collision odds ~|shingles|²/2⁶⁴ — nil)
-    sh = df.select(
-        "doc", F.explode(word_ngrams(F.col("t"), n)).alias("gs")
-    ).select("doc", F.xxhash64("gs").alias("g"))
+    # longs instead of strings (collision odds ~|shingles|²/2⁶⁴ — nil);
+    # persisted because the inverted-index self-join + sizes reference it 3×
+    sh = (
+        exploded_word_ngrams(df, "t", "doc", n)
+        .select("doc", F.xxhash64("g").alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         keep = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
@@ -159,10 +195,17 @@ def minhash_signatures_df(df, text_col: str, id_col: str, *, n: int = 3,
     whole-stage-codegen'd (xxhash64 is a codegen expression, unlike
     array HOF lambdas), and the min-agg is map-side partial, so the
     shuffle carries one signature row per document."""
-    grams = char_ngrams(F.col(text_col), n) if char_level else word_ngrams(F.col(text_col), n)
-    ex = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+    if char_level:
+        grams = char_ngrams(F.col(text_col), n)
+        ex = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+    else:
+        # duplicates don't change a min — skip the distinct shuffle
+        ex = exploded_word_ngrams(df, text_col, id_col, n, distinct=False)
+    # hash the gram string ONCE; the num_hashes seeded hashes then run on
+    # the 8-byte value instead of re-hashing the string per seed
+    ex = ex.select("doc", F.xxhash64("g").alias("hg"))
     aggs = [
-        F.min(F.xxhash64(F.col("g"), F.lit(j))).alias(f"h{j}")
+        F.min(F.xxhash64(F.col("hg"), F.lit(j))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return ex.groupBy("doc").agg(*aggs)
@@ -178,9 +221,22 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     With r = num_hashes/bands rows per band, a pair with Jaccard J is
     caught with prob 1-(1-J^r)^bands (≈1 for J ≥ threshold with defaults).
     """
+    from pyspark.storagelevel import StorageLevel
+
     r = num_hashes // bands
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    sig = minhash_signatures_df(df, "t", "doc", n=n, num_hashes=num_hashes)
+    # one persisted (doc, gram-hash) frame feeds signature, sizes and
+    # verification — self-joins would otherwise recompute the shingling
+    # once per reference (distinct is safe: min over dups == min over set)
+    sh = (
+        exploded_word_ngrams(df, "t", "doc", n)
+        .select("doc", F.xxhash64("g").alias("hg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = sh.groupBy("doc").agg(*[
+        F.min(F.xxhash64(F.col("hg"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "doc",
         F.explode(F.array(*[
@@ -202,14 +258,22 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     if not verify:
         out = cand.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
-    shingled = df.select("doc", word_ngrams(F.col("t"), n).alias("gs"))
+    # exact-Jaccard verification via joins on the persisted shingle frame
+    # (candidates are few; no per-pair array materialization)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc").alias("a"), "hg"), "a")
+        .join(sh.select(F.col("doc").alias("b"), "hg"), ["b", "hg"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
     out = (
-        cand.join(shingled.select(F.col("doc").alias("a"), F.col("gs").alias("ga")), "a")
-        .join(shingled.select(F.col("doc").alias("b"), F.col("gs").alias("gb")), "b")
+        common
+        .join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ga", "gb"))
-            / F.size(F.array_union("ga", "gb")),
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("jaccard"))
@@ -251,10 +315,9 @@ def simhash64(col: Column, *, n: int = 2) -> Column:
 def simhash64_df(df, text_col: str, id_col: str, *, n: int = 2):
     """(doc, sh) simhash frame via explode → codegen hash → vote aggs —
     the scale path (same shape as minhash_signatures_df)."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    ).select("doc", F.xxhash64("g").alias("h"))
+    ex = exploded_word_ngrams(df, text_col, id_col, n).select(
+        "doc", F.xxhash64("g").alias("h")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)

@@ -867,6 +867,111 @@ def q53_multimodal_features(spark, sf):
     return out._df.select("media_id", F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+def q54_join_right(spark, sf):
+    """right join — all customers, with their order revenue if any."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.join_right(c, pw.left.o_custkey == pw.right.c_custkey)
+    out = j.groupby(pw.right.c_custkey).reduce(
+        c_custkey=pw.right.c_custkey,
+        n_orders=R.count(pw.left.o_orderkey),
+    )
+    return out.to_df()
+
+
+def q55_unique_any(spark, sf):
+    """unique + any reducers — per-order values that are single-valued."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    j = li.join(o, pw.left.l_orderkey == pw.right.o_orderkey)
+    out = j.groupby(pw.left.l_orderkey).reduce(
+        l_orderkey=pw.left.l_orderkey,
+        status=R.unique(pw.right.o_orderstatus),
+        some_flag=R.any(pw.left.l_returnflag),
+    )
+    return out.to_df()
+
+
+def q56_interval_join_ts(spark, sf):
+    """interval_join on real timestamps with timedelta bounds —
+    lineitems shipped within 30 days of their order's date."""
+    import datetime as dt
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    jr = pw.temporal.interval_join(
+        li,
+        o,
+        pw.left.l_shipdate,
+        pw.right.o_orderdate,
+        (dt.timedelta(0), dt.timedelta(days=30)),
+        [pw.left.l_orderkey == pw.right.o_orderkey],
+    )
+    out = jr.groupby(pw.right.o_orderkey).reduce(
+        o_orderkey=pw.right.o_orderkey, n_quick=R.count()
+    )
+    return out.to_df()
+
+
+def q57_asof_left(spark, sf):
+    """asof_join_left — every click, with latest prior purchase if any."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(this.event_type == "click").with_columns(ts_us=this.ts // 1000)
+    buys = e.filter(this.event_type == "purchase").select(
+        buyer=this.user_id, bts_us=this.ts // 1000, purchase_value=this.value
+    )
+    out = clicks.asof_join_left(
+        buys, pw.left.ts_us, pw.right.bts_us, pw.left.user_id == pw.right.buyer
+    ).select(this.event_id, this.purchase_value)
+    return out.to_df()
+
+
+def q58_try_divide_fill(spark, sf):
+    """NULL-error model: /0 poisons the cell to NULL; fill_error fills."""
+    from pathway_spark.expressions import SparkFunc
+
+    e = _t(spark, sf, "events")
+    k = SparkFunc(
+        "json_k", lambda c: F.get_json_object(c, "$.k").cast("long"), this.props
+    )
+    et = e.with_columns(kmod=k % 3)
+    out = et.select(
+        this.event_id,
+        ratio=pw.fill_error(this.value / this.kmod, -1.0),
+    )
+    return out.to_df()
+
+
+def q59_dt_durations(spark, sf):
+    """duration accessors on ns longs — event age vs epoch in units."""
+    e = _t(spark, sf, "events")
+    out = e.select(
+        this.event_id,
+        age_s=this.ts.dt.seconds(),
+        age_min=this.ts.dt.minutes(),
+        age_h=this.ts.dt.hours(),
+        age_d=this.ts.dt.days(),
+    )
+    return out.to_df()
+
+
+def q60_window_join_left(spark, sf):
+    """window_join left — clicks kept even with no same-hour purchase."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(this.event_type == "click").select(
+        c_user=this.user_id, c_ts=this.ts // 1000, c_id=this.event_id
+    )
+    buys = e.filter(this.event_type == "purchase").select(
+        b_user=this.user_id, b_ts=this.ts // 1000, b_id=this.event_id
+    )
+    jr = pw.temporal.window_join(
+        clicks, buys, this.c_ts, this.b_ts, pw.temporal.tumbling(_US_H),
+        [pw.left.c_user == pw.right.b_user], how="left",
+    )
+    out = jr.select(c_id=pw.left.c_id, b_id=pw.right.b_id)
+    return out.to_df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -927,6 +1032,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_pagerank": q51_pagerank,
         "q52_embedding_lsh": q52_embedding_lsh,
         "q53_multimodal_features": q53_multimodal_features,
+        "q54_join_right": q54_join_right,
+        "q55_unique_any": q55_unique_any,
+        "q56_interval_join_ts": q56_interval_join_ts,
+        "q57_asof_left": q57_asof_left,
+        "q58_try_divide_fill": q58_try_divide_fill,
+        "q59_dt_durations": q59_dt_durations,
+        "q60_window_join_left": q60_window_join_left,
     }
 
 
@@ -1335,6 +1447,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
             UNION ALL
             SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+        """,
+        "q54_join_right": """
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "q55_unique_any": """
+            SELECT l.l_orderkey,
+                   MIN(o.o_orderstatus) AS status,
+                   MIN(l.l_returnflag) AS some_flag
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey
+        """,
+        "q56_interval_join_ts": """
+            SELECT o.o_orderkey, COUNT(*) AS n_quick
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY o.o_orderkey
+        """,
+        "q57_asof_left": """
+            SELECT c.event_id, b.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+            ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)
+        """,
+        "q58_try_divide_fill": """
+            SELECT event_id,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+                        THEN -1.0
+                        ELSE value / (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3)
+                   END AS ratio
+            FROM events
+        """,
+        "q59_dt_durations": """
+            SELECT event_id,
+                   epoch_us(ts) // 1000000 AS age_s,
+                   epoch_us(ts) // 60000000 AS age_min,
+                   epoch_us(ts) // 3600000000 AS age_h,
+                   epoch_us(ts) // 86400000000 AS age_d
+            FROM events
+        """,
+        "q60_window_join_left": """
+            SELECT c.event_id AS c_id, b.event_id AS b_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+            ON c.user_id = b.user_id
+               AND epoch_us(c.ts) // 3600000000 = epoch_us(b.ts) // 3600000000
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

@@ -195,7 +195,8 @@ _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
+    # NULL-on-/0 matches the engine error model (Value::Error -> NULL cell)
+    "/": lambda a, b: F.try_divide(a, b),
     # floor-div must stay exact for 64-bit ints (ns timestamps exceed
     # double's 53-bit mantissa): a - pmod(a,b) is exactly divisible, and
     # decimal division of it is exact — no double rounding anywhere.

@@ -17,6 +17,14 @@ NS_PER_MS = 1_000_000
 NS_PER_S = 1_000_000_000
 
 
+
+def _exact_div(c: Column, k: int) -> Column:
+    """Exact floor-div of 64-bit integer columns by a positive literal —
+    ns values exceed double's 53-bit mantissa, so no fp division."""
+    kk = F.lit(k)
+    return ((c - F.pmod(c, kk)).cast("decimal(38,0)") / kk).cast("long")
+
+
 class DateTimeNamespace:
     def __init__(self, expr: ColumnExpression):
         self._e = expr
@@ -87,7 +95,7 @@ class DateTimeNamespace:
         """date_time.py:840 — wall-clock add across DST; duration in ns."""
         def fn(c: Column, d: Column, tz: Column) -> Column:
             local = F.from_utc_timestamp(c, tz)
-            moved = F.timestamp_micros((F.unix_micros(local) + (d / 1000).cast("long")))
+            moved = F.timestamp_micros(F.unix_micros(local) + (d.cast("decimal(38,0)") / 1000).cast("long"))
             return F.to_utc_timestamp(moved, tz)
 
         return self._f("add_dur_tz", fn, _wrap(duration_ns), _wrap(timezone))
@@ -107,31 +115,31 @@ class DateTimeNamespace:
         return self._f("nanoseconds", lambda c: c.cast("long"))
 
     def microseconds(self):
-        return self._f("microseconds", lambda c: (c / NS_PER_US).cast("long"))
+        return self._f("microseconds", lambda c: _exact_div(c, NS_PER_US))
 
     def milliseconds(self):
-        return self._f("milliseconds", lambda c: (c / NS_PER_MS).cast("long"))
+        return self._f("milliseconds", lambda c: _exact_div(c, NS_PER_MS))
 
     def seconds(self):
-        return self._f("seconds", lambda c: (c / NS_PER_S).cast("long"))
+        return self._f("seconds", lambda c: _exact_div(c, NS_PER_S))
 
     def minutes(self):
-        return self._f("minutes", lambda c: (c / (60 * NS_PER_S)).cast("long"))
+        return self._f("minutes", lambda c: _exact_div(c, 60 * NS_PER_S))
 
     def hours(self):
-        return self._f("hours", lambda c: (c / (3600 * NS_PER_S)).cast("long"))
+        return self._f("hours", lambda c: _exact_div(c, 3600 * NS_PER_S))
 
     def days(self):
-        return self._f("days", lambda c: (c / (86400 * NS_PER_S)).cast("long"))
+        return self._f("days", lambda c: _exact_div(c, 86400 * NS_PER_S))
 
     def weeks(self):
-        return self._f("weeks", lambda c: (c / (7 * 86400 * NS_PER_S)).cast("long"))
+        return self._f("weeks", lambda c: _exact_div(c, 7 * 86400 * NS_PER_S))
 
     # --- constructors (1504/1563) ---
     def from_timestamp(self, unit: str):
         mult = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1}[unit]
         if unit == "ns":
-            return self._f("from_ts", lambda c: F.timestamp_micros((c / 1000).cast("long")))
+            return self._f("from_ts", lambda c: F.timestamp_micros(_exact_div(c, 1000)))
         return self._f("from_ts", lambda c: F.timestamp_micros((c * mult).cast("long")))
 
     def utc_from_timestamp(self, unit: str):
@@ -156,7 +164,8 @@ def _round_ts(c: Column, granularity: str, up_half: bool) -> Column:
         return F.date_trunc(_TRUNC.get(granularity, granularity), c)
     us = ns // 1000
     micros = F.unix_micros(c)
-    rounded = ((micros + us // 2) / us).cast("long") * us
+    shifted = micros + us // 2
+    rounded = ((shifted - F.pmod(shifted, F.lit(us))).cast("decimal(38,0)") / F.lit(us)).cast("long") * us
     return F.timestamp_micros(rounded)
 
 

@@ -105,7 +105,25 @@ def asof_join(lt: Table, rt: Table, t_left, t_right, on: list, *,
     out = out.select(*sel, F.col("__pw_matched"))
     if how == "inner":
         out = out.filter(F.col("__pw_matched").isNotNull())
-    return Table(out.drop("__pw_matched"))
+    result = out.drop("__pw_matched")
+
+    if how in ("right", "outer"):
+        # append right rows never used by any match (NULL left columns)
+        used = out.select(F.col("__pw_matched").alias("__pw_rid")).distinct()
+        unused = rt._df.join(
+            used, rt._df[ID] == used["__pw_rid"], "left_anti"
+        )
+        pad = unused.select(
+            F.xxhash64(F.lit(None).cast("long"), F.col(ID)).alias(ID),
+            *[F.lit(None).cast(lt._df.schema[c].dataType).alias(c) for c in lcols],
+            *[F.col(f"`{c}`").alias(rename_r[c]) for c in rcols],
+        )
+        if how == "right":  # matched left rows only + unused right rows
+            base = out.filter(F.col("__pw_matched").isNotNull()).drop("__pw_matched")
+        else:  # outer: unmatched left rows kept too
+            base = result
+        result = base.unionByName(pad)
+    return Table(result)
 
 
 def asof_now_join(lt: Table, rt: Table, *on, how: str = "inner") -> "Table":

@@ -435,6 +435,12 @@ class Table:
     def asof_join_left(self, other, t_left, t_right, *on, **kw):
         return self.asof_join(other, t_left, t_right, *on, how="left", **kw)
 
+    def asof_join_right(self, other, t_left, t_right, *on, **kw):
+        return self.asof_join(other, t_left, t_right, *on, how="right", **kw)
+
+    def asof_join_outer(self, other, t_left, t_right, *on, **kw):
+        return self.asof_join(other, t_left, t_right, *on, how="outer", **kw)
+
     def interval_join(self, other, t_left, t_right, interval, *on, how="inner"):
         from .operators.temporal import interval_join
         return interval_join(self, other, t_left, t_right, interval, list(on), how=how)

@@ -463,3 +463,46 @@ def test_streaming_dedup(spark, tmp_path):
     res = st.run_to_memory(out.to_df(), "dedup_out", output_mode="append")
     ks = sorted(r["k"] for r in res.collect())
     assert ks == [1, 2]
+
+
+def test_asof_join_right_outer(spark):
+    trades = T(spark, [(1, 10)], "tid int, t long", ["tid"])
+    quotes = T(spark, [(5, 1.0), (20, 3.0)], "qt long, px double", ["qt"])
+    right = trades.asof_join_right(quotes, pw.left.t, pw.right.qt)
+    # match: trade@10 ↔ quote@5; quote@20 unused → padded with NULL left
+    got = rows(right, "tid", "px")
+    assert got == sorted([(1, 1.0), (None, 3.0)],
+                         key=lambda t: tuple(repr(x) for x in t))
+    outer = trades.filter(this.tid < 0).asof_join_outer(
+        quotes, pw.left.t, pw.right.qt
+    )
+    assert len(rows(outer)) == 2  # no left rows: both quotes padded
+
+
+def test_dt_duration_accessors_exact(spark):
+    big = 1_704_067_798_778_549_829  # ns — would lose precision as double
+    t = Table(spark.createDataFrame([(big,)], "d long"))
+    out = t.select(
+        s=this.d.dt.seconds(), m=this.d.dt.minutes(), h=this.d.dt.hours()
+    )
+    assert rows(out) == [(big // 10**9, big // (60 * 10**9), big // (3600 * 10**9))]
+
+
+def test_dt_round_floor(spark):
+    import datetime as dt
+
+    t = Table(spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15, 10, 31, 29),)], "ts timestamp"))
+    out = t.select(
+        fl=this.ts.dt.floor("h"), rd=this.ts.dt.round("h"), rm=this.ts.dt.round("min")
+    )
+    r = out.to_df().collect()[0]
+    assert r["fl"].hour == 10 and r["fl"].minute == 0
+    assert r["rd"].hour == 11 and r["rd"].minute == 0
+    assert (r["rm"].minute, r["rm"].second) == (31, 0)
+
+
+def test_try_divide_null_error_model(spark):
+    t = Table(spark.createDataFrame([(1.0, 0), (4.0, 2)], "a double, b int"))
+    out = t.select(r=pw.fill_error(this.a / this.b, -1.0))
+    assert rows(out) == [(-1.0,), (2.0,)]

@@ -10,7 +10,7 @@ physical optimization.
 
 from __future__ import annotations
 
-from . import debug, demo, io, reducers, streaming
+from . import debug, demo, io, persistence, reducers, streaming, universes
 from .expressions import (
     ColumnExpression,
     ColumnReference,
@@ -40,6 +40,7 @@ from .schema import (
 from .session import get_spark
 from .sql import sql
 from .table import GroupedTable, JoinResult, Table
+from .stdlib.utils import AsyncTransformer, pandas_transformer
 from .udfs import UDF, udf
 from .operators import iterate as _iterate_mod
 from .operators import temporal

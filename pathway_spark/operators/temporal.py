@@ -122,20 +122,53 @@ def _assign_hopping(df: DataFrame, t: Column, window: Window) -> DataFrame:
     return out.drop("__pw_ws")
 
 
+class _RowView:
+    """Attribute access -> Column factory; lets `session(predicate=...)`
+    callables write `prev.v - cur.v` style conditions that compile to
+    window-function Columns (reference `_window.py:501` predicate)."""
+
+    def __init__(self, fn):
+        object.__setattr__(self, "_fn", fn)
+
+    def __getattr__(self, name):
+        return self._fn(name)
+
+    def __getitem__(self, name):
+        return self._fn(name)
+
+
 def _assign_session(df: DataFrame, t: Column, window: Window, inst: Column | None) -> DataFrame:
-    """lag/cumsum sessionization (guide: 'Sessionization' pattern)."""
+    """lag/cumsum sessionization (guide: 'Sessionization' pattern).
+
+    `max_gap` sessions break when the time delta exceeds the gap;
+    `predicate(prev, cur)` sessions break when the predicate is false for
+    adjacent rows (reference merges via iterate connected-components —
+    for a sorted order the transitive closure IS the lag/cumsum scan)."""
     from pyspark.sql import Window as W
 
     is_ts = _is_ts(df, t)
     tl = F.unix_micros(t.cast("timestamp")) if is_ts else t
-    gap = _dur_us(window.max_gap) if is_ts else window.max_gap
     part = [inst] if inst is not None else [F.lit(0)]
     w = W.partitionBy(*part).orderBy(tl)
     d = df.withColumn("__pw_t", tl)
+    predicate = getattr(window, "predicate", None)
+    gap = 0  # predicate sessions end at the last row's time
+    if predicate is not None:
+        prev = _RowView(lambda n: F.lag(F.col(f"`{n}`")).over(w))
+        cur = _RowView(lambda n: F.col(f"`{n}`"))
+        keep = predicate(prev, cur)
+        if hasattr(keep, "_to_col"):  # expression-tree predicate
+            from ..expressions import to_col as _tc
+            from ..expressions import RowContext as _RC
+            keep = _tc(keep, _RC({"this": d}))
+        breaks = ~F.coalesce(keep, F.lit(False))
+    else:
+        gap = _dur_us(window.max_gap) if is_ts else window.max_gap
+        breaks = F.col("__pw_t") - F.lag("__pw_t").over(w) > F.lit(gap)
     d = d.withColumn(
         "__pw_new",
-        F.when(F.col("__pw_t") - F.lag("__pw_t").over(w) > F.lit(gap), 1).otherwise(
-            F.when(F.lag("__pw_t").over(w).isNull(), 1).otherwise(0)
+        F.when(F.lag("__pw_t").over(w).isNull(), 1).otherwise(
+            F.when(breaks, 1).otherwise(0)
         ),
     )
     d = d.withColumn("__pw_sess", F.sum("__pw_new").over(

@@ -506,3 +506,66 @@ def test_try_divide_null_error_model(spark):
     t = Table(spark.createDataFrame([(1.0, 0), (4.0, 2)], "a double, b int"))
     out = t.select(r=pw.fill_error(this.a / this.b, -1.0))
     assert rows(out) == [(-1.0,), (2.0,)]
+
+
+def test_session_predicate(spark):
+    # merge adjacent readings while the value doesn't jump by more than 2
+    t = T(spark, [(0, 1.0), (1, 2.0), (2, 10.0), (3, 11.0)], "t long, v double", ["t"])
+    wt = t.windowby(
+        this.t,
+        window=pw.temporal.session(
+            predicate=lambda prev, cur: (cur.v - prev.v) <= 2
+        ),
+    )
+    out = wt.reduce(start=this._pw_window_start, n=R.count())
+    assert rows(out) == [(0, 2), (2, 2)]
+
+
+def test_async_transformer(spark):
+    class Upper(pw.AsyncTransformer):
+        output_schema = pw.schema_from_types(up=str)
+
+        async def invoke(self, **row):
+            if row["s"] == "bad":
+                raise ValueError("boom")
+            await asyncio_sleep0()
+            return {"up": row["s"].upper()}
+
+    async def _noop():
+        return None
+
+    def asyncio_sleep0():
+        import asyncio
+        return asyncio.sleep(0)
+
+    t = T(spark, [(1, "a"), (2, "bad"), (3, "c")], "k int, s string", ["k"])
+    tr = Upper(t)
+    ok = sorted(r["up"] for r in tr.successful._df.collect())
+    assert ok == ["A", "C"]
+    assert tr.failed._df.count() == 1
+
+
+def test_pandas_transformer(spark):
+    @pw.pandas_transformer(output_schema=pw.schema_from_types(double=int))
+    def double_col(pdf):
+        import pandas as pd
+        return pd.DataFrame({"double": pdf["v"] * 2})
+
+    t = T(spark, [(1,), (2,)], "v int")
+    out = double_col(t)
+    assert sorted(r["double"] for r in out._df.collect()) == [2, 4]
+
+
+def test_universes_promises(spark):
+    a = T(spark, [(1,), (2,)], "k int", ["k"])
+    b = T(spark, [(1,), (2,), (3,)], "k int", ["k"])
+    pw.universes.promise_is_subset_of(a, b, validate=True)
+    c = T(spark, [(9,)], "k int", ["k"])
+    pw.universes.promise_are_pairwise_disjoint(a, c, validate=True)
+    with pytest.raises(AssertionError):
+        pw.universes.promise_is_subset_of(b, a, validate=True)
+
+
+def test_persistence_config(tmp_path):
+    cfg = pw.persistence.Config(pw.persistence.Backend.filesystem(str(tmp_path / "chk")))
+    assert cfg.checkpoint_location.endswith("chk")

@@ -972,6 +972,50 @@ def q60_window_join_left(spark, sf):
     return out.to_df()
 
 
+def q61_session_predicate(spark, sf):
+    """session(predicate=...) — merge a user's run of events while value
+    is non-decreasing."""
+    e = _t(spark, sf, "events")
+    et = e.with_columns(ts_us=this.ts // 1000)
+    wt = et.windowby(
+        this.ts_us,
+        window=pw.temporal.session(predicate=lambda prev, cur: cur.value >= prev.value),
+        instance=this.user_id,
+    )
+    out = wt.reduce(
+        user_id=this._pw_instance,
+        session_start=this._pw_window_start,
+        n_events=R.count(),
+    )
+    return out.to_df()
+
+
+def q62_split_documents(spark, sf):
+    """document splitter — 20-token chunks, one row per chunk."""
+    from pathway_spark.ml.splitters import split_documents
+
+    d = _t(spark, sf, "documents")
+    out = split_documents(d, text_col="text", max_tokens=20, overlap=0)
+    return out.to_df().select("doc_id", "chunk_pos", "chunk_text")
+
+
+def q63_salted_agg(spark, sf):
+    """skew-safe two-phase salted aggregation == plain GROUP BY result."""
+    from pyspark.sql import types as T
+
+    from pathway_spark.operators.skew import salted_aggregate
+
+    e = _t(spark, sf, "events")
+    et = e.with_columns(vdec=pw.cast(T.DecimalType(10, 2), this.value))
+    out = salted_aggregate(
+        et, ["user_id"],
+        {"total": ("sum", "vdec"), "n": ("count", "vdec"),
+         "lo": ("min", "value"), "hi": ("max", "value")},
+        salt_buckets=16,
+    )
+    return _r(out.to_df(), {"total": 2})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1039,6 +1083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_try_divide_fill": q58_try_divide_fill,
         "q59_dt_durations": q59_dt_durations,
         "q60_window_join_left": q60_window_join_left,
+        "q61_session_predicate": q61_session_predicate,
+        "q62_split_documents": q62_split_documents,
+        "q63_salted_agg": q63_salted_agg,
     }
 
 
@@ -1496,6 +1543,41 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
             ON c.user_id = b.user_id
                AND epoch_us(c.ts) // 3600000000 = epoch_us(b.ts) // 3600000000
+        """,
+        "q61_session_predicate": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) AS t, value,
+                       CASE WHEN LAG(value) OVER w IS NULL
+                                 OR value < LAG(value) OVER w
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), s AS (
+                SELECT user_id, t,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                FROM t
+            )
+            SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
+        "q62_split_documents": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ts
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s.s // 20 AS INT) AS chunk_pos,
+                   array_to_string(ts[s.s + 1 : s.s + 20], ' ') AS chunk_text
+            FROM toks, UNNEST(range(0, GREATEST(len(ts), 1), 20)) AS s(s)
+        """,
+        "q63_salted_agg": """
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total,
+                   COUNT(value) AS n,
+                   MIN(value) AS lo,
+                   MAX(value) AS hi
+            FROM events GROUP BY user_id
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

@@ -569,3 +569,81 @@ def test_universes_promises(spark):
 def test_persistence_config(tmp_path):
     cfg = pw.persistence.Config(pw.persistence.Backend.filesystem(str(tmp_path / "chk")))
     assert cfg.checkpoint_location.endswith("chk")
+
+
+def test_salted_aggregate(spark):
+    from pathway_spark.operators.skew import key_skew_report, salted_aggregate
+
+    data = [("hot", float(i)) for i in range(1000)] + [("cold", 7.0)]
+    t = T(spark, data, "k string, v double")
+    out = salted_aggregate(
+        t, ["k"],
+        {"total": ("sum", "v"), "n": ("count", "v"), "mean": ("avg", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+        salt_buckets=8,
+    )
+    got = {r["k"]: (r["total"], r["n"], r["mean"], r["lo"], r["hi"])
+           for r in out._df.collect()}
+    assert got["hot"] == (499500.0, 1000, 499.5, 0.0, 999.0)
+    assert got["cold"] == (7.0, 1, 7.0, 7.0, 7.0)
+    rep = key_skew_report(t, ["k"]).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["max_n"] == 1000
+
+
+def test_token_splitter(spark):
+    from pathway_spark.ml.splitters import TokenCountSplitter, split_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    t = T(spark, [(1, text)], "doc_id long, text string", ["doc_id"])
+    out = split_documents(t, max_tokens=4, overlap=1)
+    chunks = [r["chunk_text"] for r in
+              out._df.orderBy("chunk_pos").collect()]
+    assert chunks[0] == "w0 w1 w2 w3"
+    assert chunks[1] == "w3 w4 w5 w6"          # 1-token overlap
+    assert chunks[-1].split()[-1] == "w9"       # tail covered
+    splitter = TokenCountSplitter(min_tokens=2, max_tokens=4, overlap=1)
+    out2 = splitter(t)
+    assert all(len(r["chunk_text"].split()) >= 2 for r in out2._df.collect())
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """stream-stream inner join with range condition + watermarks —
+    Spark's canonical interval join (SURVEY §2.3 interval_join)."""
+    import pathway_spark.streaming as st
+
+    base = dt.datetime(2024, 1, 1)
+    lsrc, rsrc = str(tmp_path / "ljoin"), str(tmp_path / "rjoin")
+    spark.createDataFrame(
+        [(1, 7, base + dt.timedelta(minutes=1)), (2, 7, base + dt.timedelta(minutes=30))],
+        "lid int, k int, lts timestamp",
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(10, 7, base + dt.timedelta(minutes=2)), (20, 7, base + dt.timedelta(minutes=50))],
+        "rid int, k int, rts timestamp",
+    ).write.parquet(rsrc)
+    l = spark.readStream.schema("lid int, k int, lts timestamp").parquet(lsrc).withWatermark("lts", "10 minutes")
+    r = (spark.readStream.schema("rid int, k int, rts timestamp").parquet(rsrc)
+         .withColumnRenamed("k", "rk").withWatermark("rts", "10 minutes"))
+    j = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    res = st.run_to_memory(j, "ssjoin")
+    got = [(r["lid"], r["rid"]) for r in res.collect()]
+    assert got == [(1, 10)]
+
+
+def test_streaming_stream_static_join(spark, tmp_path):
+    """asof_now in streaming == stream-static join (SURVEY §2.3)."""
+    import pathway_spark.streaming as st
+
+    src = str(tmp_path / "ss_left")
+    spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string").write.parquet(src)
+    stream = spark.readStream.schema("k int, v string").parquet(src)
+    dim = spark.createDataFrame([(1, "ONE")], "k int, name string")
+    j = stream.join(dim, "k", "inner")
+    res = st.run_to_memory(j, "ss_static")
+    assert [(r["k"], r["name"]) for r in res.collect()] == [(1, "ONE")]

@@ -50,6 +50,11 @@ _PK = {
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
+    from pathway_spark.session import ensure_engine_confs
+
+    # the driver may hand us its own session: apply runtime-settable
+    # engine configs (ns-parquet reads, UTC, AQE) before the first scan
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return Table.from_spark(df, id_columns=_PK[name])
 

@@ -19,6 +19,25 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable session configs to an
+    externally-created SparkSession (e.g. a test driver's): ns-parquet
+    reads, UTC semantics, AQE. Safe to call repeatedly."""
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", _DEFAULT_CPUS),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment: keep going
+    return spark
+
+
 def get_spark(app_name: str = "pathway-spark", cpus: str | int | None = None) -> SparkSession:
     """Return (or create) the singleton SparkSession with engine defaults."""
     cpus = str(cpus or _DEFAULT_CPUS)

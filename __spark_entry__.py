@@ -594,7 +594,9 @@ def q34_knn_bruteforce(spark, sf):
     queries = emb.filter(this.vec_id < 10)
     out = brute_force_topk(emb, queries, vec_col="embedding",
                            id_col="vec_id", k=5)
-    return out.to_df().select("query_id", "neighbor_id", "rank")
+    return out.to_df().select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q35_embedding_neardup(spark, sf):
@@ -773,7 +775,9 @@ def q46_bm25(spark, sf):
         )
     )
     out = tfidf_score(d, qs, text_col="text", id_col="doc_id", k=10)
-    return out.to_df().select("query_id", "doc_id", "rank")
+    return out.to_df().select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q47_dt_components(spark, sf):

@@ -24,14 +24,22 @@ def plan_text(obj, mode: str = "formatted") -> str:
 
 
 def plan_report(obj) -> dict:
+    import re
+
     txt = plan_text(obj)
+
+    def n(op: str) -> int:
+        # formatted explain prints each node once in the tree and once in
+        # the numbered detail section — count the "(k) Op" detail lines
+        return len(re.findall(rf"^\(\d+\) {op}\b", txt, flags=re.M))
+
     return {
         "pushed_filters": "PushedFilters: [" in txt and "PushedFilters: []" not in txt,
-        "broadcast_joins": txt.count("BroadcastHashJoin"),
-        "sortmerge_joins": txt.count("SortMergeJoin"),
-        "shuffles": txt.count("Exchange"),
-        "codegen_stages": txt.count("WholeStageCodegen"),
-        "python_evals": txt.count("BatchEvalPython") + txt.count("ArrowEvalPython"),
+        "broadcast_joins": n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": n("SortMergeJoin"),
+        "shuffles": n("Exchange"),
+        "codegen_stages": len(re.findall(r"WholeStageCodegen", txt)),
+        "python_evals": n("BatchEvalPython") + n("ArrowEvalPython"),
     }
 
 

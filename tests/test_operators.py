@@ -647,3 +647,19 @@ def test_streaming_stream_static_join(spark, tmp_path):
     j = stream.join(dim, "k", "inner")
     res = st.run_to_memory(j, "ss_static")
     assert [(r["k"], r["name"]) for r in res.collect()] == [(1, "ONE")]
+
+
+def test_document_store(spark):
+    from pathway_spark.ml.document_store import DocumentStore
+    from pathway_spark.ml.splitters import TokenCountSplitter
+
+    docs = T(spark, [
+        (1, "spark engine " * 30 + "catalyst optimizer"),
+        (2, "cats and dogs playing fetch " * 20),
+    ], "doc_id long, text string", ["doc_id"])
+    store = DocumentStore(docs, splitter=TokenCountSplitter(max_tokens=20))
+    assert store.chunks._df.count() > 2  # both docs split into chunks
+    qs = Table(spark.createDataFrame([(1, "catalyst optimizer")],
+                                     "query_id long, query string"))
+    hits = store.retrieve(qs, k=2)._df.collect()
+    assert hits and all(h["doc_id"] == 1 for h in hits)

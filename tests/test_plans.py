@@ -1,0 +1,55 @@
+"""Physical-plan quality gates — the properties the 100 TB design
+relies on, asserted per headline query (SURVEY §4): parquet filter
+pushdown, no row-at-a-time Python in relational hot paths, broadcast
+joins for dim tables."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from pathway_spark.plans import plan_report
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+# every relational/temporal/dedup query must stay JVM-side end-to-end
+NO_PYTHON = [
+    "q01_filter_groupby", "q02_project_ifelse", "q03_join_agg",
+    "q04_left_join", "q09_flatten_wordcount", "q16_sort_diff",
+    "q19_tumbling", "q20_sliding", "q21_session", "q22_asof_join",
+    "q23_interval_join", "q29_dedup_exact", "q31_ngram_jaccard",
+    "q32_minhash_lsh", "q33_simhash", "q34_knn_bruteforce",
+    "q36_token_stats", "q37_lang_quality", "q46_bm25",
+    "q61_session_predicate", "q62_split_documents", "q63_salted_agg",
+]
+
+
+@pytest.mark.parametrize("name", NO_PYTHON)
+def test_no_python_in_hot_path(name, spark):
+    rep = plan_report(QUERIES[name](spark, SF_DIR))
+    assert rep["python_evals"] == 0, f"{name} has python eval nodes: {rep}"
+
+
+def test_filter_pushdown_q01(spark):
+    rep = plan_report(QUERIES["q01_filter_groupby"](spark, SF_DIR))
+    assert rep["pushed_filters"], "l_quantity filter must reach the parquet scan"
+
+
+def test_broadcast_dims_q03(spark):
+    rep = plan_report(QUERIES["q03_join_agg"](spark, SF_DIR))
+    assert rep["broadcast_joins"] >= 1, "dim joins should broadcast at this SF"
+
+
+def test_single_shuffle_q01(spark):
+    # filter → groupBy: exactly one exchange (the agg shuffle)
+    rep = plan_report(QUERIES["q01_filter_groupby"](spark, SF_DIR))
+    assert rep["shuffles"] <= 1, f"q01 should shuffle once, saw {rep['shuffles']}"
+
+
+def test_udf_query_uses_arrow(spark):
+    # q42 is the deliberate python path: must be Arrow-batched, not row UDF
+    from pathway_spark.plans import plan_text
+
+    txt = plan_text(QUERIES["q42_udf"](spark, SF_DIR))
+    assert "ArrowEvalPython" in txt or "BatchEvalPython" not in txt

@@ -855,7 +855,7 @@ def q52_embedding_lsh(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     out = embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.99, num_planes=16, bands=8
+        emb, "embedding", "vec_id", threshold=0.99, num_planes=32, bands=4
     )
     return out.to_df().select("id_a", "id_b")
 

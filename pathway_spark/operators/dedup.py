@@ -390,7 +390,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
-                            threshold: float = 0.95, num_planes: int = 16,
+                            threshold: float = 0.95, num_planes: int = 32,
                             bands: int = 4, exact: bool = False) -> Table:
     """Cosine near-duplicate pairs over `array<float>` embeddings.
 
@@ -399,46 +399,67 @@ def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
     `bands` bucket keys, candidates verified exactly. `exact=True`
     computes the O(n²) baseline instead (for validation / small inputs).
     """
+    from pyspark.storagelevel import StorageLevel
+
     df = table._df.select(F.col(id_col).alias("vid"),
                           F.col(vec_col).cast("array<double>").alias("v"))
     if exact:
         a = df.select(F.col("vid").alias("a"), F.col("v").alias("va"))
         b = df.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
         pairs = a.join(b, F.col("a") < F.col("b"))
-    else:
-        # deterministic pseudo-random planes: plane p component i =
-        # hash(p*10007+i) mapped to [-1, 1)
-        first = table._df.select(F.size(F.col(vec_col)).alias("s")).limit(1).collect()
-        dim = first[0]["s"]
-        planes = [
-            F.array(*[
-                (F.xxhash64(F.lit(p * 10_007 + i)) % 1_000_000 / 500_000.0 - 1.0)
-                for i in range(dim)
-            ])
-            for p in range(num_planes)
-        ]
-        bits = F.array(*[
-            F.when(_dot(F.col("v"), pl) > 0, F.lit(1)).otherwise(F.lit(0))
-            for pl in planes
-        ])
-        per_band = num_planes // bands
-        sigs = df.withColumn("bits", bits).select(
-            "vid", "v",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(*[F.col("bits")[bi * per_band + j] for j in range(per_band)]).alias("bh"),
-                ) for bi in range(bands)
-            ])).alias("bb"),
-        ).select("vid", "v", "bb.band", "bb.bh")
-        a = sigs.select(F.col("vid").alias("a"), F.col("v").alias("va"), "band", "bh")
-        b = sigs.select(F.col("vid").alias("b"), F.col("v").alias("vb"), "band", "bh")
-        pairs = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
-                 .select("a", "va", "b", "vb").distinct())
+        out = (
+            pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                    F.col("cosine"))
+        )
+        return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+
+    # scale path: explode vectors to (vid, i, x) rows; hyperplane
+    # projections become map-side sum aggregates (codegen, no array
+    # HOFs), and candidate verification is a dimension join — dot =
+    # sum(xa*xb) — against precomputed norms. plane p component i =
+    # hash(p*10007 + i) mapped to [-1, 1), computable per exploded row.
+    def plane(p: int) -> Column:
+        return (
+            F.xxhash64(F.lit(p * 10_007) + F.col("i")) % 1_000_000 / 500_000.0 - 1.0
+        )
+
+    ex = df.select("vid", F.posexplode("v").alias("i", "x")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    per_vec = ex.groupBy("vid").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
+        *[F.sum(F.col("x") * plane(p)).alias(f"p{p}") for p in range(num_planes)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_band = num_planes // bands
+    banded = per_vec.select(
+        "vid",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[
+                    (F.col(f"p{bi * per_band + j}") > 0).cast("int")
+                    for j in range(per_band)
+                ]).alias("bh"),
+            ) for bi in range(bands)
+        ])).alias("bb"),
+    ).select("vid", "bb.band", "bb.bh")
+    a = banded.select(F.col("vid").alias("a"), "band", "bh")
+    b = banded.select(F.col("vid").alias("b"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    dots = (
+        cand.join(ex.select(F.col("vid").alias("a"), "i", F.col("x").alias("xa")), "a")
+        .join(ex.select(F.col("vid").alias("b"), "i", F.col("x").alias("xb")), ["b", "i"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    norms = per_vec.select("vid", "norm")
     out = (
-        pairs.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        dots.join(norms.select(F.col("vid").alias("a"), F.col("norm").alias("na")), "a")
+        .join(norms.select(F.col("vid").alias("b"), F.col("norm").alias("nb")), "b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
-                F.round("cosine", 6).alias("cosine"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("cosine"))
     )
     return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))

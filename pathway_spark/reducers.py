@@ -140,21 +140,89 @@ def array_sum(expr) -> ReducerExpression:
     return ReducerExpression("array_sum", agg, expr)
 
 
-def stateful_many(fn, *args) -> ReducerExpression:
-    """reference `internals/custom_reducers.py:36` — arbitrary python fold.
-    Compiled through collect_list + a scalar UDF on the grouped values
-    (correct but non-distributed within a group; documented slow path)."""
-    from pyspark.sql import types as T
+def _grouped_python_fold(name: str, fold, result_type, args) -> ReducerExpression:
+    """Shared compile path for python custom reducers: collect the
+    group's rows into structs and fold with one scalar UDF call per
+    group — the same non-distributed-within-group semantics the
+    reference's python reducers have (`custom_reducers.py`)."""
+    from .schema import to_spark_type
+
+    rt = to_spark_type(result_type) if result_type is not None else None
 
     def agg(*cols: Column) -> Column:
         merged = F.collect_list(F.struct(*[c.alias(f"_{i}") for i, c in enumerate(cols)]))
+        n = len(cols)
 
-        @F.udf(T.StringType())
-        def run(rows):
-            state = None
-            state = fn(state, [[r[f"_{i}"] for i in range(len(cols))] for r in rows])
-            return None if state is None else str(state)
+        def run_py(rows):
+            return fold([[r[f"_{i}"] for i in range(n)] for r in rows])
 
+        run = F.udf(run_py, rt) if rt is not None else F.udf(run_py)
         return run(merged)
 
-    return ReducerExpression("stateful_many", agg, *args)
+    return ReducerExpression(name, agg, *args)
+
+
+def stateful_many(fn, *args, result_type=None) -> ReducerExpression:
+    """reference `internals/custom_reducers.py:36` — arbitrary python fold
+    over all of a group's rows: fn(state=None, rows) -> state."""
+    rt = result_type or fn.__annotations__.get("return")
+
+    def fold(rows):
+        return fn(None, rows)
+
+    return _grouped_python_fold("stateful_many", fold, rt, args)
+
+
+def stateful_single(fn, *args, result_type=None) -> ReducerExpression:
+    """reference `custom_reducers.py:111` — per-row fold:
+    fn(state, *values) -> state, applied row by row."""
+    rt = result_type or fn.__annotations__.get("return")
+
+    def fold(rows):
+        state = None
+        for r in rows:
+            state = fn(state, *r)
+        return state
+
+    return _grouped_python_fold("stateful_single", fold, rt, args)
+
+
+class BaseCustomAccumulator:
+    """reference `custom_reducers.py:177` — subclass with from_row /
+    update / compute_result (retract unused in batch; snapshots replace
+    diff streams)."""
+
+    @classmethod
+    def from_row(cls, row):
+        raise NotImplementedError
+
+    def update(self, other) -> None:
+        raise NotImplementedError
+
+    def compute_result(self):
+        raise NotImplementedError
+
+
+def udf_reducer(accumulator_cls, *, result_type=None):
+    """reference `custom_reducers.py:282` — accumulator-class reducer:
+    ``reducer = pw.reducers.udf_reducer(MyAcc)``, then ``reducer(cols…)``
+    inside a reduce."""
+
+    def make(*exprs) -> ReducerExpression:
+        rt = result_type or accumulator_cls.compute_result.__annotations__.get("return")
+
+        def fold(rows):
+            acc = None
+            for r in rows:
+                nxt = accumulator_cls.from_row(r)
+                if acc is None:
+                    acc = nxt
+                else:
+                    acc.update(nxt)
+            return None if acc is None else acc.compute_result()
+
+        return _grouped_python_fold(
+            f"udf_reducer:{accumulator_cls.__name__}", fold, rt, exprs
+        )
+
+    return make

@@ -362,3 +362,42 @@ def test_schema_builders(spark):
     s = pw.schema_from_types(a=int, b=str, c=float)
     st = s.to_struct_type()
     assert [f.dataType.simpleString() for f in st.fields] == ["bigint", "string", "double"]
+
+
+def test_stateful_reducers(spark, t1):
+    def fold_many(state, rows) -> int:
+        return sum(v[0] for v in rows)
+
+    out = t1.groupby(this.g).reduce(
+        this.g, s=R.stateful_many(fold_many, this.a)
+    )
+    assert rows(out) == [("x", 3), ("y", 7)]
+
+    def fold_one(state, v) -> int:
+        return (state or 0) + v * v
+
+    out2 = t1.groupby(this.g).reduce(
+        this.g, ss=R.stateful_single(fold_one, this.a)
+    )
+    assert rows(out2) == [("x", 5), ("y", 25)]
+
+
+def test_udf_reducer(spark, t1):
+    class MeanAcc(R.BaseCustomAccumulator):
+        def __init__(self, s, n):
+            self.s, self.n = s, n
+
+        @classmethod
+        def from_row(cls, row):
+            return cls(row[0], 1)
+
+        def update(self, other) -> None:
+            self.s += other.s
+            self.n += other.n
+
+        def compute_result(self) -> float:
+            return self.s / self.n
+
+    mean = R.udf_reducer(MeanAcc)
+    out = t1.groupby(this.g).reduce(this.g, m=mean(this.b))
+    assert rows(out) == [("x", 15.0), ("y", 35.0)]

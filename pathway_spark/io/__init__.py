@@ -105,9 +105,27 @@ plaintext = SimpleNamespace(
     read=lambda path, mode="static", **kw: _fs_read(path, "plaintext", None, mode, **kw),
 )
 
+def _write_bucketed(table: Table, name: str, bucket_by: list[str], *,
+                    num_buckets: int = 64, sort_by: list[str] | None = None) -> None:
+    """Bucketed managed table — co-locates join/agg keys at write time so
+    later equi-joins on `bucket_by` read both sides pre-partitioned and
+    skip the shuffle entirely (the 100 TB repeated-join pattern)."""
+    w = table.to_df().write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(name)
+
+
+def _read_table(name: str, spark: SparkSession | None = None) -> Table:
+    spark = spark or _spark()
+    return Table.from_spark(spark.table(name))
+
+
 parquet = SimpleNamespace(
     read=lambda path, schema=None, mode="static", **kw: _fs_read(path, "parquet", schema, mode, **kw),
     write=lambda table, filename, **kw: _write_table(table, filename, "parquet", **kw),
+    write_bucketed=_write_bucketed,
+    read_table=_read_table,
 )
 
 

@@ -42,13 +42,22 @@ def diff(table: Table, timestamp, values, instance=None) -> Table:
     return Table(df)
 
 
-def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table:
+def interpolate(table: Table, timestamp, *values, mode: str = "linear",
+                instance=None) -> Table:
     """Linear interpolation of NULL gaps (_interpolate.py:56):
-    prev/next non-null neighbors via last/first(ignorenulls) windows."""
+    prev/next non-null neighbors via last/first(ignorenulls) windows.
+
+    Scale note: without `instance` the interpolation needs one global
+    time order (single range partition) — pass `instance` (e.g. the
+    series key) to parallelize across series like the reference's
+    per-key ordering."""
     ctx = table._ctx()
     t = to_col(timestamp, ctx)
-    wb = W.orderBy(t).rowsBetween(W.unboundedPreceding, 0)
-    wf = W.orderBy(t).rowsBetween(0, W.unboundedFollowing)
+    part = [to_col(instance, ctx)] if instance is not None else []
+    wb = W.partitionBy(*part).orderBy(t).rowsBetween(W.unboundedPreceding, 0) \
+        if part else W.orderBy(t).rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy(*part).orderBy(t).rowsBetween(0, W.unboundedFollowing) \
+        if part else W.orderBy(t).rowsBetween(0, W.unboundedFollowing)
     df = table._df.withColumn("__pw_t", t.cast("double"))
     for v in values:
         c = to_col(v, ctx)

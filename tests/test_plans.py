@@ -53,3 +53,35 @@ def test_udf_query_uses_arrow(spark):
 
     txt = plan_text(QUERIES["q42_udf"](spark, SF_DIR))
     assert "ArrowEvalPython" in txt or "BatchEvalPython" not in txt
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Bucketing both sides on the join key removes the join shuffles —
+    the co-located join pattern for repeatedly-joined 100 TB tables."""
+    import pathway_spark as pw
+    from pathway_spark.table import Table
+
+    o = Table.from_spark(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet"), id_columns=["o_orderkey"]
+    )
+    li = Table.from_spark(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        id_columns=["l_orderkey", "l_linenumber"],
+    )
+    pw.io.parquet.write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8)
+    pw.io.parquet.write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8)
+    ob = spark.table("b_orders")
+    lb = spark.table("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).select(
+            "l_orderkey", "o_totalprice"
+        )
+        rep = plan_report(j)
+        assert rep["shuffles"] == 0, f"bucketed join still shuffles: {rep}"
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -1008,6 +1008,30 @@ def q62_split_documents(spark, sf):
     return out.to_df().select("doc_id", "chunk_pos", "chunk_text")
 
 
+def q64_dt_round(spark, sf):
+    """dt.floor / dt.round to hour granularity on order dates."""
+    o = _t(spark, sf, "orders")
+    out = o.select(
+        this.o_orderkey,
+        fl_day=this.o_orderdate.dt.floor("D").dt.strftime("%Y-%m-%d"),
+        rd_hour=this.o_orderdate.dt.round("h").dt.strftime("%Y-%m-%d %H:%M"),
+    )
+    return out.to_df()
+
+
+def q65_tuple_sort_by(spark, sf):
+    """groupby(sort_by=) + ordered tuple reducer — deterministic order."""
+    li = _t(spark, sf, "lineitem")
+    grouped = li.groupby(this.l_orderkey, sort_by=this.l_linenumber).reduce(
+        this.l_orderkey,
+        flags=R.tuple(this.l_returnflag),
+    )
+    out = grouped.to_df().select(
+        "l_orderkey", F.array_join("flags", ",").alias("flags")
+    )
+    return out
+
+
 def q63_salted_agg(spark, sf):
     """skew-safe two-phase salted aggregation == plain GROUP BY result."""
     from pyspark.sql import types as T
@@ -1095,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_session_predicate": q61_session_predicate,
         "q62_split_documents": q62_split_documents,
         "q63_salted_agg": q63_salted_agg,
+        "q64_dt_round": q64_dt_round,
+        "q65_tuple_sort_by": q65_tuple_sort_by,
     }
 
 
@@ -1587,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS lo,
                    MAX(value) AS hi
             FROM events GROUP BY user_id
+        """,
+        "q64_dt_round": """
+            SELECT o_orderkey,
+                   STRFTIME(date_trunc('day', o_orderdate), '%Y-%m-%d') AS fl_day,
+                   STRFTIME(to_timestamp((epoch_us(o_orderdate) + 1800000000)
+                            // 3600000000 * 3600) AT TIME ZONE 'UTC',
+                            '%Y-%m-%d %H:%M') AS rd_hour
+            FROM orders
+        """,
+        "q65_tuple_sort_by": """
+            SELECT l_orderkey,
+                   STRING_AGG(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
+                       AS flags
+            FROM lineitem GROUP BY l_orderkey
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

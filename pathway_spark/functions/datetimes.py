@@ -163,7 +163,7 @@ def _round_ts(c: Column, granularity: str, up_half: bool) -> Column:
     if ns is None:
         return F.date_trunc(_TRUNC.get(granularity, granularity), c)
     us = ns // 1000
-    micros = F.unix_micros(c)
+    micros = F.unix_micros(c.cast("timestamp"))  # ntz-safe (UTC session)
     shifted = micros + us // 2
     rounded = ((shifted - F.pmod(shifted, F.lit(us))).cast("decimal(38,0)") / F.lit(us)).cast("long") * us
     return F.timestamp_micros(rounded)

@@ -192,6 +192,18 @@ def windowby(table: Table, time_expr, *, window: Window, instance=None,
     t = to_col(time_expr, ctx)
     inst = to_col(instance, ctx) if instance is not None else None
 
+    if behavior is not None and df.isStreaming:
+        # cutoff ≡ withWatermark (SURVEY §2.5): bounded state + late-data
+        # drop; requires a real timestamp event-time column
+        from ..streaming import _fmt_interval
+
+        cutoff = getattr(behavior, "cutoff", None) or getattr(behavior, "shift", None)
+        if cutoff is not None:
+            df = df.withColumn("__pw_evt", t.cast("timestamp")).withWatermark(
+                "__pw_evt", _fmt_interval(cutoff)
+            )
+            t = F.col("__pw_evt")
+
     if window.kind in ("tumbling", "sliding"):
         aug = _assign_hopping(df, t, window)
     elif window.kind == "session":

@@ -77,7 +77,11 @@ def table_from_markdown(md: str, *, spark: SparkSession | None = None,
     df = spark.createDataFrame(data, schema.to_struct_type())
     if id_from:
         return Table.from_spark(df, id_columns=list(id_from))
-    return Table.from_spark(df)
+    # changelog tables: key by data columns only, so a retraction hashes
+    # to the same id as the insert it cancels (reference keys rows by
+    # content, not by (time, diff))
+    data_cols = [c for c in df.columns if c not in ("_pw_time", "_pw_diff")]
+    return Table.from_spark(df, id_columns=data_cols)
 
 
 # alias used heavily in the reference's tests (tests/utils.py:629)

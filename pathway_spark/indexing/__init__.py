@@ -75,6 +75,41 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
 
 
+def hybrid_retrieve(docs: Table, queries: Table, *, text_col="text",
+                    vec_col="embedding", id_col="doc_id",
+                    query_col="query", query_vec_col="embedding",
+                    k: int = 10, rrf_k: int = 60) -> Table:
+    """Hybrid retrieval (reference `stdlib/indexing/hybrid_index.py`):
+    BM25 + vector KNN fused by Reciprocal Rank Fusion —
+    score = Σ 1/(rrf_k + rank). Pure DataFrame ops: both retrievals run
+    independently and fuse with a full-outer join on (query, doc)."""
+    from ..operators.similarity import brute_force_topk
+
+    bm = tfidf_score(docs, queries, text_col=text_col, id_col=id_col,
+                     query_col=query_col, k=k)._df.select(
+        "query_id", F.col(id_col).alias("doc"), F.col("rank").alias("r_text"))
+    kn = brute_force_topk(
+        Table(docs._df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))),
+        Table(queries._df.select(F.col("query_id").alias("vec_id"),
+                                 F.col(query_vec_col))),
+        vec_col=vec_col, id_col="vec_id", k=k,
+    )._df.select(F.col("query_id"), F.col("neighbor_id").alias("doc"),
+                 F.col("rank").alias("r_vec"))
+    fused = (
+        bm.join(kn, ["query_id", "doc"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0)),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc"))
+    out = (fused.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", F.col("doc").alias(id_col), "rank", "rrf"))
+    return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
+
+
 class DataIndex:
     """reference data_index.py:278 — as-of-now retrieval join (batch:
     every query sees the full index)."""

@@ -107,6 +107,44 @@ def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
     return Table(dists.withColumn(ID, F.xxhash64("w")))
 
 
+def louvain_communities(edges: Table, *, max_iterations: int = 10) -> Table:
+    """Community detection (reference `stdlib/graphs/louvain_communities/`).
+
+    Spark-first approximation: synchronous label propagation weighted by
+    edge weight (`weight` column, default 1) — each vertex adopts the
+    label with the highest incident weight, iterated to a fixed point.
+    LPA converges to the same communities as Louvain's local-move phase
+    on well-separated graphs; documented divergence: no modularity-gain
+    tie-breaking (ties break by smallest label for determinism).
+    """
+    cols = edges._df.columns
+    e = edges._df.select(
+        F.col("u"), F.col("v"),
+        (F.col("weight") if "weight" in cols else F.lit(1.0)).alias("w"),
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")))
+    labels = sym.select(F.col("u").alias("n")).distinct().withColumn("label", F.col("n"))
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym["v"] == labels["n"])
+            .groupBy("u", "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        best = (
+            neigh.groupBy("u")
+            .agg(F.min_by(F.col("label"), F.struct((-F.col("lw")).alias("nw"),
+                                                   F.col("label"))).alias("new_label"))
+        )
+        new = labels.join(best, labels["n"] == best["u"], "left").select(
+            F.col("n"), F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+        ).localCheckpoint(eager=True)
+        if new.exceptAll(labels).isEmpty():
+            labels = new
+            break
+        labels = new
+    return Table(labels.withColumn(ID, F.xxhash64("n")))
+
+
 def connected_components(edges: Table) -> Table:
     """Label propagation to a fixed point — building block for
     session(predicate=...) windows (reference merges sessions via iterate

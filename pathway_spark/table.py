@@ -480,6 +480,50 @@ class Table:
         """reference table.py:2779 — async results resolve within batch; no-op."""
         return self
 
+    def remove_retractions(self) -> "Table":
+        """reference table.py:2842 — keep only insertions of a changelog
+        table (rows with `_pw_diff` > 0; plain tables pass through)."""
+        if "_pw_diff" in self._df.columns:
+            return Table(self._df.filter(F.col("_pw_diff") > 0))
+        return self
+
+    def assert_append_only(self) -> "Table":
+        """reference `assert_append_only` (graph.rs:1040): fail if the
+        changelog carries retractions."""
+        if "_pw_diff" in self._df.columns:
+            bad = self._df.filter(F.col("_pw_diff") < 0)
+            assert bad.isEmpty(), "table is not append-only: retractions present"
+        return self
+
+    def stream_to_table(self) -> "Table":
+        """changelog → snapshot (reference stream_to_table, graph.rs:1020):
+        fold +1/-1 diffs per id, keep rows with positive net count at the
+        latest time."""
+        if "_pw_diff" not in self._df.columns:
+            return self
+        from pyspark.sql.window import Window as _W
+
+        net = self._df.groupBy(ID).agg(F.sum("_pw_diff").alias("__net"))
+        order = (F.col("_pw_time").desc() if "_pw_time" in self._df.columns
+                 else F.lit(0))
+        latest = (
+            self._df.filter(F.col("_pw_diff") > 0)
+            .withColumn("__rn", F.row_number().over(_W.partitionBy(ID).orderBy(order)))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        keep = latest.join(net.filter(F.col("__net") > 0).select(ID), ID, "left_semi")
+        return Table(keep.drop("_pw_diff", "_pw_time"))
+
+    def table_to_stream(self) -> "Table":
+        """snapshot → changelog: every row becomes a +1 insert at time 0."""
+        df = self._df
+        if "_pw_diff" not in df.columns:
+            df = df.withColumn("_pw_diff", F.lit(1))
+        if "_pw_time" not in df.columns:
+            df = df.withColumn("_pw_time", F.lit(0))
+        return Table(df)
+
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 

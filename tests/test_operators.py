@@ -685,3 +685,95 @@ def test_embedding_lsh_planted_neardups(spark):
     planted = {(i, 100 + i) for i in range(30)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_louvain_communities(spark):
+    from pathway_spark.operators.iterate import louvain_communities
+
+    # two dense triangles joined by one weak edge
+    edges = T(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+              "u long, v long")
+    out = louvain_communities(edges)
+    comm = {r["n"]: r["label"] for r in out._df.collect()}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[10] == comm[11] == comm[12]
+
+
+def test_hybrid_retrieve(spark):
+    from pathway_spark.indexing import hybrid_retrieve
+
+    docs = T(spark, [
+        (1, "spark catalyst engine", [1.0, 0.0]),
+        (2, "cats and dogs", [0.0, 1.0]),
+    ], "doc_id long, text string, embedding array<double>", ["doc_id"])
+    qs = Table(spark.createDataFrame(
+        [(100, "catalyst engine", [0.9, 0.1])],
+        "query_id long, query string, embedding array<double>"))
+    out = hybrid_retrieve(docs, qs, k=2)
+    ranked = sorted(((r["rank"], r["doc_id"]) for r in out._df.collect()))
+    assert ranked[0] == (1, 1)  # wins both text and vector rank
+
+
+def test_changelog_roundtrip(spark):
+    from pathway_spark.debug import table_from_markdown
+
+    t = table_from_markdown(
+        """
+        a | __time__ | __diff__
+        1 | 2        | 1
+        2 | 2        | 1
+        1 | 4        | -1
+        """,
+        spark=spark,
+    )
+    snap = t.stream_to_table()
+    assert rows(snap, "a") == [(2,)]
+    back = snap.table_to_stream()
+    assert "_pw_diff" in back._df.columns
+    back.assert_append_only()
+    with pytest.raises(AssertionError):
+        t.assert_append_only()
+    assert rows(t.remove_retractions(), "a") == [(1,), (2,)]
+
+
+def test_join_instances_and_id(spark):
+    l = T(spark, [(1, "i1", "a"), (2, "i2", "b")], "k int, inst string, lv string", ["k"])
+    r = T(spark, [(1, "i1", "A"), (1, "i2", "AX")], "k int, inst string, rv string")
+    out = l.join(
+        r, pw.left.k == pw.right.k,
+        left_instance=pw.left.inst, right_instance=pw.right.inst,
+    ).select(k=pw.left.k, rv=pw.right.rv)
+    assert rows(out) == [(1, "A")]  # instance co-partitioning filters i2
+
+
+def test_ix_ref(spark):
+    dim = T(spark, [(1, "one"), (2, "two")], "k int, name string", ["k"])
+    ctx = T(spark, [(10, 2)], "e int, fk int", ["e"])
+    out = (ctx + dim.ix_ref(this.fk, context=ctx))
+    assert rows(out, "e", "name") == [(10, "two")]
+
+
+def test_deduplicate_acceptor(spark):
+    t = T(spark, [(1, 5), (2, 9), (3, 7)], "k int, v int", ["k"])
+    # accept a new row only if its value is higher than the current one
+    out = t.deduplicate(value=this.v, instance=this.k % 1,
+                        acceptor=lambda new, old: new > old)
+    vals = [r["v"] for r in out._df.collect()]
+    assert vals == [9]
+
+
+def test_dt_timestamp_and_from_timestamp(spark):
+    import datetime as dtm
+
+    t = T(spark, [(dtm.datetime(2024, 1, 1, 0, 0, 1),)], "ts timestamp")
+    out = t.select(s=this.ts.dt.timestamp("s"))
+    assert rows(out) == [(1704067201.0,)]
+    t2 = T(spark, [(1_704_067_201,)], "e long")
+    out2 = t2.select(ts=this.e.dt.from_timestamp("s"))
+    assert out2.to_df().collect()[0]["ts"] == dtm.datetime(2024, 1, 1, 0, 0, 1)
+
+
+def test_num_fill_na(spark):
+    t = T(spark, [(1.0,), (float("nan"),), (None,)], "v double")
+    out = t.select(f=this.v.num.fill_na(0.0))
+    assert rows(out) == [(0.0,), (0.0,), (1.0,)]

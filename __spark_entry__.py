@@ -1049,6 +1049,75 @@ def q63_salted_agg(spark, sf):
     return _r(out.to_df(), {"total": 2})
 
 
+def q66_tpch5_shape(spark, sf):
+    """TPC-H Q5 shape: 5-way join (region→nation→customer→orders→
+    lineitem) with local-supplier condition, revenue by nation."""
+    from pyspark.sql import types as T
+
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+
+    nr = n.join(r, pw.left.n_regionkey == pw.right.r_regionkey).filter(
+        pw.right.r_name == "ASIA"
+    ).select(this.n_nationkey, this.n_name)
+    cn = c.join(nr, pw.left.c_nationkey == pw.right.n_nationkey).select(
+        this.c_custkey, this.n_name, this.c_nationkey
+    )
+    oc = o.join(cn, pw.left.o_custkey == pw.right.c_custkey).select(
+        this.o_orderkey, this.n_name, this.c_nationkey
+    )
+    ls = li.join(s, pw.left.l_suppkey == pw.right.s_suppkey).select(
+        this.l_orderkey, this.l_extendedprice, this.l_discount, this.s_nationkey
+    )
+    j = ls.join(oc, pw.left.l_orderkey == pw.right.o_orderkey).filter(
+        pw.left.s_nationkey == pw.right.c_nationkey  # local supplier
+    )
+    dec_price = pw.cast(T.DecimalType(12, 2), pw.left.l_extendedprice)
+    dec_disc = pw.cast(T.DecimalType(4, 2), pw.left.l_discount)
+    out = j.groupby(pw.right.n_name).reduce(
+        n_name=pw.right.n_name,
+        revenue=R.sum(dec_price * (1 - dec_disc)),
+        n_items=R.count(),
+    )
+    return _r(out.to_df(), {"revenue": 2})
+
+
+def q67_semijoin_exists(spark, sf):
+    """TPC-H Q4 shape: order-priority count for orders having at least
+    one line shipped after the order date (EXISTS → semi-join)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = li.join(o, pw.left.l_orderkey == pw.right.o_orderkey).filter(
+        pw.left.l_shipdate > pw.right.o_orderdate
+    ).select(o_orderkey=pw.right.o_orderkey)
+    ok = o.with_id_from(this.o_orderkey)
+    lk = late.with_id_from(this.o_orderkey)
+    out = ok.intersect(lk).groupby(this.o_orderpriority).reduce(
+        this.o_orderpriority, order_count=R.count()
+    )
+    return out.to_df()
+
+
+def q68_count_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by order count
+    (left join + two-level aggregation)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.join_left(o, pw.left.c_custkey == pw.right.o_custkey)
+    per_cust = j.groupby(pw.left.c_custkey).reduce(
+        c_custkey=pw.left.c_custkey,
+        c_count=R.count(pw.right.o_orderkey),
+    )
+    out = per_cust.groupby(this.c_count).reduce(
+        c_count=this.c_count, custdist=R.count()
+    )
+    return out.to_df()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1121,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_salted_agg": q63_salted_agg,
         "q64_dt_round": q64_dt_round,
         "q65_tuple_sort_by": q65_tuple_sort_by,
+        "q66_tpch5_shape": q66_tpch5_shape,
+        "q67_semijoin_exists": q67_semijoin_exists,
+        "q68_count_distribution": q68_count_distribution,
     }
 
 
@@ -1627,6 +1699,37 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
                        AS flags
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "q66_tpch5_shape": """
+            SELECT n.n_name AS n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+        """,
+        "q67_semijoin_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q68_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

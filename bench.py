@@ -24,6 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "q01_filter_groupby",
     "q03_join_agg",
+    "q66_tpch5_shape",
     "q09_flatten_wordcount",
     "q16_sort_diff",
     "q19_tumbling",

@@ -204,6 +204,40 @@ def windowby(table: Table, time_expr, *, window: Window, instance=None,
             )
             t = F.col("__pw_evt")
 
+    if df.isStreaming and window.kind in ("tumbling", "sliding", "session") \
+            and _is_ts(df, t):
+        # streaming + event-time: use Spark's native window functions so
+        # the watermark's event-time metadata survives into the groupBy
+        # (append mode / state eviction need it); the window STRUCT is
+        # the grouping key and _pw_window_start/_end resolve to its
+        # fields post-aggregation.
+        def dur_str(d):
+            return f"{_dur_us(d)} microseconds"
+
+        if window.kind == "session":
+            wcol = F.session_window(t, dur_str(window.max_gap))
+        elif window.kind == "tumbling":
+            wcol = F.window(t, dur_str(window.duration))
+        else:
+            wcol = F.window(t, dur_str(window.duration), dur_str(window.hop))
+        aug = df.withColumn("_pw_window", wcol)
+        if inst is not None:
+            aug = aug.withColumn(INSTANCE, inst)
+        wt = WindowedTable(
+            Table(aug.withColumn(ID, F.lit(0))),
+            [ColumnReference("this", "_pw_window")]
+            + ([ColumnReference("this", INSTANCE)] if inst is not None else []),
+        )
+        wt._key_aliases = {
+            WSTART: F.col("_pw_window.start"),
+            WEND: F.col("_pw_window.end"),
+        }
+        wt._id_expr = F.xxhash64(
+            F.col("_pw_window").cast("string"),
+            *( [F.col(INSTANCE)] if inst is not None else [] ),
+        )
+        return wt
+
     if window.kind in ("tumbling", "sliding"):
         aug = _assign_hopping(df, t, window)
     elif window.kind == "session":

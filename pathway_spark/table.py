@@ -62,11 +62,15 @@ class _AggContext(EvalContext):
     """Post-aggregation context: reducer atoms and group keys are columns
     of the aggregated frame."""
 
-    def __init__(self, reducer_alias: dict[str, str], key_names: set[str]):
+    def __init__(self, reducer_alias: dict[str, str], key_names: set[str],
+                 extras: dict[str, Column] | None = None):
         self._reducer_alias = reducer_alias
         self._key_names = key_names
+        self._extras = extras or {}
 
     def ref(self, ref: ColumnReference) -> Column:
+        if ref._name in self._extras:
+            return self._extras[ref._name]
         if ref._name in self._key_names or ref._name == ID:
             return F.col(f"`{ref._name}`")
         raise KeyError(
@@ -541,6 +545,9 @@ class GroupedTable:
         self._table = table
         self._keys = keys
         self._sort_by = sort_by
+        # post-agg column aliases (e.g. window struct fields) + id override
+        self._key_aliases: dict[str, Column] = {}
+        self._id_expr: Column | None = None
 
     def reduce(self, *args, **kwargs) -> Table:
         """reference groupbys.py:158 → Spark groupBy().agg() with
@@ -590,11 +597,14 @@ class GroupedTable:
 
         gdf = df.groupBy(*key_cols).agg(*agg_cols)
 
-        post = _AggContext({k: a for k, a in alias.items()}, set(key_names))
-        id_col = (
-            F.xxhash64(*[F.col(f"`{n}`") for n in key_names]).alias(ID)
-            if key_names else F.lit(0).alias(ID)
-        )
+        post = _AggContext({k: a for k, a in alias.items()}, set(key_names),
+                           self._key_aliases)
+        if self._id_expr is not None:
+            id_col = self._id_expr.alias(ID)
+        elif key_names:
+            id_col = F.xxhash64(*[F.col(f"`{n}`") for n in key_names]).alias(ID)
+        else:
+            id_col = F.lit(0).alias(ID)
         out_cols = [id_col] + [to_col(e, post).alias(name) for name, e in outputs.items()]
         return Table(gdf.select(*out_cols))
 

@@ -121,3 +121,56 @@ def test_behavior_output_modes():
     b2 = pw.streaming.common_behavior(delay=dt.timedelta(minutes=1), keep_results=False)
     assert b2.output_mode == "append"
     assert pw.streaming.exactly_once_behavior().output_mode == "append"
+
+
+def test_streaming_windowby_through_table_api(spark, tmp_path):
+    """The reference's flagship pattern end-to-end on the Table API:
+    replayed stream → windowby(tumbling) → reduce → subscribe → run."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "wapi"
+    src.mkdir()
+    (src / "a.csv").write_text("k,t\nx,5\nx,15\ny,25\n")
+    (src / "b.csv").write_text("k,t\nx,35\ny,45\n")
+    schema = pw.schema_from_types(k=str, t=int)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming", spark=spark)
+    wt = t.windowby(this.t, window=pw.temporal.tumbling(10))
+    agg = wt.reduce(ws=this._pw_window_start, n=R.count())
+
+    seen = {}
+    q = st.subscribe_stream(
+        agg.to_df(),
+        lambda key, row, time, is_addition: seen.__setitem__(row["ws"], row["n"])
+        if is_addition else None,
+        key_cols=["ws"],
+        output_mode="complete",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert seen == {0: 1, 10: 1, 20: 1, 30: 1, 40: 1}
+
+
+def test_streaming_windowby_with_behavior_watermark(spark, tmp_path):
+    """behavior.cutoff becomes a watermark on a timestamp time column."""
+    src = tmp_path / "wbehav"
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i)) for i in range(8)], "k int, ts timestamp"
+    )
+    df.coalesce(2).write.parquet(str(src))
+    import pathway_spark.streaming as st
+    from pathway_spark.table import Table
+
+    stream = Table(
+        spark.readStream.schema("k int, ts timestamp").parquet(str(src))
+        .withColumn("_pw_id", F.xxhash64("k"))
+    )
+    wt = stream.windowby(
+        this.ts,
+        window=pw.temporal.tumbling(dt.timedelta(minutes=5)),
+        behavior=pw.streaming.common_behavior(cutoff=dt.timedelta(minutes=1)),
+    )
+    agg = wt.reduce(ws=this._pw_window_start, n=R.count())
+    res = st.run_to_memory(agg.to_df(), "wbehav_out", output_mode="append")
+    got = {r["ws"]: r["n"] for r in res.collect()}
+    # append mode emits only watermark-closed windows
+    assert got.get(dt.datetime(2024, 1, 1, 0, 0)) == 5

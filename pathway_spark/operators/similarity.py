@@ -74,33 +74,47 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
     )
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
 
-
-def _centroids(df: DataFrame, vec_col: str, nlist: int, iters: int = 3) -> DataFrame:
-    """Deterministic k-means-lite: seed centroids = hash-sampled rows,
-    refine with `iters` Lloyd steps (all DataFrame aggs)."""
-    seeds = (
-        df.withColumn("__r", F.xxhash64(F.col(vec_col).cast("string")))
-        .orderBy("__r").limit(nlist)
-        .select(F.monotonically_increasing_id().alias("cid"),
-                F.col(vec_col).alias("centroid"))
+def _assign_cells(ex: DataFrame, cents_ex: DataFrame, topn: int,
+                  id_name: str) -> DataFrame:
+    """(id → topn closest centroid cells) via exploded dot products:
+    join on the dimension index, sum per (id, cid), rank by cosine.
+    cents_ex is small (nlist × dim) and broadcast."""
+    cnorm = cents_ex.groupBy("cid").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cnorm"))
+    dots = (
+        ex.join(F.broadcast(cents_ex), "i")
+        .groupBy(id_name, "cid")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+        .join(F.broadcast(cnorm), "cid")
+        .withColumn("sim", F.col("dot") / F.col("cnorm"))  # |v| constant per id
     )
-    cents = seeds
+    w = W.partitionBy(id_name).orderBy(F.col("sim").desc(), F.col("cid"))
+    return (dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= topn).select(id_name, F.col("cid").alias("cell")))
+
+
+def _centroids_ex(ex: DataFrame, nlist: int, iters: int = 3) -> DataFrame:
+    """Deterministic k-means-lite over exploded vectors: seeds = the
+    nlist hash-smallest vector ids; Lloyd steps are joins + avgs — all
+    whole-stage codegen, one localCheckpoint per iteration."""
+    seeds = (
+        ex.select("vid").distinct()
+        .withColumn("__r", F.xxhash64("vid"))
+        .orderBy("__r").limit(nlist)
+        .withColumn("cid", F.monotonically_increasing_id())
+        .select("vid", "cid")
+    )
+    cents = (
+        ex.join(F.broadcast(seeds), "vid")
+        .select("cid", "i", F.col("x").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iters):
-        assigned = df.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", cosine_similarity(F.col(vec_col), F.col("centroid")))
-        w = W.partitionBy(vec_col).orderBy(F.col("sim").desc())
-        best = assigned.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-        dim_expr = F.size(F.col(vec_col))
+        best = _assign_cells(ex, cents, 1, "vid")
         cents = (
-            best.groupBy("cid")
-            .agg(F.collect_list(vec_col).alias("vs"))
-            .select(
-                "cid",
-                F.expr(
-                    "transform(sequence(0, size(vs[0])-1), "
-                    "i -> aggregate(vs, cast(0.0 as double), (acc, v) -> acc + v[i]) / size(vs))"
-                ).alias("centroid"),
-            )
+            ex.join(best, "vid")
+            .groupBy(F.col("cell").alias("cid"), F.col("i"))
+            .agg(F.avg("x").alias("cx"))
         ).localCheckpoint(eager=True)
     return cents
 
@@ -109,28 +123,49 @@ def ivf_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
              id_col: str = "vec_id", k: int = 10, nlist: int = 16,
              nprobe: int = 4) -> Table:
     """Approximate top-k: assign corpus to nlist centroid cells, search
-    only the nprobe closest cells per query (scans ~nprobe/nlist of data)."""
-    c = corpus._df.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).cast("array<double>").alias("cv"))
-    q = queries._df.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).cast("array<double>").alias("qv"))
-    cents = _centroids(c.select(F.col("cv").alias("v")), "v", nlist)
+    only the nprobe closest cells per query (scans ~nprobe/nlist of the
+    data). All dot products run as exploded-dimension joins + sum
+    aggregates (codegen); at 100 TB the corpus stays partitioned by cell
+    so each query touches only nprobe cells."""
+    from pyspark.storagelevel import StorageLevel
 
-    def assign(df, vcol, out_name, topn):
-        a = df.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", cosine_similarity(F.col(vcol), F.col("centroid")))
-        w = W.partitionBy(*df.columns).orderBy(F.col("sim").desc())
-        return (a.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= topn).select(*df.columns, F.col("cid").alias(out_name)))
+    cex = corpus._df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    qex = queries._df.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    cents = _centroids_ex(cex, nlist)
+    c_cells = _assign_cells(cex, cents, 1, "vid")
+    q_cells = _assign_cells(qex.withColumnRenamed("qid", "vid"), cents, nprobe, "vid") \
+        .withColumnRenamed("vid", "qid")
 
-    c_assigned = assign(c, "cv", "cell", 1)
-    q_assigned = assign(q, "qv", "cell", nprobe)
-    cand = c_assigned.join(q_assigned, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.withColumn("score", cosine_similarity(F.col("cv"), F.col("qv")))
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    cnorm = cex.groupBy("vid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
+    qnorm = qex.groupBy("qid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("qn"))
+    # candidates: corpus rows in any probed cell of the query
+    cand = (
+        c_cells.join(q_cells, "cell")
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid").distinct()
+    )
+    dots = (
+        cand.join(cex, "vid")
+        .join(F.broadcast(qex.select(F.col("qid"), "i", F.col("x").alias("qx"))),
+              ["qid", "i"])
+        .groupBy("qid", "vid")
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"))
+    )
+    scored = (
+        dots.join(cnorm, "vid").join(F.broadcast(qnorm), "qid")
+        .withColumn("score", F.col("dot") / (F.col("vn") * F.col("qn")))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("score"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"),
+                "rank", F.col("score"))
     )
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))

@@ -71,6 +71,29 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # streaming wordcount — the reference's own benchmark shape
+    # (integration_tests/wordcount): drain a file-replayed document
+    # stream through flatten+count and time the full drain
+    from pyspark.sql import functions as SF
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, "
+                                "source string, n_chars long")
+        .option("maxFilesPerTrigger", 1000)
+        .option("pathGlobFilter", "documents.parquet")  # file source needs a dir
+        .parquet(SF_DIR)
+    )
+    wc = (
+        stream.select(SF.explode(SF.split(SF.col("text"), r"\s+")).alias("w"))
+        .groupBy("w").count()
+    )
+    t0 = time.perf_counter()
+    q = (wc.writeStream.outputMode("complete").format("memory")
+         .queryName("bench_wordcount").start())
+    q.processAllAvailable()
+    q.stop()
+    timings["stream_wordcount"] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

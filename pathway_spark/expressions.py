@@ -190,6 +190,9 @@ class ColumnReference(ColumnExpression):
     def _key(self) -> str:
         return f"ref({self._side}.{self._name})"
 
+    def __repr__(self) -> str:
+        return f"<{self._side}>.{self._name}"
+
 
 _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda a, b: a + b,

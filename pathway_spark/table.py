@@ -114,6 +114,16 @@ class Table:
         return [c for c in self._df.columns if c not in (ID, "_pw_time", "_pw_diff")]
 
     @property
+    def slice(self):
+        """TableSlice of this table's columns (reference table_slice.py:16) —
+        `t.select(*t.slice.without("age").with_suffix("_col"))`."""
+        from .compat import TableSlice
+
+        return TableSlice(
+            {c: ColumnReference("this", c) for c in self.column_names}, self
+        )
+
+    @property
     def schema(self) -> T.StructType:
         return T.StructType([f for f in self._df.schema.fields if f.name != ID])
 

@@ -151,8 +151,28 @@ def _kafka_read(rdkafka_settings: dict, topic: str | None = None, *, format: str
     return _finish(df, schema)
 
 
-kafka = SimpleNamespace(read=_kafka_read,
-                        write=lambda table, settings, topic, **kw: _unavailable("kafka.write"))
+def _kafka_write(table: Table, rdkafka_settings: dict, topic_name: str, *,
+                 format: str = "json", **kw):
+    """Serialize rows to JSON and write through Spark's kafka sink (real
+    code path; needs spark-sql-kafka on the classpath at runtime)."""
+    df = table.to_df()
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    servers = rdkafka_settings.get("bootstrap.servers", "")
+    try:
+        if payload.isStreaming:
+            return (payload.writeStream.format("kafka")
+                    .option("kafka.bootstrap.servers", servers)
+                    .option("topic", topic_name)
+                    .option("checkpointLocation", kw.get("checkpoint", "/tmp/pw_kafka_chk"))
+                    .start())
+        payload.write.format("kafka") \
+            .option("kafka.bootstrap.servers", servers) \
+            .option("topic", topic_name).save()
+    except Exception as e:
+        raise NotImplementedError(f"kafka sink unavailable: {e}") from e
+
+
+kafka = SimpleNamespace(read=_kafka_read, write=_kafka_write)
 redpanda = kafka
 
 
@@ -269,3 +289,16 @@ def subscribe(table: Table, on_change, on_time_end=None, on_end=None):
     if on_end:
         on_end()
     return None
+
+
+# ---------------------------------------------------------------- extended
+# connector namespaces (reference python/pathway/io/* tree) — real Spark
+# code paths where the engine can express them, jar/service-gated stubs
+# elsewhere. See connectors.py for the per-system notes.
+from .connectors import (  # noqa: E402,F401
+    airbyte, bigquery, chroma, clickhouse, debezium, dynamodb,
+    elasticsearch, gdrive, http, kinesis, logstash, milvus, minio, mongodb,
+    mqtt, mssql, nats, null, pinecone, pubsub, pyfilesystem, qdrant,
+    questdb, rabbitmq, s3, s3_csv, sharepoint, slack, weaviate,
+)
+from .connectors import duckdb_ns as duckdb  # noqa: E402,F401

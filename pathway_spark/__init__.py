@@ -78,6 +78,7 @@ from . import indexing  # noqa: E402
 from . import stdlib  # noqa: E402
 from .stdlib import graphs, statistical, viz  # noqa: E402
 from .stdlib import utils  # noqa: E402
+from . import xpacks  # noqa: E402
 
 from .stdlib import stateful  # noqa: E402
 from .reducers import BaseCustomAccumulator  # noqa: E402

@@ -1,0 +1,145 @@
+"""pw.xpacks.llm pipeline tests — every stage runs offline via the
+deterministic variants; full RAG composition end-to-end on the driver's
+documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+import pathway_spark as pw
+from pathway_spark.xpacks.llm import (
+    embedders,
+    llms,
+    parsers,
+    question_answering,
+    rerankers,
+    splitters,
+    vector_store,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return pw.io.parquet.read(f"{SF}/documents.parquet", spark=spark)
+
+
+def test_hash_embedder_deterministic(spark, docs):
+    emb = embedders.DeterministicHashEmbedder(dimensions=16)
+    assert emb.get_embedding_dimension() == 16
+    t = docs.select(docs.doc_id, e=emb(docs.text))
+    rows = t.to_df().limit(5).collect()
+    assert all(len(r.e) == 16 for r in rows)
+    # unit-norm and stable across runs
+    import math
+
+    n = math.sqrt(sum(x * x for x in rows[0].e))
+    assert abs(n - 1.0) < 1e-6
+    again = t.to_df().limit(5).collect()
+    assert [r.e for r in rows] == [r.e for r in again]
+
+
+def test_gated_embedder_raises():
+    with pytest.raises(ImportError, match="openai"):
+        embedders.OpenAIEmbedder()
+    with pytest.raises(ImportError, match="EchoChat"):
+        llms.OpenAIChat()
+    with pytest.raises(ImportError):
+        parsers.PypdfParser()
+    with pytest.raises(ImportError):
+        rerankers.CrossEncoderReranker()
+
+
+def test_utf8_parser(spark):
+    p = parsers.Utf8Parser()
+    t = pw.debug.table_from_pandas(
+        __import__("pandas").DataFrame({"data": [b"hello", "d\xc3\xa9j\xc3\xa0".encode("latin-1")]})
+    )
+    out = t.select(txt=p(t.data)).to_df().collect()
+    assert out[0].txt == "hello" or out[1].txt == "hello"
+
+
+def test_echo_chat_and_prompt(spark):
+    chat = llms.EchoChat(prefix="A: ")
+    q = llms.prompt_chat_single_qa("what is 2+2?")
+    assert q.value[0]["content"] == "what is 2+2?"
+    t = pw.debug.table_from_pandas(
+        __import__("pandas").DataFrame({"prompt": ["hi there"]})
+    )
+    out = t.select(ans=chat(t.prompt)).to_df().collect()
+    assert out[0].ans == "A: hi there"
+
+
+def test_rerank_topk_filter(spark):
+    import pandas as pd
+
+    t = pw.debug.table_from_pandas(pd.DataFrame({
+        "query_id": [1, 1, 1, 2, 2],
+        "score": [0.9, 0.5, 0.7, 0.3, 0.8],
+        "doc": list("abcde"),
+    }))
+    out = rerankers.rerank_topk_filter(t, k=2)
+    kept = sorted((r.query_id, r.doc) for r in out.to_df().collect())
+    assert kept == [(1, "a"), (1, "c"), (2, "d"), (2, "e")]
+
+
+def test_llm_reranker_scores(spark):
+    import pandas as pd
+
+    # fake chat scoring by doc content: returns "5" for relevant
+    class FakeScorer(llms.BaseChat):
+        def __init__(self):
+            super().__init__(lambda prompt: "5" if "spark" in prompt else "1")
+
+    rr = rerankers.LLMReranker(FakeScorer())
+    t = pw.debug.table_from_pandas(pd.DataFrame({
+        "query": ["engines", "engines"],
+        "chunk_text": ["spark engine", "cooking pasta"],
+    }))
+    out = {r.chunk_text: r.score for r in rr(t).to_df().collect()}
+    assert out["spark engine"] == 5.0 and out["cooking pasta"] == 1.0
+
+
+def test_recursive_and_null_splitters(spark):
+    import pandas as pd
+
+    t = pw.debug.table_from_pandas(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["para one is here.\n\npara two is a bit longer than one."
+                 "\n\npara three."],
+    }))
+    n = splitters.NullSplitter()(t)
+    assert n.to_df().count() == 1
+    r = splitters.RecursiveSplitter(chunk_size=30)(t)
+    rows = r.to_df().orderBy("chunk_pos").collect()
+    assert len(rows) >= 2
+    joined = "\n\n".join(x.chunk_text for x in rows)
+    assert "para three." in joined and "para one" in joined
+
+
+def test_vector_store_retrieval(spark, docs):
+    vs = vector_store.VectorStore(
+        docs, embedder=embedders.DeterministicHashEmbedder(dimensions=32))
+    sample = docs.to_df().limit(1).collect()[0]
+    # query with a doc's own text → that doc must be the top hit
+    hits = vs.retrieve_dicts([sample.text], k=3, spark=spark)
+    assert hits[0][0]["doc_id"] == sample.doc_id
+    with pytest.raises(NotImplementedError):
+        vector_store.VectorStoreServer(docs).run_server()
+
+
+def test_rag_question_answering(spark, docs):
+    store = pw.xpacks.llm.DocumentStore(docs)
+    chat = llms.EchoChat()
+    qa = question_answering.BaseRAGQuestionAnswerer(
+        chat, store, search_topk=2,
+        prompt_template="CTX[{context}] Q[{query}]")
+    import pandas as pd
+
+    queries = pw.debug.table_from_pandas(
+        pd.DataFrame({"query": ["the first document text sample"]}))
+    out = qa.answer_query(queries).to_df().collect()
+    assert len(out) == 1
+    assert out[0].answer.startswith("CTX[")
+    assert "Q[the first document text sample]" in out[0].answer

@@ -143,3 +143,20 @@ def test_rag_question_answering(spark, docs):
     assert len(out) == 1
     assert out[0].answer.startswith("CTX[")
     assert "Q[the first document text sample]" in out[0].answer
+
+
+def test_vector_store_plan_quality(spark, docs):
+    """Retrieval must stay JVM-side except the Arrow-batched embedder:
+    no row-at-a-time BatchEvalPython anywhere in the plan."""
+    from pathway_spark.plans import plan_text
+
+    vs = vector_store.VectorStore(
+        docs, embedder=embedders.DeterministicHashEmbedder(dimensions=16))
+    import pandas as pd
+
+    qt = pw.debug.table_from_pandas(pd.DataFrame({"query": ["x y z"]}))
+    hits = vs.retrieve(qt, k=2)
+    txt = plan_text(hits.to_df())
+    assert "BatchEvalPython" not in txt
+    # the only Python in the plan is the Arrow-batched embedder UDF
+    assert "ArrowEvalPython" in txt

@@ -1118,6 +1118,17 @@ def q68_count_distribution(spark, sf):
     return out.to_df()
 
 
+def q69_recursive_split(spark, sf):
+    """RecursiveSplitter re-chunk: greedy 100-char packing of space-split
+    pieces via prefix-sum window (xpacks.llm.splitters)."""
+    from pathway_spark.xpacks.llm.splitters import RecursiveSplitter
+
+    d = _t(spark, sf, "documents")
+    out = RecursiveSplitter(chunk_size=100, separators=[" "])(
+        d, text_col="text", id_col="doc_id")
+    return out.to_df().select("doc_id", "chunk_pos", "chunk_text")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1193,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_tpch5_shape": q66_tpch5_shape,
         "q67_semijoin_exists": q67_semijoin_exists,
         "q68_count_distribution": q68_count_distribution,
+        "q69_recursive_split": q69_recursive_split,
     }
 
 
@@ -1730,6 +1742,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
                 GROUP BY c.c_custkey
             ) GROUP BY c_count
+        """,
+        "q69_recursive_split": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), pieces AS (
+                SELECT doc_id, ts[p.p + 1] AS piece, p.p + 1 AS pos
+                FROM toks, UNNEST(range(0, len(ts))) AS p(p)
+            ), cums AS (
+                SELECT doc_id, piece, pos,
+                       LENGTH(piece) + 1 AS plen,
+                       SUM(LENGTH(piece) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS cum
+                FROM pieces
+            )
+            SELECT doc_id,
+                   CAST(FLOOR((cum - plen) / 100.0) AS INT) AS chunk_pos,
+                   STRING_AGG(piece, ' ' ORDER BY pos) AS chunk_text
+            FROM cums
+            GROUP BY doc_id, chunk_pos
+            HAVING LENGTH(STRING_AGG(piece, ' ' ORDER BY pos)) > 0
         """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (

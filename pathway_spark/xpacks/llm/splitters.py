@@ -68,9 +68,15 @@ class RecursiveSplitter:
             F.floor((F.col("cum") - F.col("plen")) / F.lit(self.chunk_size))
              .cast("int"),
         )
+        # collect_list order is not contractual across a shuffle — sort the
+        # (pos, piece) structs inside the group before joining
         out = (df.groupBy(id_col, "chunk_pos")
-                 .agg(F.concat_ws(sep, F.collect_list("piece"))
-                       .alias("chunk_text"))
+                 .agg(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("piece_pos", "piece"))),
+                         lambda s: s["piece"]),
+                     sep).alias("chunk_text"))
                  .filter(F.length("chunk_text") > 0))
         return Table(out.withColumn(ID, F.xxhash64(id_col, "chunk_pos")))
 

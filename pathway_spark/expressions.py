@@ -408,11 +408,14 @@ class ReducerExpression(ColumnExpression):
     """
 
     def __init__(self, name: str, agg_fn: Callable[..., Column], *args,
-                 needs_id: bool = False):
+                 needs_id: bool = False, is_pandas_agg: bool = False):
         self._name = name
         self._agg_fn = agg_fn
         self._args = [_wrap(a) for a in args]
         self._needs_id = needs_id
+        # pandas GROUPED_AGG UDFs can't share a .agg() with plain
+        # aggregates — GroupedTable.reduce splits on this flag
+        self._is_pandas_agg = is_pandas_agg
 
     def _to_col(self, ctx: EvalContext) -> Column:
         return ctx.reducer(self)

@@ -120,15 +120,25 @@ def exact_dup_groups(table: Table, text_col: str, id_col: str) -> Table:
 
 # ------------------------------------------------------------------ jaccard
 
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
                         n: int = 3, threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> Table:
-    """Exact all-pairs n-gram Jaccard ≥ threshold via inverted index.
+                        max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ) -> Table:
+    """All-pairs n-gram Jaccard ≥ threshold via inverted index.
 
     Shuffle plan: explode shingles (no shuffle) -> shuffle on shingle for
     the self-join -> shuffle on (id_a,id_b) for the intersection count.
-    `max_doc_freq` drops ubiquitous shingles (bounded join fan-out at
-    scale; None = exact).
+
+    `max_doc_freq` (default 1000) drops shingles appearing in more
+    documents than the bound BEFORE the self-join: on a power-law corpus
+    a shingle in k docs creates k² join rows, so an unbounded default is
+    a 100 TB scale-killer. Dropped shingles still count toward each
+    document's shingle-set size, so Jaccard is under- (never over-)
+    estimated — pairs held together only by ubiquitous boilerplate are
+    the ones pruned. Pass ``max_doc_freq=None`` for the exact all-pairs
+    result (opt-in; safe only on bounded corpora).
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from ..table import ID, Table
 from .dedup import _dot, _norm, cosine_similarity
 
+# Above this Catalyst-estimated plan size the query side is NOT hinted
+# for broadcast: a large query set × vector dim would OOM every executor
+# holding the broadcast copy. Matches Spark's own 8GB hard hint limit
+# logic but far more conservative (explode multiplies row count by dim).
+_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint gated on Catalyst's size estimate (no action run).
+
+    Falls back to returning the frame unhinted — shuffle hash join /
+    AQE decide — when the estimate is unavailable or above the limit."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return F.broadcast(df)  # stats unavailable: preserve old behavior
+    return F.broadcast(df) if size <= _BROADCAST_LIMIT_BYTES else df
+
 
 def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
                      id_col: str = "vec_id", k: int = 10,
@@ -48,7 +66,7 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
     qnorm = qex.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"))
     parts = (
-        cex.join(F.broadcast(qex), "i")
+        cex.join(_maybe_broadcast(qex), "i")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     if metric == "l2":
@@ -60,7 +78,7 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
                 .agg(F.sum(F.col("cx") * F.col("qx")).alias("dot")))
         if metric == "cosine":
             scored = (
-                dots.join(F.broadcast(qnorm), "query_id")
+                dots.join(_maybe_broadcast(qnorm), "query_id")
                 .join(cnorm, "neighbor_id")
                 .withColumn("score", F.col("dot") / (F.col("cn") * F.col("qn")))
             )

@@ -141,25 +141,44 @@ def array_sum(expr) -> ReducerExpression:
 
 
 def _grouped_python_fold(name: str, fold, result_type, args) -> ReducerExpression:
-    """Shared compile path for python custom reducers: collect the
-    group's rows into structs and fold with one scalar UDF call per
-    group — the same non-distributed-within-group semantics the
-    reference's python reducers have (`custom_reducers.py`)."""
+    """Shared compile path for python custom reducers: a pandas
+    GROUPED_AGG UDF — the group's column values arrive as Arrow-batched
+    pandas Series (no collect_list array materialization, no per-row
+    python calls), folded once per group. Same non-distributed-within-
+    group semantics as the reference's python reducers
+    (`custom_reducers.py`); GroupedTable.reduce runs these in a separate
+    aggregation joined back on the group keys when a reduce also uses
+    built-in reducers (Spark disallows mixing them in one agg)."""
+    from pyspark.sql import types as T
+
     from .schema import to_spark_type
 
-    rt = to_spark_type(result_type) if result_type is not None else None
+    rt = to_spark_type(result_type) if result_type is not None else T.StringType()
 
     def agg(*cols: Column) -> Column:
-        merged = F.collect_list(F.struct(*[c.alias(f"_{i}") for i, c in enumerate(cols)]))
-        n = len(cols)
+        import inspect
 
-        def run_py(rows):
-            return fold([[r[f"_{i}"] for i in range(n)] for r in rows])
+        import pandas as pd
 
-        run = F.udf(run_py, rt) if rt is not None else F.udf(run_py)
-        return run(merged)
+        def run(*series) -> object:
+            rows = [list(t) for t in zip(*[s.tolist() for s in series])]
+            return fold(rows)
 
-    return ReducerExpression(name, agg, *args)
+        run.__name__ = "pw_custom_reducer"
+        # pandas_udf infers GROUPED_AGG from the signature — pin an
+        # exact-arity (Series, ..., Series) -> scalar one on the varargs fn
+        params = [
+            inspect.Parameter(f"s{i}", inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                              annotation=pd.Series)
+            for i in range(len(cols))
+        ]
+        run.__signature__ = inspect.Signature(params, return_annotation=float)
+        run.__annotations__ = {f"s{i}": pd.Series for i in range(len(cols))}
+        run.__annotations__["return"] = float
+        pudf = F.pandas_udf(run, rt)
+        return pudf(*cols)
+
+    return ReducerExpression(name, agg, *args, is_pandas_agg=True)
 
 
 def stateful_many(fn, *args, result_type=None) -> ReducerExpression:

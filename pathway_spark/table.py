@@ -291,26 +291,49 @@ class Table:
         return Table(df)
 
     def update_rows(self, other: "Table") -> "Table":
-        """reference table.py:1776 — upsert other's rows over self by id."""
+        """reference table.py:1776 — upsert other's rows over self by id.
+
+        Conflicts resolve "preferring other's values" (reference
+        internals/table.py:1692) — including explicit NULLs in the patch:
+        a presence marker on the patch side decides, never coalesce (which
+        would silently keep self's value under a NULL patch cell)."""
         cols = self.column_names
-        o = other._df.select(ID, *[F.col(f"`{c}`").alias(f"__u_{c}") for c in cols])
+        o = other._df.select(
+            ID,
+            F.lit(True).alias("__pw_hit"),
+            *[F.col(f"`{c}`").alias(f"__u_{c}") for c in cols],
+        )
         j = self._df.join(o, on=ID, how="full_outer")
+        hit = F.col("__pw_hit").isNotNull()
         out = j.select(
             ID,
-            *[F.coalesce(F.col(f"__u_{c}"), F.col(f"`{c}`")).alias(c) for c in cols],
+            *[
+                F.when(hit, F.col(f"__u_{c}")).otherwise(F.col(f"`{c}`")).alias(c)
+                for c in cols
+            ],
         )
         return Table(out)
 
     def update_cells(self, other: "Table") -> "Table":
         """reference table.py:1691 — like update_rows, only other's columns;
-        other's keys must be a subset of self's."""
+        other's keys must be a subset of self's. NULL patch cells overwrite
+        (presence-marker join, same as update_rows)."""
         cols = [c for c in other.column_names if c in self.column_names]
-        o = other._df.select(ID, *[F.col(f"`{c}`").alias(f"__u_{c}") for c in cols])
+        o = other._df.select(
+            ID,
+            F.lit(True).alias("__pw_hit"),
+            *[F.col(f"`{c}`").alias(f"__u_{c}") for c in cols],
+        )
         j = self._df.join(o, on=ID, how="left")
+        hit = F.col("__pw_hit").isNotNull()
         out = j.select(
             ID,
             *[
-                (F.coalesce(F.col(f"__u_{c}"), F.col(f"`{c}`")) if c in cols else F.col(f"`{c}`")).alias(c)
+                (
+                    F.when(hit, F.col(f"__u_{c}")).otherwise(F.col(f"`{c}`"))
+                    if c in cols
+                    else F.col(f"`{c}`")
+                ).alias(c)
                 for c in self.column_names
             ],
         )
@@ -596,16 +619,43 @@ class GroupedTable:
 
         sort_col = to_col(self._sort_by, row_ctx) if self._sort_by is not None else None
         alias = {key: f"__agg_{i}" for i, (key, _) in enumerate(reducers.items())}
-        agg_cols = [
-            red._agg_col_sorted(row_ctx, sort_col).alias(alias[key])
-            if sort_col is not None and isinstance(red, OrderedReducer)
-            else red._agg_col(row_ctx).alias(alias[key])
-            for key, red in reducers.items()
-        ]
-        if not agg_cols:
-            agg_cols = [F.count(F.lit(1)).alias("__pw_dummy_count")]
 
-        gdf = df.groupBy(*key_cols).agg(*agg_cols)
+        def compile_agg(key, red) -> Column:
+            if sort_col is not None and isinstance(red, OrderedReducer):
+                return red._agg_col_sorted(row_ctx, sort_col).alias(alias[key])
+            return red._agg_col(row_ctx).alias(alias[key])
+
+        # pandas GROUPED_AGG UDFs (custom python reducers) can't share an
+        # .agg() with plain aggregates — compile them as a second
+        # aggregation over the same keys, null-safe-joined back. Both
+        # sides stay Arrow/codegen; the extra agg re-reads the (already
+        # shuffled-by-key) input once.
+        plain_cols = [compile_agg(k, r) for k, r in reducers.items()
+                      if not getattr(r, "_is_pandas_agg", False)]
+        pandas_cols = [compile_agg(k, r) for k, r in reducers.items()
+                       if getattr(r, "_is_pandas_agg", False)]
+
+        if pandas_cols and plain_cols:
+            gdf = df.groupBy(*key_cols).agg(*plain_cols)
+            g2 = df.groupBy(*key_cols).agg(*pandas_cols)
+            k2 = [f"__pw_k2_{i}" for i in range(len(key_names))]
+            g2 = g2.select(
+                *[F.col(f"`{n}`").alias(k2[i]) for i, n in enumerate(key_names)],
+                *[c for c in g2.columns if c.startswith("__agg_")],
+            )
+            if key_names:
+                cond = None
+                for i, n in enumerate(key_names):
+                    eq = gdf[f"`{n}`"].eqNullSafe(g2[k2[i]])
+                    cond = eq if cond is None else (cond & eq)
+                gdf = gdf.join(g2, cond, "inner").drop(*k2)
+            else:
+                gdf = gdf.crossJoin(g2)
+        else:
+            agg_cols = pandas_cols or plain_cols
+            if not agg_cols:
+                agg_cols = [F.count(F.lit(1)).alias("__pw_dummy_count")]
+            gdf = df.groupBy(*key_cols).agg(*agg_cols)
 
         post = _AggContext({k: a for k, a in alias.items()}, set(key_names),
                            self._key_aliases)

@@ -29,8 +29,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+        # NOTE: -0.0 is NOT normalized — the driver's hash gate
+        # distinguishes it, so the local mirror must too (round-1 q14
+        # divergence was masked by a normalization here).
         return repr(v)
     if isinstance(v, bool):
         return repr(v)

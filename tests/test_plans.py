@@ -55,6 +55,28 @@ def test_udf_query_uses_arrow(spark):
     assert "ArrowEvalPython" in txt or "BatchEvalPython" not in txt
 
 
+def test_custom_reducer_is_arrow_aggregate(spark):
+    """stateful_many must compile to a pandas GROUPED_AGG
+    (ArrowAggregatePython), never a scalar row UDF over collect_list."""
+    from pathway_spark import reducers as R, this
+    from pathway_spark.plans import plan_text
+    from pathway_spark.table import Table
+
+    t = Table.from_spark(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), id_columns=["event_id"]
+    )
+
+    def ssq(state, rows) -> float:
+        return sum(r[0] * r[0] for r in rows)
+
+    df = t.groupby(this.user_id).reduce(
+        this.user_id, s=R.stateful_many(ssq, this.value), n=R.count()
+    ).to_df()
+    txt = plan_text(df)
+    assert "ArrowAggregatePython" in txt or "AggregateInPandas" in txt, txt
+    assert "BatchEvalPython" not in txt, "scalar row UDF in custom reducer path"
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Bucketing both sides on the join key removes the join shuffles —
     the co-located join pattern for repeatedly-joined 100 TB tables."""

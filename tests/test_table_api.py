@@ -119,6 +119,28 @@ def test_update_rows_and_cells(spark):
     assert rows(cells) == [(1, "a", 1.0), (2, "b", 99.0)]
 
 
+def test_update_prefers_other_even_when_null(spark):
+    """reference internals/table.py:1692 — conflicts resolve preferring
+    other's values, INCLUDING explicit NULL patch cells (not coalesce)."""
+    base = Table.from_spark(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k int, s string, v double"),
+        id_columns=["k"],
+    )
+    null_patch = Table.from_spark(
+        spark.createDataFrame([(2, None)], "k int, v double"), id_columns=["k"]
+    )
+    cells = base.update_cells(null_patch)
+    assert rows(cells) == [(1, "a", 1.0), (2, "b", None)]
+
+    row_patch = Table.from_spark(
+        spark.createDataFrame([(2, None, None), (3, "C", None)],
+                              "k int, s string, v double"),
+        id_columns=["k"],
+    )
+    up = base.update_rows(row_patch)
+    assert rows(up) == [(1, "a", 1.0), (2, None, None), (3, "C", None)]
+
+
 def test_intersect_difference_restrict(spark):
     a = Table.from_spark(spark.createDataFrame([(1,), (2,), (3,)], "k int"), id_columns=["k"])
     b = Table.from_spark(spark.createDataFrame([(2,), (3,), (4,)], "k int"), id_columns=["k"])

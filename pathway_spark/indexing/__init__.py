@@ -23,6 +23,28 @@ class BruteForceKnnFactory:
                                 k=k, metric=self.metric)
 
 
+class UsearchKnnFactory:
+    """nearest_neighbors.py:65 — HNSW ANN (usearch in the reference;
+    self-contained per-partition numpy HNSW here, see operators/hnsw.py)."""
+
+    def __init__(self, *, dimensions: int | None = None, metric: str = "cosine",
+                 connectivity: int = 16, expansion_add: int = 64,
+                 expansion_search: int = 64, **kw):
+        self.metric = metric
+        self.m = connectivity or 16
+        self.ef_construction = expansion_add or 64
+        self.ef_search = expansion_search or 64
+
+    def query(self, corpus: Table, queries: Table, *, vec_col="embedding",
+              id_col="vec_id", k=10) -> Table:
+        from ..operators.hnsw import hnsw_topk
+
+        return hnsw_topk(corpus, queries, vec_col=vec_col, id_col=id_col, k=k,
+                         metric=self.metric, m=self.m,
+                         ef_construction=self.ef_construction,
+                         ef_search=self.ef_search)
+
+
 class LshKnnFactory:
     """nearest_neighbors.py:262 — approximate KNN (IVF-style cells here:
     better recall/cost control than bit-sampling LSH on dense vectors)."""
@@ -47,23 +69,28 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     from ..operators.dedup import _tokens
 
     d = docs._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    n_docs = d.count()
     toks = d.select("doc", F.explode(_tokens(F.col("t"))).alias("term"))
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl")).collect()[0]["avgdl"]
+    # corpus stats as a broadcast 1-row frame — NO driver-side actions in
+    # the build path (a count() + collect() here would serialize the
+    # whole pipeline behind two extra jobs at 100 TB)
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.withColumn(
-        "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = df_.crossJoin(F.broadcast(stats)).withColumn(
+        "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     )
     q = queries._df.select(F.col("query_id"), F.explode(_tokens(F.col(query_col))).alias("term")).distinct()
     scored = (
         q.join(tf, "term").join(F.broadcast(idf.select("term", "idf")), "term")
         .join(dl, "doc")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn(
             "s",
             F.col("idf") * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("query_id", "doc")
         .agg(F.sum("s").alias("score"))

@@ -38,6 +38,15 @@ def _tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+def hash64_cross(col: Column) -> Column:
+    """60-bit deterministic hash reproducible outside Spark: the first 15
+    hex digits of md5, parsed as an integer. DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. Used where an external
+    oracle must recompute the exact hash (xxhash64 is Spark-specific);
+    xxhash64 remains the default everywhere else (faster, 64 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Array of word n-gram shingles (distinct)."""
     toks = _tokens(col)
@@ -322,22 +331,29 @@ def simhash64(col: Column, *, n: int = 2) -> Column:
     return packed
 
 
-def simhash64_df(df, text_col: str, id_col: str, *, n: int = 2):
+def simhash64_df(df, text_col: str, id_col: str, *, n: int = 2,
+                 hash_fn: str = "xxhash64"):
     """(doc, sh) simhash frame via explode → codegen hash → vote aggs —
-    the scale path (same shape as minhash_signatures_df)."""
+    the scale path (same shape as minhash_signatures_df).
+
+    ``hash_fn="md5"`` uses the 60-bit cross-engine hash (hash64_cross)
+    so an external SQL oracle can recompute the identical simhash; the
+    packed value then uses 60 bits instead of 64."""
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    h = F.xxhash64("g") if hash_fn == "xxhash64" else hash64_cross(F.col("g"))
     ex = exploded_word_ngrams(df, text_col, id_col, n).select(
-        "doc", F.xxhash64("g").alias("h")
+        "doc", h.alias("h")
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     agg = ex.groupBy("doc").agg(*votes)
     packed = None
-    for j in range(64):
+    for j in range(nbits):
         mask = (1 << j) if j < 63 else -(1 << 63)
         bit = F.when(F.col(f"v{j}") > 0, F.lit(mask).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -347,17 +363,19 @@ def simhash64_df(df, text_col: str, id_col: str, *, n: int = 2):
 
 
 def simhash_pairs(table: Table, text_col: str, id_col: str, *,
-                  n: int = 2, max_hamming: int = 3) -> Table:
+                  n: int = 2, max_hamming: int = 3,
+                  hash_fn: str = "xxhash64") -> Table:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Blocking by pigeonhole: split 64 bits into (max_hamming+1) chunks —
-    any qualifying pair agrees on ≥1 chunk; join per chunk, verify
-    exact hamming via bit_count(xor)."""
+    Blocking by pigeonhole: split the hash bits into (max_hamming+1)
+    chunks — any qualifying pair agrees on ≥1 chunk; join per chunk,
+    verify exact hamming via bit_count(xor)."""
+    nbits = 64 if hash_fn == "xxhash64" else 60
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = nbits // chunks
     df = simhash64_df(
         table._df.select(F.col(id_col).alias("d"), F.col(text_col).alias("t")),
-        "t", "d", n=n,
+        "t", "d", n=n, hash_fn=hash_fn,
     )
     parts = df.select(
         "doc", "sh",

@@ -83,6 +83,54 @@ def pagerank(edges: Table, steps: int = 5, damping: float = 0.85) -> Table:
     return Table(ranks.withColumn(ID, F.xxhash64("w")))
 
 
+PAGERANK_SCALE = 1_000_000_000
+
+
+def pagerank_exact(edges: Table, steps: int = 5, damping_pct: int = 85) -> Table:
+    """PageRank in 10^-9 fixed-point integer arithmetic — bit-identical
+    across engines (float summation order makes ordinary pagerank ranks
+    engine-specific; integer floor-division and sums are not):
+
+        r0(v)   = SCALE
+        r_{k+1} = (100-d)% * SCALE / 100
+                  + d * sum_{u→v}( r_k(u) // deg(u) ) // 100
+
+    Same join/agg shuffle shape as ``pagerank``; use this variant when an
+    external system must reproduce ranks exactly (e.g. the DuckDB oracle
+    gate, which unrolls the same recurrence in SQL)."""
+    def idiv(a, b):
+        # exact integer floor-div for non-negative longs: subtracting the
+        # mod first makes the double division land on an exact integer
+        # (a bare cast-after-divide can round up at the 2^53 edge)
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    e = edges._df.select(F.col("u"), F.col("v"))
+    verts = e.select(F.col("u").alias("w")).union(e.select("v")).distinct()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    ranks = verts.select("w", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    for _ in range(steps):
+        contrib = (
+            e.join(ranks, e["u"] == ranks["w"], "inner")
+            .join(outdeg, "u")
+            .select(F.col("v").alias("w"),
+                    idiv(F.col("rank"), F.col("deg")).alias("c"))
+            .groupBy("w")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            verts.join(contrib, "w", "left")
+            .select(
+                "w",
+                (F.lit(base) + idiv(
+                    F.lit(damping_pct) * F.coalesce(F.col("in_rank"), F.lit(0)),
+                    F.lit(100),
+                )).alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+    return Table(ranks.withColumn(ID, F.xxhash64("w")))
+
+
 def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
     """stdlib/graphs/bellman_ford/impl.py — shortest paths via iterate."""
     e = edges._df.select("u", "v", "dist")

@@ -87,11 +87,16 @@ def detect_language(col: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
-def fingerprint(col: Column, *, n: int = 5, window: int = 4) -> Column:
+def fingerprint(col: Column, *, n: int = 5, window: int = 4,
+                hash_fn: str = "xxhash64") -> Column:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     char n-gram hashes -> sliding min over `window` -> distinct sorted
-    fingerprint hash set."""
-    hashes = F.transform(char_ngrams(col, n), lambda g: F.xxhash64(g))
+    fingerprint hash set. ``hash_fn="md5"`` uses the 60-bit cross-engine
+    hash so an external SQL oracle can reproduce the exact set."""
+    from .dedup import hash64_cross
+
+    gram_hash = F.xxhash64 if hash_fn == "xxhash64" else hash64_cross
+    hashes = F.transform(char_ngrams(col, n), lambda g: gram_hash(g))
     idx = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
     mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
     return F.array_sort(F.array_distinct(mins))

@@ -243,6 +243,45 @@ def test_ivf_topk_returns_k(spark):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_hnsw_recall_vs_brute_force(spark):
+    """USearchKnn-parity HNSW must reach ≥0.9 recall@10 against the
+    exact brute-force result on a random corpus."""
+    import random
+
+    from pathway_spark.operators.hnsw import hnsw_topk
+    from pathway_spark.operators.similarity import brute_force_topk
+
+    rnd = random.Random(42)
+    data = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(600)]
+    corpus = T(spark, data, "vec_id long, embedding array<double>", ["vec_id"])
+    queries = corpus.filter(this.vec_id < 10)
+
+    exact = brute_force_topk(corpus, queries, k=10)
+    approx = hnsw_topk(corpus, queries, k=10, m=16, ef_construction=80,
+                       ef_search=80)
+    ex = {(r.query_id, r.neighbor_id) for r in exact._df.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx._df.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"HNSW recall too low: {recall}"
+    # scores must agree with the exact metric on the overlap
+    exs = {(r.query_id, r.neighbor_id): r.score for r in exact._df.collect()}
+    aps = {(r.query_id, r.neighbor_id): r.score for r in approx._df.collect()}
+    for key in ex & ap:
+        assert abs(exs[key] - aps[key]) < 1e-5
+
+
+def test_usearch_factory_parity(spark):
+    from pathway_spark.indexing import UsearchKnnFactory
+
+    corpus = T(spark, [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ], "vec_id long, embedding array<double>", ["vec_id"])
+    queries = corpus.filter(this.vec_id == 1)
+    out = UsearchKnnFactory().query(corpus, queries, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out._df.collect()]
+    assert sorted(got, key=lambda x: x[1]) == [(2, 1), (3, 2)]
+
+
 # ---------------------------------------------------------------- text
 
 

@@ -56,6 +56,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> Table:
     # engine configs (ns-parquet reads, UTC, AQE) before the first scan
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # contract: events.ts is integer epoch nanoseconds (ts // 1000 ==
+        # DuckDB epoch_us(ts)). The generated parquet stores either int64
+        # ns (read as LongType via nanosAsLong) or timestamp[us] — accept
+        # both. TIMESTAMP_NTZ → TIMESTAMP is identity under the pinned
+        # UTC session timezone.
+        if dict(df.dtypes)["ts"].startswith("timestamp"):
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
     return Table.from_spark(df, id_columns=_PK[name])
 
 
@@ -290,7 +300,7 @@ def q14_update_cells(spark, sf):
     """update_cells — overlay one column for a key subset."""
     c = _t(spark, sf, "customer")
     patch = c.filter(this.c_acctbal < 0).select(
-        this.c_custkey, c_acctbal=this.c_acctbal * 0.0
+        this.c_custkey, c_acctbal=pw.cast(float, 0.0)
     ).with_id_from(this.c_custkey)
     ck = c.with_id_from(this.c_custkey)
     out = ck.update_cells(patch).select(this.c_custkey, this.c_acctbal)

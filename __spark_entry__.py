@@ -165,18 +165,36 @@ def q03_join_agg(spark, sf):
 
 
 def q04_left_join(spark, sf):
-    """nation left-join customer → per-nation customer count (zeros kept)."""
+    """join_left + join_right in one gate (merged round-3 so both outer
+    directions sit inside the driver's 50-query window): per-nation
+    customer rollup (left side, zero-customer nations kept) unioned with
+    per-customer order counts (right side, orderless customers kept)."""
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
-    j = n.join_left(c, pw.left.n_nationkey == pw.right.c_nationkey)
+    o = _t(spark, sf, "orders")
     from pyspark.sql import types as T
 
-    out = j.groupby(pw.left.n_name).reduce(
-        n_name=pw.left.n_name,
-        n_customers=R.count(pw.right.c_custkey),
-        total_acctbal=R.sum(pw.cast(T.DecimalType(12, 2), pw.right.c_acctbal)),
+    j = n.join_left(c, pw.left.n_nationkey == pw.right.c_nationkey)
+    lout = j.groupby(pw.left.n_name).reduce(
+        key=pw.left.n_name,
+        n=R.count(pw.right.c_custkey),
+        total=R.sum(pw.cast(T.DecimalType(12, 2), pw.right.c_acctbal)),
     )
-    return _r(out.to_df(), {"total_acctbal": 2})
+    jr = o.join_right(c, pw.left.o_custkey == pw.right.c_custkey)
+    rout = jr.groupby(pw.right.c_custkey).reduce(
+        c_custkey=pw.right.c_custkey,
+        n=R.count(pw.left.o_orderkey),
+    )
+    ldf = lout.to_df().select(
+        F.lit("left").alias("side"), F.col("key"),
+        F.col("n"), F.col("total").cast("double").alias("total"),
+    )
+    rdf = rout.to_df().select(
+        F.lit("right").alias("side"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("n"), F.lit(None).cast("double").alias("total"),
+    )
+    return ldf.unionByName(rdf)
 
 
 def q05_update_rows(spark, sf):
@@ -192,31 +210,31 @@ def q05_update_rows(spark, sf):
     return _r(out.to_df(), {"c_acctbal": 2})
 
 
-def q06_difference_anti(spark, sf):
-    """difference (anti-join on key): customers with no orders."""
+def q06_difference_intersect(spark, sf):
+    """difference + intersect in one gate (merged round-3; the old
+    all-orders difference matched on 0 rows — vacuous). Both sides are
+    non-empty against the finished-order ('F') subset: customers with no
+    finished order (difference/anti) and with one (intersect/semi)."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    buyers = o.groupby(this.o_custkey).reduce(c_custkey=this.o_custkey)
-    # re-key both to the customer key so set-ops align universes
+    fbuyers = o.filter(this.o_orderstatus == "F").groupby(this.o_custkey).reduce(
+        c_custkey=this.o_custkey
+    )
     ck = c.with_id_from(this.c_custkey)
-    bk = buyers.with_id_from(this.c_custkey)
-    out = ck.difference(bk).select(this.c_custkey, this.c_name)
-    return out.to_df()
-
-
-def q07_intersect_semi(spark, sf):
-    """intersect (semi-join on key): customers that did order."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    buyers = o.groupby(this.o_custkey).reduce(c_custkey=this.o_custkey)
-    ck = c.with_id_from(this.c_custkey)
-    bk = buyers.with_id_from(this.c_custkey)
-    out = ck.intersect(bk).select(this.c_custkey, this.c_mktsegment)
-    return out.to_df()
+    bk = fbuyers.with_id_from(this.c_custkey)
+    diff = ck.difference(bk).select(this.c_custkey).to_df().withColumn(
+        "has_f", F.lit(False)
+    )
+    inter = ck.intersect(bk).select(this.c_custkey).to_df().withColumn(
+        "has_f", F.lit(True)
+    )
+    return diff.unionByName(inter)
 
 
 def q08_concat(spark, sf):
-    """concat (disjoint union) of two filtered slices → counts by type."""
+    """concat (disjoint union → per-user agg) + concat_reindex
+    (overlapping slices kept as duplicates), merged round-3 into one
+    driver slot, tagged by part."""
     e = _t(spark, sf, "events")
     a = e.filter(this.event_type == "click")
     b = e.filter(this.event_type == "purchase")
@@ -227,7 +245,22 @@ def q08_concat(spark, sf):
         n=R.count(),
         total_value=R.sum(pw.cast(T.DecimalType(10, 2), this.value)),
     )
-    return _r(out.to_df(), {"total_value": 2})
+    cdf = out.to_df().select(
+        F.lit("concat").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+    cu = _t(spark, sf, "customer")
+    ra = cu.filter(this.c_custkey % 2 == 0)
+    rb = cu.filter(this.c_custkey % 3 == 0)
+    rdf = ra.concat_reindex(rb).select(this.c_custkey).to_df().select(
+        F.lit("reindex").alias("part"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return cdf.unionByName(rdf)
 
 
 def q09_flatten_wordcount(spark, sf):
@@ -271,17 +304,29 @@ def q11_count_distinct(spark, sf):
     return _r(out.to_df(), {"min_bal": 2, "max_bal": 2})
 
 
-def q12_sorted_tuple(spark, sf):
-    """sorted_tuple reducer — rendered as a joined string for stable
-    cross-engine hashing."""
+def q12_tuple_reducers(spark, sf):
+    """sorted_tuple + ordered tuple(sort_by) + unique + any reducers in
+    one gate (merged round-3 from three slots). Arrays are rendered as
+    joined strings for stable cross-engine hashing; `any` is
+    deterministic min-by-id in this engine, mirrored as MIN."""
     li = _t(spark, sf, "lineitem")
-    grouped = li.groupby(this.l_orderkey).reduce(
+    o = _t(spark, sf, "orders")
+    j = li.join(o, pw.left.l_orderkey == pw.right.o_orderkey).select(
+        this.l_orderkey, this.l_linenumber, this.l_returnflag, this.o_orderstatus
+    )
+    grouped = j.groupby(this.l_orderkey, sort_by=this.l_linenumber).reduce(
         l_orderkey=this.l_orderkey,
         lines=R.sorted_tuple(this.l_linenumber),
+        flags=R.tuple(this.l_returnflag),
+        status=R.unique(this.o_orderstatus),
+        some_flag=R.any(this.l_returnflag),
     )
     out = grouped.to_df().select(
         "l_orderkey",
         F.array_join(F.col("lines").cast("array<string>"), ",").alias("lines"),
+        F.array_join(F.col("flags").cast("array<string>"), ",").alias("flags"),
+        "status",
+        "some_flag",
     )
     return out
 
@@ -331,28 +376,33 @@ def q15_sql_frontend(spark, sf):
 
 
 def q16_sort_diff(spark, sf):
-    """diff — value − previous value per user in ts order."""
+    """diff + sort prev/next pointers in one gate (merged round-3).
+
+    The prev/next id pointers from Table.sort() are rendered back to
+    natural event ids via self-joins on the pointer, so the oracle can
+    mirror them with LAG/LEAD."""
     e = _t(spark, sf, "events")
     d = e.diff(this.ts, this.value, instance=this.user_id)
-    out = d.select(this.event_id, this.user_id, this.diff_value)
-    return _r(out.to_df(), {"diff_value": 2})
+    diff_df = d.select(this.event_id, this.user_id, this.diff_value).to_df()
 
-
-def q17_sort_prev_next(spark, sf):
-    """sort — prev/next pointers become prev/next event ids (rendered
-    through the natural key, not the hash, for oracle stability)."""
-    e = _t(spark, sf, "events")
-    from pyspark.sql import Window as W
-
-    df = e._df
-    w = W.partitionBy("user_id").orderBy("ts")
-    out = df.select(
-        "event_id",
-        "user_id",
-        F.lag("event_id").over(w).alias("prev_event"),
-        F.lead("event_id").over(w).alias("next_event"),
+    st = e.sort(key=this.ts, instance=this.user_id)
+    sdf = st._df
+    idmap = e._df.select(
+        F.col("_pw_id").alias("__pid"), F.col("event_id").alias("__pev")
     )
-    return out
+    pn = (
+        sdf.join(idmap, sdf["prev"] == idmap["__pid"], "left")
+        .withColumnRenamed("__pev", "prev_event").drop("__pid")
+        .join(
+            idmap.withColumnRenamed("__pev", "next_event"),
+            F.col("next") == F.col("__pid"), "left",
+        )
+        .select("event_id", "prev_event", "next_event")
+    )
+    out = diff_df.join(pn, "event_id").select(
+        "event_id", "user_id", "diff_value", "prev_event", "next_event"
+    )
+    return _r(out, {"diff_value": 2})
 
 
 def q18_interpolate(spark, sf):
@@ -402,38 +452,63 @@ def q20_sliding(spark, sf):
 
 
 def q21_session(spark, sf):
-    """windowby + session(max_gap=10min) per user."""
+    """windowby + session, both variants in one gate (merged round-3):
+    max_gap=10min sessions and predicate(non-decreasing value) sessions
+    per user, tagged by kind."""
     e = _t(spark, sf, "events")
     et = e.with_columns(ts_us=this.ts // 1000)
-    wt = et.windowby(
+    gap = et.windowby(
         this.ts_us,
         window=pw.temporal.session(max_gap=600_000_000),
         instance=this.user_id,
-    )
-    out = wt.reduce(
+    ).reduce(
         user_id=this._pw_instance,
         session_start=this._pw_window_start,
         n_events=R.count(),
     )
-    return out.to_df()
+    pred = et.windowby(
+        this.ts_us,
+        window=pw.temporal.session(
+            predicate=lambda prev, cur: cur.value >= prev.value
+        ),
+        instance=this.user_id,
+    ).reduce(
+        user_id=this._pw_instance,
+        session_start=this._pw_window_start,
+        n_events=R.count(),
+    )
+    return (
+        gap.to_df().withColumn("kind", F.lit("gap"))
+        .unionByName(pred.to_df().withColumn("kind", F.lit("pred")))
+    )
 
 
 def q22_asof_join(spark, sf):
-    """asof_join — each click matched with the user's latest prior purchase."""
+    """asof_join inner + left in one gate (merged round-3): each click
+    matched with the user's latest prior purchase; the left variant keeps
+    clicks with no prior purchase."""
     e = _t(spark, sf, "events")
     clicks = e.filter(this.event_type == "click").with_columns(ts_us=this.ts // 1000)
     buys = e.filter(this.event_type == "purchase").select(
         buyer=this.user_id, bts_us=this.ts // 1000, purchase_value=this.value
     )
-    out = clicks.asof_join(
+    inner = clicks.asof_join(
         buys,
         pw.left.ts_us,
         pw.right.bts_us,
         pw.left.user_id == pw.right.buyer,
         how="inner",
         direction="backward",
-    ).select(this.event_id, this.user_id, this.purchase_value)
-    return _r(out.to_df(), {"purchase_value": 2})
+    ).select(this.event_id, this.purchase_value)
+    left = clicks.asof_join_left(
+        buys, pw.left.ts_us, pw.right.bts_us,
+        pw.left.user_id == pw.right.buyer,
+    ).select(this.event_id, this.purchase_value)
+    out = (
+        inner.to_df().withColumn("how", F.lit("inner"))
+        .unionByName(left.to_df().withColumn("how", F.lit("left")))
+    )
+    return _r(out, {"purchase_value": 2})
 
 
 def q23_interval_join(spark, sf):
@@ -460,7 +535,9 @@ def q23_interval_join(spark, sf):
 
 
 def q24_window_join(spark, sf):
-    """window_join — clicks × purchases in the same tumbling hour + user."""
+    """window_join inner + left in one gate (merged round-3): clicks ×
+    purchases in the same tumbling hour + user; left keeps clicks with
+    no same-hour purchase."""
     e = _t(spark, sf, "events")
     clicks = e.filter(this.event_type == "click").select(
         c_user=this.user_id, c_ts=this.ts // 1000, c_id=this.event_id
@@ -468,16 +545,18 @@ def q24_window_join(spark, sf):
     buys = e.filter(this.event_type == "purchase").select(
         b_user=this.user_id, b_ts=this.ts // 1000, b_id=this.event_id
     )
-    jr = pw.temporal.window_join(
-        clicks,
-        buys,
-        this.c_ts,
-        this.b_ts,
-        pw.temporal.tumbling(_US_H),
+    inner = pw.temporal.window_join(
+        clicks, buys, this.c_ts, this.b_ts, pw.temporal.tumbling(_US_H),
         [pw.left.c_user == pw.right.b_user],
+    ).select(c_id=pw.left.c_id, b_id=pw.right.b_id, c_user=pw.left.c_user)
+    left = pw.temporal.window_join(
+        clicks, buys, this.c_ts, this.b_ts, pw.temporal.tumbling(_US_H),
+        [pw.left.c_user == pw.right.b_user], how="left",
+    ).select(c_id=pw.left.c_id, b_id=pw.right.b_id, c_user=pw.left.c_user)
+    return (
+        inner.to_df().withColumn("how", F.lit("inner"))
+        .unionByName(left.to_df().withColumn("how", F.lit("left")))
     )
-    out = jr.select(c_id=pw.left.c_id, b_id=pw.right.b_id, c_user=pw.left.c_user)
-    return out.to_df()
 
 
 def q25_earliest_latest(spark, sf):
@@ -498,7 +577,8 @@ def q25_earliest_latest(spark, sf):
 
 
 def q26_string_funcs(spark, sf):
-    """expr.str.* namespace."""
+    """expr.str.* namespace — case/len/slice plus count/find/rfind/
+    removeprefix (merged round-3 from two slots)."""
     d = _t(spark, sf, "documents")
     out = d.select(
         this.doc_id,
@@ -507,12 +587,17 @@ def q26_string_funcs(spark, sf):
         starts_the=this.text.str.startswith("the"),
         replaced=this.text.str.replace("data", "DATA"),
         sliced=this.text.str.slice(0, 10),
+        n_the=this.text.str.count("the"),
+        p_data=this.text.str.find("data"),
+        rp_data=this.text.str.rfind("data"),
+        noprefix=this.text.str.removeprefix("the "),
     )
     return out.to_df()
 
 
 def q27_datetime_funcs(spark, sf):
-    """expr.dt.* namespace on orders timestamps."""
+    """expr.dt.* namespace on orders timestamps — components/strftime
+    plus floor/round granularities (merged round-3 from two slots)."""
     o = _t(spark, sf, "orders")
     out = o.select(
         this.o_orderkey,
@@ -520,6 +605,8 @@ def q27_datetime_funcs(spark, sf):
         mo=this.o_orderdate.dt.month(),
         dy=this.o_orderdate.dt.day(),
         ym=this.o_orderdate.dt.strftime("%Y-%m"),
+        fl_day=this.o_orderdate.dt.floor("D").dt.strftime("%Y-%m-%d"),
+        rd_hour=this.o_orderdate.dt.round("h").dt.strftime("%Y-%m-%d %H:%M"),
     )
     return out.to_df()
 
@@ -561,11 +648,21 @@ def q29_dedup_exact(spark, sf):
 
 
 def q30_dup_pairs(spark, sf):
-    """exact duplicate pair table (canonical_id, dup_id)."""
+    """exact duplicate pair table (canonical_id, dup_id).
+
+    The raw documents fixture has no exact duplicates (round-1 gate
+    passed vacuously on 0 rows), so the gate unions in verbatim copies
+    of the first 20 docs under shifted ids — both engines see the same
+    seeded duplicates and the pair table is non-empty."""
     from pathway_spark.operators.dedup import exact_dup_groups
 
     d = _t(spark, sf, "documents")
-    return exact_dup_groups(d, "text", "doc_id").to_df()
+    base = d._df.select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    t = Table.from_spark(base.unionByName(dups), id_columns=["doc_id"])
+    return exact_dup_groups(t, "text", "doc_id").to_df()
 
 
 def q31_ngram_jaccard(spark, sf):
@@ -578,22 +675,33 @@ def q31_ngram_jaccard(spark, sf):
 
 
 def q32_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates, exact-verified (no SQL oracle —
-    minhash seeds are engine-specific; rows-only check)."""
+    """MinHash+LSH near-dup pairs, exact-verified — oracled round-3.
+
+    The exact-Jaccard verification step makes the OUTPUT equal to the
+    brute-force pair table whenever LSH recall is 1, so the oracle is
+    plain inverted-index Jaccard SQL. Gate params use r=1 (bands ==
+    num_hashes) where miss probability at J≥0.5 is (1-J)^64 ≤ 5e-20 —
+    and the pipeline is fully deterministic, so a local sf0.01 match
+    guarantees a driver match. Production callers keep the cheaper
+    16×4 banding default."""
     from pathway_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
     out = minhash_lsh_pairs(d, "text", "doc_id", n=3, num_hashes=64,
-                            bands=16, threshold=0.4)
+                            bands=64, threshold=0.5)
     return out.to_df()
 
 
 def q33_simhash(spark, sf):
-    """SimHash hamming≤6 near-dup pairs (rows-only check)."""
+    """SimHash hamming≤6 near-dup pairs — oracled round-3 via the 60-bit
+    md5 cross-engine hash (hash64_cross): the pigeonhole blocking is
+    exact, so the output equals brute-force all-pairs hamming, which
+    DuckDB reproduces bit-for-bit from the same md5 gram hashes."""
     from pathway_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, "text", "doc_id", n=2, max_hamming=6).to_df()
+    return simhash_pairs(d, "text", "doc_id", n=2, max_hamming=6,
+                         hash_fn="md5").to_df()
 
 
 def q34_knn_bruteforce(spark, sf):
@@ -610,53 +718,59 @@ def q34_knn_bruteforce(spark, sf):
 
 
 def q35_embedding_neardup(spark, sf):
-    """embedding cosine near-dup pairs (exact mode for oracle parity)."""
+    """embedding cosine near-dup pairs (exact mode for oracle parity).
+
+    The raw embeddings fixture has no ≥0.99 pairs (round-1 gate passed
+    vacuously on 0 rows); the gate unions in verbatim copies of the
+    first 10 vectors under shifted ids so both engines must find the
+    same seeded near-duplicates."""
     from pathway_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf, "embeddings")
-    out = embedding_neardup_pairs(emb, "embedding", "vec_id",
+    base = emb._df.select("vec_id", "embedding")
+    dups = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    t = Table.from_spark(base.unionByName(dups), id_columns=["vec_id"])
+    out = embedding_neardup_pairs(t, "embedding", "vec_id",
                                   threshold=0.99, exact=True)
     return out.to_df().select("id_a", "id_b")
 
 
-def q36_token_stats(spark, sf):
-    """text analysis — token/subword counts per document."""
-    from pathway_spark.operators.text import subword_count, token_count
+def q36_text_profile(spark, sf):
+    """text analysis in one gate (merged round-3 from three slots, all
+    fully oracled now): token/subword counts, stopword-vote language ID,
+    quality heuristic (emitted as floor(q*1e6) — floor of an
+    identically-computed double is engine-stable, ROUND is not), and the
+    winnowing fingerprint set using the md5 cross-engine hash, rendered
+    as a joined string."""
+    from pathway_spark.operators.text import (
+        detect_language, fingerprint, quality_score, subword_count,
+        token_count,
+    )
 
     d = _t(spark, sf, "documents")
+    c = F.col("text")
     df = d.to_df().select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        subword_count(F.col("text")).alias("n_subwords"),
+        token_count(c).alias("n_tokens"),
+        subword_count(c).alias("n_subwords"),
+        detect_language(c).alias("lang_detected"),
+        F.floor(quality_score(c, digits=None) * 1e6).cast("long").alias("quality_u"),
+        F.array_join(
+            fingerprint(c, n=5, window=4, hash_fn="md5").cast("array<string>"),
+            ",",
+        ).alias("fp"),
     )
     return df
 
 
-def q37_lang_quality(spark, sf):
-    """text analysis — language ID + quality score (rows-only check:
-    heuristic weights are engine-specific)."""
-    from pathway_spark.operators.text import detect_language, quality_score
+def x39_approx_distinct(spark, sf):
+    """count_distinct_approximate (rows-only: HLL impls differ).
 
-    d = _t(spark, sf, "documents")
-    return d.to_df().select(
-        "doc_id",
-        detect_language(F.col("text")).alias("lang_detected"),
-        quality_score(F.col("text")).alias("quality"),
-    )
-
-
-def q38_fingerprint(spark, sf):
-    """winnowing fingerprint (rows-only: xxhash64-based)."""
-    from pathway_spark.operators.text import fingerprint64
-
-    d = _t(spark, sf, "documents")
-    return d.to_df().select(
-        "doc_id", fingerprint64(F.col("text")).alias("fp64")
-    )
-
-
-def q39_approx_distinct(spark, sf):
-    """count_distinct_approximate (rows-only: HLL impls differ)."""
+    x-prefixed so it sorts after every oracled qNN gate: the driver
+    evaluates the first 50 sorted names, and a rows-only slot would
+    displace a hash-checked one. Still exercised by the local suite."""
     e = _t(spark, sf, "events")
     out = e.groupby(this.event_type).reduce(
         event_type=this.event_type,
@@ -791,7 +905,8 @@ def q46_bm25(spark, sf):
 
 
 def q47_dt_components(spark, sf):
-    """dt namespace on ns-long event times (hour/minute/weekday/week)."""
+    """dt namespace on ns-long event times — components plus duration
+    accessors (merged round-3 from two slots)."""
     from pathway_spark.expressions import SparkFunc
 
     e = _t(spark, sf, "events")
@@ -802,33 +917,15 @@ def q47_dt_components(spark, sf):
         mi=tsx.dt.minute(),
         wd=tsx.dt.weekday(),
         wk=tsx.dt.week(),
+        age_s=this.ts.dt.seconds(),
+        age_min=this.ts.dt.minutes(),
+        age_h=this.ts.dt.hours(),
+        age_d=this.ts.dt.days(),
     )
     return out.to_df()
 
 
-def q48_str_search(spark, sf):
-    """str namespace: count/find/rfind/removeprefix."""
-    d = _t(spark, sf, "documents")
-    out = d.select(
-        this.doc_id,
-        n_the=this.text.str.count("the"),
-        p_data=this.text.str.find("data"),
-        rp_data=this.text.str.rfind("data"),
-        noprefix=this.text.str.removeprefix("the "),
-    )
-    return out.to_df()
-
-
-def q49_concat_reindex(spark, sf):
-    """concat_reindex — overlapping slices kept as duplicates."""
-    c = _t(spark, sf, "customer")
-    a = c.filter(this.c_custkey % 2 == 0)
-    b = c.filter(this.c_custkey % 3 == 0)
-    out = a.concat_reindex(b).select(this.c_custkey)
-    return out.to_df()
-
-
-def q50_deduplicate_method(spark, sf):
+def x50_deduplicate_method(spark, sf):
     """Table.deduplicate — one surviving row per distinct text
     (rows-only: the survivor is picked by engine-internal id order)."""
     d = _t(spark, sf, "documents")
@@ -837,9 +934,11 @@ def q50_deduplicate_method(spark, sf):
 
 
 def q51_pagerank(spark, sf):
-    """pagerank over the user co-occurrence graph (rows-only: iterative
-    float ranks are engine-specific)."""
-    from pathway_spark.operators.iterate import pagerank
+    """pagerank over the user co-occurrence graph — oracled round-3 via
+    pagerank_exact: 1e-9 fixed-point integer arithmetic is bit-identical
+    across engines, and the 5-step recurrence unrolls into plain chained
+    CTEs in the DuckDB oracle (float ranks would be engine-specific)."""
+    from pathway_spark.operators.iterate import pagerank_exact
 
     e = _t(spark, sf, "events")
     ns_per_h = F.lit(_US_H * 1000)
@@ -854,13 +953,14 @@ def q51_pagerank(spark, sf):
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    out = pagerank(Table(edges), steps=5)
-    return out._df.select(F.col("w").alias("user_id"), F.round("rank", 4).alias("rank"))
+    out = pagerank_exact(Table(edges), steps=5)
+    return out._df.select(F.col("w").alias("user_id"), F.col("rank"))
 
 
-def q52_embedding_lsh(spark, sf):
+def x52_embedding_lsh(spark, sf):
     """embedding near-dup via random-hyperplane LSH (rows-only:
-    candidate set is engine-specific; pairs are exact-verified)."""
+    candidate set is engine-specific; pairs are exact-verified).
+    x-prefixed — see x39 note."""
     from pathway_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf, "embeddings")
@@ -870,9 +970,10 @@ def q52_embedding_lsh(spark, sf):
     return out.to_df().select("id_a", "id_b")
 
 
-def q53_multimodal_features(spark, sf):
+def x53_multimodal_features(spark, sf):
     """multimodal plumbing — binary column → mapInPandas feature extract
-    (rows-only: the stub decoder is python-side)."""
+    (rows-only: the stub decoder is python-side). x-prefixed — see x39
+    note."""
     from pathway_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf, "documents")
@@ -884,31 +985,6 @@ def q53_multimodal_features(spark, sf):
     )
     out = extract_features(media, dim=8)
     return out._df.select("media_id", F.round(F.element_at("features", 1), 6).alias("f0"))
-
-
-def q54_join_right(spark, sf):
-    """right join — all customers, with their order revenue if any."""
-    o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
-    j = o.join_right(c, pw.left.o_custkey == pw.right.c_custkey)
-    out = j.groupby(pw.right.c_custkey).reduce(
-        c_custkey=pw.right.c_custkey,
-        n_orders=R.count(pw.left.o_orderkey),
-    )
-    return out.to_df()
-
-
-def q55_unique_any(spark, sf):
-    """unique + any reducers — per-order values that are single-valued."""
-    li = _t(spark, sf, "lineitem")
-    o = _t(spark, sf, "orders")
-    j = li.join(o, pw.left.l_orderkey == pw.right.o_orderkey)
-    out = j.groupby(pw.left.l_orderkey).reduce(
-        l_orderkey=pw.left.l_orderkey,
-        status=R.unique(pw.right.o_orderstatus),
-        some_flag=R.any(pw.left.l_returnflag),
-    )
-    return out.to_df()
 
 
 def q56_interval_join_ts(spark, sf):
@@ -932,19 +1008,6 @@ def q56_interval_join_ts(spark, sf):
     return out.to_df()
 
 
-def q57_asof_left(spark, sf):
-    """asof_join_left — every click, with latest prior purchase if any."""
-    e = _t(spark, sf, "events")
-    clicks = e.filter(this.event_type == "click").with_columns(ts_us=this.ts // 1000)
-    buys = e.filter(this.event_type == "purchase").select(
-        buyer=this.user_id, bts_us=this.ts // 1000, purchase_value=this.value
-    )
-    out = clicks.asof_join_left(
-        buys, pw.left.ts_us, pw.right.bts_us, pw.left.user_id == pw.right.buyer
-    ).select(this.event_id, this.purchase_value)
-    return out.to_df()
-
-
 def q58_try_divide_fill(spark, sf):
     """NULL-error model: /0 poisons the cell to NULL; fill_error fills."""
     from pathway_spark.expressions import SparkFunc
@@ -961,85 +1024,23 @@ def q58_try_divide_fill(spark, sf):
     return out.to_df()
 
 
-def q59_dt_durations(spark, sf):
-    """duration accessors on ns longs — event age vs epoch in units."""
-    e = _t(spark, sf, "events")
-    out = e.select(
-        this.event_id,
-        age_s=this.ts.dt.seconds(),
-        age_min=this.ts.dt.minutes(),
-        age_h=this.ts.dt.hours(),
-        age_d=this.ts.dt.days(),
-    )
-    return out.to_df()
-
-
-def q60_window_join_left(spark, sf):
-    """window_join left — clicks kept even with no same-hour purchase."""
-    e = _t(spark, sf, "events")
-    clicks = e.filter(this.event_type == "click").select(
-        c_user=this.user_id, c_ts=this.ts // 1000, c_id=this.event_id
-    )
-    buys = e.filter(this.event_type == "purchase").select(
-        b_user=this.user_id, b_ts=this.ts // 1000, b_id=this.event_id
-    )
-    jr = pw.temporal.window_join(
-        clicks, buys, this.c_ts, this.b_ts, pw.temporal.tumbling(_US_H),
-        [pw.left.c_user == pw.right.b_user], how="left",
-    )
-    out = jr.select(c_id=pw.left.c_id, b_id=pw.right.b_id)
-    return out.to_df()
-
-
-def q61_session_predicate(spark, sf):
-    """session(predicate=...) — merge a user's run of events while value
-    is non-decreasing."""
-    e = _t(spark, sf, "events")
-    et = e.with_columns(ts_us=this.ts // 1000)
-    wt = et.windowby(
-        this.ts_us,
-        window=pw.temporal.session(predicate=lambda prev, cur: cur.value >= prev.value),
-        instance=this.user_id,
-    )
-    out = wt.reduce(
-        user_id=this._pw_instance,
-        session_start=this._pw_window_start,
-        n_events=R.count(),
-    )
-    return out.to_df()
-
-
 def q62_split_documents(spark, sf):
-    """document splitter — 20-token chunks, one row per chunk."""
+    """document splitters in one gate (merged round-3): 20-token window
+    chunks + RecursiveSplitter greedy 100-char packing, tagged."""
     from pathway_spark.ml.splitters import split_documents
+    from pathway_spark.xpacks.llm.splitters import RecursiveSplitter
 
     d = _t(spark, sf, "documents")
-    out = split_documents(d, text_col="text", max_tokens=20, overlap=0)
-    return out.to_df().select("doc_id", "chunk_pos", "chunk_text")
-
-
-def q64_dt_round(spark, sf):
-    """dt.floor / dt.round to hour granularity on order dates."""
-    o = _t(spark, sf, "orders")
-    out = o.select(
-        this.o_orderkey,
-        fl_day=this.o_orderdate.dt.floor("D").dt.strftime("%Y-%m-%d"),
-        rd_hour=this.o_orderdate.dt.round("h").dt.strftime("%Y-%m-%d %H:%M"),
+    tok = split_documents(d, text_col="text", max_tokens=20, overlap=0)
+    tdf = tok.to_df().select("doc_id", "chunk_pos", "chunk_text").withColumn(
+        "splitter", F.lit("token")
     )
-    return out.to_df()
-
-
-def q65_tuple_sort_by(spark, sf):
-    """groupby(sort_by=) + ordered tuple reducer — deterministic order."""
-    li = _t(spark, sf, "lineitem")
-    grouped = li.groupby(this.l_orderkey, sort_by=this.l_linenumber).reduce(
-        this.l_orderkey,
-        flags=R.tuple(this.l_returnflag),
+    rec = RecursiveSplitter(chunk_size=100, separators=[" "])(
+        d, text_col="text", id_col="doc_id")
+    rdf = rec.to_df().select("doc_id", "chunk_pos", "chunk_text").withColumn(
+        "splitter", F.lit("recursive")
     )
-    out = grouped.to_df().select(
-        "l_orderkey", F.array_join("flags", ",").alias("flags")
-    )
-    return out
+    return tdf.unionByName(rdf)
 
 
 def q63_salted_agg(spark, sf):
@@ -1128,41 +1129,32 @@ def q68_count_distribution(spark, sf):
     return out.to_df()
 
 
-def q69_recursive_split(spark, sf):
-    """RecursiveSplitter re-chunk: greedy 100-char packing of space-split
-    pieces via prefix-sum window (xpacks.llm.splitters)."""
-    from pathway_spark.xpacks.llm.splitters import RecursiveSplitter
-
-    d = _t(spark, sf, "documents")
-    out = RecursiveSplitter(chunk_size=100, separators=[" "])(
-        d, text_col="text", id_col="doc_id")
-    return out.to_df().select("doc_id", "chunk_pos", "chunk_text")
-
-
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 q-prefixed gates (every one oracled) + x-prefixed
+    rows-only gates. The driver evaluates the first 50 sorted names, so
+    the q-set IS the driver window ('q' < 'x'); x-gates stay covered by
+    the local suite."""
     return {
         "q01_filter_groupby": q01_filter_groupby,
         "q02_project_ifelse": q02_project_ifelse,
         "q03_join_agg": q03_join_agg,
         "q04_left_join": q04_left_join,
         "q05_update_rows": q05_update_rows,
-        "q06_difference_anti": q06_difference_anti,
-        "q07_intersect_semi": q07_intersect_semi,
+        "q06_difference_intersect": q06_difference_intersect,
         "q08_concat": q08_concat,
         "q09_flatten_wordcount": q09_flatten_wordcount,
         "q10_groupby_argmax": q10_groupby_argmax,
         "q11_count_distinct": q11_count_distinct,
-        "q12_sorted_tuple": q12_sorted_tuple,
+        "q12_tuple_reducers": q12_tuple_reducers,
         "q13_ix_lookup": q13_ix_lookup,
         "q14_update_cells": q14_update_cells,
         "q15_sql_frontend": q15_sql_frontend,
         "q16_sort_diff": q16_sort_diff,
-        "q17_sort_prev_next": q17_sort_prev_next,
         "q18_interpolate": q18_interpolate,
         "q19_tumbling": q19_tumbling,
         "q20_sliding": q20_sliding,
@@ -1181,10 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_simhash": q33_simhash,
         "q34_knn_bruteforce": q34_knn_bruteforce,
         "q35_embedding_neardup": q35_embedding_neardup,
-        "q36_token_stats": q36_token_stats,
-        "q37_lang_quality": q37_lang_quality,
-        "q38_fingerprint": q38_fingerprint,
-        "q39_approx_distinct": q39_approx_distinct,
+        "q36_text_profile": q36_text_profile,
         "q40_iterate": q40_iterate,
         "q41_restrict": q41_restrict,
         "q42_udf": q42_udf,
@@ -1193,29 +1182,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_fuzzy_match": q45_fuzzy_match,
         "q46_bm25": q46_bm25,
         "q47_dt_components": q47_dt_components,
-        "q48_str_search": q48_str_search,
-        "q49_concat_reindex": q49_concat_reindex,
-        "q50_deduplicate_method": q50_deduplicate_method,
         "q51_pagerank": q51_pagerank,
-        "q52_embedding_lsh": q52_embedding_lsh,
-        "q53_multimodal_features": q53_multimodal_features,
-        "q54_join_right": q54_join_right,
-        "q55_unique_any": q55_unique_any,
         "q56_interval_join_ts": q56_interval_join_ts,
-        "q57_asof_left": q57_asof_left,
         "q58_try_divide_fill": q58_try_divide_fill,
-        "q59_dt_durations": q59_dt_durations,
-        "q60_window_join_left": q60_window_join_left,
-        "q61_session_predicate": q61_session_predicate,
         "q62_split_documents": q62_split_documents,
         "q63_salted_agg": q63_salted_agg,
-        "q64_dt_round": q64_dt_round,
-        "q65_tuple_sort_by": q65_tuple_sort_by,
         "q66_tpch5_shape": q66_tpch5_shape,
         "q67_semijoin_exists": q67_semijoin_exists,
         "q68_count_distribution": q68_count_distribution,
-        "q69_recursive_split": q69_recursive_split,
+        "x39_approx_distinct": x39_approx_distinct,
+        "x50_deduplicate_method": x50_deduplicate_method,
+        "x52_embedding_lsh": x52_embedding_lsh,
+        "x53_multimodal_features": x53_multimodal_features,
     }
+
+
+# The text-profile / simhash / pagerank oracles mirror engine internals
+# (md5-based 60-bit cross-engine hash = ('0x'||substr(md5(x),1,15))::BIGINT,
+# integer fixed-point pagerank) so DuckDB reproduces the exact values.
+
+_TEXT_PROFILE_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, text, toks,
+               list_sum(list_transform(toks, t -> LENGTH(t)))
+                   / GREATEST(len(toks), 1) AS mean_len,
+               LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+               len(list_distinct(toks)) / GREATEST(len(toks), 1) AS distinct_ratio
+        FROM m
+    ), scores AS (
+        __LANG_SCORES__
+    ), pick AS (
+        SELECT doc_id, lang, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, lang DESC) AS rn
+        FROM scores
+    ), lang_pick AS (
+        SELECT doc_id, CASE WHEN s > 0 THEN lang ELSE 'und' END AS lang_detected
+        FROM pick WHERE rn = 1
+    ), fpg AS (
+        SELECT doc_id, LOWER(TRIM(text)) AS s FROM documents
+    ), grams2 AS (
+        SELECT doc_id, CAST(i.i AS INT) AS i,
+               substr(s, CAST(i.i AS INT), 5) AS gram
+        FROM fpg, UNNEST(range(1, LENGTH(s) - 3)) AS i(i)
+        WHERE LENGTH(s) >= 5
+    ), dg AS (
+        SELECT doc_id, gram, MIN(i) AS fi FROM grams2 GROUP BY doc_id, gram
+    ), og AS (
+        SELECT doc_id, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS pos,
+               COUNT(*) OVER (PARTITION BY doc_id) AS m2
+        FROM dg
+    ), hs AS (
+        SELECT doc_id, pos, m2,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        FROM og
+    ), st AS (
+        SELECT doc_id, s.s AS start
+        FROM (SELECT DISTINCT doc_id, m2 FROM hs) q,
+             UNNEST(range(1, GREATEST(m2 - 4, 0) + 2)) AS s(s)
+    ), wins AS (
+        SELECT st.doc_id, st.start, MIN(hs.h) AS wh
+        FROM st JOIN hs ON hs.doc_id = st.doc_id
+             AND hs.pos BETWEEN st.start AND st.start + 3
+        GROUP BY st.doc_id, st.start
+    ), fp AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(list_sort(list_distinct(list(wh))),
+                   x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS fp
+        FROM wins GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CASE WHEN LENGTH(TRIM(f.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(TRIM(f.text), '\\s+')) END AS n_tokens,
+           len(list_filter(regexp_split_to_array(LOWER(f.text), '[^a-z0-9_]+'),
+               x -> LENGTH(x) > 0)) AS n_subwords,
+           lp.lang_detected,
+           CAST(FLOOR((CASE WHEN f.mean_len >= 3 AND f.mean_len <= 10
+                            THEN 1.0 ELSE 0.5 END * 0.34
+                       + f.alpha_ratio * 0.33
+                       + f.distinct_ratio * 0.33) * 1e6) AS BIGINT) AS quality_u,
+           COALESCE(fp.fp, '') AS fp
+    FROM feats f
+    JOIN lang_pick lp ON lp.doc_id = f.doc_id
+    LEFT JOIN fp ON fp.doc_id = f.doc_id
+"""
+
+
+def _lang_scores_sql() -> str:
+    from pathway_spark.operators.text import STOPWORDS
+
+    parts = []
+    for lang, words in STOPWORDS.items():
+        if lang == "zh":
+            terms = " + ".join(
+                f"(LENGTH(text) - LENGTH(REPLACE(text, '{w}', ''))) / {len(w)}"
+                for w in words
+            )
+            parts.append(
+                f"SELECT doc_id, 'zh' AS lang, CAST({terms} AS DOUBLE) AS s FROM feats"
+            )
+        else:
+            wl = ", ".join(f"'{w}'" for w in words)
+            parts.append(
+                f"SELECT doc_id, '{lang}' AS lang, "
+                f"CAST(len(list_filter(toks, t -> list_contains([{wl}], t))) "
+                f"AS DOUBLE) AS s FROM feats"
+            )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+_TEXT_PROFILE_ORACLE = _TEXT_PROFILE_ORACLE.replace(
+    "__LANG_SCORES__", _lang_scores_sql()
+)
+
+
+def _simhash_oracle_sql(*, n: int = 2, nbits: int = 60,
+                        max_hamming: int = 6) -> str:
+    """Brute-force simhash mirror: same distinct word n-grams, same
+    60-bit md5 hash, same per-bit votes — the pigeonhole blocking in
+    simhash_pairs is exact, so all-pairs hamming is the right oracle."""
+    packed = " + ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(nbits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ts
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) >= {n} THEN
+                   list_distinct(list_transform(range(1, len(ts) - {n - 2}),
+                       i -> array_to_string(ts[i:i+{n - 1}], ' ')))
+               ELSE [] END AS gs
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, g.g AS g FROM grams, UNNEST(gs) AS g(g)
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM ex
+    ), sig AS (
+        SELECT doc_id, {packed} AS sh FROM h GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _pagerank_oracle_sql(steps: int = 5) -> str:
+    """pagerank_exact mirror — the 1e-9 fixed-point integer recurrence
+    unrolled into chained CTEs (// is floor-div on non-negative longs,
+    identical to the engine's exact idiv)."""
+    ctes = ["""r0 AS (SELECT w, 1000000000::BIGINT AS rank FROM verts)"""]
+    for k in range(1, steps + 1):
+        ctes.append(f"""r{k} AS (
+        SELECT v.w,
+               150000000::BIGINT + 85::BIGINT * COALESCE(c.in_rank, 0) // 100
+                   AS rank
+        FROM verts v LEFT JOIN (
+            SELECT e.v AS w, SUM(r.rank // d.deg) AS in_rank
+            FROM e JOIN r{k - 1} r ON e.u = r.w JOIN outdeg d ON e.u = d.u
+            GROUP BY e.v) c ON v.w = c.w)""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH ub AS (
+        SELECT DISTINCT user_id AS u, epoch_us(ts) // 3600000000 AS b
+        FROM events
+    ), e AS (
+        SELECT DISTINCT a.u AS u, c.u AS v
+        FROM ub a JOIN ub c ON a.b = c.b AND a.u <> c.u
+    ), verts AS (
+        SELECT DISTINCT u AS w FROM (SELECT u FROM e UNION ALL SELECT v FROM e)
+    ), outdeg AS (
+        SELECT u, COUNT(*) AS deg FROM e GROUP BY u
+    ),
+    {chain}
+    SELECT w AS user_id, rank FROM r{steps}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1254,12 +1405,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment
         """,
         "q04_left_join": """
-            SELECT n.n_name AS n_name,
-                   COUNT(c.c_custkey) AS n_customers,
+            SELECT 'left' AS side, n.n_name AS key,
+                   COUNT(c.c_custkey) AS n,
                    CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                       AS total_acctbal
+                       AS total
             FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name
+            UNION ALL
+            SELECT 'right', CAST(c.c_custkey AS VARCHAR),
+                   COUNT(o.o_orderkey), NULL
+            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
         """,
         "q05_update_rows": """
             WITH base AS (
@@ -1273,19 +1429,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.c_acctbal, b.c_acctbal) AS c_acctbal
             FROM base b FULL OUTER JOIN patch p USING (c_custkey)
         """,
-        "q06_difference_anti": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        """,
-        "q07_intersect_semi": """
-            SELECT c_custkey, c_mktsegment FROM customer
-            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        "q06_difference_intersect": """
+            SELECT c_custkey, FALSE AS has_f FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT c_custkey, TRUE FROM customer
+            WHERE c_custkey IN
+                (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         """,
         "q08_concat": """
-            SELECT user_id, COUNT(*) AS n,
+            SELECT 'concat' AS part, CAST(user_id AS VARCHAR) AS key,
+                   COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
             FROM events WHERE event_type IN ('click', 'purchase')
             GROUP BY user_id
+            UNION ALL
+            SELECT 'reindex', CAST(c_custkey AS VARCHAR), NULL, NULL
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'reindex', CAST(c_custkey AS VARCHAR), NULL, NULL
+            FROM customer WHERE c_custkey % 3 = 0
         """,
         "q09_flatten_wordcount": """
             SELECT w.word AS word, COUNT(*) AS n
@@ -1307,10 +1471,16 @@ def oracle_sql() -> dict[str, str]:
                    MAX(c_acctbal) AS max_bal
             FROM customer GROUP BY c_nationkey
         """,
-        "q12_sorted_tuple": """
-            SELECT l_orderkey,
-                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
-            FROM lineitem GROUP BY l_orderkey
+        "q12_tuple_reducers": """
+            SELECT l.l_orderkey,
+                   STRING_AGG(CAST(l_linenumber AS VARCHAR), ','
+                       ORDER BY l_linenumber) AS lines,
+                   STRING_AGG(l_returnflag, ','
+                       ORDER BY l_linenumber, l_returnflag) AS flags,
+                   MIN(o.o_orderstatus) AS status,
+                   MIN(l.l_returnflag) AS some_flag
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey
         """,
         "q13_ix_lookup": """
             SELECT e.event_id, c.c_name, c.c_mktsegment
@@ -1331,11 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_sort_diff": """
             SELECT event_id, user_id,
                    value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS diff_value
-            FROM events
-        """,
-        "q17_sort_prev_next": """
-            SELECT event_id, user_id,
+                       AS diff_value,
                    LAG(event_id)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_event,
                    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts) AS next_event
             FROM events
@@ -1398,13 +1564,37 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
                 FROM t
             )
-            SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+            SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+                   'gap' AS kind
             FROM s GROUP BY user_id, sess
+            UNION ALL
+            SELECT user_id, session_start, n_events, 'pred' FROM (
+                WITH t2 AS (
+                    SELECT user_id, epoch_us(ts) AS t, value,
+                           CASE WHEN LAG(value) OVER w2 IS NULL
+                                     OR value < LAG(value) OVER w2
+                           THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                    WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+                ), s2 AS (
+                    SELECT user_id, t,
+                           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                    FROM t2
+                )
+                SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
+                FROM s2 GROUP BY user_id, sess
+            )
         """,
         "q22_asof_join": """
-            SELECT c.event_id, c.user_id, b.value AS purchase_value
+            SELECT c.event_id, b.value AS purchase_value, 'inner' AS how
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+            ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)
+            UNION ALL
+            SELECT c.event_id, b.value, 'left'
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
             ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)
         """,
         "q23_interval_join": """
@@ -1416,9 +1606,16 @@ def oracle_sql() -> dict[str, str]:
                AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000
         """,
         "q24_window_join": """
-            SELECT c.event_id AS c_id, b.event_id AS b_id, c.user_id AS c_user
+            SELECT c.event_id AS c_id, b.event_id AS b_id, c.user_id AS c_user,
+                   'inner' AS how
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+            ON c.user_id = b.user_id
+               AND epoch_us(c.ts) // 3600000000 = epoch_us(b.ts) // 3600000000
+            UNION ALL
+            SELECT c.event_id, b.event_id, c.user_id, 'left'
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
             ON c.user_id = b.user_id
                AND epoch_us(c.ts) // 3600000000 = epoch_us(b.ts) // 3600000000
         """,
@@ -1433,7 +1630,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, UPPER(text) AS upper, LENGTH(text) AS tlen,
                    STARTS_WITH(text, 'the') AS starts_the,
                    REPLACE(text, 'data', 'DATA') AS replaced,
-                   SUBSTRING(text, 1, 10) AS sliced
+                   SUBSTRING(text, 1, 10) AS sliced,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT)
+                       AS n_the,
+                   CAST(STRPOS(text, 'data') - 1 AS BIGINT) AS p_data,
+                   CAST(CASE WHEN STRPOS(REVERSE(text), REVERSE('data')) = 0 THEN -1
+                        ELSE LENGTH(text) - STRPOS(REVERSE(text), REVERSE('data'))
+                             - LENGTH('data') + 1 END AS BIGINT) AS rp_data,
+                   CASE WHEN STARTS_WITH(text, 'the ')
+                        THEN SUBSTRING(text, 5) ELSE text END AS noprefix
             FROM documents
         """,
         "q27_datetime_funcs": """
@@ -1441,7 +1646,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
                    CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
                    CAST(DAY(o_orderdate) AS BIGINT) AS dy,
-                   STRFTIME(o_orderdate, '%Y-%m') AS ym
+                   STRFTIME(o_orderdate, '%Y-%m') AS ym,
+                   STRFTIME(date_trunc('day', o_orderdate), '%Y-%m-%d') AS fl_day,
+                   STRFTIME(to_timestamp((epoch_us(o_orderdate) + 1800000000)
+                            // 3600000000 * 3600) AT TIME ZONE 'UTC',
+                            '%Y-%m-%d %H:%M') AS rd_hour
             FROM orders
         """,
         "q28_json_numeric": """
@@ -1461,12 +1670,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, _pw_dup_count FROM ranked WHERE doc_id = canon
         """,
         "q30_dup_pairs": """
-            WITH canon AS (
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+            ), canon AS (
                 SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n
-                FROM documents GROUP BY text
+                FROM docs2 GROUP BY text
             )
             SELECT c.canonical_id, d.doc_id AS dup_id
-            FROM documents d JOIN canon c ON d.text = c.text
+            FROM docs2 d JOIN canon c ON d.text = c.text
             WHERE c.n > 1 AND d.doc_id <> c.canonical_id
         """,
         "q31_ngram_jaccard": """
@@ -1511,8 +1724,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "q35_embedding_neardup": """
+            WITH emb2 AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings
+                WHERE vec_id < 10
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "q41_restrict": """
@@ -1604,37 +1823,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(HOUR(ts) AS BIGINT) AS hr,
                    CAST(MINUTE(ts) AS BIGINT) AS mi,
                    CAST(ISODOW(ts) - 1 AS BIGINT) AS wd,
-                   CAST(WEEKOFYEAR(ts) AS BIGINT) AS wk
+                   CAST(WEEKOFYEAR(ts) AS BIGINT) AS wk,
+                   epoch_us(ts) // 1000000 AS age_s,
+                   epoch_us(ts) // 60000000 AS age_min,
+                   epoch_us(ts) // 3600000000 AS age_h,
+                   epoch_us(ts) // 86400000000 AS age_d
             FROM events
-        """,
-        "q48_str_search": """
-            SELECT doc_id,
-                   CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT)
-                       AS n_the,
-                   CAST(STRPOS(text, 'data') - 1 AS BIGINT) AS p_data,
-                   CAST(CASE WHEN STRPOS(REVERSE(text), REVERSE('data')) = 0 THEN -1
-                        ELSE LENGTH(text) - STRPOS(REVERSE(text), REVERSE('data'))
-                             - LENGTH('data') + 1 END AS BIGINT) AS rp_data,
-                   CASE WHEN STARTS_WITH(text, 'the ')
-                        THEN SUBSTRING(text, 5) ELSE text END AS noprefix
-            FROM documents
-        """,
-        "q49_concat_reindex": """
-            SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
-            UNION ALL
-            SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
-        """,
-        "q54_join_right": """
-            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
-            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
-            GROUP BY c.c_custkey
-        """,
-        "q55_unique_any": """
-            SELECT l.l_orderkey,
-                   MIN(o.o_orderstatus) AS status,
-                   MIN(l.l_returnflag) AS some_flag
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            GROUP BY l.l_orderkey
         """,
         "q56_interval_join_ts": """
             SELECT o.o_orderkey, COUNT(*) AS n_quick
@@ -1644,12 +1838,6 @@ def oracle_sql() -> dict[str, str]:
              AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
             GROUP BY o.o_orderkey
         """,
-        "q57_asof_left": """
-            SELECT c.event_id, b.value AS purchase_value
-            FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-            ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)
-        """,
         "q58_try_divide_fill": """
             SELECT event_id,
                    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
@@ -1658,38 +1846,6 @@ def oracle_sql() -> dict[str, str]:
                    END AS ratio
             FROM events
         """,
-        "q59_dt_durations": """
-            SELECT event_id,
-                   epoch_us(ts) // 1000000 AS age_s,
-                   epoch_us(ts) // 60000000 AS age_min,
-                   epoch_us(ts) // 3600000000 AS age_h,
-                   epoch_us(ts) // 86400000000 AS age_d
-            FROM events
-        """,
-        "q60_window_join_left": """
-            SELECT c.event_id AS c_id, b.event_id AS b_id
-            FROM (SELECT * FROM events WHERE event_type = 'click') c
-            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-            ON c.user_id = b.user_id
-               AND epoch_us(c.ts) // 3600000000 = epoch_us(b.ts) // 3600000000
-        """,
-        "q61_session_predicate": """
-            WITH t AS (
-                SELECT user_id, epoch_us(ts) AS t, value,
-                       CASE WHEN LAG(value) OVER w IS NULL
-                                 OR value < LAG(value) OVER w
-                       THEN 1 ELSE 0 END AS new_sess
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
-            ), s AS (
-                SELECT user_id, t,
-                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-                FROM t
-            )
-            SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events
-            FROM s GROUP BY user_id, sess
-        """,
         "q62_split_documents": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ts
@@ -1697,8 +1853,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(s.s // 20 AS INT) AS chunk_pos,
-                   array_to_string(ts[s.s + 1 : s.s + 20], ' ') AS chunk_text
+                   array_to_string(ts[s.s + 1 : s.s + 20], ' ') AS chunk_text,
+                   'token' AS splitter
             FROM toks, UNNEST(range(0, GREATEST(len(ts), 1), 20)) AS s(s)
+            UNION ALL
+            SELECT doc_id, chunk_pos, chunk_text, 'recursive' FROM (
+                WITH toks2 AS (
+                    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+                ), pieces AS (
+                    SELECT doc_id, ts[p.p + 1] AS piece, p.p + 1 AS pos
+                    FROM toks2, UNNEST(range(0, len(ts))) AS p(p)
+                ), cums AS (
+                    SELECT doc_id, piece, pos,
+                           LENGTH(piece) + 1 AS plen,
+                           SUM(LENGTH(piece) + 1) OVER (
+                               PARTITION BY doc_id ORDER BY pos) AS cum
+                    FROM pieces
+                )
+                SELECT doc_id,
+                       CAST(FLOOR((cum - plen) / 100.0) AS INT) AS chunk_pos,
+                       STRING_AGG(piece, ' ' ORDER BY pos) AS chunk_text
+                FROM cums
+                GROUP BY doc_id, chunk_pos
+                HAVING LENGTH(STRING_AGG(piece, ' ' ORDER BY pos)) > 0
+            )
         """,
         "q63_salted_agg": """
             SELECT user_id,
@@ -1707,20 +1885,6 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS lo,
                    MAX(value) AS hi
             FROM events GROUP BY user_id
-        """,
-        "q64_dt_round": """
-            SELECT o_orderkey,
-                   STRFTIME(date_trunc('day', o_orderdate), '%Y-%m-%d') AS fl_day,
-                   STRFTIME(to_timestamp((epoch_us(o_orderdate) + 1800000000)
-                            // 3600000000 * 3600) AT TIME ZONE 'UTC',
-                            '%Y-%m-%d %H:%M') AS rd_hour
-            FROM orders
-        """,
-        "q65_tuple_sort_by": """
-            SELECT l_orderkey,
-                   STRING_AGG(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag)
-                       AS flags
-            FROM lineitem GROUP BY l_orderkey
         """,
         "q66_tpch5_shape": """
             SELECT n.n_name AS n_name,
@@ -1753,26 +1917,6 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY c.c_custkey
             ) GROUP BY c_count
         """,
-        "q69_recursive_split": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-            ), pieces AS (
-                SELECT doc_id, ts[p.p + 1] AS piece, p.p + 1 AS pos
-                FROM toks, UNNEST(range(0, len(ts))) AS p(p)
-            ), cums AS (
-                SELECT doc_id, piece, pos,
-                       LENGTH(piece) + 1 AS plen,
-                       SUM(LENGTH(piece) + 1) OVER (
-                           PARTITION BY doc_id ORDER BY pos) AS cum
-                FROM pieces
-            )
-            SELECT doc_id,
-                   CAST(FLOOR((cum - plen) / 100.0) AS INT) AS chunk_pos,
-                   STRING_AGG(piece, ' ' ORDER BY pos) AS chunk_text
-            FROM cums
-            GROUP BY doc_id, chunk_pos
-            HAVING LENGTH(STRING_AGG(piece, ' ' ORDER BY pos)) > 0
-        """,
         "q40_iterate": """
             WITH RECURSIVE buckets AS (
                 SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS bucket FROM events
@@ -1787,12 +1931,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS user_id, MIN(r) AS component FROM reach GROUP BY v
         """,
-        "q36_token_stats": """
-            SELECT doc_id,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
-                   len(list_filter(regexp_split_to_array(LOWER(text), '[^a-z0-9_]+'),
-                       x -> LENGTH(x) > 0)) AS n_subwords
-            FROM documents
+        "q36_text_profile": _TEXT_PROFILE_ORACLE,
+        "q32_minhash_lsh": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ts
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(ts) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(ts) - 1),
+                               i -> array_to_string(ts[i:i+2], ' ')))
+                       ELSE [] END AS gs
+                FROM toks
+            ), exploded AS (
+                SELECT doc_id, g.g AS g FROM grams, UNNEST(gs) AS g(g)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
         """,
+        "q33_simhash": _simhash_oracle_sql(),
+        "q51_pagerank": _pagerank_oracle_sql(),
     }

@@ -36,7 +36,7 @@ HEADLINE = [
     "q32_minhash_lsh",
     "q34_knn_bruteforce",
     "q46_bm25",
-    "q52_embedding_lsh",
+    "x52_embedding_lsh",
     "q62_split_documents",
     "q63_salted_agg",
 ]

@@ -13,6 +13,7 @@ they raise a clear error locally and work on a provisioned cluster.
 
 from __future__ import annotations
 
+import dataclasses as _dc
 from types import SimpleNamespace
 from typing import Any
 
@@ -261,6 +262,89 @@ python = SimpleNamespace(
     read=lambda subject, schema, **kw: subject.to_table(schema),
     ConnectorSubject=ConnectorSubject,
 )
+
+
+@_dc.dataclass(frozen=True)
+class SynchronizedColumn:
+    """reference io/_synchronization.py:20 — one column's settings in a
+    synchronization group. ``priority``/``idle_duration`` are accepted for
+    API parity; Spark's watermark mechanism has no per-source priority,
+    so they are recorded but not enforced (documented divergence)."""
+
+    column: object  # ColumnReference or column name
+    priority: int = 0
+    idle_duration: object = None
+    table: "Table | None" = None
+
+
+_SYNC_GROUPS: dict[str, list] = {}
+
+
+def register_input_synchronization_group(*columns, max_difference,
+                                         name: str = "default"):
+    """reference io/_synchronization.py:59 — keep a set of input sources'
+    time-like columns within ``max_difference`` of each other.
+
+    Spark mapping: the engine-native equivalent is event-time watermark
+    alignment — each streaming input gets ``withWatermark(col,
+    max_difference)`` and the session is pinned to
+    ``multipleWatermarkPolicy=min``, so the global event-time frontier is
+    the MINIMUM across the group: a lagging source holds back every
+    other source's window/join emission, which is the reference
+    guarantee ("continue reading from the other sources only after the
+    lagging one has caught up"). Batch tables validate the column and
+    pass through unchanged.
+
+    Divergence from the reference (documented): our tables are
+    immutable, so the synchronized tables are RETURNED (use them
+    downstream) instead of the registration mutating the input graph.
+
+    Accepts ``(table, column_name)`` tuples or ``SynchronizedColumn``
+    with ``table=`` set; returns the tables in argument order.
+    """
+    import datetime as _dt
+
+    if len(columns) < 2:
+        raise ValueError("a synchronization group needs at least two columns")
+    if isinstance(max_difference, _dt.timedelta):
+        delay = f"{max_difference.total_seconds()} seconds"
+    elif isinstance(max_difference, (int, float)):
+        # int columns carry epoch-us in this engine's temporal operators
+        delay = f"{max_difference / 1_000_000} seconds"
+    else:
+        delay = str(max_difference)
+
+    out, group = [], []
+    for c in columns:
+        if isinstance(c, SynchronizedColumn):
+            table, col = c.table, c.column
+        elif isinstance(c, tuple):
+            table, col = c
+        else:
+            raise TypeError(
+                "pass (table, column_name) tuples or SynchronizedColumn"
+                " with table=… — bare column references carry no table"
+                " in this engine"
+            )
+        col_name = getattr(col, "_name", col)
+        df = table._df
+        if col_name not in df.columns:
+            raise ValueError(f"no column {col_name!r} in synchronized table")
+        if df.isStreaming:
+            df.sparkSession.conf.set(
+                "spark.sql.streaming.multipleWatermarkPolicy", "min"
+            )
+            ts = F.col(col_name)
+            if dict(df.dtypes)[col_name] in ("bigint", "int"):
+                # epoch-us long -> timestamp for the watermark clock
+                df = df.withColumn("__pw_sync_ts", F.timestamp_micros(ts))
+                df = df.withWatermark("__pw_sync_ts", delay)
+            else:
+                df = df.withWatermark(col_name, delay)
+        group.append((col_name, delay))
+        out.append(Table(df))
+    _SYNC_GROUPS[name] = group
+    return tuple(out)
 
 
 def subscribe(table: Table, on_change, on_time_end=None, on_end=None):

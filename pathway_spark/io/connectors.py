@@ -148,7 +148,23 @@ def _http_write(table: Table, url: str, *, method: str = "POST",
     post_rows(table._df)
 
 
-http = SimpleNamespace(read=_http_read, write=_http_write, rest_connector=_http_read)
+def _rest_connector(*args, **kwargs):
+    # real inbound webserver source (reference io/http/_server.py:723)
+    from .http_server import rest_connector as _rc
+
+    return _rc(*args, **kwargs)
+
+
+def _webserver(*args, **kwargs):
+    from .http_server import PathwayWebserver
+
+    return PathwayWebserver(*args, **kwargs)
+
+
+http = SimpleNamespace(
+    read=_http_read, write=_http_write,
+    rest_connector=_rest_connector, PathwayWebserver=_webserver,
+)
 
 
 # ---------------------------------------------------------------- null sink
@@ -336,16 +352,61 @@ pubsub = SimpleNamespace(
 )
 
 
-# ---------------------------------------------------------- service-gated
-# No Spark datasource exists; the reference talks to these via its Rust
-# connectors. Gated stubs with the dependency named.
+# ---------------------------------------------------------- message buses
+# No Spark datasource exists for the transport (the reference talks to
+# these via its Rust connectors: src/connectors/data_storage/nats.rs,
+# mqtt.rs, rabbitmq.rs); the TRANSPORT stays gated, but the message
+# envelope layer — raw (key, payload, topic) records → typed rows — is
+# real, shared with the kafka path, and unit-tested offline. A bridge
+# (e.g. nats-kafka) or a custom v2 datasource plugs into the same parse.
 
-nats = SimpleNamespace(read=_gated("nats.read", "a NATS bridge (e.g. nats-kafka)"),
-                       write=_gated("nats.write", "a NATS bridge"))
-mqtt = SimpleNamespace(read=_gated("mqtt.read", "an MQTT→Kafka bridge"),
-                       write=_gated("mqtt.write", "an MQTT bridge"))
-rabbitmq = SimpleNamespace(read=_gated("rabbitmq.read", "a RabbitMQ bridge"),
-                           write=_gated("rabbitmq.write", "a RabbitMQ bridge"))
+def parse_message_envelope(df, schema, *, format: str = "json",
+                           value_col: str = "value", key_col: str | None = None,
+                           topic_col: str | None = None,
+                           include_metadata: bool = False) -> Table:
+    """Decode a frame of raw bus messages into a typed Table.
+
+    Reference semantics (nats.rs / mqtt.rs / rabbitmq.rs payload
+    handling): ``json`` parses the payload against the schema (missing
+    fields -> NULL, bad documents -> all-NULL row, matching the
+    reference's error-value model); ``raw`` yields a single ``data``
+    binary column; ``plaintext`` yields ``data`` string. Metadata
+    (key/topic) is carried through when requested. Works identically on
+    batch and streaming frames (whole-stage codegen from_json — no UDF).
+    """
+    v = F.col(value_col)
+    if format == "json":
+        struct = schema.to_struct_type()
+        parsed = df.withColumn("__pw_parsed",
+                               F.from_json(v.cast("string"), struct))
+        cols = [F.col(f"__pw_parsed.{f.name}").alias(f.name)
+                for f in struct.fields]
+    elif format == "raw":
+        cols = [v.cast("binary").alias("data")]
+    elif format == "plaintext":
+        cols = [v.cast("string").alias("data")]
+    else:
+        raise ValueError(f"unknown message format: {format!r}")
+    if include_metadata:
+        if key_col and key_col in df.columns:
+            cols.append(F.col(key_col).cast("string").alias("_pw_key"))
+        if topic_col and topic_col in df.columns:
+            cols.append(F.col(topic_col).cast("string").alias("_pw_topic"))
+    sel = df.select(*cols) if format != "json" else parsed.select(*cols)
+    return Table(sel.withColumn(ID, F.xxhash64(*[F.col(c) for c in sel.columns])))
+
+
+def _bus_ns(name: str, bridge: str) -> SimpleNamespace:
+    return SimpleNamespace(
+        read=_gated(f"{name}.read", bridge),
+        write=_gated(f"{name}.write", bridge),
+        parse=parse_message_envelope,
+    )
+
+
+nats = _bus_ns("nats", "a NATS bridge (e.g. nats-kafka)")
+mqtt = _bus_ns("mqtt", "an MQTT→Kafka bridge")
+rabbitmq = _bus_ns("rabbitmq", "a RabbitMQ bridge")
 gdrive = SimpleNamespace(read=_gated("gdrive.read", "Google service-account credentials"))
 sharepoint = SimpleNamespace(read=_gated("sharepoint.read", "SharePoint credentials"))
 airbyte = SimpleNamespace(read=_gated("airbyte.read", "a local Airbyte/PyAirbyte runtime"))

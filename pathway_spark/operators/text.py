@@ -43,9 +43,14 @@ def subword_count(col: Column) -> Column:
     ).cast("long")
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, *, digits: int | None = 6) -> Column:
     """Deterministic [0,1] doc-quality heuristic: mean word length band,
-    alpha ratio, and repetition penalty (distinct/total token ratio)."""
+    alpha ratio, and repetition penalty (distinct/total token ratio).
+
+    ``digits=None`` skips the final ROUND, returning the raw IEEE double
+    (bit-identical across engines given identical op order — callers that
+    need a cross-engine-stable integer should floor(q*1e6) instead of
+    rounding, because double ROUND ties are engine-dependent)."""
     toks = _tokens(col)
     n = F.size(toks)
     mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(n, F.lit(1))
@@ -55,9 +60,8 @@ def quality_score(col: Column) -> Column:
     )
     distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     len_score = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
-        (len_score * 0.34 + alpha_ratio * 0.33 + distinct_ratio * 0.33).cast("double"), 6
-    )
+    raw = (len_score * 0.34 + alpha_ratio * 0.33 + distinct_ratio * 0.33).cast("double")
+    return raw if digits is None else F.round(raw, digits)
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:

@@ -133,3 +133,64 @@ def test_s3_path_normalization():
             aws_credentials=pw.io.s3.AwsCredentials("ak", "sk", endpoint="http://localhost:9"),
         )
     assert "s3a" in str(ei.value).lower() or "S3A" in str(ei.value)
+
+
+def test_message_envelope_parse(spark):
+    """nats/mqtt/rabbitmq envelope layer — json/raw/plaintext decode
+    (reference src/connectors/data_storage/nats.rs payload handling);
+    transport stays jar-gated, the parse is real."""
+    import pathway_spark as pw
+    from pathway_spark.schema import schema_from_types
+
+    msgs = spark.createDataFrame(
+        [
+            (b'{"sensor": "a", "temp": 21.5}', "room1", "k1"),
+            (b'{"sensor": "b", "temp": 19.0}', "room2", "k2"),
+            (b"not json at all", "room1", "k3"),
+        ],
+        "value binary, topic string, key string",
+    )
+    sch = schema_from_types(sensor=str, temp=float)
+    t = pw.io.nats.parse(msgs, sch, format="json", key_col="key",
+                         topic_col="topic", include_metadata=True)
+    rows = {r["_pw_key"]: r.asDict() for r in t.to_df().collect()}
+    assert rows["k1"]["sensor"] == "a" and rows["k1"]["temp"] == 21.5
+    assert rows["k3"]["sensor"] is None  # bad payload -> NULL row, not a crash
+
+    raw = pw.io.mqtt.parse(msgs, sch, format="raw")
+    assert raw.to_df().columns[:1] == ["data"]
+    txt = pw.io.rabbitmq.parse(msgs, sch, format="plaintext")
+    assert "not json at all" in {r["data"] for r in txt.to_df().collect()}
+
+
+def test_input_synchronization_group(spark, tmp_path):
+    """register_input_synchronization_group — streaming inputs get the
+    aligned watermark (min-policy global frontier); batch passes through."""
+    import datetime as dt
+
+    import pathway_spark as pw
+
+    # batch: validated pass-through
+    a = pw.debug.table_from_rows(
+        pw.schema_from_types(ts=int, v=str), [(1, "x")], spark=spark)
+    b = pw.debug.table_from_rows(
+        pw.schema_from_types(ts=int, w=str), [(2, "y")], spark=spark)
+    sa, sb = pw.io.register_input_synchronization_group(
+        (a, "ts"), (b, "ts"), max_difference=dt.timedelta(minutes=10))
+    assert sa.to_df().count() == 1 and sb.to_df().count() == 1
+
+    # streaming: watermark lands on the plan
+    import pyspark.sql.functions as F
+    d1 = tmp_path / "s1"; d1.mkdir()
+    spark.createDataFrame([(1_000_000, "x")], "ts long, v string") \
+        .write.parquet(str(d1), mode="overwrite")
+    s1 = spark.readStream.schema("ts long, v string").parquet(str(d1))
+    s2 = spark.readStream.schema("ts long, v string").parquet(str(d1))
+    t1, t2 = pw.io.register_input_synchronization_group(
+        (pw.Table(s1.withColumn("_pw_id", F.xxhash64("ts"))), "ts"),
+        (pw.Table(s2.withColumn("_pw_id", F.xxhash64("ts"))), "ts"),
+        max_difference=dt.timedelta(seconds=30))
+    assert "__pw_sync_ts" in t1._df.columns
+    assert "eventTime" in t1._df._jdf.queryExecution().analyzed().toString() \
+        or "EventTimeWatermark" in t1._df._jdf.queryExecution().analyzed().toString()
+    assert spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy") == "min"

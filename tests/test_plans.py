@@ -20,8 +20,8 @@ NO_PYTHON = [
     "q19_tumbling", "q20_sliding", "q21_session", "q22_asof_join",
     "q23_interval_join", "q29_dedup_exact", "q31_ngram_jaccard",
     "q32_minhash_lsh", "q33_simhash", "q34_knn_bruteforce",
-    "q36_token_stats", "q37_lang_quality", "q46_bm25",
-    "q61_session_predicate", "q62_split_documents", "q63_salted_agg",
+    "q36_text_profile", "q46_bm25",
+    "q62_split_documents", "q63_salted_agg", "q51_pagerank",
 ]
 
 

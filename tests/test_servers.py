@@ -1,0 +1,110 @@
+"""Serving layer: inbound rest_connector + RAG REST servers, offline.
+
+Mirrors the reference round-trips (`io/http/_server.py:723` uppercase
+example; `xpacks/llm/servers.py` DocumentStore/QA endpoints) against a
+local ephemeral port — no external services.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _post(url: str, payload: dict, timeout: float = 60.0):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_rest_connector_streaming_roundtrip(spark):
+    """The reference's canonical example: POST a word, the streaming
+    dataflow uppercases it, the response carries the result."""
+    import pathway_spark as pw
+    from pathway_spark.io.http_server import rest_connector
+    from pathway_spark.schema import schema_from_types
+
+    words, writer = rest_connector(
+        port=0, route="/uppercase",
+        schema=schema_from_types(word=str),
+        spark=spark, autocommit_duration_ms=200,
+    )
+    result = pw.Table(words._df.withColumn(
+        "result", words._df["word"].substr(1, 100)
+    ).selectExpr("_pw_id", "UPPER(word) AS result"))
+    q = writer(result)
+    try:
+        port = writer.webserver.port
+        status, body = _post(
+            f"http://127.0.0.1:{port}/uppercase", {"word": "stream"}
+        )
+        assert status == 200
+        assert body == {"result": "STREAM"}
+    finally:
+        q.stop()
+        writer.webserver.stop()
+
+
+def test_document_store_server_roundtrip(spark):
+    import pathway_spark as pw
+    from pathway_spark.ml.document_store import DocumentStore
+    from pathway_spark.xpacks.llm.servers import DocumentStoreServer
+
+    docs = pw.io.parquet.read(f"{SF_DIR}/documents.parquet", spark=spark)
+    store = DocumentStore(docs, text_col="text", id_col="doc_id")
+    srv = DocumentStoreServer("127.0.0.1", 0, store, spark=spark)
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        status, hits = _post(f"{base}/v1/retrieve",
+                             {"query": "data pipeline", "k": 3})
+        assert status == 200
+        assert isinstance(hits, list) and 1 <= len(hits) <= 3
+        assert {"doc_id", "chunk_pos", "rank"} <= set(hits[0])
+
+        status, stats = _post(f"{base}/v1/statistics", {})
+        assert status == 200
+        assert stats[0]["chunk_count"] > 0 and stats[0]["doc_count"] > 0
+
+        status, inputs = _post(f"{base}/v1/inputs", {})
+        assert status == 200
+        assert len(inputs) == stats[0]["doc_count"]
+
+        # schema endpoint + 404 behavior
+        with urllib.request.urlopen(f"{base}/_schema", timeout=30) as r:
+            assert "/v1/retrieve" in json.loads(r.read())
+        with pytest.raises(urllib.error.HTTPError):
+            _post(f"{base}/nope", {})
+    finally:
+        srv.webserver.stop()
+
+
+def test_qa_rest_server_roundtrip(spark):
+    import pathway_spark as pw
+    from pathway_spark.ml.document_store import DocumentStore
+    from pathway_spark.xpacks.llm.question_answering import (
+        BaseRAGQuestionAnswerer,
+    )
+    from pathway_spark.xpacks.llm.llms import EchoChat
+    from pathway_spark.xpacks.llm.servers import QARestServer
+
+    docs = pw.io.parquet.read(f"{SF_DIR}/documents.parquet", spark=spark)
+    store = DocumentStore(docs, text_col="text", id_col="doc_id")
+    rag = BaseRAGQuestionAnswerer(EchoChat(), store)
+    srv = QARestServer("127.0.0.1", 0, rag, spark=spark)
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        status, body = _post(f"{base}/v2/answer",
+                             {"prompt": "what is a table", "k": 2})
+        assert status == 200
+        assert isinstance(body, str) and len(body) > 0
+        status, docs_list = _post(f"{base}/v2/list_documents", {})
+        assert status == 200 and len(docs_list) > 0
+    finally:
+        srv.webserver.stop()

@@ -174,3 +174,131 @@ def test_streaming_windowby_with_behavior_watermark(spark, tmp_path):
     got = {r["ws"]: r["n"] for r in res.collect()}
     # append mode emits only watermark-closed windows
     assert got.get(dt.datetime(2024, 1, 1, 0, 0)) == 5
+
+
+def test_exactly_once_emit_on_close(spark, tmp_path):
+    """exactly_once_behavior → append-mode windowed agg: a window's row
+    is emitted exactly once, only after the watermark closes it, and
+    late rows beyond the shift are dropped (reference
+    temporal_behavior.py:83 exactly-once semantics)."""
+    import pyspark.sql.functions as F
+
+    from pathway_spark import streaming as S
+
+    src = tmp_path / "in"; src.mkdir()
+    # batch 1: two events in window [0,60s) + one in [60s,120s)
+    spark.createDataFrame(
+        [(10, "a"), (20, "a"), (70, "b")], "sec long, v string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    sdf = (spark.readStream.schema("sec long, v string")
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    sdf = sdf.withColumn("ts", F.timestamp_seconds("sec"))
+    beh = S.exactly_once_behavior(shift="30 seconds")
+    wdf = S.apply_behavior(sdf, "ts", beh)
+    agg = (wdf.groupBy(F.window("ts", "60 seconds")).count()
+           .select(F.col("window.start").alias("w"), "count"))
+
+    q = (agg.writeStream.outputMode(beh.output_mode)
+         .format("memory").queryName("eo1").start())
+    q.processAllAvailable()
+    # watermark hasn't passed window 0's end yet -> nothing final emitted
+    n_before = spark.sql("SELECT * FROM eo1").count()
+
+    # batch 2: event far in the future advances the watermark past both
+    # windows' ends -> they close and emit exactly once
+    spark.createDataFrame(
+        [(500, "c")], "sec long, v string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    # batch 3: a row for the already-closed window 0 — dropped (its
+    # window end is behind the watermark), the window is NOT reopened
+    spark.createDataFrame(
+        [(15, "late")], "sec long, v string"
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["w"].second + r["w"].minute * 60: r["count"]
+            for r in spark.sql("SELECT * FROM eo1").collect()}
+    assert n_before == 0          # append mode: no early/partial emission
+    assert rows.get(0) == 2       # window emitted once, closed, final
+    assert rows.get(60) == 1      # second window closed too
+    # the late row (sec=15, behind the watermark) was dropped, not added
+    assert spark.sql("SELECT SUM(count) FROM eo1").collect()[0][0] == 3
+
+
+def test_stream_static_asof_now_state(spark, tmp_path):
+    """asof_now_join in streaming: each arriving left row joins the
+    CURRENT right-side state (stream-static join re-reads the static
+    side per micro-batch) — the reference's asof-now contract
+    (_asof_now_join.py:176): no retroactive updates of old outputs."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "clicks"; src.mkdir()
+    state_dir = tmp_path / "state"
+    spark.createDataFrame([(1, "c1")], "uid long, click string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    # right-side state v1
+    spark.createDataFrame([(1, "bronze")], "uid long, tier string") \
+        .write.mode("overwrite").parquet(str(state_dir))
+
+    clicks = (spark.readStream.schema("uid long, click string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out: list[tuple] = []
+
+    def batch_fn(bdf, _bid):
+        # stream-static: read the state as-of THIS batch
+        st = spark.read.parquet(str(state_dir))
+        j = bdf.join(st, "uid", "left").select("click", "tier")
+        out.extend((r["click"], r["tier"]) for r in j.collect())
+
+    q = clicks.writeStream.foreachBatch(batch_fn).start()
+    q.processAllAvailable()
+    # state changes between batches
+    spark.createDataFrame([(1, "gold")], "uid long, tier string") \
+        .write.mode("overwrite").parquet(str(state_dir))
+    spark.createDataFrame([(1, "c2")], "uid long, click string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert ("c1", "bronze") in out   # joined against state at arrival time
+    assert ("c2", "gold") in out     # later click sees updated state
+    assert ("c1", "gold") not in out  # no retroactive re-join
+
+
+def test_retraction_semantics_pinned(spark, tmp_path):
+    """Documented divergence pin (SURVEY §4): aggregation UPDATE streams
+    match the reference (changed groups re-emit with is_addition=False
+    then True via subscribe_stream), and FINAL snapshots always match;
+    arbitrary derived-row retraction streams are NOT guaranteed. This
+    test pins exactly what IS guaranteed."""
+    import pyspark.sql.functions as F
+
+    from pathway_spark.streaming import subscribe_stream
+
+    src = tmp_path / "ev"; src.mkdir()
+    spark.createDataFrame([(1, 10)], "k long, v long") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    sdf = (spark.readStream.schema("k long, v long")
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    agg = sdf.groupBy("k").agg(F.sum("v").alias("total"))
+
+    events: list[tuple] = []
+    q = subscribe_stream(
+        agg, lambda key, row, time, is_addition:
+        events.append((key, row["total"], is_addition)),
+        key_cols=["k"], output_mode="update",
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([(1, 5)], "k long, v long") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    # guaranteed: +10, then retraction of 10, then +15 — and the final
+    # state equals the batch answer
+    assert events[0] == ((1,), 10, True)
+    assert ((1,), 10, False) in events
+    assert events[-1] == ((1,), 15, True)

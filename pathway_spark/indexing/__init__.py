@@ -68,10 +68,16 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     inverted-index join. No python UDFs."""
     from ..operators.dedup import _tokens
 
+    from pyspark.storagelevel import StorageLevel
+
     d = docs._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
     toks = d.select("doc", F.explode(_tokens(F.col("t"))).alias("term"))
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE tokenization pass: tf is the inverted index, persisted because
+    # dl, docfreq, corpus stats and the scoring join all derive from it —
+    # without the persist every broadcast build re-tokenizes the corpus
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     # corpus stats as a broadcast 1-row frame — NO driver-side actions in
     # the build path (a count() + collect() here would serialize the
     # whole pipeline behind two extra jobs at 100 TB)
@@ -79,14 +85,16 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
         dl.agg(F.avg("dl").alias("avgdl"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # ONE broadcast frame carries idf AND avgdl — a second stats
+    # crossJoin would force a second broadcast build (a full extra job)
     idf = df_.crossJoin(F.broadcast(stats)).withColumn(
         "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     )
     q = queries._df.select(F.col("query_id"), F.explode(_tokens(F.col(query_col))).alias("term")).distinct()
     scored = (
-        q.join(tf, "term").join(F.broadcast(idf.select("term", "idf")), "term")
+        q.join(tf, "term")
+        .join(F.broadcast(idf.select("term", "idf", "avgdl")), "term")
         .join(dl, "doc")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
         .withColumn(
             "s",
             F.col("idf") * (F.col("tf") * (k1 + 1))

@@ -152,18 +152,29 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
     from pyspark.storagelevel import StorageLevel
 
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    # hash shingles to 8-byte keys before the join: the shuffle carries
-    # longs instead of strings (collision odds ~|shingles|²/2⁶⁴ — nil);
-    # persisted because the inverted-index self-join + sizes reference it 3×
+    # hash shingles to 8-byte keys BEFORE the distinct: the set-semantics
+    # shuffle then carries (doc, long) instead of (doc, string) —
+    # collision odds ~|shingles|²/2⁶⁴, nil. Persisted because the
+    # inverted-index self-join + sizes reference it 3×.
     sh = (
-        exploded_word_ngrams(df, "t", "doc", n)
+        exploded_word_ngrams(df, "t", "doc", n, distinct=False)
         .select("doc", F.xxhash64("g").alias("g"))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
-        keep = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(keep.filter(F.col("df_") <= max_doc_freq).select("g"), "g")
+        # the OVER-bound gram list is small by construction (only grams
+        # hot enough to be join bombs), so prune with a broadcast
+        # anti-join — map-side filter, no extra shuffle of sh — and
+        # persist the pruned frame: both self-join sides reference it
+        hot = (
+            sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq).select("g")
+        )
+        sh = sh.join(F.broadcast(hot), "g", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     a = sh.select(F.col("doc").alias("a"), "g")
     b = sh.select(F.col("doc").alias("b"), "g")
     common = (
@@ -248,8 +259,9 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     # verification — self-joins would otherwise recompute the shingling
     # once per reference (distinct is safe: min over dups == min over set)
     sh = (
-        exploded_word_ngrams(df, "t", "doc", n)
+        exploded_word_ngrams(df, "t", "doc", n, distinct=False)
         .select("doc", F.xxhash64("g").alias("hg"))
+        .distinct()  # distinct on (doc, long), not (doc, string)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = sh.groupBy("doc").agg(*[
@@ -277,8 +289,10 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     if not verify:
         out = cand.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
-    # exact-Jaccard verification via joins on the persisted shingle frame
-    # (candidates are few; no per-pair array materialization)
+    # exact-Jaccard verification via joins on the persisted shingle frame.
+    # The candidate table is output-bounded (≪ corpus), so AQE broadcasts
+    # it and each join is one map-side pass over persisted sh — a
+    # candidate-doc semi-join pre-filter would ADD a pass, not save one.
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(sh.select(F.col("doc").alias("a"), "hg"), "a")
@@ -418,13 +432,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
-                            threshold: float = 0.95, num_planes: int = 32,
+                            threshold: float = 0.95, num_planes: int = 64,
                             bands: int = 4, exact: bool = False) -> Table:
     """Cosine near-duplicate pairs over `array<float>` embeddings.
 
     Scale path: random-hyperplane LSH — `num_planes` deterministic
     pseudo-random planes (hash-derived, seeded), sign bits grouped into
-    `bands` bucket keys, candidates verified exactly. `exact=True`
+    `bands` bucket keys, candidates verified exactly. Band WIDTH
+    (num_planes/bands sign bits) is the collision-control knob: on a
+    clustered corpus 8-bit buckets collide massively (measured 6.8%
+    of all pairs as candidates on the label-clustered embeddings
+    fixture); the 16-bit default keeps candidates sparse while any-of-4
+    bands holds recall ≈0.93 at cosine 0.99 (p=(1-θ/π)^16 per band). `exact=True`
     computes the O(n²) baseline instead (for validation / small inputs).
     """
     from pyspark.storagelevel import StorageLevel

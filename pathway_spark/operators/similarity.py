@@ -65,8 +65,14 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
         F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"))
     qnorm = qex.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"))
+    # ONE size-estimate call decides both broadcast hints: qnorm is one
+    # row per query, strictly smaller than qex — same verdict applies
+    # (each _maybe_broadcast costs a driver-side Catalyst optimization
+    # pass; paying it twice doubled the per-call fixed overhead).
+    qex_b = _maybe_broadcast(qex)
+    broadcast_ok = qex_b is not qex
     parts = (
-        cex.join(_maybe_broadcast(qex), "i")
+        cex.join(qex_b, "i")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     if metric == "l2":
@@ -78,7 +84,8 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
                 .agg(F.sum(F.col("cx") * F.col("qx")).alias("dot")))
         if metric == "cosine":
             scored = (
-                dots.join(_maybe_broadcast(qnorm), "query_id")
+                dots.join(F.broadcast(qnorm) if broadcast_ok else qnorm,
+                          "query_id")
                 .join(cnorm, "neighbor_id")
                 .withColumn("score", F.col("dot") / (F.col("cn") * F.col("qn")))
             )

@@ -108,3 +108,47 @@ def test_qa_rest_server_roundtrip(spark):
         assert status == 200 and len(docs_list) > 0
     finally:
         srv.webserver.stop()
+
+
+def test_mcp_server_roundtrip(spark):
+    """MCP protocol over streamable-http: initialize → tools/list →
+    tools/call against a DocumentStore servable (reference
+    mcp_server.py:168 / document_store.py:104)."""
+    import pathway_spark as pw
+    from pathway_spark.ml.document_store import DocumentStore
+    from pathway_spark.xpacks.llm.mcp_server import PathwayMcp
+
+    docs = pw.io.parquet.read(f"{SF_DIR}/documents.parquet", spark=spark)
+    store = DocumentStore(docs, text_col="text", id_col="doc_id")
+    mcp = PathwayMcp(name=f"test-mcp-{id(store)}", host="127.0.0.1", port=0,
+                     serve=[store], spark=spark)
+    try:
+        url = f"http://127.0.0.1:{mcp.server.port}/mcp"
+
+        def rpc(method, params=None, rid=1):
+            status, body = _post(url, {"jsonrpc": "2.0", "id": rid,
+                                       "method": method,
+                                       "params": params or {}})
+            assert status == 200
+            return body
+
+        init = rpc("initialize")
+        assert init["result"]["serverInfo"]["name"].startswith("test-mcp")
+        tools = rpc("tools/list")["result"]["tools"]
+        names = {t["name"] for t in tools}
+        assert {"retrieve_query", "statistics_query", "inputs_query"} <= names
+        retr = next(t for t in tools if t["name"] == "retrieve_query")
+        assert retr["inputSchema"]["properties"]["k"]["type"] == "integer"
+
+        call = rpc("tools/call", {"name": "retrieve_query",
+                                  "arguments": {"query": "data", "k": 2}})
+        content = call["result"]["content"]
+        assert content[0]["type"] == "text"
+        import json as _json
+        hits = _json.loads(content[0]["text"])
+        assert 1 <= len(hits) <= 2 and "doc_id" in hits[0]
+
+        bad = rpc("tools/call", {"name": "nope", "arguments": {}})
+        assert bad["error"]["code"] == -32601
+    finally:
+        mcp.server.webserver.stop()

@@ -425,30 +425,32 @@ def q18_interpolate(spark, sf):
 _US_H = 3_600_000_000  # µs per hour
 
 
-def q19_tumbling(spark, sf):
-    """windowby + tumbling — event counts per hour."""
+def q19_tumbling_sliding(spark, sf):
+    """windowby + tumbling AND sliding in one gate (merged round-4 to
+    free a 50-slot gate for the promoted embedding-LSH gate): hourly
+    tumbling counts+sums, tagged 'tumbling'; 1h windows hopping 30min,
+    tagged 'sliding' (total_value NULL there — fan-out is the point)."""
     e = _t(spark, sf, "events")
     et = e.with_columns(ts_us=this.ts // 1000)
-    wt = et.windowby(this.ts_us, window=pw.temporal.tumbling(_US_H))
     from pyspark.sql import types as T
 
-    out = wt.reduce(
+    tumb = et.windowby(this.ts_us, window=pw.temporal.tumbling(_US_H)).reduce(
         window_start=this._pw_window_start,
         n=R.count(),
         total_value=R.sum(pw.cast(T.DecimalType(10, 2), this.value)),
     )
-    return _r(out.to_df(), {"total_value": 2})
-
-
-def q20_sliding(spark, sf):
-    """windowby + sliding (1h windows hopping 30min) — rows fan out."""
-    e = _t(spark, sf, "events")
-    et = e.with_columns(ts_us=this.ts // 1000)
-    wt = et.windowby(
+    slide = et.windowby(
         this.ts_us, window=pw.temporal.sliding(hop=_US_H // 2, duration=_US_H)
+    ).reduce(window_start=this._pw_window_start, n=R.count())
+    out = (
+        _r(tumb.to_df(), {"total_value": 2}).withColumn("kind", F.lit("tumbling"))
+        .unionByName(
+            slide.to_df()
+            .withColumn("total_value", F.lit(None).cast("double"))
+            .withColumn("kind", F.lit("sliding"))
+        )
     )
-    out = wt.reduce(window_start=this._pw_window_start, n=R.count())
-    return out.to_df()
+    return out
 
 
 def q21_session(spark, sf):
@@ -512,7 +514,13 @@ def q22_asof_join(spark, sf):
 
 
 def q23_interval_join(spark, sf):
-    """interval_join — error events within 10min after each signup, same user."""
+    """interval_join, integer-bound AND timestamp-bound variants in one
+    gate (merged round-4 with q56 to free a 50-slot gate for the
+    promoted multimodal gate): error events within 10min after each
+    signup (tagged 'int'), and per-order counts of lineitems shipped
+    within 30 days of the order date (tagged 'ts')."""
+    import datetime as dt
+
     e = _t(spark, sf, "events")
     sign = e.filter(this.event_type == "signup").select(
         su_user=this.user_id, su_ts=this.ts // 1000
@@ -528,10 +536,28 @@ def q23_interval_join(spark, sf):
         (0, 600_000_000),
         [pw.left.err_user == pw.right.su_user],
     )
-    out = jr.select(
-        err_id=pw.left.err_id, su_user=pw.right.su_user, su_ts=pw.right.su_ts
+    int_out = jr.select(
+        k1=pw.left.err_id, k2=pw.right.su_user, k3=pw.right.su_ts
+    ).to_df().withColumn("kind", F.lit("int"))
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    jr_ts = pw.temporal.interval_join(
+        li,
+        o,
+        pw.left.l_shipdate,
+        pw.right.o_orderdate,
+        (dt.timedelta(0), dt.timedelta(days=30)),
+        [pw.left.l_orderkey == pw.right.o_orderkey],
     )
-    return out.to_df()
+    ts_out = (
+        jr_ts.groupby(pw.right.o_orderkey)
+        .reduce(k1=pw.right.o_orderkey, k2=R.count())
+        .to_df()
+        .withColumn("k3", F.lit(None).cast("long"))
+        .withColumn("kind", F.lit("ts"))
+    )
+    return int_out.unionByName(ts_out)
 
 
 def q24_window_join(spark, sf):
@@ -675,22 +701,21 @@ def q31_ngram_jaccard(spark, sf):
 
 
 def q32_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup pairs, exact-verified — oracled round-3.
+    """MinHash+LSH near-dup pairs, exact-verified.
 
-    The exact-Jaccard verification step makes the OUTPUT equal to the
-    brute-force pair table whenever LSH recall is 1, so the oracle is
-    plain inverted-index Jaccard SQL. The production 16×4 banding
-    (P(miss) = (1-J⁴)^16, <1e-4 at the J≳0.7 of this corpus's real
-    near-dups) is verified to have recall 1 on this dataset — the
-    pipeline is fully deterministic, so a local sf0.01 match guarantees
-    a driver match. (r=1 banding would push the analytic miss bound to
-    5e-20 but explodes the candidate set ~2000× on a clustered corpus —
-    wrong trade at scale.)"""
+    Round-4 hardening (ADVICE): hash_fn="cross" makes every stage
+    reproducible in SQL — grams hash via 60-bit md5, per-seed minhashes
+    via the (A·x+B) mod P universal family with md5-derived constants,
+    band keys are literal r-tuples — so the oracle mirrors the BANDING
+    (candidate set included) instead of equating LSH output with the
+    brute-force pair table and betting on recall=1 at every scale
+    factor. A missed band collision now misses identically in both
+    engines; the gate checks determinism, which is what it can check."""
     from pathway_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
     out = minhash_lsh_pairs(d, "text", "doc_id", n=3, num_hashes=64,
-                            bands=16, threshold=0.5)
+                            bands=16, threshold=0.5, hash_fn="cross")
     return out.to_df()
 
 
@@ -742,12 +767,13 @@ def q35_embedding_neardup(spark, sf):
 def q36_text_profile(spark, sf):
     """text analysis in one gate (merged round-3 from three slots, all
     fully oracled now): token/subword counts, stopword-vote language ID,
-    quality heuristic (emitted as floor(q*1e6) — floor of an
-    identically-computed double is engine-stable, ROUND is not), and the
-    winnowing fingerprint set using the md5 cross-engine hash, rendered
-    as a joined string."""
+    quality heuristic (round-4: quality_score_u — pure integer
+    arithmetic, so the value is engine-exact at any scale factor rather
+    than betting on identical IEEE op ordering), and the winnowing
+    fingerprint set using the md5 cross-engine hash, rendered as a
+    joined string."""
     from pathway_spark.operators.text import (
-        detect_language, fingerprint, quality_score, subword_count,
+        detect_language, fingerprint, quality_score_u, subword_count,
         token_count,
     )
 
@@ -758,7 +784,7 @@ def q36_text_profile(spark, sf):
         token_count(c).alias("n_tokens"),
         subword_count(c).alias("n_subwords"),
         detect_language(c).alias("lang_detected"),
-        F.floor(quality_score(c, digits=None) * 1e6).cast("long").alias("quality_u"),
+        quality_score_u(c).alias("quality_u"),
         F.array_join(
             fingerprint(c, n=5, window=4, hash_fn="md5").cast("array<string>"),
             ",",
@@ -959,55 +985,75 @@ def q51_pagerank(spark, sf):
     return out._df.select(F.col("w").alias("user_id"), F.col("rank"))
 
 
-def x52_embedding_lsh(spark, sf):
-    """embedding near-dup via random-hyperplane LSH (rows-only:
-    candidate set is engine-specific; pairs are exact-verified).
-    x-prefixed — see x39 note."""
+def q52_embedding_lsh(spark, sf):
+    """embedding near-dup via random-hyperplane LSH — fully oracled
+    round-4 (was rows-only x52): the cross_engine mode runs the
+    identical LSH plan in fixed-point integer arithmetic (floor(x*1e6)
+    quantization, md5-derived integer plane components, integer
+    projections/dots/norms), so DuckDB mirrors the banding — candidate
+    set included — and the gate no longer depends on LSH recall or
+    float-sum ordering. Seeded duplicates (q35-style) keep the gate
+    non-vacuous."""
     from pathway_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf, "embeddings")
+    base = emb._df.select("vec_id", "embedding")
+    dups = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    t = Table.from_spark(base.unionByName(dups), id_columns=["vec_id"])
     out = embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.99, num_planes=64, bands=4
+        t, "embedding", "vec_id", threshold=0.99, num_planes=64, bands=4,
+        cross_engine=True,
     )
     return out.to_df().select("id_a", "id_b")
 
 
-def x53_multimodal_features(spark, sf):
-    """multimodal plumbing — binary column → mapInPandas feature extract
-    (rows-only: the stub decoder is python-side). x-prefixed — see x39
-    note."""
-    from pathway_spark.operators.multimodal import extract_features
+def q53_multimodal_wav(spark, sf):
+    """multimodal columns — REAL WAV decode, fully oracled round-4 (was
+    the rows-only x53 stub): synthesize a deterministic PCM16 waveform
+    per document, encode to RIFF/WAV bytes, then run the real
+    pure-stdlib decoder (wave + numpy) through mapInPandas and emit
+    integer audio features. The DuckDB oracle derives the same features
+    analytically from the waveform formula — an independent derivation
+    that fails if the codec mis-parses rate/channels/frames/samples."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pathway_spark.operators.multimodal import (
+        encode_wav, extract_wav_features)
 
     d = _t(spark, sf, "documents")
-    media = Table(
-        d._df.select(
-            F.col("doc_id").alias("media_id"),
-            F.encode("text", "utf-8").alias("content"),
-        )
+    params = d._df.select(
+        F.col("doc_id").alias("media_id"),
+        (8000 + (F.col("doc_id") % 3) * 4000).cast("int").alias("sr"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (64 + F.col("doc_id") % 64).cast("int").alias("nf"),
     )
-    out = extract_features(media, dim=8)
-    return out._df.select("media_id", F.round(F.element_at("features", 1), 6).alias("f0"))
 
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, sr, ch, nf in zip(pdf["media_id"], pdf["sr"],
+                                       pdf["ch"], pdf["nf"]):
+                k = np.arange(int(nf) * int(ch), dtype=np.int64)
+                s = (int(mid) * 7919 + k * 104729 + 12345) % 20001 - 10000
+                rows.append((int(mid),
+                             encode_wav(s, sample_rate=int(sr),
+                                        channels=int(ch))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-def q56_interval_join_ts(spark, sf):
-    """interval_join on real timestamps with timedelta bounds —
-    lineitems shipped within 30 days of their order's date."""
-    import datetime as dt
-
-    li = _t(spark, sf, "lineitem")
-    o = _t(spark, sf, "orders")
-    jr = pw.temporal.interval_join(
-        li,
-        o,
-        pw.left.l_shipdate,
-        pw.right.o_orderdate,
-        (dt.timedelta(0), dt.timedelta(days=30)),
-        [pw.left.l_orderkey == pw.right.o_orderkey],
+    media = Table(params.mapInPandas(
+        gen,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("content", T.BinaryType())]),
+    ))
+    out = extract_wav_features(media)
+    return out._df.select(
+        "media_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "peak", "sum_abs", "energy", "zero_crossings",
     )
-    out = jr.groupby(pw.right.o_orderkey).reduce(
-        o_orderkey=pw.right.o_orderkey, n_quick=R.count()
-    )
-    return out.to_df()
 
 
 def q58_try_divide_fill(spark, sf):
@@ -1158,8 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_sql_frontend": q15_sql_frontend,
         "q16_sort_diff": q16_sort_diff,
         "q18_interpolate": q18_interpolate,
-        "q19_tumbling": q19_tumbling,
-        "q20_sliding": q20_sliding,
+        "q19_tumbling_sliding": q19_tumbling_sliding,
         "q21_session": q21_session,
         "q22_asof_join": q22_asof_join,
         "q23_interval_join": q23_interval_join,
@@ -1185,7 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_bm25": q46_bm25,
         "q47_dt_components": q47_dt_components,
         "q51_pagerank": q51_pagerank,
-        "q56_interval_join_ts": q56_interval_join_ts,
+        "q52_embedding_lsh": q52_embedding_lsh,
+        "q53_multimodal_wav": q53_multimodal_wav,
         "q58_try_divide_fill": q58_try_divide_fill,
         "q62_split_documents": q62_split_documents,
         "q63_salted_agg": q63_salted_agg,
@@ -1194,8 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_count_distribution": q68_count_distribution,
         "x39_approx_distinct": x39_approx_distinct,
         "x50_deduplicate_method": x50_deduplicate_method,
-        "x52_embedding_lsh": x52_embedding_lsh,
-        "x53_multimodal_features": x53_multimodal_features,
     }
 
 
@@ -1209,12 +1253,17 @@ _TEXT_PROFILE_ORACLE = """
                regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
         FROM documents
     ), feats AS (
+        -- integer-exact quality inputs (round-4: the float ratio
+        -- formulation only matched while both engines evaluated the
+        -- same IEEE op sequence; integer floor-divs are engine-exact)
         SELECT doc_id, text, toks,
-               list_sum(list_transform(toks, t -> LENGTH(t)))
-                   / GREATEST(len(toks), 1) AS mean_len,
-               LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                   / GREATEST(LENGTH(text), 1) AS alpha_ratio,
-               len(list_distinct(toks)) / GREATEST(len(toks), 1) AS distinct_ratio
+               CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT)
+                   AS sum_len,
+               CAST(GREATEST(len(toks), 1) AS BIGINT) AS n_tok,
+               CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                   AS alpha_chars,
+               CAST(GREATEST(LENGTH(text), 1) AS BIGINT) AS total_chars,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
         FROM m
     ), scores AS (
         __LANG_SCORES__
@@ -1265,10 +1314,10 @@ _TEXT_PROFILE_ORACLE = """
            len(list_filter(regexp_split_to_array(LOWER(f.text), '[^a-z0-9_]+'),
                x -> LENGTH(x) > 0)) AS n_subwords,
            lp.lang_detected,
-           CAST(FLOOR((CASE WHEN f.mean_len >= 3 AND f.mean_len <= 10
-                            THEN 1.0 ELSE 0.5 END * 0.34
-                       + f.alpha_ratio * 0.33
-                       + f.distinct_ratio * 0.33) * 1e6) AS BIGINT) AS quality_u,
+           (CASE WHEN f.sum_len >= 3 * f.n_tok AND f.sum_len <= 10 * f.n_tok
+                 THEN 340000 ELSE 170000 END
+            + (330000 * f.alpha_chars) // f.total_chars
+            + (330000 * f.n_distinct) // f.n_tok)::BIGINT AS quality_u,
            COALESCE(fp.fp, '') AS fp
     FROM feats f
     JOIN lang_pick lp ON lp.doc_id = f.doc_id
@@ -1339,6 +1388,170 @@ def _simhash_oracle_sql(*, n: int = 2, nbits: int = 60,
     """
 
 
+def _minhash_oracle_sql(*, n: int = 3, num_hashes: int = 64,
+                        bands: int = 16, threshold: float = 0.5) -> str:
+    """Full banding mirror of minhash_lsh_pairs(hash_fn="cross"): same
+    md5 gram hashes, same (A·x+B) mod P minhash family (constants from
+    minhash_cross_constants — shared code, not copied numbers), same
+    r-tuple band buckets, same exact-Jaccard verify ON THE CANDIDATES.
+    The oracle reproduces the candidate set itself, so the gate holds at
+    any scale factor regardless of LSH recall."""
+    from pathway_spark.operators.dedup import (
+        MINHASH_P, minhash_cross_constants)
+
+    consts = minhash_cross_constants(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n               ".join(
+        f"MIN(({a} * (hg % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(f"h{bi * r + j}::VARCHAR" for j in range(r))
+        + " AS bh FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ts
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) >= {n} THEN
+                   list_distinct(list_transform(range(1, len(ts) - {n - 2}),
+                       i -> array_to_string(ts[i:i+{n - 1}], ' ')))
+               ELSE [] END AS gs
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(g.g), 1, 15))::BIGINT AS hg
+        FROM grams, UNNEST(gs) AS g(g)
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ), banded AS (
+            {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT c.a, c.b, COUNT(*) AS cnt
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.a
+        JOIN sh y ON y.doc_id = c.b AND y.hg = x.hg
+        GROUP BY c.a, c.b
+    )
+    SELECT c.a AS id_a, c.b AS id_b,
+           CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.a
+    JOIN sizes sb ON sb.doc_id = c.b
+    WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= {threshold}
+    """
+
+
+def _embedding_lsh_oracle_sql(*, num_planes: int = 64, bands: int = 4,
+                              threshold: float = 0.99) -> str:
+    """Mirror of embedding_neardup_pairs(cross_engine=True): quantize to
+    floor(x*1e6) longs, md5-derived integer plane components, integer
+    projections → sign-bit band keys → bucket join → integer dot/norm²
+    verify (dot² ≥ t²·na²·nb² in doubles over exact integers — a fixed
+    multiply sequence, bit-identical in any IEEE engine)."""
+    per_band = num_planes // bands
+    t2 = repr(float(threshold) * float(threshold))
+    plane_cols = ",\n               ".join(
+        f"(('0x' || substr(md5(({p} * 10007 + i)::VARCHAR), 1, 15))::BIGINT"
+        f" % 2001 - 1000) AS c{p}"
+        for p in range(num_planes)
+    )
+    projs = ",\n               ".join(
+        [f"CAST(SUM(xi * xi) AS BIGINT) AS n2"]
+        + [f"CAST(SUM(xi * c{p}) AS BIGINT) AS p{p}" for p in range(num_planes)]
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT vid, {bi} AS band, ("
+        + " + ".join(
+            f"CASE WHEN p{bi * per_band + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(per_band))
+        + ") AS bh FROM per_vec"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH emb2 AS (
+        SELECT vec_id AS vid, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10
+    ), ex AS (
+        SELECT vid, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xi
+        FROM emb2
+    ), planes AS (
+        SELECT d.i AS i,
+               {plane_cols}
+        FROM (SELECT DISTINCT i FROM ex) d
+    ), per_vec AS (
+        SELECT vid,
+               {projs}
+        FROM ex JOIN planes USING (i)
+        GROUP BY vid
+    ), banded AS (
+            {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.vid AS a, b.vid AS b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.vid < b.vid
+    ), dots AS (
+        SELECT c.a, c.b, CAST(SUM(xa.xi * xb.xi) AS BIGINT) AS dot
+        FROM cand c
+        JOIN ex xa ON xa.vid = c.a
+        JOIN ex xb ON xb.vid = c.b AND xb.i = xa.i
+        GROUP BY c.a, c.b
+    )
+    SELECT d.a AS id_a, d.b AS id_b
+    FROM dots d
+    JOIN per_vec na ON na.vid = d.a
+    JOIN per_vec nb ON nb.vid = d.b
+    WHERE d.dot > 0
+      AND CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+          >= (CAST({t2} AS DOUBLE) * CAST(na.n2 AS DOUBLE))
+             * CAST(nb.n2 AS DOUBLE)
+    """
+
+
+_WAV_ORACLE = """
+    WITH params AS (
+        SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+               1 + doc_id % 2 AS ch, 64 + doc_id % 64 AS nf
+        FROM documents
+    ), samples AS (
+        SELECT p.doc_id, p.sr, p.ch, p.nf, k.k AS k,
+               (p.doc_id * 7919 + k.k * 104729 + 12345) % 20001 - 10000 AS s
+        FROM params p, UNNEST(range(0, p.nf * p.ch)) AS k(k)
+    ), lagged AS (
+        SELECT doc_id, sr, ch, nf, k, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        FROM samples
+    )
+    SELECT doc_id AS media_id,
+           ANY_VALUE(sr)::BIGINT AS sample_rate,
+           ANY_VALUE(ch)::BIGINT AS channels,
+           ANY_VALUE(nf)::BIGINT AS n_frames,
+           (ANY_VALUE(nf) * 1000 // ANY_VALUE(sr))::BIGINT AS duration_ms,
+           MAX(ABS(s))::BIGINT AS peak,
+           SUM(ABS(s))::BIGINT AS sum_abs,
+           SUM(s * s)::BIGINT AS energy,
+           SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id
+"""
+
+
 def _pagerank_oracle_sql(steps: int = 5) -> str:
     """pagerank_exact mirror — the 1e-9 fixed-point integer recurrence
     unrolled into chained CTEs (// is floor-div on non-negative longs,
@@ -1367,7 +1580,7 @@ def _pagerank_oracle_sql(steps: int = 5) -> str:
         SELECT u, COUNT(*) AS deg FROM e GROUP BY u
     ),
     {chain}
-    SELECT w AS user_id, rank FROM r{steps}
+    SELECT w AS user_id, rank::BIGINT AS rank FROM r{steps}
     """
 
 
@@ -1534,22 +1747,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS value
             FROM n
         """,
-        "q19_tumbling": """
-            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+        "q19_tumbling_sliding": """
+            SELECT 'tumbling' AS kind,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
-            FROM events GROUP BY 1
-        """,
-        "q20_sliding": """
-            WITH hops AS (
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'sliding', window_start, COUNT(*), CAST(NULL AS DOUBLE)
+            FROM (
                 SELECT e.event_id,
                        (epoch_us(e.ts) // 1800000000) * 1800000000 - k.k * 1800000000
                            AS window_start
                 FROM events e, UNNEST([0, 1]) AS k(k)
                 WHERE (epoch_us(e.ts) // 1800000000) * 1800000000 - k.k * 1800000000
                       + 3600000000 > epoch_us(e.ts)
-            )
-            SELECT window_start, COUNT(*) AS n FROM hops GROUP BY window_start
+            ) GROUP BY window_start
         """,
         "q21_session": """
             WITH t AS (
@@ -1600,12 +1813,20 @@ def oracle_sql() -> dict[str, str]:
             ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)
         """,
         "q23_interval_join": """
-            SELECT e.event_id AS err_id, s.user_id AS su_user, epoch_us(s.ts) AS su_ts
+            SELECT 'int' AS kind, e.event_id AS k1, s.user_id AS k2,
+                   epoch_us(s.ts) AS k3
             FROM (SELECT * FROM events WHERE event_type = 'error') e
             JOIN (SELECT * FROM events WHERE event_type = 'signup') s
             ON e.user_id = s.user_id
                AND epoch_us(e.ts) >= epoch_us(s.ts)
                AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000
+            UNION ALL
+            SELECT 'ts', o.o_orderkey, COUNT(*), CAST(NULL AS BIGINT)
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY o.o_orderkey
         """,
         "q24_window_join": """
             SELECT c.event_id AS c_id, b.event_id AS b_id, c.user_id AS c_user,
@@ -1832,14 +2053,6 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) // 86400000000 AS age_d
             FROM events
         """,
-        "q56_interval_join_ts": """
-            SELECT o.o_orderkey, COUNT(*) AS n_quick
-            FROM lineitem l JOIN orders o
-              ON l.l_orderkey = o.o_orderkey
-             AND l.l_shipdate >= o.o_orderdate
-             AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
-            GROUP BY o.o_orderkey
-        """,
         "q58_try_divide_fill": """
             SELECT event_id,
                    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
@@ -1934,33 +2147,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS user_id, MIN(r) AS component FROM reach GROUP BY v
         """,
         "q36_text_profile": _TEXT_PROFILE_ORACLE,
-        "q32_minhash_lsh": """
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ts
-                FROM documents
-            ), grams AS (
-                SELECT doc_id,
-                       CASE WHEN len(ts) >= 3 THEN
-                           list_distinct(list_transform(range(1, len(ts) - 1),
-                               i -> array_to_string(ts[i:i+2], ' ')))
-                       ELSE [] END AS gs
-                FROM toks
-            ), exploded AS (
-                SELECT doc_id, g.g AS g FROM grams, UNNEST(gs) AS g(g)
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS sz FROM exploded GROUP BY doc_id
-            ), common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-                FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
-            )
-            SELECT id_a, id_b,
-                   CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
-        """,
+        "q32_minhash_lsh": _minhash_oracle_sql(),
         "q33_simhash": _simhash_oracle_sql(),
         "q51_pagerank": _pagerank_oracle_sql(),
+        "q52_embedding_lsh": _embedding_lsh_oracle_sql(),
+        "q53_multimodal_wav": _WAV_ORACLE,
     }

@@ -418,9 +418,19 @@ slack = SimpleNamespace(
 )
 pyfilesystem = SimpleNamespace(read=_gated("pyfilesystem.read", "the fs package"))
 
-# vector-store sinks (xpack surface; servers not present in-container)
-chroma = SimpleNamespace(write=_gated("chroma.write", "a Chroma server"))
-milvus = SimpleNamespace(write=_gated("milvus.write", "a Milvus server"))
-pinecone = SimpleNamespace(write=_gated("pinecone.write", "a Pinecone index"))
-qdrant = SimpleNamespace(write=_gated("qdrant.write", "a Qdrant server"))
-weaviate = SimpleNamespace(write=_gated("weaviate.write", "a Weaviate server"))
+# vector-store sinks — real foreachPartition/foreachBatch REST writers
+# (payloads per the public service APIs; offline-tested against a local
+# HTTP fixture). See io/vector_store.py for the scale design.
+from .vector_store import (  # noqa: E402
+    chroma_write as _chroma_write,
+    milvus_write as _milvus_write,
+    pinecone_write as _pinecone_write,
+    qdrant_write as _qdrant_write,
+    weaviate_write as _weaviate_write,
+)
+
+chroma = SimpleNamespace(write=_chroma_write)
+milvus = SimpleNamespace(write=_milvus_write)
+pinecone = SimpleNamespace(write=_pinecone_write)
+qdrant = SimpleNamespace(write=_qdrant_write)
+weaviate = SimpleNamespace(write=_weaviate_write)

@@ -23,12 +23,32 @@ deterministic and order-insensitive.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..table import ID, Table
+
+# Modulus for the cross-engine universal minhash family
+# h_j(x) = (A_j * (x mod P) + B_j) mod P — all arithmetic stays under
+# 2^63 (A_j, x mod P < 1e9 -> product < 1e18), so Spark and any SQL
+# engine compute identical BIGINT values with no overflow/wrap concerns.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_cross_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """(A_j, B_j) universal-hash constants derived from md5(j) so the
+    Spark expression and an external SQL oracle can embed the *same*
+    literals (both sides call this or copy its output)."""
+    out = []
+    for j in range(num_hashes):
+        h = hashlib.md5(f"minhash:{j}".encode()).hexdigest()
+        a = int(h[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(h[15:30], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 # ------------------------------------------------------------------ tokenize
@@ -243,13 +263,22 @@ def minhash_signatures_df(df, text_col: str, id_col: str, *, n: int = 3,
 
 def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
                       n: int = 3, num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.5, verify: bool = True) -> Table:
+                      threshold: float = 0.5, verify: bool = True,
+                      hash_fn: str = "xxhash64") -> Table:
     """MinHash+LSH near-duplicate pairs.
 
     shingle → num_hashes minhashes → `bands` band-hashes → explode →
     bucket self-join → exact-Jaccard verification (only on candidates).
     With r = num_hashes/bands rows per band, a pair with Jaccard J is
     caught with prob 1-(1-J^r)^bands (≈1 for J ≥ threshold with defaults).
+
+    ``hash_fn="cross"`` switches to the cross-engine hash family: grams
+    hash via 60-bit md5 (hash64_cross), per-seed minhashes via the
+    (A_j*x+B_j) mod P universal family (minhash_cross_constants), and
+    band keys are the literal r-tuples — every value is reproducible in
+    plain SQL, so an external oracle can mirror the banding EXACTLY
+    (candidate set included) instead of betting on recall=1. Default
+    stays xxhash64 (faster; Spark-only).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -258,22 +287,43 @@ def minhash_lsh_pairs(table: Table, text_col: str, id_col: str, *,
     # one persisted (doc, gram-hash) frame feeds signature, sizes and
     # verification — self-joins would otherwise recompute the shingling
     # once per reference (distinct is safe: min over dups == min over set)
+    gram_hash = (F.xxhash64("g") if hash_fn == "xxhash64"
+                 else hash64_cross(F.col("g")))
     sh = (
         exploded_word_ngrams(df, "t", "doc", n, distinct=False)
-        .select("doc", F.xxhash64("g").alias("hg"))
+        .select("doc", gram_hash.alias("hg"))
         .distinct()  # distinct on (doc, long), not (doc, string)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if hash_fn == "xxhash64":
+        seed_hashes = [F.xxhash64(F.col("hg"), F.lit(j)) for j in range(num_hashes)]
+    else:
+        consts = minhash_cross_constants(num_hashes)
+        xm = F.col("hg") % F.lit(MINHASH_P)
+        seed_hashes = [(F.lit(a) * xm + F.lit(b)) % F.lit(MINHASH_P)
+                       for a, b in consts]
     sig = sh.groupBy("doc").agg(*[
-        F.min(F.xxhash64(F.col("hg"), F.lit(j))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min(h).alias(f"h{j}") for j, h in enumerate(seed_hashes)
     ]).persist(StorageLevel.MEMORY_AND_DISK)
+    if hash_fn == "xxhash64":
+        band_key = [
+            F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)])
+            for bi in range(bands)
+        ]
+    else:
+        # literal r-tuple as the bucket key (string concat) — equality on
+        # the tuple, no second-level hash an oracle would have to mimic
+        band_key = [
+            F.concat_ws("_", *[F.col(f"h{bi * r + j}").cast("string")
+                               for j in range(r)])
+            for bi in range(bands)
+        ]
     banded = sig.select(
         "doc",
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
+                band_key[bi].alias("bh"),
             )
             for bi in range(bands)
         ])).alias("bb"),
@@ -431,9 +481,26 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Fixed-point scale for the cross-engine embedding-LSH path: embeddings
+# quantize to floor(x * 1e6) longs so every projection / dot product /
+# norm is exact integer arithmetic — no float-sum ordering anywhere, so
+# Spark and a SQL oracle agree bit-for-bit at any scale factor.
+EMB_QUANT = 1_000_000
+
+
+def plane_component_cross(p: int, i_col: Column) -> Column:
+    """Deterministic hyperplane component c(p, i) ∈ [-1000, 1000]:
+    md5(p*10007 + i) → 60-bit int → mod 2001 − 1000. SQL mirror:
+    ``('0x'||substr(md5((p*10007+i)::VARCHAR),1,15))::BIGINT % 2001 - 1000``."""
+    key = (F.lit(p * 10_007) + i_col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return h % 2001 - 1000
+
+
 def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
                             threshold: float = 0.95, num_planes: int = 64,
-                            bands: int = 4, exact: bool = False) -> Table:
+                            bands: int = 4, exact: bool = False,
+                            cross_engine: bool = False) -> Table:
     """Cosine near-duplicate pairs over `array<float>` embeddings.
 
     Scale path: random-hyperplane LSH — `num_planes` deterministic
@@ -445,11 +512,22 @@ def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
     fixture); the 16-bit default keeps candidates sparse while any-of-4
     bands holds recall ≈0.93 at cosine 0.99 (p=(1-θ/π)^16 per band). `exact=True`
     computes the O(n²) baseline instead (for validation / small inputs).
+
+    ``cross_engine=True`` runs the SAME plan in fixed-point integer
+    arithmetic (floor(x*1e6) quantization, md5-derived integer plane
+    components, integer projections/dots/norms, threshold test via
+    dot² ≥ t²·|a|²·|b|² on exact integers) so an external SQL engine
+    reproduces the candidate set AND the verified pairs bit-for-bit —
+    float-sum ordering never enters. Output pairs then carry no cosine
+    column (the quantized cosine is a gate artifact, not the metric).
     """
     from pyspark.storagelevel import StorageLevel
 
     df = table._df.select(F.col(id_col).alias("vid"),
                           F.col(vec_col).cast("array<double>").alias("v"))
+    if cross_engine:
+        return _embedding_neardup_cross(df, threshold=threshold,
+                                        num_planes=num_planes, bands=bands)
     if exact:
         a = df.select(F.col("vid").alias("a"), F.col("v").alias("va"))
         b = df.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
@@ -508,5 +586,73 @@ def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
         .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("cosine"))
+    )
+    return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))
+
+
+def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
+                             num_planes: int, bands: int) -> Table:
+    """Cross-engine (integer-exact) hyperplane-LSH near-dup. Same plan
+    shape as the float path: explode → projection aggs → band bucket
+    join → integer dot/norm verify. See embedding_neardup_pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    ex = df.select(
+        "vid",
+        F.posexplode("v").alias("i", "x"),
+    ).select(
+        "vid", "i",
+        F.floor(F.col("x") * F.lit(1_000_000.0)).cast("long").alias("xi"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-vector: integer norm² + one integer projection per plane.
+    # xi ≤ ~1e6(+) and c ≤ 1000 so per-term ≤ 1e9; dims ≤ ~1e4 keeps the
+    # sums far under 2^63.
+    per_vec = ex.groupBy("vid").agg(
+        F.sum(F.col("xi") * F.col("xi")).alias("n2"),
+        *[F.sum(F.col("xi") * plane_component_cross(p, F.col("i"))).alias(f"p{p}")
+          for p in range(num_planes)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_band = num_planes // bands
+    band_keys = [
+        sum(
+            [F.when(F.col(f"p{bi * per_band + j}") > 0, F.lit(1 << j))
+             .otherwise(F.lit(0)) for j in range(per_band)],
+            F.lit(0),
+        )
+        for bi in range(bands)
+    ]
+    banded = per_vec.select(
+        "vid",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), band_keys[bi].alias("bh"))
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("vid", "bb.band", "bb.bh")
+    a = banded.select(F.col("vid").alias("a"), "band", "bh")
+    b = banded.select(F.col("vid").alias("b"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    dots = (
+        cand.join(ex.select(F.col("vid").alias("a"), "i", F.col("xi").alias("xa")), "a")
+        .join(ex.select(F.col("vid").alias("b"), "i", F.col("xi").alias("xb")), ["b", "i"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    n2 = per_vec.select("vid", "n2")
+    # cos ≥ t ⟺ dot > 0 ∧ dot² ≥ t²·|a|²·|b|². dot² overflows BIGINT so
+    # the comparison runs in doubles — but every input is an exact
+    # integer and the multiply sequence is fixed, so IEEE 754 gives the
+    # identical result in any engine (no SUM-order nondeterminism).
+    t2 = float(threshold) * float(threshold)
+    dot_d = F.col("dot").cast("double")
+    cond = (F.col("dot") > 0) & (
+        dot_d * dot_d
+        >= (F.lit(t2) * F.col("na2").cast("double")) * F.col("nb2").cast("double")
+    )
+    out = (
+        dots.join(n2.select(F.col("vid").alias("a"), F.col("n2").alias("na2")), "a")
+        .join(n2.select(F.col("vid").alias("b"), F.col("n2").alias("nb2")), "b")
+        .filter(cond)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
     )
     return Table(out.withColumn(ID, F.xxhash64("id_a", "id_b")))

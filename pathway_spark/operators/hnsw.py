@@ -153,6 +153,19 @@ class HnswIndex:
         return [(int(self.ids[i]), -d) for d, i in found]
 
 
+# Above this Catalyst-estimated size the query set is NOT collected to
+# the driver: hnsw_topk's broadcast-the-queries design assumes a small
+# query set (its intended regime); when queries ≈ corpus (self-join
+# dedup use) the toPandas() below is a driver OOM at scale, so route to
+# ivf_topk, which keeps queries distributed end to end.
+_QUERY_COLLECT_LIMIT_BYTES = 64 << 20
+# Catalyst reports ~Long.MaxValue-ish sizes when it has no statistics
+# (e.g. filters over local relations); past this the estimate is a
+# sentinel, not a measurement — fall back to a bounded count probe.
+_SANE_ESTIMATE_CAP = 1 << 50
+_QUERY_COLLECT_LIMIT_ROWS = 100_000
+
+
 def hnsw_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
               id_col: str = "vec_id", k: int = 10, metric: str = "cosine",
               m: int = 16, ef_construction: int = 64, ef_search: int = 64,
@@ -162,12 +175,35 @@ def hnsw_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
     Output schema matches brute_force_topk: (query_id, neighbor_id,
     rank, score). Each Arrow batch builds its own graph; the per-batch
     local top-k lists merge with one tiny shuffle on query_id.
-    """
+
+    Scale guard: the query set is collected + broadcast, which is the
+    right plan only while it is small. Above _QUERY_COLLECT_LIMIT_BYTES
+    (Catalyst size estimate, no job run) the call transparently falls
+    back to ivf_topk — same output contract, queries never leave the
+    executors."""
     spark = corpus._df.sparkSession
-    qpdf = queries._df.select(
+    qsel = queries._df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<float>").alias("qv"),
-    ).toPandas()
+    )
+    try:
+        qsize = int(qsel._jdf.queryExecution().optimizedPlan().stats()
+                    .sizeInBytes())
+    except Exception:
+        qsize = 0  # stats unavailable: preserve old behavior
+    if qsize > _SANE_ESTIMATE_CAP:
+        # no real statistics — probe with a row-bounded count (one small
+        # job over the query side only, stops scanning at the limit)
+        probe = qsel.limit(_QUERY_COLLECT_LIMIT_ROWS + 1).count()
+        too_big = probe > _QUERY_COLLECT_LIMIT_ROWS
+    else:
+        too_big = qsize > _QUERY_COLLECT_LIMIT_BYTES
+    if too_big:
+        from .similarity import ivf_topk
+
+        return ivf_topk(corpus, queries, vec_col=vec_col, id_col=id_col,
+                        k=k, self_exclude=exclude_self)
+    qpdf = qsel.toPandas()
     q_ids = qpdf["query_id"].to_numpy()
     q_mat = np.array([np.asarray(v, dtype=np.float32) for v in qpdf["qv"]])
     bq = spark.sparkContext.broadcast((q_ids, q_mat))

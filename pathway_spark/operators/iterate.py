@@ -6,8 +6,9 @@ Reference: `pw.iterate` (`internals/common.py:39-91`, engine graph.rs:931),
 
 Spark mapping (SURVEY §2.10): driver-side loop over DataFrames with
 `localCheckpoint()` per iteration (truncates the lineage so plans don't
-grow exponentially) and an `exceptAll`-based convergence test. Batch-only,
-as documented in SURVEY §4 "custom Spark work" item 4.
+grow exponentially) and a single-job symmetric-difference convergence
+test (±1-weighted union + residual check). Batch-only, as documented in
+SURVEY §4 "custom Spark work" item 4.
 """
 
 from __future__ import annotations
@@ -19,15 +20,28 @@ from pyspark.sql import functions as F
 from ..table import ID, Table
 
 
-def _converged(a: Table, b: Table) -> bool:
-    da, db = a._df, b._df
-    if len(da.columns) != len(db.columns):
+def _dfs_equal(da, db) -> bool:
+    """Multiset equality in ONE Spark job: union the frames with +1/-1
+    weights, aggregate per row, look for a nonzero residual. The previous
+    two-`exceptAll` check paid the full fixed-point frame scan twice per
+    table per step — at 100× scale that doubles every iteration's
+    convergence cost; this is one shuffle + one action."""
+    if len(da.columns) != len(db.columns) or set(da.columns) != set(db.columns):
         return False
     cols = sorted(da.columns)
-    return (
-        da.select(cols).exceptAll(db.select(cols)).isEmpty()
-        and db.select(cols).exceptAll(da.select(cols)).isEmpty()
+    tagged = (
+        da.select(cols).withColumn("__w", F.lit(1))
+        .unionByName(db.select(cols).withColumn("__w", F.lit(-1)))
     )
+    return (
+        tagged.groupBy(cols).agg(F.sum("__w").alias("__s"))
+        .filter(F.col("__s") != 0)
+        .isEmpty()
+    )
+
+
+def _converged(a: Table, b: Table) -> bool:
+    return _dfs_equal(a._df, b._df)
 
 
 def iterate(func: Callable, iteration_limit: int | None = None, **tables: Table):
@@ -149,7 +163,7 @@ def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
             dists.join(relaxed, "w", "left")
             .select("w", F.least(F.col("d"), F.col("nd")).alias("d"))
         ).localCheckpoint(eager=True)
-        if new.select("w", "d").exceptAll(dists.select("w", "d")).isEmpty():
+        if _dfs_equal(new.select("w", "d"), dists.select("w", "d")):
             break
         dists = new
     return Table(dists.withColumn(ID, F.xxhash64("w")))
@@ -186,7 +200,7 @@ def louvain_communities(edges: Table, *, max_iterations: int = 10) -> Table:
         new = labels.join(best, labels["n"] == best["u"], "left").select(
             F.col("n"), F.coalesce(F.col("new_label"), F.col("label")).alias("label")
         ).localCheckpoint(eager=True)
-        if new.exceptAll(labels).isEmpty():
+        if _dfs_equal(new, labels):
             labels = new
             break
         labels = new
@@ -211,7 +225,7 @@ def connected_components(edges: Table) -> Table:
             labels.select("w", "label").union(neigh)
             .groupBy("w").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        if new.exceptAll(labels).isEmpty():
+        if _dfs_equal(new, labels):
             break
         labels = new
     return Table(labels.withColumn(ID, F.xxhash64("w")))

@@ -42,7 +42,7 @@ def _maybe_broadcast(df: DataFrame) -> DataFrame:
 
 def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
                      id_col: str = "vec_id", k: int = 10,
-                     metric: str = "cosine") -> Table:
+                     metric: str = "cosine", self_exclude: bool = True) -> Table:
     """Exact top-k neighbors for each query vector.
 
     Scale design: vectors explode to (id, dim, x) rows and the corpus ×
@@ -51,6 +51,12 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
     array-HOF cosine is interpreted per element and ~10x slower). The
     corpus-side scan stays embarrassingly parallel; the only wide
     shuffle keys on (query, neighbor) with partial aggregation.
+
+    `self_exclude` drops neighbors whose id equals the query id — right
+    for self-join dedup/search over ONE id space (the default use). Pass
+    False when queries and corpus are distinct tables that merely share
+    an id range (e.g. KNN classification), where an id-equal neighbor is
+    a coincidence, not the same row.
 
     Output: (query_id, neighbor_id, rank, score)."""
     cex = corpus._df.select(
@@ -71,10 +77,9 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
     # pass; paying it twice doubled the per-call fixed overhead).
     qex_b = _maybe_broadcast(qex)
     broadcast_ok = qex_b is not qex
-    parts = (
-        cex.join(qex_b, "i")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+    parts = cex.join(qex_b, "i")
+    if self_exclude:
+        parts = parts.filter(F.col("query_id") != F.col("neighbor_id"))
     if metric == "l2":
         agg = F.sum((F.col("cx") - F.col("qx")) * (F.col("cx") - F.col("qx")))
         scored = (parts.groupBy("query_id", "neighbor_id")
@@ -146,7 +151,7 @@ def _centroids_ex(ex: DataFrame, nlist: int, iters: int = 3) -> DataFrame:
 
 def ivf_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
              id_col: str = "vec_id", k: int = 10, nlist: int = 16,
-             nprobe: int = 4) -> Table:
+             nprobe: int = 4, self_exclude: bool = True) -> Table:
     """Approximate top-k: assign corpus to nlist centroid cells, search
     only the nprobe closest cells per query (scans ~nprobe/nlist of the
     data). All dot products run as exploded-dimension joins + sum
@@ -170,11 +175,11 @@ def ivf_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
     cnorm = cex.groupBy("vid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
     qnorm = qex.groupBy("qid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("qn"))
     # candidates: corpus rows in any probed cell of the query
-    cand = (
-        c_cells.join(q_cells, "cell")
-        .filter(F.col("qid") != F.col("vid"))
-        .select("qid", "vid").distinct()
-    )
+    cand = c_cells.join(q_cells, "cell")
+    if self_exclude:
+        # see brute_force_topk: only valid for one shared id space
+        cand = cand.filter(F.col("qid") != F.col("vid"))
+    cand = cand.select("qid", "vid").distinct()
     dots = (
         cand.join(cex, "vid")
         .join(F.broadcast(qex.select(F.col("qid"), "i", F.col("x").alias("qx"))),

@@ -64,6 +64,33 @@ def quality_score(col: Column, *, digits: int | None = 6) -> Column:
     return raw if digits is None else F.round(raw, digits)
 
 
+def quality_score_u(col: Column) -> Column:
+    """Integer-exact micro-units quality score (same heuristic as
+    quality_score, ×1e6): every term is computed in pure integer
+    arithmetic — the mean-length band test becomes 3n ≤ Σlen ≤ 10n, and
+    each ratio becomes an exact integer floor-division — so any SQL
+    engine reproduces the value bit-for-bit at any data scale (a float
+    formulation only matches while both engines happen to evaluate the
+    identical IEEE op sequence)."""
+    toks = _tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda a, t: a + F.length(t))
+    len_u = F.when((sum_len >= 3 * n) & (sum_len <= 10 * n),
+                   F.lit(340_000)).otherwise(F.lit(170_000)).cast("long")
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("long")
+    total_chars = F.greatest(F.length(col), F.lit(1)).cast("long")
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer floor-div (a ≥ 0): a - pmod(a,b) divides exactly
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    alpha_u = idiv(F.lit(330_000) * alpha_chars, total_chars)
+    distinct_u = idiv(
+        F.lit(330_000) * F.size(F.array_distinct(toks)).cast("long"), n)
+    return len_u + alpha_u + distinct_u
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     toks = _tokens(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

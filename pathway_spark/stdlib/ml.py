@@ -25,13 +25,20 @@ def knn_classify(data: Table, queries: Table, *, vec_col: str = "data",
                  label_col: str = "label", id_col: str,
                  query_id_col: str | None = None, k: int = 3,
                  metric: str = "cosine", method: str = "brute",
-                 **lsh_kw) -> Table:
+                 self_exclude: bool = False, **lsh_kw) -> Table:
     """Majority-vote KNN classification.
 
     top-k neighbors per query via ``brute_force_topk`` (exact) or
     ``ivf_topk`` (approximate, ``method="lsh"``), then one count
     aggregate per (query, label) and a window argmax — ties break to the
-    smallest label for determinism. Output: (query_id, predicted)."""
+    smallest label for determinism. Output: (query_id, predicted).
+
+    ``self_exclude`` defaults to False: queries and corpus are normally
+    distinct tables, so an id-equal neighbor is a coincidence of two id
+    spaces, not a self-match, and silently dropping it could flip the
+    majority vote (the reference _knn_lsh.py classifier has no id-based
+    exclusion either). Pass True only when classifying a table against
+    itself (leave-one-out evaluation)."""
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     qid = query_id_col or id_col
@@ -42,10 +49,11 @@ def knn_classify(data: Table, queries: Table, *, vec_col: str = "data",
         # scoring is cosine — the reference's cosine/euclidean split
         # only changes ranking for unnormalized vectors
         topk = ivf_topk(data, qs, vec_col=vec_col, id_col=id_col, k=k,
-                        **lsh_kw)
+                        self_exclude=self_exclude, **lsh_kw)
     else:
         topk = brute_force_topk(data, qs, vec_col=vec_col, id_col=id_col,
-                                k=k, metric=metric, **lsh_kw)
+                                k=k, metric=metric,
+                                self_exclude=self_exclude, **lsh_kw)
     labels = data._df.select(F.col(id_col).alias("neighbor_id"),
                              F.col(label_col).alias("__lbl"))
     votes = (topk._df.join(labels, "neighbor_id")

@@ -270,6 +270,33 @@ def test_hnsw_recall_vs_brute_force(spark):
         assert abs(exs[key] - aps[key]) < 1e-5
 
 
+def test_hnsw_large_query_set_routes_to_ivf(spark, monkeypatch):
+    """Scale guard: above the collect limit the query set must NOT be
+    collected to the driver — hnsw_topk transparently delegates to
+    ivf_topk (queries stay distributed)."""
+    import random
+
+    import pathway_spark.operators.hnsw as hnsw_mod
+    import pathway_spark.operators.similarity as sim_mod
+
+    rnd = random.Random(1)
+    data = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    corpus = T(spark, data, "vec_id long, embedding array<double>", ["vec_id"])
+
+    calls = []
+    real_ivf = sim_mod.ivf_topk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_ivf(*a, **kw)
+
+    monkeypatch.setattr(sim_mod, "ivf_topk", spy)
+    monkeypatch.setattr(hnsw_mod, "_QUERY_COLLECT_LIMIT_ROWS", 50)
+    out = hnsw_mod.hnsw_topk(corpus, corpus, k=3)
+    assert calls, "large query set did not fall back to ivf_topk"
+    assert out._df.select("query_id").distinct().count() > 100
+
+
 def test_usearch_factory_parity(spark):
     from pathway_spark.indexing import UsearchKnnFactory
 
@@ -421,14 +448,40 @@ def test_multimodal_features(spark):
     )
 
 
-def test_multimodal_stubs_raise(spark):
+def test_multimodal_decoders_real(spark):
+    """Round-4: WAV and PNG decode are REAL (pure stdlib); only video
+    frame sampling stays gated."""
+    import numpy as np
+
     from pathway_spark.operators.multimodal import (
-        DecoderUnavailable, resize_images, sample_frames,
+        DecoderUnavailable, decode_png, encode_png, encode_wav,
+        extract_image_features, extract_wav_features, resize_images,
+        sample_frames,
     )
 
-    t = Table(spark.createDataFrame([(1,)], "media_id long"))
-    with pytest.raises(DecoderUnavailable):
-        resize_images(t, 10, 10)
+    # WAV: encode -> Spark-side decode -> integer features
+    s = ((np.arange(120) * 104729 + 7) % 20001) - 10000
+    wav = encode_wav(s, sample_rate=16000, channels=2)
+    t = Table(spark.createDataFrame([(1, bytearray(wav))],
+                                    "media_id long, content binary"))
+    row = extract_wav_features(t)._df.collect()[0]
+    assert row.sample_rate == 16000 and row.channels == 2
+    assert row.n_frames == 60 and row.peak == int(np.abs(s).max())
+    assert row.energy == int((s.astype(np.int64) ** 2).sum())
+
+    # PNG: encode -> resize (real decode+NN resample+re-encode) -> features
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    img = Table(spark.createDataFrame([(2, bytearray(encode_png(px)))],
+                                      "media_id long, content binary"))
+    small = resize_images(img, 15, 10)
+    out = small._df.collect()[0]
+    rpx = decode_png(bytes(out.content))
+    assert rpx.shape == (10, 15, 3)
+    feat = extract_image_features(img)._df.collect()[0]
+    assert (feat.width, feat.height, feat.channels) == (30, 20, 3)
+    assert feat.sum_px == int(px.astype(np.int64).sum())
+
     with pytest.raises(DecoderUnavailable):
         sample_frames(t, 100)
 
@@ -828,8 +881,10 @@ def test_knn_classifier(spark):
 
     emb = pw.io.parquet.read(f"{SF_DIR}/embeddings.parquet", spark=spark)
     queries = emb.filter(pw.this.vec_id < 5)
+    # classifying the table against itself -> leave-one-out exclusion
     out = knn_classify(emb, queries, vec_col="embedding", label_col="label",
-                       id_col="vec_id", k=5, metric="cosine")
+                       id_col="vec_id", k=5, metric="cosine",
+                       self_exclude=True)
     rows = {r["query_id"]: r["predicted"] for r in out.to_df().collect()}
     assert len(rows) == 5
     # exactness oracle: majority label of the true 5 cosine neighbors,

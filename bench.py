@@ -27,16 +27,18 @@ HEADLINE = [
     "q66_tpch5_shape",
     "q09_flatten_wordcount",
     "q16_sort_diff",
-    "q19_tumbling",
-    "q20_sliding",
+    "q19_tumbling_sliding",
     "q21_session",
     "q22_asof_join",
     "q29_dedup_exact",
     "q31_ngram_jaccard",
     "q32_minhash_lsh",
+    "q33_simhash",
     "q34_knn_bruteforce",
+    "q35_embedding_neardup",
     "q46_bm25",
-    "x52_embedding_lsh",
+    "q51_pagerank",
+    "q52_embedding_lsh",
     "q62_split_documents",
     "q63_salted_agg",
 ]

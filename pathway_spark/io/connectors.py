@@ -407,16 +407,76 @@ def _bus_ns(name: str, bridge: str) -> SimpleNamespace:
 nats = _bus_ns("nats", "a NATS bridge (e.g. nats-kafka)")
 mqtt = _bus_ns("mqtt", "an MQTT→Kafka bridge")
 rabbitmq = _bus_ns("rabbitmq", "a RabbitMQ bridge")
-gdrive = SimpleNamespace(read=_gated("gdrive.read", "Google service-account credentials"))
-sharepoint = SimpleNamespace(read=_gated("sharepoint.read", "SharePoint credentials"))
-airbyte = SimpleNamespace(read=_gated("airbyte.read", "a local Airbyte/PyAirbyte runtime"))
+# object-store sync connectors — real incremental list→diff→download
+# protocol with the hosted transport injected (see io/filesync.py)
+from .filesync import (  # noqa: E402
+    GDriveClient,
+    LocalDirClient,
+    SharePointClient,
+    SyncClient,
+    gdrive_read as _gdrive_read,
+    pyfilesystem_read as _pyfilesystem_read,
+    sharepoint_read as _sharepoint_read,
+)
+
+gdrive = SimpleNamespace(read=_gdrive_read, GDriveClient=GDriveClient)
+sharepoint = SimpleNamespace(read=_sharepoint_read,
+                             SharePointClient=SharePointClient)
+
+
+def _airbyte_read(source: Any = None, *, streams: list[str] | None = None,
+                  spark: SparkSession | None = None, **_kw) -> Table:
+    """Airbyte-protocol consumption (reference python/pathway/io/airbyte).
+
+    The protocol is public JSONL: ``{"type": "RECORD", "record":
+    {"stream", "data", "emitted_at"}}`` interleaved with ``STATE``
+    messages. ``source`` may be a path to a protocol capture, an
+    iterable of lines, or a zero-arg callable returning one (an injected
+    connector runner); actually RUNNING a connector needs a PyAirbyte /
+    docker runtime, which this container lacks."""
+    if source is None:
+        raise NotImplementedError(
+            "io.airbyte.read requires a local Airbyte/PyAirbyte runtime "
+            "to execute connectors; pass a protocol-JSONL path, line "
+            "iterable, or runner callable to consume captured output.")
+    if callable(source):
+        lines = source()
+    elif isinstance(source, str):
+        lines = open(source, encoding="utf-8")
+    else:
+        lines = source
+    rows = []
+    try:
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            msg = _json.loads(line)
+            if msg.get("type") != "RECORD":
+                continue  # STATE/LOG/TRACE are control-plane
+            rec = msg["record"]
+            if streams and rec.get("stream") not in streams:
+                continue
+            rows.append((rec.get("stream"), _json.dumps(rec.get("data")),
+                         int(rec.get("emitted_at", 0))))
+    finally:
+        if hasattr(lines, "close"):
+            lines.close()
+    spark = spark or _spark()
+    df = spark.createDataFrame(
+        rows, "stream string, data string, emitted_at long")
+    return Table(df.withColumn(ID, F.xxhash64("stream", "data", "emitted_at")))
+
+
+airbyte = SimpleNamespace(read=_airbyte_read)
 logstash = SimpleNamespace(write=lambda table, endpoint, **kw: _http_write(table, endpoint, **kw))
 slack = SimpleNamespace(
     send_alerts=lambda table, slack_channel_id, slack_token: _http_write(
         table, "https://slack.com/api/chat.postMessage",
         headers={"Authorization": f"Bearer {slack_token}"}),
 )
-pyfilesystem = SimpleNamespace(read=_gated("pyfilesystem.read", "the fs package"))
+pyfilesystem = SimpleNamespace(read=_pyfilesystem_read,
+                               LocalDirClient=LocalDirClient)
 
 # vector-store sinks — real foreachPartition/foreachBatch REST writers
 # (payloads per the public service APIs; offline-tested against a local

@@ -120,8 +120,8 @@ def test_gated_connectors_raise_clearly():
         pw.io.nats.read()
     with pytest.raises(NotImplementedError, match="Airbyte"):
         pw.io.airbyte.read()
-    with pytest.raises(NotImplementedError, match="Chroma"):
-        pw.io.chroma.write(None)
+    # vector-store sinks (chroma/pinecone/qdrant/...) became real REST
+    # writers in round 4 — covered by tests/test_vector_sinks.py.
 
 
 def test_s3_path_normalization():

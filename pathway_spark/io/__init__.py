@@ -288,7 +288,9 @@ def register_input_synchronization_group(*columns, max_difference,
     Spark mapping: the engine-native equivalent is event-time watermark
     alignment — each streaming input gets ``withWatermark(col,
     max_difference)`` and the session is pinned to
-    ``multipleWatermarkPolicy=min``, so the global event-time frontier is
+    ``multipleWatermarkPolicy=min`` — note this is a SESSION-WIDE conf
+    mutation affecting every multi-watermark query in the session, not
+    just this group — so the global event-time frontier is
     the MINIMUM across the group: a lagging source holds back every
     other source's window/join emission, which is the reference
     guarantee ("continue reading from the other sources only after the
@@ -336,9 +338,14 @@ def register_input_synchronization_group(*columns, max_difference,
             )
             ts = F.col(col_name)
             if dict(df.dtypes)[col_name] in ("bigint", "int"):
-                # epoch-us long -> timestamp for the watermark clock
-                df = df.withColumn("__pw_sync_ts", F.timestamp_micros(ts))
-                df = df.withWatermark("__pw_sync_ts", delay)
+                # epoch-us long -> timestamp for the watermark clock.
+                # The helper column is dropped right away: the
+                # EventTimeWatermark node stays in the plan (it drives
+                # the global frontier), and the returned schema matches
+                # the input exactly.
+                df = (df.withColumn("__pw_sync_ts", F.timestamp_micros(ts))
+                        .withWatermark("__pw_sync_ts", delay)
+                        .drop("__pw_sync_ts"))
             else:
                 df = df.withWatermark(col_name, delay)
         group.append((col_name, delay))

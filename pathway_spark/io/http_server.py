@@ -192,6 +192,14 @@ class _PendingRequests:
         with self._lock:
             return self._results.pop(rid, None)
 
+    def discard(self, rid: int) -> None:
+        """Drop all state for a timed-out request — without this, a
+        fulfill() that lands after the 504 would park its result in
+        ``_results`` forever (unbounded growth under a slow pipeline)."""
+        with self._lock:
+            self._events.pop(rid, None)
+            self._results.pop(rid, None)
+
 
 def rest_connector(
     host: str | None = None,
@@ -250,6 +258,7 @@ def rest_connector(
             json.dump(row, f)
         os.rename(path + ".tmp", path)  # atomic: readStream never sees partials
         if not ev.wait(timeout=response_timeout_s):
+            pending.discard(rid)
             return 504, {"error": "response timeout"}
         return 200, pending.take(rid)
 

@@ -108,8 +108,12 @@ class McpServer:
                                                 "string")}
             for f in struct.fields
         }
-        return {"type": "object", "properties": props,
-                "required": [f.name for f in struct.fields]}
+        # only default-less columns are required — handlers fall back to
+        # defaults via args.get, so strict MCP clients may omit the rest
+        defs = getattr(schema, "_columns", {})
+        required = [f.name for f in struct.fields
+                    if getattr(defs.get(f.name), "default_value", None) is None]
+        return {"type": "object", "properties": props, "required": required}
 
     # ------------------------------------------------------------- protocol
     def _handle(self, method: str, payload: dict):
@@ -144,23 +148,30 @@ class McpServer:
             if tool is None:
                 return err(-32601, f"unknown tool {params.get('name')!r}")
             args = params.get("arguments") or {}
-            struct = tool.schema.to_struct_type()
-            if struct.fields:
-                row = {f.name: args.get(f.name) for f in struct.fields}
-                qdf = self._spark.createDataFrame([row], struct)
-            else:
-                qdf = self._spark.range(1).drop("id")
-            qdf = qdf.withColumn(ID, F.lit(0).cast("long"))
-            out = tool.handler(Table(qdf))
-            odf = out._df if isinstance(out, Table) else out
-            rows = odf.collect()
-            cols = [c for c in odf.columns if c != ID]
-            if len(rows) == 1 and "result" in cols:
-                text = rows[0]["result"]
-                text = text if isinstance(text, str) else json.dumps(text)
-            else:
-                text = json.dumps([{c: r[c] for c in cols} for r in rows],
-                                  default=str)
+            try:
+                struct = tool.schema.to_struct_type()
+                if struct.fields:
+                    row = {f.name: args.get(f.name) for f in struct.fields}
+                    qdf = self._spark.createDataFrame([row], struct)
+                else:
+                    qdf = self._spark.range(1).drop("id")
+                qdf = qdf.withColumn(ID, F.lit(0).cast("long"))
+                out = tool.handler(Table(qdf))
+                odf = out._df if isinstance(out, Table) else out
+                rows = odf.collect()
+                cols = [c for c in odf.columns if c != ID]
+                if len(rows) == 1 and "result" in cols:
+                    text = rows[0]["result"]
+                    text = text if isinstance(text, str) else json.dumps(text)
+                else:
+                    text = json.dumps([{c: r[c] for c in cols} for r in rows],
+                                      default=str)
+            except Exception as ex:  # noqa: BLE001 — MCP spec: tool
+                # execution failures are a RESULT with isError, not a
+                # transport-level HTTP 500 (strict clients reject those)
+                return ok({"content": [{"type": "text",
+                                        "text": f"{type(ex).__name__}: {ex}"}],
+                           "isError": True})
             return ok({"content": [{"type": "text", "text": text}],
                        "isError": False})
         return err(-32601, f"unknown method {rpc!r}")

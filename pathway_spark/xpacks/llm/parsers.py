@@ -43,7 +43,40 @@ def _gated_parser(pkg: str, cls: str, note: str = ""):
 UnstructuredParser = _gated_parser("unstructured", "UnstructuredParser")
 ParseUnstructured = UnstructuredParser
 DoclingParser = _gated_parser("docling", "DoclingParser")
-PypdfParser = _gated_parser("pypdf", "PypdfParser")
+
+
+class PypdfParser(UDF):
+    """reference parsers.py PypdfParser — binary PDF → extracted text.
+    Uses the pypdf package when installed; otherwise falls back to the
+    pure-stdlib extractor in `_pdf.py` (FlateDecode + Tj/TJ operators),
+    so text-first PDF ingestion works with zero optional deps."""
+
+    def __init__(self, apply_text_cleanup: bool = True, **kw):
+        try:
+            import pypdf  # noqa: F401
+
+            def parse(contents: bytes) -> str:
+                import io as _io
+
+                import pypdf as _p
+                reader = _p.PdfReader(_io.BytesIO(bytes(contents)))
+                text = "\n".join(p.extract_text() or "" for p in reader.pages)
+                return _cleanup(text) if apply_text_cleanup else text
+        except ImportError:
+            from ._pdf import pdf_extract_text
+
+            def parse(contents: bytes) -> str:
+                text = pdf_extract_text(bytes(contents))
+                return _cleanup(text) if apply_text_cleanup else text
+
+        super().__init__(parse, return_type=str, **kw)
+
+
+def _cleanup(text: str) -> str:
+    """reference parsers.py pypdf cleanup: collapse intra-line runs of
+    whitespace, drop empty lines."""
+    lines = (" ".join(ln.split()) for ln in text.splitlines())
+    return "\n".join(ln for ln in lines if ln)
 ImageParser = _gated_parser("PIL", "ImageParser",
                             " (vision-LLM description of images)")
 SlideParser = _gated_parser("pdf2image", "SlideParser")

@@ -190,7 +190,8 @@ def test_input_synchronization_group(spark, tmp_path):
         (pw.Table(s1.withColumn("_pw_id", F.xxhash64("ts"))), "ts"),
         (pw.Table(s2.withColumn("_pw_id", F.xxhash64("ts"))), "ts"),
         max_difference=dt.timedelta(seconds=30))
-    assert "__pw_sync_ts" in t1._df.columns
+    # helper watermark column must NOT leak: returned schema == input
+    assert t1.column_names == ["ts", "v"]
     assert "eventTime" in t1._df._jdf.queryExecution().analyzed().toString() \
         or "EventTimeWatermark" in t1._df._jdf.queryExecution().analyzed().toString()
     assert spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy") == "min"

@@ -17,7 +17,7 @@ QUERIES = entry_mod.queries()
 NO_PYTHON = [
     "q01_filter_groupby", "q02_project_ifelse", "q03_join_agg",
     "q04_left_join", "q09_flatten_wordcount", "q16_sort_diff",
-    "q19_tumbling", "q20_sliding", "q21_session", "q22_asof_join",
+    "q19_tumbling_sliding", "q21_session", "q22_asof_join",
     "q23_interval_join", "q29_dedup_exact", "q31_ngram_jaccard",
     "q32_minhash_lsh", "q33_simhash", "q34_knn_bruteforce",
     "q36_text_profile", "q46_bm25",

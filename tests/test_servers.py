@@ -152,3 +152,51 @@ def test_mcp_server_roundtrip(spark):
         assert bad["error"]["code"] == -32601
     finally:
         mcp.server.webserver.stop()
+
+
+def test_pending_requests_no_leak_after_timeout():
+    """A fulfill() landing after the 504 must not park results forever
+    (io/http_server.py _PendingRequests.discard)."""
+    from pathway_spark.io.http_server import _PendingRequests
+
+    p = _PendingRequests()
+    ev = p.create(7)
+    assert not ev.wait(timeout=0.01)  # simulated timeout
+    p.discard(7)
+    p.fulfill(7, {"late": True})  # event gone -> result must not be stored
+    assert p._events == {} and p._results == {}
+
+    # normal path still works
+    ev2 = p.create(8)
+    p.fulfill(8, "ok")
+    assert ev2.is_set() and p.take(8) == "ok" and p._results == {}
+
+
+def test_mcp_schema_defaults_and_tool_error(spark):
+    """inputSchema marks only default-less fields required; a raising
+    handler surfaces as an MCP result with isError, not HTTP 500."""
+    import pathway_spark as pw
+    from pathway_spark.xpacks.llm.mcp_server import McpConfig, McpServer
+
+    class Sch(pw.Schema):
+        query: str
+        k: int = pw.column_definition(dtype=int, default_value=3)
+
+    server = McpServer(McpConfig(name="test-mcp-err", host="127.0.0.1",
+                                 port=0), spark=spark)
+
+    def boom(t):
+        raise RuntimeError("tool exploded")
+
+    server.tool("boom", request_handler=boom, schema=Sch)
+    _status, listing = server._handle("POST", {
+        "jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    [tool] = listing["result"]["tools"]
+    assert tool["inputSchema"]["required"] == ["query"]
+
+    _status, resp = server._handle("POST", {
+        "jsonrpc": "2.0", "id": 2, "method": "tools/call",
+        "params": {"name": "boom", "arguments": {"query": "x"}}})
+    res = resp["result"]
+    assert res["isError"] is True
+    assert "tool exploded" in res["content"][0]["text"]

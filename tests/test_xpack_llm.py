@@ -46,9 +46,9 @@ def test_gated_embedder_raises():
     with pytest.raises(ImportError, match="EchoChat"):
         llms.OpenAIChat()
     with pytest.raises(ImportError):
-        parsers.PypdfParser()
-    with pytest.raises(ImportError):
         rerankers.CrossEncoderReranker()
+    # PypdfParser is no longer gated: it falls back to the stdlib
+    # extractor (tests/test_pdf_parser.py) when pypdf is absent.
 
 
 def test_utf8_parser(spark):

@@ -11,6 +11,7 @@ physical optimization.
 from __future__ import annotations
 
 from . import compat, debug, demo, io, persistence, reducers, streaming, universes
+from . import monitoring
 from . import udfs
 from .compat import (
     DateTimeNaive,

@@ -362,7 +362,10 @@ def subscribe(table: Table, on_change, on_time_end=None, on_end=None):
     df = table._df
     if df.isStreaming:
         def batch_fn(bdf: DataFrame, batch_id: int):
-            for row in bdf.collect():
+            # toLocalIterator: one partition in driver memory at a time —
+            # per-row callbacks are inherently driver-side (same contract
+            # as the reference), but the batch need not be
+            for row in bdf.toLocalIterator():
                 d = row.asDict()
                 key = d.pop(ID, None)
                 on_change(key=key, row=d, time=batch_id, is_addition=True)
@@ -371,7 +374,7 @@ def subscribe(table: Table, on_change, on_time_end=None, on_end=None):
 
         q = df.writeStream.foreachBatch(batch_fn).start()
         return q
-    for row in df.collect():
+    for row in df.toLocalIterator():
         d = row.asDict()
         key = d.pop(ID, None)
         on_change(key=key, row=d, time=0, is_addition=True)
@@ -388,8 +391,8 @@ def subscribe(table: Table, on_change, on_time_end=None, on_end=None):
 # elsewhere. See connectors.py for the per-system notes.
 from .connectors import (  # noqa: E402,F401
     airbyte, bigquery, chroma, clickhouse, debezium, dynamodb,
-    elasticsearch, gdrive, http, kinesis, logstash, milvus, minio, mongodb,
-    mqtt, mssql, nats, null, pinecone, pubsub, pyfilesystem, qdrant,
-    questdb, rabbitmq, s3, s3_csv, sharepoint, slack, weaviate,
+    elasticsearch, gdrive, http, kinesis, leann, logstash, milvus, minio,
+    mongodb, mqtt, mssql, nats, null, pinecone, pubsub, pyfilesystem,
+    qdrant, questdb, rabbitmq, s3, s3_csv, sharepoint, slack, weaviate,
 )
 from .connectors import duckdb_ns as duckdb  # noqa: E402,F401

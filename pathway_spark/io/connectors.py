@@ -483,6 +483,7 @@ pyfilesystem = SimpleNamespace(read=_pyfilesystem_read,
 # HTTP fixture). See io/vector_store.py for the scale design.
 from .vector_store import (  # noqa: E402
     chroma_write as _chroma_write,
+    leann_write as _leann_write,
     milvus_write as _milvus_write,
     pinecone_write as _pinecone_write,
     qdrant_write as _qdrant_write,
@@ -490,6 +491,7 @@ from .vector_store import (  # noqa: E402
 )
 
 chroma = SimpleNamespace(write=_chroma_write)
+leann = SimpleNamespace(write=_leann_write)
 milvus = SimpleNamespace(write=_milvus_write)
 pinecone = SimpleNamespace(write=_pinecone_write)
 qdrant = SimpleNamespace(write=_qdrant_write)

@@ -241,3 +241,55 @@ def chroma_write(table: Table, *, url: str, collection_id: str,
                         max_retries=max_retries, transport=transport)
 
     return _write_partitioned(table, send_batch, batch_size=batch_size)
+
+
+def leann_write(table: Table, *, index_path: str, text_col: str = "text",
+                metadata_cols: list[str] | None = None,
+                backend_name: str = "hnsw",
+                embedding_mode: str | None = None,
+                embedding_model: str | None = None,
+                embedding_options: dict | None = None,
+                builder_factory=None) -> int:
+    """LEANN local-index sink (reference python/pathway/io/leann
+    `_LeannObserver`): accumulate (text, metadata) rows, skip empty
+    text, build the index once at the end of input.
+
+    ``builder_factory(**kwargs)`` must return an object with
+    ``add_text(text=..., metadata=...)`` and ``build_index(path)``; by
+    default the `leann` package's LeannBuilder is used (gated — not in
+    this container). Driver-side by contract, like the reference: LEANN
+    builds a single local index file. Returns the number of docs indexed.
+    """
+    if builder_factory is None:
+        try:
+            from leann import LeannBuilder as builder_factory  # noqa: N813
+        except ImportError as e:
+            raise NotImplementedError(
+                "io.leann.write requires the `leann` package; pass "
+                "builder_factory= to use another index builder.") from e
+
+    import os
+
+    docs: list[dict] = []
+    for row in table.to_df().toLocalIterator():
+        d = row.asDict()
+        text = d.get(text_col)
+        if not text or not str(text).strip():
+            continue
+        meta = {c: d.get(c) for c in (metadata_cols or [])}
+        docs.append({"text": text, "metadata": meta})
+    if not docs:
+        return 0
+    kwargs: dict = {"backend_name": backend_name}
+    if embedding_mode:
+        kwargs["embedding_mode"] = embedding_mode
+    if embedding_model:
+        kwargs["embedding_model"] = embedding_model
+    if embedding_options:
+        kwargs["embedding_options"] = embedding_options
+    builder = builder_factory(**kwargs)
+    for doc in docs:
+        builder.add_text(**doc)
+    os.makedirs(os.path.dirname(os.path.abspath(index_path)), exist_ok=True)
+    builder.build_index(str(index_path))
+    return len(docs)

@@ -98,7 +98,8 @@ def subscribe_stream(table_or_df, on_change, *, key_cols: list[str],
     state: dict = {}
 
     def batch_fn(bdf: DataFrame, batch_id: int):
-        for row in bdf.collect():
+        # toLocalIterator bounds driver memory to one partition per step
+        for row in bdf.toLocalIterator():
             d = row.asDict()
             d.pop(ID, None)
             key = tuple(d[k] for k in key_cols)

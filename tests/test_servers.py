@@ -200,3 +200,33 @@ def test_mcp_schema_defaults_and_tool_error(spark):
     res = resp["result"]
     assert res["isError"] is True
     assert "tool exploded" in res["content"][0]["text"]
+
+
+def test_monitoring_server(spark):
+    """/status + /metrics JSON snapshot (reference engine http_server
+    status endpoint re-expressed over Spark's trackers)."""
+    import json as _json
+    import urllib.request
+
+    from pathway_spark.monitoring import run_monitoring_server
+
+    mon = run_monitoring_server(spark)
+    try:
+        # an active streaming query should show up in the snapshot
+        q = (spark.readStream.format("rate").option("rowsPerSecond", 10)
+             .load().writeStream.format("noop")
+             .queryName("mon_probe").start())
+        try:
+            q.processAllAvailable()
+            url = f"http://127.0.0.1:{mon.webserver.port}"
+            status = _json.load(urllib.request.urlopen(f"{url}/status"))
+            assert status["app"]["id"] and status["app"]["uptimeSec"] >= 0
+            names = [s["name"] for s in status["streamingQueries"]]
+            assert "mon_probe" in names
+            metrics = _json.load(urllib.request.urlopen(f"{url}/metrics"))
+            assert metrics["pathway_spark_active_queries"] >= 1
+            assert any(k.startswith("pathway_spark_query_") for k in metrics)
+        finally:
+            q.stop()
+    finally:
+        mon.stop()

@@ -154,3 +154,42 @@ def test_retry_then_raise(spark):
         _post_with_retry("http://x/", "POST", {}, {}, max_retries=2,
                          transport=dead)
     assert len(calls) == 3
+
+
+def test_leann_write_with_injected_builder(spark, tmp_path):
+    """leann sink (reference io/leann _LeannObserver): skip empty text,
+    add_text per doc, one build_index at end-of-input."""
+    import pandas as pd
+
+    import pathway_spark as pw
+
+    built = {}
+
+    class FakeBuilder:
+        def __init__(self, **kwargs):
+            built["kwargs"] = kwargs
+            self.docs = []
+
+        def add_text(self, text, metadata):
+            self.docs.append((text, metadata))
+
+        def build_index(self, path):
+            built["path"] = path
+            built["docs"] = list(self.docs)
+
+    t = pw.debug.table_from_pandas(pd.DataFrame({
+        "text": ["alpha doc", "", "   ", "beta doc"],
+        "lang": ["en", "en", "de", "fr"],
+    }))
+    idx = str(tmp_path / "idx" / "docs.leann")
+    n = pw.io.leann.write(t, index_path=idx, text_col="text",
+                          metadata_cols=["lang"],
+                          builder_factory=FakeBuilder)
+    assert n == 2
+    assert built["path"] == idx
+    assert sorted(d[0] for d in built["docs"]) == ["alpha doc", "beta doc"]
+    assert {d[1]["lang"] for d in built["docs"]} == {"en", "fr"}
+    assert built["kwargs"] == {"backend_name": "hnsw"}
+
+    with pytest.raises(NotImplementedError, match="leann"):
+        pw.io.leann.write(t, index_path=idx)

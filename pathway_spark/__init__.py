@@ -84,6 +84,18 @@ from . import xpacks  # noqa: E402
 from .stdlib import stateful  # noqa: E402
 from .reducers import BaseCustomAccumulator  # noqa: E402
 
+# `pw.window` appears in the reference's __all__ (no binding there — a
+# stale entry); we resolve it to the window-constructor namespace, the
+# only meaning a user could intend.
+from types import SimpleNamespace as _SNS  # noqa: E402
+
+window = _SNS(
+    tumbling=temporal.tumbling,
+    sliding=temporal.sliding,
+    session=temporal.session,
+    intervals_over=temporal.intervals_over,
+)
+
 # reference aliases: `pw.asynchronous` is the deprecated name of `pw.udfs`
 asynchronous = udfs
 

@@ -176,13 +176,26 @@ class Literal(ColumnExpression):
 
 
 class ColumnReference(ColumnExpression):
-    def __init__(self, side: str, name: str):
+    def __init__(self, side: str, name: str, table=None):
         self._side = side
         self._name = name
+        self._table = table
 
     @property
     def name(self) -> str:
         return self._name
+
+    @property
+    def table(self):
+        """The Table this reference was taken from (reference
+        `expression.ColumnReference.table`) — bound when created via
+        `table.col` / `table[col]`; unbound `pw.this` refs have none."""
+        if self._table is None:
+            raise AttributeError(
+                f"column reference {self._name!r} is not bound to a table "
+                "(use table.column, not pw.this.column, where an owning "
+                "table is required)")
+        return self._table
 
     def _to_col(self, ctx: EvalContext) -> Column:
         return ctx.ref(self)

@@ -160,3 +160,223 @@ class DataIndex:
                                    id_col=self._id_col, k=number_of_matches)
 
     query_as_of_now = query
+
+
+# ----------------------------------------------------------------- parity
+# Class/enum/helper names from the reference `stdlib/indexing/__init__.py`.
+
+import enum as _enum
+
+
+class BruteForceKnnMetricKind(_enum.Enum):
+    """nearest_neighbors.py — metric enum for BruteForceKnn."""
+    COS = "cosine"
+    L2SQ = "l2"
+
+
+class USearchMetricKind(_enum.Enum):
+    """nearest_neighbors.py:65 — usearch metric enum."""
+    COS = "cosine"
+    L2SQ = "l2"
+    IP = "dot"
+
+
+def _metric_name(metric) -> str:
+    return metric.value if isinstance(metric, _enum.Enum) else str(metric)
+
+
+class AbstractRetrieverFactory:
+    """retrievers.py:7 — builds a bound index over a data table."""
+
+    def build_index(self, data: Table, *, vec_col: str = "embedding",
+                    text_col: str = "text", id_col: str = "vec_id"):
+        raise NotImplementedError
+
+
+class InnerIndex:
+    """data_index.py:206 — an index bound to its data; `query` answers a
+    query table, `query_as_of_now` is the streaming-consistent form (in
+    batch plans every query sees the full index, so they coincide)."""
+
+    def __init__(self, data: Table, factory, *, vec_col="embedding",
+                 text_col="text", id_col="vec_id"):
+        self._data = data
+        self._factory = factory
+        self._vec_col = vec_col
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def query(self, queries: Table, *, number_of_matches: int = 3) -> Table:
+        return self._factory.query(self._data, queries,
+                                   vec_col=self._vec_col,
+                                   id_col=self._id_col,
+                                   k=number_of_matches)
+
+    query_as_of_now = query
+
+
+class BruteForceKnn(InnerIndex):
+    """nearest_neighbors.py:170 — exact KNN bound to a data table."""
+
+
+class USearchKnn(InnerIndex):
+    """nearest_neighbors.py:65 — HNSW ANN bound to a data table (usearch
+    in the reference; the per-partition numpy HNSW of operators/hnsw.py
+    here)."""
+
+
+class LshKnn(InnerIndex):
+    """nearest_neighbors.py:262 — approximate KNN (IVF cells here)."""
+
+
+class TantivyBM25(InnerIndex):
+    """bm25.py:41 — full-text BM25 index. The reference embeds the
+    tantivy engine; our tfidf_score builds the same inverted-index plan
+    in DataFrame ops (one tokenize pass, broadcast idf stats)."""
+
+    def query(self, queries: Table, *, number_of_matches: int = 3) -> Table:
+        return tfidf_score(self._data, queries, text_col=self._text_col,
+                           id_col=self._id_col, k=number_of_matches)
+
+    query_as_of_now = query
+
+
+class TantivyBM25Factory(AbstractRetrieverFactory):
+    """bm25.py:109."""
+
+    def __init__(self, *, ram_budget: int | None = None,
+                 in_memory_index: bool = True, **kw):
+        del ram_budget, in_memory_index, kw  # engine knobs; Spark plans need none
+
+    def build_index(self, data: Table, *, vec_col="embedding",
+                    text_col="text", id_col="vec_id") -> TantivyBM25:
+        return TantivyBM25(data, self, vec_col=vec_col, text_col=text_col,
+                           id_col=id_col)
+
+    def query(self, corpus: Table, queries: Table, *, vec_col="embedding",
+              id_col="vec_id", k=10, text_col="text") -> Table:
+        return tfidf_score(corpus, queries, text_col=text_col,
+                           id_col=id_col, k=k)
+
+
+class DefaultKnnFactory(BruteForceKnnFactory):
+    """nearest_neighbors.py:574 — the default dense-vector factory."""
+
+
+class HybridIndex(InnerIndex):
+    """hybrid_index.py:14 — fuse several retrievers by Reciprocal Rank
+    Fusion: score = Σ 1/(k + rank) over each retriever's ranking."""
+
+    def __init__(self, retrievers: list, k: int = 60):
+        self._retrievers = retrievers
+        self._k = k
+
+    def query(self, queries: Table, *, number_of_matches: int = 3) -> Table:
+        fused = None
+        for i, r in enumerate(self._retrievers):
+            part = r.query(queries, number_of_matches=number_of_matches)._df
+            id_like = [c for c in part.columns
+                       if c not in ("query_id", "rank", "score", "rrf", ID)]
+            doc_col = id_like[0] if id_like else "doc_id"
+            part = part.select("query_id", F.col(doc_col).alias("doc"),
+                               F.col("rank").alias(f"r{i}"))
+            fused = part if fused is None else fused.join(
+                part, ["query_id", "doc"], "full_outer")
+        rrf = None
+        for i in range(len(self._retrievers)):
+            term = F.coalesce(1.0 / (F.lit(self._k) + F.col(f"r{i}")), F.lit(0.0))
+            rrf = term if rrf is None else rrf + term
+        fused = fused.withColumn("rrf", rrf)
+        w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc"))
+        out = (fused.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= number_of_matches)
+               .select("query_id", F.col("doc").alias("doc_id"), "rank", "rrf"))
+        return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
+
+    query_as_of_now = query
+
+
+class HybridIndexFactory(AbstractRetrieverFactory):
+    """hybrid_index.py:161 — builds a HybridIndex from retriever factories."""
+
+    def __init__(self, retriever_factories: list, k: int = 60):
+        self._factories = retriever_factories
+        self._k = k
+
+    def build_index(self, data: Table, *, vec_col="embedding",
+                    text_col="text", id_col="vec_id") -> HybridIndex:
+        return HybridIndex(
+            [f.build_index(data, vec_col=vec_col, text_col=text_col,
+                           id_col=id_col) for f in self._factories],
+            k=self._k)
+
+
+def _bind(factory_cls):
+    """Give the plain KNN factories a build_index for the parity path."""
+    def build_index(self, data: Table, *, vec_col="embedding",
+                    text_col="text", id_col="vec_id"):
+        cls_map = {
+            "BruteForceKnnFactory": BruteForceKnn,
+            "DefaultKnnFactory": BruteForceKnn,
+            "UsearchKnnFactory": USearchKnn,
+            "LshKnnFactory": LshKnn,
+        }
+        icls = cls_map.get(type(self).__name__, BruteForceKnn)
+        return icls(data, self, vec_col=vec_col, text_col=text_col,
+                    id_col=id_col)
+    factory_cls.build_index = build_index
+
+
+for _cls in (BruteForceKnnFactory, UsearchKnnFactory, LshKnnFactory,
+             DefaultKnnFactory):
+    _bind(_cls)
+
+
+def default_vector_document_index(data_column, data_table: Table, *,
+                                  dimensions: int | None = None,
+                                  metric=BruteForceKnnMetricKind.COS,
+                                  embedder=None) -> DataIndex:
+    """vector_document_index.py — DataIndex over an embedding column."""
+    del embedder  # embedding happens upstream in Spark plans
+    vec_col = data_column._name if hasattr(data_column, "_name") else str(data_column)
+    return DataIndex(data_table,
+                     BruteForceKnnFactory(dimensions=dimensions,
+                                          metric=_metric_name(metric)),
+                     vec_col=vec_col, id_col=ID)
+
+
+default_brute_force_knn_document_index = default_vector_document_index
+
+
+def default_usearch_knn_document_index(data_column, data_table: Table, *,
+                                       dimensions: int | None = None,
+                                       metric=USearchMetricKind.COS,
+                                       embedder=None) -> DataIndex:
+    del embedder
+    vec_col = data_column._name if hasattr(data_column, "_name") else str(data_column)
+    return DataIndex(data_table,
+                     UsearchKnnFactory(dimensions=dimensions,
+                                       metric=_metric_name(metric)),
+                     vec_col=vec_col, id_col=ID)
+
+
+def default_lsh_knn_document_index(data_column, data_table: Table, *,
+                                   dimensions: int | None = None,
+                                   embedder=None) -> DataIndex:
+    del embedder
+    vec_col = data_column._name if hasattr(data_column, "_name") else str(data_column)
+    return DataIndex(data_table, LshKnnFactory(dimensions=dimensions),
+                     vec_col=vec_col, id_col=ID)
+
+
+def default_full_text_document_index(data_column, data_table: Table,
+                                     **kw) -> DataIndex:
+    """full_text_document_index.py — BM25 DataIndex over a text column."""
+    text_col = data_column._name if hasattr(data_column, "_name") else str(data_column)
+
+    class _BM25Adapter:
+        def query(self, corpus, queries, *, vec_col=None, id_col="vec_id", k=10):
+            return tfidf_score(corpus, queries, text_col=text_col,
+                               id_col=id_col, k=k)
+
+    return DataIndex(data_table, _BM25Adapter(), vec_col=text_col, id_col=ID)

@@ -396,3 +396,48 @@ from .connectors import (  # noqa: E402,F401
     qdrant, questdb, rabbitmq, s3, s3_csv, sharepoint, slack, weaviate,
 )
 from .connectors import duckdb_ns as duckdb  # noqa: E402,F401
+
+
+@_dc.dataclass
+class CsvParserSettings:
+    """CSV parser settings (reference `io/_utils.py:197`) — mapped onto
+    the Spark csv reader options by `fs.read(format="csv")`."""
+
+    delimiter: str = ","
+    quote: str = '"'
+    escape: str | None = None
+    enable_double_quote_escapes: bool = True
+    enable_quoting: bool = True
+    comment_character: str | None = None
+
+    def to_spark_options(self) -> dict:
+        opts = {"sep": self.delimiter, "quote": self.quote if self.enable_quoting else ""}
+        if self.escape is not None:
+            opts["escape"] = self.escape
+        elif self.enable_double_quote_escapes:
+            opts["escape"] = '"'
+        if self.comment_character:
+            opts["comment"] = self.comment_character
+        return opts
+
+
+@_dc.dataclass
+class TLSSettings:
+    """TLS settings for encrypted connectors (reference
+    `internals/_io_helpers.py:18`) — carried into JDBC/kafka option maps
+    by the respective connectors."""
+
+    mode: str = "prefer"
+    root_cert_path: str | None = None
+    client_cert_path: str | None = None
+    client_key_path: str | None = None
+
+    def to_jdbc_params(self) -> dict:
+        p = {"sslmode": self.mode}
+        if self.root_cert_path:
+            p["sslrootcert"] = self.root_cert_path
+        if self.client_cert_path:
+            p["sslcert"] = self.client_cert_path
+        if self.client_key_path:
+            p["sslkey"] = self.client_key_path
+        return p

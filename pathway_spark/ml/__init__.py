@@ -40,3 +40,23 @@ def smart_fuzzy_join(left: Table, right: Table, *, left_col: str, right_col: str
     w = W.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id"))
     out = matches._df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     return Table(out)
+
+
+# reference `stdlib/ml/__init__.py` exports its submodules; ours mirror
+# the same import paths (classifiers, datasets, hmm, smart_table_ops,
+# utils — plus document_store/splitters which the reference keeps in the
+# llm xpack but tutorials import from both places).
+from . import classifiers, datasets, hmm, smart_table_ops, utils  # noqa: E402
+from .smart_table_ops import (  # noqa: E402
+    Edge,
+    Feature,
+    FuzzyJoinFeatureGeneration,
+    FuzzyJoinNormalization,
+    JoinResult,
+    Node,
+    fuzzy_match,
+    fuzzy_match_with_hint,
+    fuzzy_self_match,
+)
+
+smart_fuzzy_match = smart_fuzzy_join

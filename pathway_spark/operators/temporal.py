@@ -313,3 +313,129 @@ def window_join(lt: Table, rt: Table, t_left, t_right, window: Window, on: list,
     raug = Table(_assign_hopping(rt._df, to_col(t_right, rctx), window))
     conds = [BinaryOp("==", ColumnReference("left", WSTART), ColumnReference("right", WSTART))] + list(on)
     return JoinResult(laug, raug, conds, how)
+
+
+# ----------------------------------------------------------------- parity
+# Names exported by the reference `stdlib/temporal/__init__.py` that are
+# free-function forms of Table methods, enums, or behavior re-exports.
+
+import enum as _enum
+
+
+class Direction(_enum.Enum):
+    """_asof_join.py:34."""
+    BACKWARD = "backward"
+    FORWARD = "forward"
+    NEAREST = "nearest"
+
+
+Interval = _Interval
+Window = Window  # noqa: PLW0127  (re-export under the reference name)
+AsofJoinResult = JoinResult
+AsofNowJoinResult = JoinResult
+IntervalJoinResult = JoinResult
+WindowJoinResult = JoinResult
+
+
+def _how_name(how) -> str:
+    return how.name.lower() if hasattr(how, "name") else str(how)
+
+
+def _dir_name(direction) -> str:
+    return (direction.value if isinstance(direction, Direction)
+            else str(direction))
+
+
+def asof_join(self, other, self_time, other_time, *on, how="inner",
+              behavior=None, defaults=None, direction=Direction.BACKWARD,
+              left_instance=None, right_instance=None):
+    """_asof_join.py:481 — free-function form of Table.asof_join."""
+    del behavior  # batch plans need no forgetting policy
+    onl = list(on)
+    if left_instance is not None and right_instance is not None:
+        onl.append(left_instance == right_instance)
+    return self.asof_join(other, self_time, other_time, *onl,
+                          how=_how_name(how), direction=_dir_name(direction),
+                          defaults=defaults)
+
+
+def asof_join_left(self, other, self_time, other_time, *on, **kw):
+    return asof_join(self, other, self_time, other_time, *on, how="left", **kw)
+
+
+def asof_join_right(self, other, self_time, other_time, *on, **kw):
+    return asof_join(self, other, self_time, other_time, *on, how="right", **kw)
+
+
+def asof_join_outer(self, other, self_time, other_time, *on, **kw):
+    return asof_join(self, other, self_time, other_time, *on, how="outer", **kw)
+
+
+def asof_now_join(self, other, *on, how="inner", **kw):
+    """_asof_now_join.py — free-function form of Table.asof_now_join."""
+    return self.asof_now_join(other, *on, how=_how_name(how), **kw)
+
+
+def asof_now_join_inner(self, other, *on, **kw):
+    return asof_now_join(self, other, *on, how="inner", **kw)
+
+
+def asof_now_join_left(self, other, *on, **kw):
+    return asof_now_join(self, other, *on, how="left", **kw)
+
+
+def interval_join_inner(lt, rt, t_left, t_right, interval, on=(), **kw):
+    return interval_join(lt, rt, t_left, t_right, interval, list(on),
+                         how="inner", **kw)
+
+
+def interval_join_left(lt, rt, t_left, t_right, interval, on=(), **kw):
+    return interval_join(lt, rt, t_left, t_right, interval, list(on),
+                         how="left", **kw)
+
+
+def interval_join_right(lt, rt, t_left, t_right, interval, on=(), **kw):
+    return interval_join(lt, rt, t_left, t_right, interval, list(on),
+                         how="right", **kw)
+
+
+def interval_join_outer(lt, rt, t_left, t_right, interval, on=(), **kw):
+    return interval_join(lt, rt, t_left, t_right, interval, list(on),
+                         how="outer", **kw)
+
+
+def window_join_inner(lt, rt, t_left, t_right, window, on=(), **kw):
+    return window_join(lt, rt, t_left, t_right, window, list(on),
+                       how="inner", **kw)
+
+
+def window_join_left(lt, rt, t_left, t_right, window, on=(), **kw):
+    return window_join(lt, rt, t_left, t_right, window, list(on),
+                       how="left", **kw)
+
+
+def window_join_right(lt, rt, t_left, t_right, window, on=(), **kw):
+    return window_join(lt, rt, t_left, t_right, window, list(on),
+                       how="right", **kw)
+
+
+def window_join_outer(lt, rt, t_left, t_right, window, on=(), **kw):
+    return window_join(lt, rt, t_left, t_right, window, list(on),
+                       how="outer", **kw)
+
+
+def _load_behaviors():
+    # lazy: streaming imports ..table only, but keep module import light
+    from ..streaming import (CommonBehavior, ExactlyOnceBehavior,
+                             common_behavior, exactly_once_behavior)
+    return CommonBehavior, ExactlyOnceBehavior, common_behavior, exactly_once_behavior
+
+
+(CommonBehavior, ExactlyOnceBehavior,
+ common_behavior, exactly_once_behavior) = _load_behaviors()
+
+from .time_utils import (  # noqa: E402
+    add_update_timestamp_utc,
+    inactivity_detection,
+    utc_now,
+)

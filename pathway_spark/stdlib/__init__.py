@@ -5,13 +5,9 @@ from types import SimpleNamespace
 from ..operators import temporal
 from ..operators.iterate import bellman_ford, connected_components, pagerank
 from ..operators.sort import diff, interpolate
+from . import graphs
 from . import utils
 from .utils import AsyncTransformer, pandas_transformer
-
-graphs = SimpleNamespace(
-    pagerank=pagerank, bellman_ford=bellman_ford,
-    connected_components=connected_components,
-)
 ordered = SimpleNamespace(diff=diff)
 statistical = SimpleNamespace(interpolate=interpolate)
 

@@ -1,9 +1,4 @@
-"""`pw.stdlib.utils` parity — AsyncTransformer and pandas_transformer.
-
-Reference: `stdlib/utils/async_transformer.py:387` (AsyncTransformer),
-`stdlib/utils/pandas_transformer.py` (pandas_transformer).
-"""
-
+"""AsyncTransformer — reference `stdlib/utils/async_transformer.py:387`."""
 from __future__ import annotations
 
 import asyncio
@@ -12,8 +7,8 @@ from typing import Iterator
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schema import Schema
-from ..table import ID, Table
+from ...schema import Schema
+from ...table import ID, Table
 
 
 class AsyncTransformer:
@@ -107,22 +102,3 @@ class AsyncTransformer:
         return self
 
 
-def pandas_transformer(output_schema: type[Schema], **kw):
-    """Decorator: a function over pandas DataFrames becomes a Table
-    operator (reference `pandas_transformer.py`). The whole table is
-    brought to the driver — a small-table utility by design, like the
-    reference (its engine also materializes the input)."""
-
-    def wrap(fn):
-        def run(*tables: Table) -> Table:
-            import pandas as pd  # noqa
-
-            pdfs = [t.to_df().toPandas() for t in tables]
-            out = fn(*pdfs)
-            spark = tables[0]._df.sparkSession
-            df = spark.createDataFrame(out, output_schema.to_struct_type())
-            return Table.from_spark(df)
-
-        return run
-
-    return wrap

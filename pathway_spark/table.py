@@ -132,14 +132,14 @@ class Table:
             raise AttributeError(name)
         if name not in self._df.columns:
             raise AttributeError(f"table has no column {name!r}")
-        return ColumnReference("this", name)
+        return ColumnReference("this", name, table=self)
 
     def __getitem__(self, name) -> ColumnReference:
         if isinstance(name, (list, tuple)):
             return [self[n] for n in name]  # type: ignore[return-value]
         if isinstance(name, ColumnReference):
             name = name._name
-        return ColumnReference("this", name)
+        return ColumnReference("this", name, table=self)
 
     @property
     def id(self) -> ColumnReference:

@@ -6,6 +6,8 @@ Everything composes the core engine's distributed operators; provider
 SDKs and model weights are gated (offline deterministic variants exist
 for every stage, so full pipelines run and test in-container)."""
 
+from typing import Callable, Iterable, TypeAlias, Union
+
 from . import (
     embedders,
     llms,
@@ -13,12 +15,23 @@ from . import (
     prompts,
     question_answering,
     rerankers,
+    servers,
     splitters,
     vector_store,
 )
+from ...ml import document_store
 from ...ml.document_store import DocumentStore
+
+# reference `xpacks/llm/_typing.py`
+Doc: TypeAlias = dict[str, "str | dict"]
+DocTransformerCallable: TypeAlias = Union[
+    Callable[[Iterable[Doc]], Iterable[Doc]],
+    Callable[[Iterable[Doc], float], Iterable[Doc]],
+]
+DocTransformer: TypeAlias = Union[object, DocTransformerCallable]
 
 __all__ = [
     "embedders", "llms", "parsers", "prompts", "question_answering",
-    "rerankers", "splitters", "vector_store", "DocumentStore",
+    "rerankers", "servers", "splitters", "vector_store", "DocumentStore",
+    "document_store", "Doc", "DocTransformer", "DocTransformerCallable",
 ]

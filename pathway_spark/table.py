@@ -478,6 +478,16 @@ class Table:
     def asof_join_outer(self, other, t_left, t_right, *on, **kw):
         return self.asof_join(other, t_left, t_right, *on, how="outer", **kw)
 
+    def asof_now_join(self, other, *on, how="inner", **kw):
+        from .operators.asof import asof_now_join
+        return asof_now_join(self, other, *on, how=how, **kw)
+
+    def asof_now_join_inner(self, other, *on, **kw):
+        return self.asof_now_join(other, *on, how="inner", **kw)
+
+    def asof_now_join_left(self, other, *on, **kw):
+        return self.asof_now_join(other, *on, how="left", **kw)
+
     def interval_join(self, other, t_left, t_right, interval, *on, how="inner"):
         from .operators.temporal import interval_join
         return interval_join(self, other, t_left, t_right, interval, list(on), how=how)
@@ -569,6 +579,236 @@ class Table:
 
     def count_rows(self) -> int:
         return self._df.count()
+
+    # ------------------------------------------------------ parity block
+    # Methods from the reference `internals/table.py` / `joins.py` whose
+    # Spark mappings are thin; the watermark family (buffer / forget /
+    # ignore_late) maps the engine's time-threshold primitives onto
+    # Structured Streaming watermarks (the identical eviction contract),
+    # with batch forms defined against max(time_column).
+
+    @property
+    def C(self):
+        """joins.py:106 — column namespace; attribute access on a Table
+        already yields bound ColumnReferences, so the namespace is the
+        table itself."""
+        return self
+
+    _C = C
+
+    @staticmethod
+    def empty(**kwargs) -> "Table":
+        """table.py:362 — empty table with columns typed by kwargs."""
+        from .schema import schema_from_types
+        from .session import get_spark
+
+        schema = schema_from_types(**kwargs)
+        struct = schema.to_struct_type().add(ID, T.LongType())
+        return Table(get_spark().createDataFrame([], struct))
+
+    @staticmethod
+    def from_columns(*args, **kwargs) -> "Table":
+        """table.py:272 — build a table from same-universe columns: the
+        first column's table provides the ids; every further source
+        table joins on id (a co-partitioned equi-join — same-universe
+        tables hash-partition identically on `_pw_id`)."""
+        named = {**{a._name: a for a in args}, **kwargs}
+        if not named:
+            raise ValueError("Table.from_columns() cannot have empty arguments list")
+        items = list(named.items())
+        base_t = items[0][1].table
+        out = base_t._df.select(ID, F.col(f"`{items[0][1]._name}`").alias(items[0][0]))
+        for new_name, ref in items[1:]:
+            piece = ref.table._df.select(
+                ID, F.col(f"`{ref._name}`").alias(new_name))
+            out = out.join(piece, ID)
+        return Table(out)
+
+    def keys(self):
+        """table.py:157 — the column names."""
+        return list(self.column_names)
+
+    def typehints(self):
+        """table.py:3119 — column name → python type."""
+        mapping = {
+            "bigint": int, "int": int, "smallint": int, "tinyint": int,
+            "double": float, "float": float, "string": str,
+            "boolean": bool, "binary": bytes,
+        }
+        return {c: mapping.get(dt.split("(")[0], object)
+                for c, dt in self._df.dtypes if c != ID}
+
+    def eval_type(self, expression):
+        """table.py:3138 — the type an expression evaluates to here."""
+        from .expressions import to_col
+
+        probe = self._df.select(to_col(expression, self._ctx()).alias("_t"))
+        return self.__class__(probe.withColumn(ID, F.lit(0))).typehints()["_t"]
+
+    def with_id(self, new_index) -> "Table":
+        """table.py:1899 — adopt an id-typed column as the new id
+        (with_id_from hashes arbitrary values; this takes ids as-is)."""
+        name = new_index._name if hasattr(new_index, "_name") else str(new_index)
+        df = self._df
+        src = (new_index.table._df.select(ID, F.col(f"`{name}`").alias("__newid"))
+               if getattr(new_index, "_table", None) is not None
+               and new_index.table is not self else None)
+        if src is not None:
+            df = df.join(src, ID).drop(ID).withColumnRenamed("__newid", ID)
+        else:
+            df = df.withColumn(ID, F.col(f"`{name}`").cast("long"))
+        return Table(df)
+
+    def update_id_type(self, id_type, *, id_append_only=None) -> "Table":
+        """table.py:2255 — ids here are always hashed longs; the
+        declared pointer type is erased at plan time, so this is the
+        identity (documented divergence)."""
+        del id_type, id_append_only
+        return self
+
+    @property
+    def is_append_only(self) -> bool:
+        """table.py:196 — no retraction stream attached."""
+        return "_pw_diff" not in self._df.columns
+
+    def live(self):
+        """table.py:3154 — interactive live view; batch plans are
+        always materializable, so the table itself serves."""
+        return self
+
+    def debug(self, name: str) -> "Table":
+        """table.py:2608 — attach a debug probe. Spark mapping: print
+        the schema now and the rows at the next action (batch: eagerly,
+        bounded to 20 rows)."""
+        print(f"[debug:{name}] schema={self._df.dtypes}")
+        if not self._df.isStreaming:
+            self.to_df().show(20, truncate=False)
+        return self
+
+    def to(self, sink) -> None:
+        """table.py:2615 — write this table to a sink object: anything
+        callable, or exposing .write(table)."""
+        if callable(sink):
+            sink(self)
+        elif hasattr(sink, "write"):
+            sink.write(self)
+        else:
+            raise TypeError(f"not a sink: {sink!r}")
+
+    def to_stream(self, upsert_column_name: str = "is_upsert") -> "Table":
+        """table.py:2857 — changelog rows become upsert flags: +1 →
+        True, -1 → False; a plain batch table is all inserts."""
+        df = self._df
+        if "_pw_diff" in df.columns:
+            df = df.withColumn(upsert_column_name, F.col("_pw_diff") > 0) \
+                   .drop("_pw_diff")
+        else:
+            df = df.withColumn(upsert_column_name, F.lit(True))
+        return Table(df)
+
+    def from_streams(self, deletion_stream: "Table") -> "Table":
+        """table.py:2967 — rebuild current state from an update stream
+        and a deletion stream: last write per id wins (order within a
+        batch is unspecified, as in the reference), then ids present in
+        the deletion stream are dropped (one anti-join)."""
+        from pyspark.sql.window import Window as _W
+
+        order = (F.col("_pw_time").desc() if "_pw_time" in self._df.columns
+                 else F.lit(0))
+        latest = (self._df.withColumn(
+                      "__rn", F.row_number().over(_W.partitionBy(ID).orderBy(order)))
+                  .filter(F.col("__rn") == 1).drop("__rn", "_pw_diff", "_pw_time"))
+        dels = deletion_stream._df.select(ID)
+        return Table(latest.join(dels, ID, "left_anti"))
+
+    def unpack_snapshots(self) -> "Table":
+        """table.py:3056 — changelog → per-minibatch full snapshots.
+        Each row's validity interval [add_time, delete_time) joins the
+        distinct minibatch times: alive rows replicate per snapshot.
+        Quadratic in (rows × batches) by definition — the reference
+        carries the same warning."""
+        df = self._df
+        if "_pw_time" not in df.columns or "_pw_diff" not in df.columns:
+            return self
+        adds = df.filter(F.col("_pw_diff") > 0).drop("_pw_diff") \
+                 .withColumnRenamed("_pw_time", "__t_add")
+        dels = df.filter(F.col("_pw_diff") < 0).select(
+            ID, F.col("_pw_time").alias("__t_del"))
+        spans = adds.join(dels, ID, "left")
+        times = df.select(F.col("_pw_time").alias("__snap")).distinct()
+        alive = spans.join(
+            times,
+            (F.col("__t_add") <= F.col("__snap"))
+            & (F.col("__t_del").isNull() | (F.col("__snap") < F.col("__t_del"))),
+        )
+        out = (alive.drop("__t_add", "__t_del")
+               .withColumnRenamed("__snap", "_pw_time")
+               .withColumn("_pw_diff", F.lit(1)))
+        return Table(out)
+
+    def _threshold_str(self, threshold) -> str:
+        import datetime as _dtm
+        if isinstance(threshold, _dtm.timedelta):
+            return f"{int(threshold.total_seconds() * 1e6)} microseconds"
+        return f"{int(threshold)} microseconds"
+
+    def _late_filter(self, time_column, threshold) -> "Table":
+        from .expressions import to_col
+
+        t = to_col(time_column, self._ctx())
+        mx = self._df.agg(F.max(t).alias("__mx"))
+        import datetime as _dtm
+        if isinstance(threshold, _dtm.timedelta):
+            cut = F.col("__mx") - F.expr(
+                f"INTERVAL {int(threshold.total_seconds() * 1e6)} MICROSECOND")
+        else:
+            cut = F.col("__mx") - F.lit(threshold)
+        joined = self._df.crossJoin(F.broadcast(mx.select(cut.alias("__cut"))))
+        return Table(joined.filter(t > F.col("__cut")).drop("__cut"))
+
+    def ignore_late(self, time_column, threshold) -> "Table":
+        """table.py:852 — drop entries older than max(time) − threshold.
+        Streaming: EXACTLY Structured Streaming's watermark contract
+        (late rows dropped, no state kept) → withWatermark. Batch: one
+        broadcast max + filter."""
+        if self._df.isStreaming:
+            name = time_column._name if hasattr(time_column, "_name") else str(time_column)
+            return Table(self._df.withWatermark(name, self._threshold_str(threshold)))
+        return self._late_filter(time_column, threshold)
+
+    def forget(self, time_column, threshold,
+               mark_forgetting_records: bool = False) -> "Table":
+        """table.py:671 — evict entries older than max(time) − threshold
+        from downstream state. Streaming: the watermark IS the state-
+        eviction contract (stateful ops drop state past it). Batch: the
+        final state after all forgetting is the same late-filter.
+        `mark_forgetting_records` tags would-be deletion events; batch
+        final state has none, so the marker column is constant False."""
+        out = self.ignore_late(time_column, threshold)
+        if mark_forgetting_records:
+            out = Table(out._df.withColumn("_pw_forgotten", F.lit(False)))
+        return out
+
+    def filter_out_results_of_forgetting(self,
+                                         ensure_consistency: bool = False
+                                         ) -> "Table":
+        """table.py:793 — drop deletion events produced by forget()."""
+        del ensure_consistency
+        df = self._df
+        if "_pw_forgotten" in df.columns:
+            df = df.filter(~F.col("_pw_forgotten")).drop("_pw_forgotten")
+        return Table(df)
+
+    def buffer(self, time_column, threshold) -> "Table":
+        """table.py:921 — delay emission until time advances past
+        entry-time + threshold. Streaming: a watermark with `threshold`
+        delay + append output holds rows exactly until the clock (max
+        event time) passes them. Batch: all input is present, so every
+        buffered row is already released — identity."""
+        if self._df.isStreaming:
+            name = time_column._name if hasattr(time_column, "_name") else str(time_column)
+            return Table(self._df.withWatermark(name, self._threshold_str(threshold)))
+        return self
 
 
 class GroupedTable:

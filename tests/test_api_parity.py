@@ -110,8 +110,29 @@ def _check(obj, names, where):
     assert not missing, f"{where} missing: {missing}"
 
 
+TABLE_METHODS = [
+    "C", "buffer", "concat", "concat_reindex", "copy", "debug",
+    "deduplicate", "difference", "empty", "eval_type", "filter",
+    "filter_out_results_of_forgetting", "flatten", "forget",
+    "from_columns", "from_streams", "groupby", "having", "ignore_late",
+    "intersect", "is_append_only", "ix", "ix_ref", "join", "join_inner",
+    "join_left", "join_outer", "join_right", "keys", "live",
+    "pointer_from", "reduce", "rename", "restrict", "select", "slice",
+    "sort", "split", "to", "to_stream", "typehints", "unpack_snapshots",
+    "update_cells", "update_id_type", "update_rows", "update_types",
+    "with_columns", "with_id", "with_id_from",
+    "with_prefix", "with_suffix", "with_universe_of", "without",
+    "windowby", "asof_join", "asof_now_join", "interval_join",
+    "window_join",
+]
+
+
 def test_top_level():
     _check(pw, TOP_LEVEL, "pathway_spark")
+
+
+def test_table_methods():
+    _check(pw.Table, TABLE_METHODS, "pw.Table")
 
 
 def test_io():

@@ -179,3 +179,33 @@ def test_indexing_build_index(spark):
     qs = Table.from_spark(spark.createDataFrame(
         [(1, "the quick")], "query_id long, query string"))
     assert bm.query(qs, number_of_matches=3).to_df().count() >= 0
+
+
+def test_table_parity_methods(spark):
+    t = Table.from_spark(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"))
+    assert t.keys() == ["k", "v"]
+    assert t.typehints() == {"k": int, "v": int}
+    assert t.eval_type(pw.this.v + 1.5) is float
+    assert Table.empty(age=float, pet=str).count_rows() == 0
+    fc = Table.from_columns(t.v, doubled=t.v)
+    assert fc.keys() == ["v", "doubled"] and fc.count_rows() == 3
+    assert t.to_stream().keys() == ["k", "v", "is_upsert"]
+    assert t.is_append_only and t.C.v._name == "v"
+    # watermark family, batch forms
+    assert sorted(r.v for r in t.ignore_late(pw.this.v, 15).to_df().collect()) == [20, 30]
+    fg = t.forget(pw.this.v, 15, mark_forgetting_records=True)
+    assert "_pw_forgotten" in fg.keys()
+    assert fg.filter_out_results_of_forgetting().keys() == ["k", "v"]
+    assert t.buffer(pw.this.v, 5).count_rows() == 3
+
+
+def test_changelog_snapshots(spark):
+    t = Table.from_spark(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"))
+    log = Table(t._df.withColumn("_pw_diff", F.lit(1))
+                     .withColumn("_pw_time", F.col("k")))
+    # snapshots at times 1,2,3 contain 1,2,3 alive rows -> 6 total
+    assert log.unpack_snapshots().count_rows() == 6
+    dels = Table(log._df.filter(F.col("k") == 2).select(ID))
+    assert log.from_streams(dels).count_rows() == 2

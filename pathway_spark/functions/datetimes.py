@@ -103,6 +103,50 @@ class DateTimeNamespace:
     def subtract_duration_in_timezone(self, duration_ns, timezone: str):
         return self.add_duration_in_timezone(-_wrap(duration_ns), timezone)
 
+    def subtract_date_time_in_timezone(self, date_time, timezone):
+        """date_time.py:928 — difference of two naive datetimes measured
+        in the given zone (DST transitions count): convert both to UTC
+        in that zone, subtract; Duration as ns long."""
+        def fn(c: Column, other: Column, tz: Column) -> Column:
+            a = F.to_utc_timestamp(c, tz)
+            b = F.to_utc_timestamp(other, tz)
+            return (F.unix_micros(a) - F.unix_micros(b)) * F.lit(1000)
+
+        return self._f("sub_dt_tz", fn, _wrap(date_time), _wrap(timezone))
+
+    def to_duration(self, unit="ns"):
+        """date_time.py:1119 — integer → Duration (ns long) by unit."""
+        _NS = {
+            "W": 7 * 86400 * 10**9,
+            "D": 86400 * 10**9, "day": 86400 * 10**9, "days": 86400 * 10**9,
+            "h": 3600 * 10**9, "hr": 3600 * 10**9, "hour": 3600 * 10**9,
+            "hours": 3600 * 10**9,
+            "m": 60 * 10**9, "min": 60 * 10**9, "minute": 60 * 10**9,
+            "minutes": 60 * 10**9,
+            "s": 10**9, "sec": 10**9, "second": 10**9, "seconds": 10**9,
+            "ms": 10**6, "millisecond": 10**6, "milliseconds": 10**6,
+            "millis": 10**6, "milli": 10**6,
+            "us": 10**3, "microsecond": 10**3, "microseconds": 10**3,
+            "ns": 1, "nano": 1, "nanos": 1, "nanosecond": 1,
+            "nanoseconds": 1,
+        }
+        # try_multiply: an out-of-range Duration poisons to NULL, per the
+        # engine error model (Value::Error -> NULL cell)
+        if isinstance(unit, str):
+            return self._f(
+                "to_duration",
+                lambda c: F.try_multiply(c.cast("long"), F.lit(_NS[unit])))
+
+        def fn(c: Column, u: Column) -> Column:
+            expr = F.lit(None).cast("long")
+            for k, v in _NS.items():
+                expr = F.when(u == k,
+                              F.try_multiply(c.cast("long"), F.lit(v))
+                              ).otherwise(expr)
+            return expr
+
+        return self._f("to_duration", fn, _wrap(unit))
+
     # --- rounding (975/1047) ---
     def round(self, granularity: str):
         return self._f("round", lambda c: _round_ts(c, granularity, up_half=True))

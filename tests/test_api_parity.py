@@ -101,6 +101,16 @@ XPACK_LLM = [
     "rerankers", "servers", "splitters", "vector_store",
 ]
 
+DT_METHODS = [
+    "nanosecond", "microsecond", "millisecond", "second", "minute", "hour",
+    "day", "month", "year", "week", "weekday", "timestamp", "strftime",
+    "strptime", "to_utc", "to_naive_in_timezone", "add_duration_in_timezone",
+    "subtract_duration_in_timezone", "subtract_date_time_in_timezone",
+    "to_duration", "round", "floor", "nanoseconds", "microseconds",
+    "milliseconds", "seconds", "minutes", "hours", "days", "weeks",
+    "from_timestamp", "utc_from_timestamp",
+]
+
 ORDERED = ["diff"]
 STATISTICAL = ["interpolate"]
 
@@ -169,6 +179,10 @@ def test_utils():
 
 def test_xpack_llm():
     _check(pw.xpacks.llm, XPACK_LLM, "pw.xpacks.llm")
+
+
+def test_dt_namespace():
+    _check(pw.this.x.dt, DT_METHODS, "expr.dt")
 
 
 def test_ordered_statistical():

@@ -65,6 +65,13 @@ class RowContext(EvalContext):
             return F.col(f"{self.alias[side]}.`{ref._name}`")
         return self.frames[side][ref._name]
 
+    def dtype_of(self, ref: "ColumnReference") -> str | None:
+        """Spark dtype string of a referenced column, when resolvable."""
+        for df in self.frames.values():
+            if hasattr(df, "dtypes") and ref._name in df.columns:
+                return dict(df.dtypes)[ref._name]
+        return None
+
 
 # ---------------------------------------------------------------------------
 # Expression nodes
@@ -143,6 +150,28 @@ class ColumnExpression:
 
     def to_string(self):
         return CastExpr(self, T.StringType())
+
+    # JSON conversion methods (reference expression.py:461-640); the
+    # implementations live in functions/json_ops.py
+    def as_int(self, *, default=None, unwrap=False):
+        from .functions.json_ops import as_int
+        out = as_int(self)
+        return out if default is None else Coalesce(out, _wrap(default))
+
+    def as_float(self, *, default=None, unwrap=False):
+        from .functions.json_ops import as_float
+        out = as_float(self)
+        return out if default is None else Coalesce(out, _wrap(default))
+
+    def as_str(self, *, default=None, unwrap=False):
+        from .functions.json_ops import as_str
+        out = as_str(self)
+        return out if default is None else Coalesce(out, _wrap(default))
+
+    def as_bool(self, *, default=None, unwrap=False):
+        from .functions.json_ops import as_bool
+        out = as_bool(self)
+        return out if default is None else Coalesce(out, _wrap(default))
 
     # namespaces (constructed lazily to avoid import cycles)
     @property
@@ -326,11 +355,25 @@ class GetItem(ColumnExpression):
         self._strict = strict
         self._default = default
 
+    def _is_json_base(self, ctx: EvalContext) -> bool:
+        # our Json cells are JSON text (string columns); struct/map cells
+        # take getField. A nested get() on a JSON column yields JSON text
+        # again, so the flag propagates through chained gets.
+        if getattr(self._base, "_compiled_json", False):
+            return True
+        if isinstance(self._base, ColumnReference) and hasattr(ctx, "dtype_of"):
+            return ctx.dtype_of(self._base) == "string"
+        return False
+
     def _to_col(self, ctx: EvalContext) -> Column:
         base = self._base._to_col(ctx)
         item = self._item
         if isinstance(item, Literal) and isinstance(item._value, str):
-            out = base.getField(item._value) if self._strict else base.getField(item._value)
+            if self._is_json_base(ctx):
+                self._compiled_json = True
+                out = F.get_json_object(base, f"$.{item._value}")
+            else:
+                out = base.getField(item._value)
         else:
             idx = item._to_col(ctx)
             # pathway tuples are 0-indexed; element_at is 1-indexed.

@@ -209,3 +209,20 @@ def test_changelog_snapshots(spark):
     assert log.unpack_snapshots().count_rows() == 6
     dels = Table(log._df.filter(F.col("k") == 2).select(ID))
     assert log.from_streams(dels).count_rows() == 2
+
+
+def test_json_get_as_methods(spark):
+    t = Table.from_spark(spark.createDataFrame(
+        [('{"a": 3, "b": "x", "n": {"c": 5}}',)], "j string"))
+    out = t.select(
+        a=pw.this.j.get("a").as_int(),
+        b=pw.this.j.get("b").as_str(),
+        c=pw.this.j.get("missing").as_int(default=7),
+        d=pw.this.j.get("n").get("c").as_int(),
+    )
+    r = out.to_df().collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (3, "x", 7, 5)
+    # struct columns still take getField
+    t2 = Table.from_spark(spark.createDataFrame(
+        [((1, "y"),)], "s struct<p:long,q:string>"))
+    assert t2.select(p=pw.this.s.get("p")).to_df().collect()[0].p == 1

@@ -47,9 +47,17 @@ def _fs_read(path: str, format: str, schema: type[Schema] | None = None,
              with_metadata: bool = False, spark: SparkSession | None = None,
              **options: Any) -> Table:
     spark = spark or _spark()
+    # reference-only kwargs (engine commit pacing, backlog, debug seeds)
+    # have no Spark counterpart: micro-batch triggers pace commits, and
+    # backpressure is the scheduler's job. Accepted and dropped.
+    for ref_only in ("object_pattern", "autocommit_duration_ms", "name",
+                     "max_backlog_size", "debug_data", "persistent_id"):
+        options.pop(ref_only, None)
     r = _reader(spark, mode)
     st = schema.to_struct_type() if schema is not None else None
     if format in ("csv", "dsv"):
+        if hasattr(csv_settings, "to_spark_options"):
+            csv_settings = csv_settings.to_spark_options()
         opts = {"header": "true", **(csv_settings or {}), **options}
         df = (r.schema(st) if st is not None else r.option("inferSchema", "true")) \
             .options(**opts).csv(path)

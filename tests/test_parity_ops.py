@@ -226,3 +226,49 @@ def test_json_get_as_methods(spark):
     t2 = Table.from_spark(spark.createDataFrame(
         [((1, "y"),)], "s struct<p:long,q:string>"))
     assert t2.select(p=pw.this.s.get("p")).to_df().collect()[0].p == 1
+
+
+def test_inactivity_detection_streaming(spark, tmp_path):
+    """Streaming form: applyInPandasWithState + processing-time timeout.
+    The timer firing emits the inactivity row; the next arrival emits
+    the completed (resumed) row."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pathway_spark.streaming import stream_from_directory
+
+    d = str(tmp_path / "inact")
+    import os
+    os.makedirs(d)
+    pd.DataFrame({"g": [1], "v": [1]}).to_parquet(os.path.join(d, "a.parquet"))
+    t = stream_from_directory(
+        spark, d, StructType([StructField("g", LongType()),
+                              StructField("v", LongType())]))
+    out = pw.temporal.inactivity_detection(
+        t, datetime.timedelta(seconds=2), instance="g")
+    q = (out._df.writeStream.format("memory").queryName("inact_t")
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 25
+        # phase 1: wait for the timeout-driven inactivity row
+        while time.time() < deadline:
+            rows = spark.sql("select * from inact_t").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows and rows[0].resumed_activity_timestamp_utc is None
+        # phase 2: new activity closes the period
+        pd.DataFrame({"g": [1], "v": [2]}).to_parquet(
+            os.path.join(d, "b.parquet"))
+        while time.time() < deadline:
+            rows = spark.sql("select * from inact_t").collect()
+            if any(r.resumed_activity_timestamp_utc is not None for r in rows):
+                break
+            time.sleep(0.5)
+        assert any(r.resumed_activity_timestamp_utc is not None for r in rows)
+        assert q.exception() is None
+    finally:
+        q.stop()

@@ -328,10 +328,108 @@ def extract_features(table: Table, *, dim: int = 64, real_decoder=None) -> Table
     return Table(table._df.mapInPandas(run, out_schema))
 
 
-def sample_frames(table: Table, every_ms: int) -> Table:
-    """Video frame sampling — no container/codec parser in the stdlib;
-    plug a real decoder into extract_features(real_decoder=...)."""
-    raise DecoderUnavailable(
-        "video frame sampling requires a codec library not present in this "
-        "container; the mapInPandas plumbing is extract_features()"
-    )
+def encode_y4m(frames: np.ndarray, *, fps_num: int = 25,
+               fps_den: int = 1) -> bytes:
+    """YUV4MPEG2 bytes from (N, H, W) uint8 gray frames (Cmono)."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 Cmono\n"
+    out = [head.encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes):
+    """Parse YUV4MPEG2 (the one video container with a pure-bytes spec —
+    plain-text header + raw planar frames). Yields (frame_index,
+    timestamp_ms, (H, W) uint8 Y-plane). Supports mono and the 4:2:0 /
+    4:2:2 / 4:4:4 chroma layouts (chroma is skipped; features and
+    sampling work on luma)."""
+    if not data.startswith(b"YUV4MPEG2") or b"\n" not in data:
+        raise DecoderUnavailable("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", "replace")
+    w = h = 0
+    num, den = 25, 1
+    chroma = "420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            chroma = tok[1:]
+    if not w or not h:
+        raise DecoderUnavailable("y4m header missing W/H")
+    ysize = w * h
+    if chroma.startswith("mono"):
+        fsize = ysize
+    elif chroma.startswith("420"):
+        fsize = ysize + ysize // 2
+    elif chroma.startswith("422"):
+        fsize = ysize * 2
+    elif chroma.startswith("444"):
+        fsize = ysize * 3
+    else:
+        raise DecoderUnavailable(f"unsupported y4m chroma {chroma!r}")
+    pos = nl + 1
+    idx = 0
+    frame_ms = 1000.0 * den / num
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise DecoderUnavailable("malformed y4m FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(data[pos:pos + ysize], dtype=np.uint8).reshape(h, w)
+        yield idx, int(idx * frame_ms), y
+        pos += fsize
+        idx += 1
+
+
+def sample_frames(table: Table, every_ms: int,
+                  content_col: str = "content") -> Table:
+    """Video frame sampling over Y4M streams — one output row per
+    sampled frame, frame re-encoded as PNG (both codecs pure-stdlib, so
+    the whole decode→sample→encode pipeline runs inside mapInPandas
+    with no native deps). Compressed containers (mp4/webm) need a codec
+    library; plug a decoder with the same yield contract into
+    `decoder=`.
+
+    Scale: rows explode by duration/every_ms; each input video decodes
+    exactly once per partition pass, frames never leave the executor
+    un-encoded. Reference: xpacks/llm/parsers.py video paths.
+    """
+    in_schema = table._df.schema
+    keep = [f for f in in_schema.fields if f.name != content_col]
+    out_schema = T.StructType(keep + [
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ])
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {n: [] for n in keep_names}
+            fidx, fms, fpng = [], [], []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col] or b"")
+                next_ms = 0
+                for idx, ts_ms, y in decode_y4m(data):
+                    if ts_ms >= next_ms:
+                        next_ms = ts_ms + every_ms
+                        for n in keep_names:
+                            rows[n].append(row[n])
+                        fidx.append(idx)
+                        fms.append(ts_ms)
+                        fpng.append(encode_png(y))
+            out = pd.DataFrame(rows)
+            out["frame_index"] = pd.Series(fidx, dtype="int64")
+            out["frame_ms"] = pd.Series(fms, dtype="int64")
+            out["frame_png"] = fpng
+            yield out
+
+    return Table(table._df.mapInPandas(run, out_schema))

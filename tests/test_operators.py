@@ -482,8 +482,22 @@ def test_multimodal_decoders_real(spark):
     assert (feat.width, feat.height, feat.channels) == (30, 20, 3)
     assert feat.sum_px == int(px.astype(np.int64).sum())
 
-    with pytest.raises(DecoderUnavailable):
-        sample_frames(t, 100)
+    # Y4M video: encode -> distributed frame sampling -> PNG frames
+    from pathway_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = np.stack([np.full((8, 12), i * 5, dtype=np.uint8)
+                       for i in range(50)])
+    y4m = encode_y4m(frames, fps_num=25)          # 2 s of video
+    assert len(list(decode_y4m(y4m))) == 50
+    vid = Table(spark.createDataFrame([(3, bytearray(y4m))],
+                                      "media_id long, content binary"))
+    sampled = sample_frames(vid, every_ms=500)._df.collect()
+    assert sorted(r.frame_ms for r in sampled) == [0, 520, 1040, 1560]
+    f0 = next(bytes(r.frame_png) for r in sampled if r.frame_index == 0)
+    assert decode_png(f0).shape == (8, 12, 1)
+    # non-video bytes still fail with the gated error, at decode time
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        list(decode_y4m(b"not a video"))
 
 
 # ---------------------------------------------------------------- io / debug

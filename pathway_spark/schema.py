@@ -109,6 +109,58 @@ class SchemaMeta(type):
         return schema_from_dict({**{k: c.dtype for k, c in cls._columns.items()},
                                  **{k: c.dtype for k, c in other._columns.items()}})
 
+    # --- reference SchemaMetaclass surface (schema.py:390-740) ---
+
+    def columns(cls) -> dict:
+        """name → ColumnDefinition (reference returns ColumnSchema)."""
+        return dict(cls._columns)
+
+    def keys(cls) -> list[str]:
+        return list(cls._columns.keys())
+
+    def typehints(cls) -> dict:
+        return {n: c.dtype for n, c in cls._columns.items()}
+
+    def default_values(cls) -> dict:
+        return {n: c.default_value for n, c in cls._columns.items()
+                if c.default_value is not None}
+
+    def with_types(cls, **kwargs) -> type:
+        """Copy of this schema with some column types replaced."""
+        merged = {n: c.dtype for n, c in cls._columns.items()}
+        for k, v in kwargs.items():
+            if k not in merged:
+                raise ValueError(f"schema has no column {k!r}")
+            merged[k] = v
+        return schema_from_dict(merged)
+
+    def without(cls, *columns) -> type:
+        names = {c if isinstance(c, str) else c._name for c in columns}
+        unknown = names - set(cls._columns)
+        if unknown:
+            raise ValueError(f"schema has no columns {sorted(unknown)!r}")
+        return schema_from_dict({n: c.dtype for n, c in cls._columns.items()
+                                 if n not in names})
+
+    def update_properties(cls, **kwargs) -> type:
+        """Column/universe properties (append_only etc.) don't change
+        the Spark plan — declarative no-op returning an equivalent
+        schema, as `pw.universes.promise_*` are."""
+        del kwargs
+        return cls
+
+    def id_type(cls):
+        return int  # ids are xxhash64 longs
+
+    def with_id_type(cls, id_type, **kwargs):
+        del id_type, kwargs
+        return cls
+
+    def assert_matches_schema(cls, other: type) -> None:
+        a = {n: to_spark_type(c.dtype) for n, c in cls._columns.items()}
+        b = {n: to_spark_type(c.dtype) for n, c in other._columns.items()}
+        assert a == b, f"schema mismatch: {a} != {b}"
+
 
 class Schema(metaclass=SchemaMeta):
     """Declare like the reference:

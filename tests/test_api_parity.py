@@ -188,3 +188,20 @@ def test_dt_namespace():
 def test_ordered_statistical():
     _check(pw.stdlib.ordered, ORDERED, "pw.stdlib.ordered")
     _check(pw.statistical, STATISTICAL, "pw.statistical")
+
+
+SCHEMA_METHODS = [
+    "columns", "column_names", "keys", "typehints", "default_values",
+    "with_types", "without", "with_id_type", "update_properties",
+    "id_type", "primary_key_columns", "assert_matches_schema",
+]
+
+
+def test_schema_methods():
+    _check(pw.Schema, SCHEMA_METHODS, "pw.Schema")
+    class S(pw.Schema):
+        a: int
+        b: str
+    assert S.keys() == ["a", "b"]
+    assert S.with_types(b=float).typehints()["b"] is float
+    assert S.without("a").keys() == ["b"]

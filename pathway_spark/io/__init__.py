@@ -65,8 +65,14 @@ def _fs_read(path: str, format: str, schema: type[Schema] | None = None,
         df = (r.schema(st) if st is not None else r).options(**options).json(path)
     elif format == "parquet":
         df = (r.schema(st) if st is not None else r).options(**options).parquet(path)
-    elif format == "plaintext":
+    elif format in ("plaintext", "raw"):
         df = r.text(path).withColumnRenamed("value", "data")
+    elif format in ("plaintext_by_file", "plaintext_by_object"):
+        # one row per file, full contents decoded as UTF-8
+        df = r.format("binaryFile").load(path).select(
+            F.decode(F.col("content"), "UTF-8").alias("data"),
+            F.col("path"), F.col("length"), F.col("modificationTime"),
+        )
     elif format == "binary":
         df = r.format("binaryFile").load(path).select(
             F.col("content").alias("data"), F.col("path"), F.col("length"),

@@ -50,9 +50,14 @@ def _fs_read(path: str, format: str, schema: type[Schema] | None = None,
     # reference-only kwargs (engine commit pacing, backlog, debug seeds)
     # have no Spark counterpart: micro-batch triggers pace commits, and
     # backpressure is the scheduler's job. Accepted and dropped.
-    for ref_only in ("object_pattern", "autocommit_duration_ms", "name",
-                     "max_backlog_size", "debug_data", "persistent_id"):
+    for ref_only in ("autocommit_duration_ms", "name", "max_backlog_size",
+                     "debug_data", "persistent_id"):
         options.pop(ref_only, None)
+    # object_pattern maps exactly onto Spark's pathGlobFilter
+    pattern = options.pop("object_pattern", None)
+    if pattern and pattern != "*":
+        options["pathGlobFilter"] = pattern
+    json_field_paths = options.pop("json_field_paths", None)
     r = _reader(spark, mode)
     st = schema.to_struct_type() if schema is not None else None
     if format in ("csv", "dsv"):
@@ -62,7 +67,27 @@ def _fs_read(path: str, format: str, schema: type[Schema] | None = None,
         df = (r.schema(st) if st is not None else r.option("inferSchema", "true")) \
             .options(**opts).csv(path)
     elif format in ("json", "jsonlines"):
-        df = (r.schema(st) if st is not None else r).options(**options).json(path)
+        if json_field_paths:
+            # reference json_field_paths: column ← JSONPointer into the
+            # raw object. Read lines raw, extract with get_json_object.
+            raw = r.options(**options).text(path)
+            cols = []
+            for name, ptr in json_field_paths.items():
+                jpath = "$" + ptr.replace("/", ".")
+                c = F.get_json_object(F.col("value"), jpath)
+                if st is not None and name in [f.name for f in st.fields]:
+                    c = c.cast(st[name].dataType)
+                cols.append(c.alias(name))
+            if st is not None:
+                mapped = set(json_field_paths)
+                for f_ in st.fields:
+                    if f_.name not in mapped:
+                        cols.append(
+                            F.get_json_object(F.col("value"), f"$.{f_.name}")
+                            .cast(f_.dataType).alias(f_.name))
+            df = raw.select(*cols)
+        else:
+            df = (r.schema(st) if st is not None else r).options(**options).json(path)
     elif format == "parquet":
         df = (r.schema(st) if st is not None else r).options(**options).parquet(path)
     elif format in ("plaintext", "raw"):

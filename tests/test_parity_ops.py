@@ -272,3 +272,39 @@ def test_inactivity_detection_streaming(spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_fs_read_json_field_paths(spark, tmp_path):
+    d = str(tmp_path / "j")
+    import os
+    os.makedirs(d)
+    with open(os.path.join(d, "a.jsonl"), "w") as f:
+        f.write('{"name":"x","payload":{"value":7}}\n'
+                '{"name":"y","payload":{"value":9}}\n')
+    with open(os.path.join(d, "skip.csv"), "w") as f:
+        f.write("junk\n")
+
+    class S(pw.Schema):
+        name: str
+        value: int
+
+    t = pw.io.fs.read(d, format="json", schema=S,
+                      json_field_paths={"value": "/payload/value"},
+                      object_pattern="*.jsonl", spark=spark)
+    got = sorted((r.name, r.value)
+                 for r in t.to_df().select("name", "value").collect())
+    assert got == [("x", 7), ("y", 9)]
+
+
+def test_csv_parser_settings(spark, tmp_path):
+    d = str(tmp_path / "c")
+    import os
+    os.makedirs(d)
+    with open(os.path.join(d, "t.csv"), "w") as f:
+        f.write("a;b\n# comment\n1;x\n2;y\n")
+    t = pw.io.csv.read(
+        d, csv_settings=pw.io.CsvParserSettings(delimiter=";",
+                                                comment_character="#"),
+        mode="static", autocommit_duration_ms=1500, spark=spark)
+    got = sorted((int(r.a), r.b) for r in t.to_df().select("a", "b").collect())
+    assert got == [(1, "x"), (2, "y")]

@@ -261,9 +261,24 @@ def _jdbc_read(url: str, table_name: str, *, schema=None, spark=None,
     return _finish(r.load(), schema)
 
 
-postgres = SimpleNamespace(read=_jdbc_read, write=lambda *a, **kw: _unavailable("postgres.write"))
-mysql = SimpleNamespace(read=_jdbc_read, write=lambda *a, **kw: _unavailable("mysql.write"))
-sqlite = SimpleNamespace(read=_jdbc_read)
+def _jdbc_write(table: Table, url: str, table_name: str, *,
+                mode: str = "append", max_batch_size: int = 10_000,
+                **options) -> None:
+    """postgres/mysql/sqlite/... write via Spark JDBC (df.write.jdbc);
+    the driver jar is resolved at runtime. Batched inserts, one
+    connection per partition — the distributed write path."""
+    df = table.to_df()
+    w = (df.write.format("jdbc").mode(mode)
+         .option("url", url).option("dbtable", table_name)
+         .option("batchsize", str(max_batch_size)))
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
+postgres = SimpleNamespace(read=_jdbc_read, write=_jdbc_write)
+mysql = SimpleNamespace(read=_jdbc_read, write=_jdbc_write)
+sqlite = SimpleNamespace(read=_jdbc_read, write=_jdbc_write)
 
 
 # ------------------------------------------------------------ python / debug

@@ -161,9 +161,43 @@ def _webserver(*args, **kwargs):
     return PathwayWebserver(*args, **kwargs)
 
 
+class RetryPolicy:
+    """reference io/http/_common.py RetryPolicy — fixed/exponential
+    backoff for the http writer's per-request retries."""
+
+    def __init__(self, n_retries: int = 3, backoff_factor: float = 2.0,
+                 first_delay_ms: int = 100):
+        self.n_retries = n_retries
+        self.backoff_factor = backoff_factor
+        self.first_delay_ms = first_delay_ms
+
+    @classmethod
+    def default(cls) -> "RetryPolicy":
+        return cls()
+
+    def delays_ms(self):
+        d = self.first_delay_ms
+        for _ in range(self.n_retries):
+            yield d
+            d = int(d * self.backoff_factor)
+
+
+def _http_endpoint_docs(*args, **kwargs):
+    from .http_server import EndpointDocumentation
+    return EndpointDocumentation(*args, **kwargs)
+
+
+def _http_endpoint_examples(*args, **kwargs):
+    from .http_server import EndpointExamples
+    return EndpointExamples(*args, **kwargs)
+
+
 http = SimpleNamespace(
     read=_http_read, write=_http_write,
     rest_connector=_rest_connector, PathwayWebserver=_webserver,
+    RetryPolicy=RetryPolicy,
+    EndpointDocumentation=_http_endpoint_docs,
+    EndpointExamples=_http_endpoint_examples,
 )
 
 
@@ -280,12 +314,9 @@ debezium = SimpleNamespace(read=_debezium_read, parse=parse_debezium)
 
 # ---------------------------------------------------------------- jdbc family
 def _jdbc_ns(driver_hint: str):
-    from . import _jdbc_read
+    from . import _jdbc_read, _jdbc_write
 
-    return SimpleNamespace(
-        read=_jdbc_read,
-        write=_gated(driver_hint + ".write", f"a {driver_hint} JDBC sink endpoint"),
-    )
+    return SimpleNamespace(read=_jdbc_read, write=_jdbc_write)
 
 
 clickhouse = _jdbc_ns("clickhouse")
@@ -470,7 +501,23 @@ def _airbyte_read(source: Any = None, *, streams: list[str] | None = None,
 
 airbyte = SimpleNamespace(read=_airbyte_read)
 logstash = SimpleNamespace(write=lambda table, endpoint, **kw: _http_write(table, endpoint, **kw))
+def _send_slack_alert(message: str, slack_channel_id: str, slack_token: str):
+    """reference io/slack/__init__.py send_slack_alert — one-shot alert."""
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        "https://slack.com/api/chat.postMessage",
+        data=_json.dumps({"channel": slack_channel_id,
+                          "text": message}).encode(),
+        headers={"Authorization": f"Bearer {slack_token}",
+                 "Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.read()
+
+
 slack = SimpleNamespace(
+    send_slack_alert=_send_slack_alert,
     send_alerts=lambda table, slack_channel_id, slack_token: _http_write(
         table, "https://slack.com/api/chat.postMessage",
         headers={"Authorization": f"Bearer {slack_token}"}),

@@ -236,6 +236,21 @@ class ColumnReference(ColumnExpression):
         return f"<{self._side}>.{self._name}"
 
 
+def _floormod(a: Column, b: Column) -> Column:
+    """Python floor-modulo: result takes the DIVISOR's sign. Spark's %
+    truncates (sign of dividend) and pmod forces non-negative — both
+    wrong for negative divisors (pmod(1,-2)=1, python 1%-2=-1). b=0
+    poisons to NULL per the engine error model."""
+    r = F.try_mod(a, b)
+    return F.when(r.isNotNull() & (r != 0) & ((r < 0) != (b < 0)), r + b) \
+            .otherwise(r)
+
+
+def _floordiv(a: Column, b: Column) -> Column:
+    m = _floormod(a, b)
+    return ((a - m).cast("decimal(38,0)") / b).cast("long")
+
+
 _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -243,10 +258,10 @@ _BINOPS: dict[str, Callable[[Column, Column], Column]] = {
     # NULL-on-/0 matches the engine error model (Value::Error -> NULL cell)
     "/": lambda a, b: F.try_divide(a, b),
     # floor-div must stay exact for 64-bit ints (ns timestamps exceed
-    # double's 53-bit mantissa): a - pmod(a,b) is exactly divisible, and
-    # decimal division of it is exact — no double rounding anywhere.
-    "//": lambda a, b: ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long"),
-    "%": lambda a, b: F.pmod(a, b),
+    # double's 53-bit mantissa): a - floormod(a,b) is exactly divisible,
+    # and decimal division of it is exact — no double rounding anywhere.
+    "//": lambda a, b: _floordiv(a, b),
+    "%": lambda a, b: _floormod(a, b),
     "**": lambda a, b: F.pow(a, b),
     "==": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
@@ -355,6 +370,14 @@ class GetItem(ColumnExpression):
         self._strict = strict
         self._default = default
 
+    def _base_is_struct(self, ctx: EvalContext) -> bool:
+        if isinstance(self._base, MakeTuple):
+            return True
+        if isinstance(self._base, ColumnReference) and hasattr(ctx, "dtype_of"):
+            dt = ctx.dtype_of(self._base)
+            return dt is not None and dt.startswith("struct")
+        return False
+
     def _is_json_base(self, ctx: EvalContext) -> bool:
         # our Json cells are JSON text (string columns); struct/map cells
         # take getField. A nested get() on a JSON column yields JSON text
@@ -374,6 +397,11 @@ class GetItem(ColumnExpression):
                 out = F.get_json_object(base, f"$.{item._value}")
             else:
                 out = base.getField(item._value)
+        elif isinstance(item, Literal) and isinstance(item._value, int) \
+                and self._base_is_struct(ctx):
+            # make_tuple compiles to struct<_0,_1,...>: integer index →
+            # positional field (heterogeneous tuples can't be arrays)
+            out = base.getField(f"_{item._value}")
         else:
             idx = item._to_col(ctx)
             # pathway tuples are 0-indexed; element_at is 1-indexed.

@@ -114,3 +114,59 @@ def test_make_tuple_get_roundtrip(spark, pairs):
                         a=pw.this.a, s=pw.this.s).to_df().collect()
     for r in out:
         assert int(r.x) == r.a and r.y == r.s
+
+
+times = st.integers(min_value=0, max_value=1000)
+
+
+@given(st.lists(times, min_size=1, max_size=30, unique=True),
+       st.lists(times, min_size=1, max_size=30, unique=True))
+@SET
+def test_asof_join_matches_merge_asof(spark, lts, rts):
+    import pandas as pd
+
+    lt = Table.from_spark(spark.createDataFrame([(t,) for t in lts], "lt long"))
+    rt = Table.from_spark(spark.createDataFrame([(t,) for t in rts], "rt long"))
+    out = lt.asof_join(rt, pw.this.lt, pw.this.rt, how="left",
+                       direction="backward").to_df() \
+        .select("lt", "rt").collect()
+    got = {r.lt: r.rt for r in out}
+    exp_df = pd.merge_asof(
+        pd.DataFrame({"lt": sorted(lts)}), pd.DataFrame({"rt": sorted(rts)}),
+        left_on="lt", right_on="rt", direction="backward")
+    exp = {int(r.lt): (None if pd.isna(r.rt) else int(r.rt))
+           for r in exp_df.itertuples()}
+    assert got == exp
+
+
+@given(st.lists(times, min_size=1, max_size=25, unique=True),
+       st.lists(times, min_size=1, max_size=25, unique=True),
+       st.integers(min_value=-50, max_value=0),
+       st.integers(min_value=0, max_value=50))
+@SET
+def test_interval_join_matches_bruteforce(spark, lts, rts, lb, ub):
+    lt = Table.from_spark(spark.createDataFrame([(t,) for t in lts], "lt long"))
+    rt = Table.from_spark(spark.createDataFrame([(t,) for t in rts], "rt long"))
+    out = lt.interval_join(rt, pw.this.lt, pw.this.rt,
+                           pw.temporal.interval(lb, ub)) \
+        .select(lt=pw.left.lt, rt=pw.right.rt).to_df().collect()
+    got = sorted((r.lt, r.rt) for r in out)
+    exp = sorted((a, b) for a in lts for b in rts if b + lb <= a <= b + ub)
+    assert got == exp
+
+
+@given(st.lists(times, min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=60))
+@SET
+def test_tumbling_window_matches_bruteforce(spark, ts, dur):
+    from pathway_spark import reducers as r
+
+    t = Table.from_spark(spark.createDataFrame([(x,) for x in ts], "t long"))
+    out = t.windowby(pw.this.t, window=pw.temporal.tumbling(dur)) \
+        .reduce(start=pw.this._pw_window_start, n=r.count()) \
+        .to_df().collect()
+    got = {row.start: row.n for row in out}
+    exp: dict = {}
+    for x in ts:
+        exp[(x // dur) * dur] = exp.get((x // dur) * dur, 0) + 1
+    assert got == exp

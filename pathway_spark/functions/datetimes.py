@@ -19,8 +19,19 @@ NS_PER_S = 1_000_000_000
 
 
 def _exact_div(c: Column, k: int) -> Column:
-    """Exact floor-div of 64-bit integer columns by a positive literal —
-    ns values exceed double's 53-bit mantissa, so no fp division."""
+    """Exact TRUNCATING div of 64-bit integer columns by a positive
+    literal — chrono's num_seconds()/num_minutes()/... truncate toward
+    zero (reference src/engine/time.rs:400-418), and ns values exceed
+    double's 53-bit mantissa so no fp division: Spark's % truncates
+    (sign of dividend), making (c - c%k)/k exact truncation."""
+    kk = F.lit(k)
+    return ((c - c % kk).cast("decimal(38,0)") / kk).cast("long")
+
+
+def _exact_floor_div(c: Column, k: int) -> Column:
+    """Exact FLOOR-div — datetime construction splits ns as
+    (floor(secs), non-negative nanos) (reference time.rs:23-27), unlike
+    duration accessors which truncate."""
     kk = F.lit(k)
     return ((c - F.pmod(c, kk)).cast("decimal(38,0)") / kk).cast("long")
 
@@ -183,7 +194,7 @@ class DateTimeNamespace:
     def from_timestamp(self, unit: str):
         mult = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1}[unit]
         if unit == "ns":
-            return self._f("from_ts", lambda c: F.timestamp_micros(_exact_div(c, 1000)))
+            return self._f("from_ts", lambda c: F.timestamp_micros(_exact_floor_div(c, 1000)))
         return self._f("from_ts", lambda c: F.timestamp_micros((c * mult).cast("long")))
 
     def utc_from_timestamp(self, unit: str):

@@ -170,3 +170,19 @@ def test_tumbling_window_matches_bruteforce(spark, ts, dur):
     for x in ts:
         exp[(x // dur) * dur] = exp.get((x // dur) * dur, 0) + 1
     assert got == exp
+
+
+@given(st.lists(st.integers(min_value=-10**15, max_value=10**15),
+                min_size=1, max_size=50))
+@SET
+def test_duration_accessors_truncate_like_chrono(spark, ns_vals):
+    """chrono num_seconds()/num_minutes() truncate toward zero
+    (reference src/engine/time.rs:400) — NOT floor."""
+    t = Table.from_spark(spark.createDataFrame(
+        [(v,) for v in ns_vals], "d long"))
+    out = t.select(s=pw.this.d.dt.seconds(), m=pw.this.d.dt.minutes(),
+                   h=pw.this.d.dt.hours(), d=pw.this.d).to_df().collect()
+    for r in out:
+        assert r.s == int(r.d / 10**9), (r.d, r.s)
+        assert r.m == int(r.d / (60 * 10**9))
+        assert r.h == int(r.d / (3600 * 10**9))

@@ -281,13 +281,48 @@ class BinaryOp(ColumnExpression):
         self._lhs = lhs
         self._rhs = rhs
 
+    @staticmethod
+    def _dtype_hint(e: "ColumnExpression", ctx: EvalContext) -> str | None:
+        """Best-effort static type of an operand (column refs + literals);
+        None where unknown — callers then assume numeric."""
+        if isinstance(e, Literal):
+            v = e._value
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            return None
+        if isinstance(e, ColumnReference) and hasattr(ctx, "dtype_of"):
+            return ctx.dtype_of(e)
+        return None
+
     def _to_col(self, ctx: EvalContext) -> Column:
         lhs = self._lhs._to_col(ctx)
         rhs = self._rhs._to_col(ctx)
-        if self._op in ("//", "%"):
-            # Pathway int // and % follow python floor semantics (engine
-            # `src/engine/expression.rs` Int ops); pmod/floor reproduce them.
-            return _BINOPS[self._op](lhs, rhs)
+        lt = self._dtype_hint(self._lhs, ctx)
+        rt = self._dtype_hint(self._rhs, ctx)
+        if self._op == "+" and ("string" in (lt, rt)):
+            # str + str concatenates (engine expression.rs string Add);
+            # also covers array ++ via Spark's concat overload
+            return F.concat(lhs, rhs)
+        if self._op == "+" and lt is not None and rt is not None \
+                and lt.startswith("array") and rt.startswith("array"):
+            return F.concat(lhs, rhs)
+        if self._op == "*" and ("string" in (lt, rt)):
+            # str * int repeats (engine expression.rs string Mul)
+            s, n = (lhs, rhs) if lt == "string" else (rhs, lhs)
+            return F.repeat(s, n.cast("int"))
+        if self._op == "**" and lt in (None, "bigint", "int", "smallint",
+                                       "tinyint") \
+                and rt in ("bigint", "int", "smallint", "tinyint") \
+                and lt is not None:
+            # int ** int stays integer (engine expression.rs:1077
+            # l.pow(r as u32)); exact up to 2^53 via double pow
+            return F.pow(lhs, rhs).cast("long")
         return _BINOPS[self._op](lhs, rhs)
 
     def _key(self) -> str:

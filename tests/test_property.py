@@ -186,3 +186,16 @@ def test_duration_accessors_truncate_like_chrono(spark, ns_vals):
         assert r.s == int(r.d / 10**9), (r.d, r.s)
         assert r.m == int(r.d / (60 * 10**9))
         assert r.h == int(r.d / (3600 * 10**9))
+
+
+@given(st.lists(st.tuples(small_strings, small_strings,
+                          st.integers(min_value=0, max_value=5)),
+                min_size=1, max_size=30))
+@SET
+def test_string_add_mul_match_python(spark, rows):
+    t = Table.from_spark(spark.createDataFrame(rows, "a string, b string, k long"))
+    out = t.select(cat=pw.this.a + pw.this.b, rep=pw.this.a * pw.this.k,
+                   a=pw.this.a, b=pw.this.b, k=pw.this.k).to_df().collect()
+    for r in out:
+        assert r.cat == r.a + r.b
+        assert (r.rep or "") == r.a * r.k

@@ -124,13 +124,18 @@ class ColumnExpression:
     def __gt__(self, o): return BinaryOp(">", self, _wrap(o))
     def __ge__(self, o): return BinaryOp(">=", self, _wrap(o))
 
-    # --- boolean ---
+    # --- boolean / bitwise (int operands -> bitwise, engine
+    # expression.rs:218-222) ---
     def __and__(self, o): return BinaryOp("&", self, _wrap(o))
     def __rand__(self, o): return BinaryOp("&", _wrap(o), self)
     def __or__(self, o): return BinaryOp("|", self, _wrap(o))
     def __ror__(self, o): return BinaryOp("|", _wrap(o), self)
     def __xor__(self, o): return BinaryOp("^", self, _wrap(o))
     def __invert__(self): return UnaryOp("~", self)
+    def __lshift__(self, o): return BinaryOp("<<", self, _wrap(o))
+    def __rlshift__(self, o): return BinaryOp("<<", _wrap(o), self)
+    def __rshift__(self, o): return BinaryOp(">>", self, _wrap(o))
+    def __rrshift__(self, o): return BinaryOp(">>", _wrap(o), self)
 
     def __hash__(self):
         return hash(self._key())
@@ -323,6 +328,22 @@ class BinaryOp(ColumnExpression):
             # int ** int stays integer (engine expression.rs:1077
             # l.pow(r as u32)); exact up to 2^53 via double pow
             return F.pow(lhs, rhs).cast("long")
+        ints = ("bigint", "int", "smallint", "tinyint")
+        if self._op in ("&", "|", "^") and (lt in ints or rt in ints):
+            # int operands take BITWISE semantics (expression.rs:220-222)
+            fn = {"&": Column.bitwiseAND, "|": Column.bitwiseOR,
+                  "^": Column.bitwiseXOR}[self._op]
+            return fn(lhs, rhs)
+        if self._op == "<<":
+            # wrapping shl isn't expressible without UDFs; a * 2^b with
+            # overflow -> NULL follows the error model instead
+            return F.try_multiply(
+                lhs.cast("long"),
+                F.pow(F.lit(2.0), rhs.cast("int")).cast("long"))
+        if self._op == ">>":
+            # python/engine >> is ARITHMETIC (floor) shift
+            return _floordiv(lhs.cast("long"),
+                             F.pow(F.lit(2.0), rhs.cast("int")).cast("long"))
         return _BINOPS[self._op](lhs, rhs)
 
     def _key(self) -> str:

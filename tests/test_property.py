@@ -199,3 +199,23 @@ def test_string_add_mul_match_python(spark, rows):
     for r in out:
         assert r.cat == r.a + r.b
         assert (r.rep or "") == r.a * r.k
+
+
+@given(st.lists(st.tuples(ints, ints, st.integers(min_value=0, max_value=20)),
+                min_size=1, max_size=40))
+@SET
+def test_bitwise_and_shifts_match_python(spark, rows):
+    t = Table.from_spark(spark.createDataFrame(rows, "a long, b long, s long"))
+    out = t.select(
+        band=pw.this.a & pw.this.b, bor=pw.this.a | pw.this.b,
+        bxor=pw.this.a ^ pw.this.b, shl=pw.this.a << pw.this.s,
+        shr=pw.this.a >> pw.this.s,
+        a=pw.this.a, b=pw.this.b, s=pw.this.s,
+    ).to_df().collect()
+    for r in out:
+        assert r.band == r.a & r.b
+        assert r.bor == r.a | r.b
+        assert r.bxor == r.a ^ r.b
+        if abs(r.a) < 2**40:          # << overflow poisons to NULL
+            assert r.shl == r.a << r.s, (r.a, r.s)
+        assert r.shr == r.a >> r.s, (r.a, r.s, r.shr)

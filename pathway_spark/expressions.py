@@ -328,6 +328,27 @@ class BinaryOp(ColumnExpression):
             # int ** int stays integer (engine expression.rs:1077
             # l.pow(r as u32)); exact up to 2^53 via double pow
             return F.pow(lhs, rhs).cast("long")
+        floats = ("double", "float")
+        if self._op == "//" and (lt in floats or rt in floats):
+            # float floordiv returns FLOAT (engine expression.rs:1161
+            # (l/r).floor()); /0 poisons to NULL. Spark's floor() yields
+            # BIGINT (clamps |q| ≥ 2^63, loses ±inf); above 2^53 every
+            # double is already integral, so pass q through there.
+            q = F.try_divide(lhs, rhs)
+            return (
+                F.when(F.isnan(q) | (F.abs(q) >= F.lit(2.0 ** 53)), q)
+                .otherwise(F.floor(q).cast("double"))
+            )
+        if self._op == "%" and (lt in floats or rt in floats):
+            # CPython float mod (expression.rs:1175 mirrors floatobject.c):
+            # sign follows the divisor; exact-zero result copies r's sign
+            base = F.when(rhs != 0, lhs % rhs)
+            return (
+                F.when(base.isNull(), F.lit(None).cast("double"))
+                .when((base != 0) & ((base < 0) != (rhs < 0)), base + rhs)
+                .when(base == 0, F.signum(rhs) * F.lit(0.0))
+                .otherwise(base)
+            )
         ints = ("bigint", "int", "smallint", "tinyint")
         if self._op in ("&", "|", "^") and (lt in ints or rt in ints):
             # int operands take BITWISE semantics (expression.rs:220-222)

@@ -219,3 +219,26 @@ def test_bitwise_and_shifts_match_python(spark, rows):
         if abs(r.a) < 2**40:          # << overflow poisons to NULL
             assert r.shl == r.a << r.s, (r.a, r.s)
         assert r.shr == r.a >> r.s, (r.a, r.s, r.shr)
+
+
+floats = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(st.tuples(floats, floats), min_size=1, max_size=40))
+@SET
+def test_float_floordiv_mod_match_python(spark, pairs):
+    t = Table.from_spark(spark.createDataFrame(pairs, "a double, b double"))
+    out = t.select(fd=pw.this.a // pw.this.b, md=pw.this.a % pw.this.b,
+                   a=pw.this.a, b=pw.this.b).to_df().collect()
+    for r in out:
+        if r.b == 0:
+            assert r.fd is None and r.md is None
+        else:
+            # engine float floordiv is floor(l/r) (expression.rs:1161) —
+            # CPython's a//b differs on denormal underflow; follow engine
+            import math
+            q = r.a / r.b
+            exp_fd = q if (q != q or abs(q) >= 2.0**53) else float(math.floor(q))
+            assert r.fd == pytest.approx(exp_fd), (r.a, r.b, r.fd)
+            assert r.md == pytest.approx(r.a % r.b), (r.a, r.b, r.md)

@@ -115,6 +115,7 @@ class ColumnExpression:
     def __pow__(self, o): return BinaryOp("**", self, _wrap(o))
     def __rpow__(self, o): return BinaryOp("**", _wrap(o), self)
     def __neg__(self): return UnaryOp("-", self)
+    def __abs__(self): return UnaryOp("abs", self)
 
     # --- comparison ---
     def __eq__(self, o): return BinaryOp("==", self, _wrap(o))  # type: ignore[override]
@@ -384,6 +385,8 @@ class UnaryOp(ColumnExpression):
             return ~c
         if self._opname == "not_null":
             return c.isNotNull()
+        if self._opname == "abs":
+            return F.abs(c)
         raise ValueError(self._opname)
 
     def _key(self) -> str:

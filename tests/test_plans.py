@@ -107,3 +107,47 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_fuzzy_match_plan_jvm_side(spark):
+    """Edge-level fuzzy match: two hash joins + window argmax, zero
+    python eval nodes — the whole matcher is Catalyst-optimizable."""
+    from pathway_spark.table import ID, Table
+
+    import pathway_spark as pw
+    from pyspark.sql import functions as F
+
+    el = Table.from_spark(spark.createDataFrame(
+        [(1, 101, 1.0)], "node long, feature long, weight double"))
+    er = Table.from_spark(spark.createDataFrame(
+        [(11, 101, 1.0)], "node long, feature long, weight double"))
+    feats = Table(spark.createDataFrame(
+        [(101, 1.0, 1)], "id long, weight double, normalization_type int",
+    ).withColumnRenamed("id", ID))
+    out = pw.ml.fuzzy_match(el, er, feats)
+    rep = plan_report(out)
+    assert rep["python_evals"] == 0, rep
+
+
+def test_argmax_rows_single_shuffle(spark):
+    """argmax_rows is ONE window-rank pass: a single exchange, no join
+    back to the input."""
+    import pathway_spark as pw
+
+    orders = pw.io.parquet.read(f"{SF_DIR}/orders.parquet", spark=spark)
+    out = pw.utils.filtering.argmax_rows(
+        orders, orders.o_orderpriority, what=orders.o_totalprice)
+    rep = plan_report(out)
+    assert rep["python_evals"] == 0
+    assert rep["shuffles"] <= 1, rep
+
+
+def test_string_concat_stays_codegen(spark):
+    """Type-aware + compilation must produce concat (JVM), never a
+    fallback python eval."""
+    import pathway_spark as pw
+
+    nation = pw.io.parquet.read(f"{SF_DIR}/nation.parquet", spark=spark)
+    out = nation.select(tag=pw.this.n_name + "-" + pw.this.n_name)
+    rep = plan_report(out)
+    assert rep["python_evals"] == 0

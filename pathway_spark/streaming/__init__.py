@@ -126,3 +126,38 @@ def run_to_memory(table_or_df, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def subscribe_differential(stream_df, build, on_change, *,
+                           checkpoint_every: int = 8):
+    """Retraction-true subscribe for DERIVED tables over a live stream.
+
+    `subscribe_stream` retracts per-key updates the sink can see; this
+    goes further: each micro-batch of the (insert-only, or
+    `_pw_diff`-carrying) input stream is fed through a
+    `DifferentialGraph` built by `build(source_node)`, so arbitrary
+    filter/join/groupby compositions emit exact -1/+1 derived-row
+    deltas — the reference's `pw.io.subscribe` contract on derived
+    tables (`src/engine/dataflow.rs` reduce/join retractions), which
+    Structured Streaming's own output modes cannot produce.
+
+    on_change(row: dict, time: int, is_addition: bool) per delta row
+    (driver-side by contract, batches streamed via toLocalIterator).
+    Returns the StreamingQuery."""
+    from .differential import DIFF, TIME, DifferentialGraph
+
+    df = stream_df._df if isinstance(stream_df, Table) else stream_df
+    graph = DifferentialGraph(df.sparkSession,
+                              checkpoint_every=checkpoint_every)
+    template = df.sparkSession.createDataFrame([], df.schema)
+    out = build(graph.source("src", template))
+
+    def batch_fn(bdf: DataFrame, batch_id: int):
+        (delta,) = graph.step(out, src=bdf)
+        for row in delta.toLocalIterator():
+            d = row.asDict()
+            t, w = d.pop(TIME), d.pop(DIFF)
+            for _ in range(abs(int(w))):
+                on_change(row=d, time=t, is_addition=w > 0)
+
+    return df.writeStream.outputMode("append").foreachBatch(batch_fn).start()

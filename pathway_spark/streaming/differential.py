@@ -1,0 +1,481 @@
+"""Differential micro-batch engine — arbitrary derived-row retraction streams.
+
+The reference's defining capability is incremental computation: every
+table is a stream of `(row, time, diff)` updates and every operator
+propagates *deltas*, so a derived table (filter → join → groupby) emits
+`+1` insertions and `-1` retractions as its inputs change (reference
+`src/engine/dataflow.rs` differential-dataflow reduce/join cores,
+`python/pathway/internals/table.py` `__diff__`/`__time__` semantics).
+
+Spark's Structured Streaming only retracts through built-in stateful
+ops (update-mode aggregation), not through arbitrary compositions.
+This module closes that gap with a Spark-first design: a small operator
+graph evaluated once per micro-batch, where
+
+- a **delta** is a DataFrame carrying the data columns plus
+  `_pw_diff` (a signed multiplicity, usually ±1) and `_pw_time`
+  (the logical batch); and
+- each *stateful* node keeps its accumulated input as a consolidated
+  multiset DataFrame (positive weights), updated per batch.
+
+Every per-batch rule is itself declarative DataFrame algebra — no
+driver-side row loops — so Catalyst plans each step and the state
+update is one shuffle on the operator's own key:
+
+- linear ops (select / filter / flatten / union): apply to the delta
+  rows directly; diffs pass through untouched.
+- join (inner):  d(A ⋈ B) = dA ⋈ B ∪ A_old ⋈ dB ∪ dA ⋈ dB
+  with output weight = wA · wB (the bilinearity rule).  Implemented as
+  dA ⋈ B_new ∪ A_old ⋈ dB — two key-partitioned joins per batch.
+- left join adds the null-padded complement A ⋉̸ B, maintained from
+  the right side's per-key presence; a key's presence flipping 0↔>0
+  retracts/emits the padded rows for all matching left rows.
+- reduce (groupby/agg): the affected-key rule — keys touched by the
+  delta recompute their aggregate from the consolidated input state
+  (a semi-join on the delta's keys), then emit `-1` for the old output
+  row and `+1` for the new one; unchanged rows cancel in consolidation.
+  This supports *any* aggregate (min/max included) because the group's
+  full multiset is at hand — the same strategy differential dataflow's
+  `reduce` uses, expressed as Spark joins instead of arrangement
+  cursors.
+- distinct: reduce with presence semantics (net weight > 0 → one row).
+
+State is lineage-truncated via `localCheckpoint` every
+`checkpoint_every` batches (at cluster scale, swap `_StateStore` for a
+Delta/parquet-versioned store — the interface is three methods).
+
+Scale notes: all state updates shuffle on the operator key only; the
+affected-key reduce touches |delta-keys| groups, not |state| groups;
+consolidation is a map-side-combinable sum.  Nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIFF = "_pw_diff"
+TIME = "_pw_time"
+_META = (DIFF, TIME)
+
+
+def _data_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in _META]
+
+
+def consolidate(df: DataFrame) -> DataFrame:
+    """Sum multiplicities per distinct row; drop rows that net to zero.
+
+    The differential-dataflow `consolidate` — map-side combinable, one
+    shuffle on the row content."""
+    cols = _data_cols(df)
+    return (df.groupBy(*cols).agg(F.sum(DIFF).alias(DIFF))
+              .filter(F.col(DIFF) != 0))
+
+
+def as_delta(df: DataFrame, *, diff: int = 1, time: int = 0) -> DataFrame:
+    """Lift a plain DataFrame into a delta (all rows share one diff)."""
+    out = df
+    if DIFF not in out.columns:
+        out = out.withColumn(DIFF, F.lit(diff))
+    if TIME not in out.columns:
+        out = out.withColumn(TIME, F.lit(time))
+    return out
+
+
+class _StateStore:
+    """Accumulated multiset state for one node input.
+
+    In-memory consolidated DataFrame, lineage-truncated periodically.
+    At 100 TB this object is the thing you replace: back it with a
+    parquet/Delta versioned directory (write state_v{t}, read latest) —
+    `get`/`update`/`close` is the whole contract."""
+
+    def __init__(self, spark: SparkSession, template: DataFrame,
+                 checkpoint_every: int = 8):
+        empty = template.filter(F.lit(False))
+        if DIFF not in empty.columns:
+            empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
+        self._df = empty.select(*_data_cols(empty), F.col(DIFF).cast("long"))
+        self._spark = spark
+        self._every = max(1, checkpoint_every)
+        self._ticks = 0
+        self._persisted: DataFrame | None = None
+
+    def get(self) -> DataFrame:
+        return self._df
+
+    def update(self, delta: DataFrame) -> None:
+        d = delta.select(*_data_cols(self._df), F.col(DIFF).cast("long"))
+        self._df = consolidate(self._df.unionByName(d))
+        self._ticks += 1
+        if self._ticks % self._every == 0:
+            # truncate lineage so plan depth stays O(1) across batches
+            old = self._persisted
+            self._df = self._df.localCheckpoint(eager=True)
+            self._persisted = self._df
+            if old is not None:
+                pass  # localCheckpoint blocks are GC'd with the RDD
+
+    def close(self) -> None:
+        self._df = None
+
+
+class DiffNode:
+    """One operator in the differential graph.
+
+    `delta(t)` returns this node's output delta for batch `t`
+    (memoized so diamond-shaped graphs evaluate each node once)."""
+
+    def __init__(self, graph: "DifferentialGraph",
+                 inputs: Sequence["DiffNode"]):
+        self.graph = graph
+        self.inputs = list(inputs)
+        self._memo_t: int | None = None
+        self._memo: DataFrame | None = None
+        graph._nodes.append(self)
+
+    # -- builder API ----------------------------------------------------
+    def select(self, *cols: Column | str, **named: Column) -> "DiffNode":
+        exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        exprs += [c.alias(n) for n, c in named.items()]
+        return _LinearNode(self.graph, self,
+                           lambda df: df.select(*exprs, DIFF, TIME))
+
+    def filter(self, cond: Column) -> "DiffNode":
+        return _LinearNode(self.graph, self, lambda df: df.filter(cond))
+
+    def with_columns(self, **named: Column) -> "DiffNode":
+        def fn(df: DataFrame) -> DataFrame:
+            for n, c in named.items():
+                df = df.withColumn(n, c)
+            return df
+        return _LinearNode(self.graph, self, fn)
+
+    def flatten(self, col: str, alias: str | None = None) -> "DiffNode":
+        alias = alias or col
+        def fn(df: DataFrame) -> DataFrame:
+            keep = [c for c in _data_cols(df) if c != col]
+            return df.select(*keep, F.explode(col).alias(alias), DIFF, TIME)
+        return _LinearNode(self.graph, self, fn)
+
+    def union(self, other: "DiffNode") -> "DiffNode":
+        return _UnionNode(self.graph, [self, other])
+
+    concat = union
+
+    def join(self, other: "DiffNode", on: Sequence[str], *,
+             how: str = "inner") -> "DiffNode":
+        return _JoinNode(self.graph, self, other, list(on), how)
+
+    def reduce(self, keys: Sequence[str],
+               aggs: dict[str, tuple] | None = None, **kw: tuple) -> "DiffNode":
+        """aggs: name -> ("sum"|"count"|"min"|"max"|"avg"|"count_distinct"|
+        "any", column_name?) — weight-aware aggregation specs."""
+        specs = dict(aggs or {})
+        specs.update(kw)
+        return _ReduceNode(self.graph, self, list(keys), specs)
+
+    def distinct(self) -> "DiffNode":
+        return _DistinctNode(self.graph, self)
+
+    def negate(self) -> "DiffNode":
+        return _LinearNode(self.graph, self,
+                           lambda df: df.withColumn(DIFF, -F.col(DIFF)))
+
+    # -- evaluation ------------------------------------------------------
+    def delta(self, t: int) -> DataFrame:
+        if self._memo_t != t:
+            self._memo = self._advance(t)
+            self._memo_t = t
+        return self._memo
+
+    def _advance(self, t: int) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class SourceNode(DiffNode):
+    """Graph input: receives the externally-supplied delta each batch."""
+
+    def __init__(self, graph: "DifferentialGraph", name: str,
+                 template: DataFrame):
+        super().__init__(graph, [])
+        self.name = name
+        empty = as_delta(template.filter(F.lit(False)))
+        self._template = empty
+        self._pending: DataFrame | None = None
+
+    def _feed(self, delta: DataFrame | None, t: int) -> None:
+        if delta is None:
+            self._pending = self._template
+        else:
+            d = as_delta(delta, time=t)
+            self._pending = d.select(
+                *_data_cols(self._template),
+                F.col(DIFF).cast("long"), F.lit(t).alias(TIME))
+
+    def _advance(self, t: int) -> DataFrame:
+        return self._pending if self._pending is not None else self._template
+
+
+class _LinearNode(DiffNode):
+    def __init__(self, graph, parent: DiffNode,
+                 fn: Callable[[DataFrame], DataFrame]):
+        super().__init__(graph, [parent])
+        self._fn = fn
+
+    def _advance(self, t: int) -> DataFrame:
+        return self._fn(self.inputs[0].delta(t))
+
+
+class _UnionNode(DiffNode):
+    def _advance(self, t: int) -> DataFrame:
+        a, b = (i.delta(t) for i in self.inputs)
+        return a.unionByName(b.select(*a.columns))
+
+
+class _JoinNode(DiffNode):
+    """Bilinear delta join; left-outer adds presence-tracked null padding."""
+
+    def __init__(self, graph, left: DiffNode, right: DiffNode,
+                 on: list[str], how: str):
+        if how not in ("inner", "left"):
+            raise NotImplementedError(
+                f"differential join supports inner/left, got {how!r}")
+        super().__init__(graph, [left, right])
+        self.on = on
+        self.how = how
+        self._sa: _StateStore | None = None
+        self._sb: _StateStore | None = None
+
+    def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
+        if self._sa is None:
+            self._sa = _StateStore(self.graph.spark, da,
+                                   self.graph.checkpoint_every)
+            self._sb = _StateStore(self.graph.spark, db,
+                                   self.graph.checkpoint_every)
+
+    @staticmethod
+    def _weighted(a: DataFrame, b: DataFrame, on: list[str],
+                  rcols: list[str], t: int) -> DataFrame:
+        """inner join two multisets; weight = product of weights."""
+        wa, wb = f"{DIFF}__a", f"{DIFF}__b"
+        a = a.withColumnRenamed(DIFF, wa).drop(TIME)
+        b = b.select(*on, *rcols, F.col(DIFF).alias(wb))
+        out = a.join(b, on=on, how="inner")
+        return out.withColumn(DIFF, F.col(wa) * F.col(wb)) \
+                  .drop(wa, wb).withColumn(TIME, F.lit(t))
+
+    def _advance(self, t: int) -> DataFrame:
+        da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        self._ensure_state(da, db)
+        a_old, b_old = self._sa.get(), self._sb.get()
+        rcols = [c for c in _data_cols(db) if c not in self.on]
+        b_new = consolidate(b_old.unionByName(
+            db.select(*_data_cols(b_old), DIFF)))
+        # dA ⋈ B_new ∪ A_old ⋈ dB  ==  dA⋈B + A⋈dB + dA⋈dB
+        part1 = self._weighted(da, as_delta(b_new, time=t), self.on, rcols, t)
+        part2 = self._weighted(as_delta(a_old, time=t), db, self.on, rcols, t)
+        inner = part1.unionByName(part2.select(*part1.columns))
+        out = inner
+        if self.how == "left":
+            out = inner.unionByName(
+                self._left_padding(da, db, a_old, b_old, b_new, rcols, t)
+                    .select(*inner.columns))
+        self._sa.update(da)
+        self._sb.update(db)
+        return out
+
+    def _left_padding(self, da, db, a_old, b_old, b_new,
+                      rcols: list[str], t: int) -> DataFrame:
+        """Delta of A ⋉̸ B × NULLs, from right-side key presence.
+
+        pad(A, B) = (A anti-join keys(B)) with NULL right columns;
+        d pad = pad(A_new, B_new) − pad(A_old, B_old), computed from the
+        two presence sets (small: one row per join key) — left rows join
+        the *change* in absent-key sets, so cost ~ |affected keys|."""
+        on = self.on
+        def presence(state: DataFrame) -> DataFrame:
+            return (state.groupBy(*on).agg(F.sum(DIFF).alias("__w"))
+                         .filter(F.col("__w") > 0).select(*on))
+        p_old, p_new = presence(b_old), presence(b_new)
+        appeared = p_new.join(p_old, on=on, how="left_anti")   # 0 → >0
+        vanished = p_old.join(p_new, on=on, how="left_anti")   # >0 → 0
+        nulls = [F.lit(None).alias(c) for c in rcols]
+        def pad(rows: DataFrame, sign: int) -> DataFrame:
+            return rows.select(
+                *_data_cols(rows), (F.col(DIFF) * sign).alias(DIFF),
+            ).select("*", *nulls).withColumn(TIME, F.lit(t))
+        # case algebra per key (p0/p1 = old/new presence), against
+        # d pad = A_new·[!p1] − A_old·[!p0]:
+        #   appeared (0→1): −A_old        (fresh excludes p_new keys)
+        #   vanished (1→0): +A_old + dA   (lost + fresh)
+        #   never present:  +dA           (fresh)
+        # NB gained uses A_old, not A_new — same-batch dA rows under an
+        # appeared key never had padding emitted, so nothing to retract.
+        gained = pad(a_old.join(appeared, on=on, how="left_semi"), -1)
+        lost = pad(a_old.join(vanished, on=on, how="left_semi"), +1)
+        fresh = pad(da.drop(TIME).join(p_new, on=on, how="left_anti"), +1)
+        return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
+
+
+_AGG_BUILDERS = {
+    "sum": lambda c: F.sum(F.col(c) * F.col(DIFF)),
+    "count": lambda c: F.sum(DIFF),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.sum(F.col(c) * F.col(DIFF)) / F.sum(DIFF),
+    "count_distinct": lambda c: F.countDistinct(c),
+    "any": lambda c: F.min(c),
+}
+
+
+class _ReduceNode(DiffNode):
+    """Affected-key groupby/agg with retraction of superseded rows."""
+
+    def __init__(self, graph, parent: DiffNode, keys: list[str],
+                 specs: dict[str, tuple]):
+        super().__init__(graph, [parent])
+        self.keys = keys
+        self.specs = {}
+        for name, spec in specs.items():
+            if isinstance(spec, str):
+                spec = (spec,)
+            kind = spec[0]
+            col = spec[1] if len(spec) > 1 else (keys[0] if keys else None)
+            if kind not in _AGG_BUILDERS:
+                raise ValueError(f"unknown reducer {kind!r} for {name!r}")
+            self.specs[name] = (kind, col)
+        self._state: _StateStore | None = None
+
+    def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
+        aggs = [_AGG_BUILDERS[k](c).alias(n)
+                for n, (k, c) in self.specs.items()]
+        grouped = multiset.groupBy(*self.keys).agg(*aggs)
+        return grouped.withColumn(DIFF, F.lit(1).cast("long")) \
+                      .withColumn(TIME, F.lit(t))
+
+    def _advance(self, t: int) -> DataFrame:
+        delta = self.inputs[0].delta(t)
+        if self._state is None:
+            self._state = _StateStore(self.graph.spark, delta,
+                                      self.graph.checkpoint_every)
+        state = self._state.get()
+        keys = delta.select(*self.keys).distinct()
+        old_in = state.join(keys, on=self.keys, how="left_semi")
+        new_state = consolidate(state.unionByName(
+            delta.select(*_data_cols(state), DIFF)))
+        new_in = new_state.join(keys, on=self.keys, how="left_semi")
+        old_out = self._aggregate(old_in, t).withColumn(DIFF, -F.col(DIFF))
+        new_out = self._aggregate(new_in, t)
+        self._state.update(delta)
+        # identical old/new rows cancel here, so steady keys emit nothing
+        return consolidate(old_out.unionByName(new_out)) \
+            .withColumn(TIME, F.lit(t))
+
+
+class _DistinctNode(DiffNode):
+    """Multiset → set semantics: a row is present iff net weight > 0."""
+
+    def __init__(self, graph, parent: DiffNode):
+        super().__init__(graph, [parent])
+        self._state: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        delta = self.inputs[0].delta(t)
+        if self._state is None:
+            self._state = _StateStore(self.graph.spark, delta,
+                                      self.graph.checkpoint_every)
+        state = self._state.get()
+        cols = _data_cols(state)
+        touched = delta.select(*cols).distinct()
+        def present(ms: DataFrame) -> DataFrame:
+            return (ms.join(touched, on=cols, how="left_semi")
+                      .groupBy(*cols).agg(F.sum(DIFF).alias("__w"))
+                      .filter(F.col("__w") > 0).drop("__w"))
+        old_p = present(state)
+        new_state = consolidate(state.unionByName(
+            delta.select(*cols, DIFF)))
+        new_p = present(new_state)
+        ins = new_p.join(old_p, on=cols, how="left_anti") \
+                   .withColumn(DIFF, F.lit(1).cast("long"))
+        outs = old_p.join(new_p, on=cols, how="left_anti") \
+                    .withColumn(DIFF, F.lit(-1).cast("long"))
+        self._state.update(delta)
+        return ins.unionByName(outs).withColumn(TIME, F.lit(t))
+
+
+class DifferentialGraph:
+    """Builder + runner for a differential dataflow over micro-batches.
+
+    >>> g = DifferentialGraph(spark)
+    >>> orders = g.source("orders", template_df)
+    >>> totals = orders.filter(F.col("qty") > 0) \\
+    ...                .reduce(["user"], total=("sum", "amount"))
+    >>> out = g.run(totals, batches=[batch1, batch2])  # list of deltas
+    """
+
+    def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8):
+        self.spark = spark
+        self.checkpoint_every = checkpoint_every
+        self._nodes: list[DiffNode] = []
+        self._sources: dict[str, SourceNode] = {}
+        self._t = -1
+
+    def source(self, name: str, template: DataFrame) -> SourceNode:
+        node = SourceNode(self, name, template)
+        self._sources[name] = node
+        return node
+
+    def step(self, outputs: Sequence[DiffNode] | DiffNode,
+             **deltas: DataFrame) -> list[DataFrame]:
+        """Advance one logical time; feed `deltas` keyed by source name,
+        return each requested output node's delta for this batch."""
+        self._t += 1
+        t = self._t
+        unknown = set(deltas) - set(self._sources)
+        if unknown:
+            raise KeyError(f"unknown sources: {sorted(unknown)}")
+        for name, src in self._sources.items():
+            src._feed(deltas.get(name), t)
+        nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
+        return [n.delta(t) for n in nodes]
+
+    def run(self, output: DiffNode,
+            batches: Iterable[DataFrame | dict[str, DataFrame]],
+            on_change: Callable | None = None) -> DataFrame:
+        """Feed a sequence of delta batches; return the concatenation of
+        all output deltas (the full retraction stream).  When the graph
+        has one source a bare DataFrame per batch is accepted.
+
+        `on_change(delta_df, t)` is called per batch for sink wiring."""
+        only = next(iter(self._sources)) if len(self._sources) == 1 else None
+        pieces: list[DataFrame] = []
+        for batch in batches:
+            if isinstance(batch, DataFrame):
+                if only is None:
+                    raise ValueError("multi-source graph needs dict batches")
+                batch = {only: batch}
+            (out,) = self.step(output, **batch)
+            out = out.localCheckpoint(eager=True)
+            pieces.append(out)
+            if on_change is not None:
+                on_change(out, self._t)
+        if not pieces:
+            return output.delta(max(self._t, 0)).filter(F.lit(False))
+        acc = pieces[0]
+        for p in pieces[1:]:
+            acc = acc.unionByName(p)
+        return acc
+
+    @staticmethod
+    def integrate(changelog: DataFrame) -> DataFrame:
+        """Fold a retraction stream to its final snapshot (Σ diffs > 0),
+        replicating rows by their net multiplicity."""
+        net = consolidate(changelog.drop(TIME))
+        pos = net.filter(F.col(DIFF) > 0)
+        return (pos.withColumn("__k", F.explode(F.sequence(F.lit(1), F.col(DIFF))))
+                   .drop("__k", DIFF))

@@ -1,0 +1,234 @@
+"""Differential engine: derived-row retraction streams.
+
+Invariant checked throughout: for any sequence of input deltas,
+integrate(output changelog) == the same query recomputed from scratch
+on integrate(input changelog) — i.e. the incremental plan and the batch
+plan agree at every prefix, while the changelog additionally carries
+the -1/+1 rows Structured Streaming alone cannot produce for derived
+tables (reference `src/engine/dataflow.rs` reduce/join retractions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathway_spark.streaming.differential import (
+    DIFF, TIME, DifferentialGraph, as_delta, consolidate,
+)
+
+
+def _rows(df, *cols):
+    return sorted((tuple(r) for r in df.select(*cols).collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def _delta(spark, rows, schema, diff=None):
+    df = spark.createDataFrame(rows, schema)
+    if diff is not None:
+        df = df.withColumn(DIFF, F.lit(diff))
+    return df
+
+
+@pytest.fixture()
+def tpl(spark):
+    return spark.createDataFrame([], "user string, amount long")
+
+
+def test_linear_ops_pass_diffs_through(spark, tpl):
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    node = (src.filter(F.col("amount") > 10)
+               .select("user", doubled=F.col("amount") * 2))
+    b1 = _delta(spark, [("a", 5), ("b", 20)], tpl.schema)
+    b2 = _delta(spark, [("b", 20)], tpl.schema, diff=-1)
+    out = g.run(node, [b1, b2])
+    log = _rows(out, "user", "doubled", DIFF, TIME)
+    assert log == [("b", 40, -1, 1), ("b", 40, 1, 0)]
+    assert _rows(DifferentialGraph.integrate(out), "user", "doubled") == []
+
+
+def test_reduce_emits_retraction_then_new_value(spark, tpl):
+    g = DifferentialGraph(spark)
+    totals = g.source("t", tpl).reduce(
+        ["user"], total=("sum", "amount"), n=("count",))
+    b1 = _delta(spark, [("a", 10), ("a", 5), ("b", 7)], tpl.schema)
+    b2 = _delta(spark, [("a", 1)], tpl.schema)
+    (d1,) = g.step(totals, t=b1)
+    assert _rows(d1, "user", "total", "n", DIFF) == [
+        ("a", 15, 2, 1), ("b", 7, 1, 1)]
+    (d2,) = g.step(totals, t=b2)
+    # b unchanged -> silent; a retracts its old row, emits the new one
+    assert _rows(d2, "user", "total", "n", DIFF) == [
+        ("a", 15, 2, -1), ("a", 16, 3, 1)]
+
+
+def test_reduce_min_handles_retraction_of_current_min(spark, tpl):
+    g = DifferentialGraph(spark)
+    lows = g.source("t", tpl).reduce(["user"], lo=("min", "amount"))
+    b1 = _delta(spark, [("a", 3), ("a", 9)], tpl.schema)
+    b2 = _delta(spark, [("a", 3)], tpl.schema, diff=-1)
+    g.step(lows, t=b1)
+    (d2,) = g.step(lows, t=b2)
+    # min must climb back to 9 — only possible because the node keeps
+    # the group's full multiset, not just the old aggregate
+    assert _rows(d2, "user", "lo", DIFF) == [("a", 3, -1), ("a", 9, 1)]
+
+
+def test_reduce_group_disappears_on_full_retraction(spark, tpl):
+    g = DifferentialGraph(spark)
+    totals = g.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    g.step(totals, t=_delta(spark, [("a", 4)], tpl.schema))
+    (d2,) = g.step(totals, t=_delta(spark, [("a", 4)], tpl.schema, diff=-1))
+    assert _rows(d2, "user", "total", DIFF) == [("a", 4, -1)]
+
+
+def test_inner_join_bilinear_rule(spark):
+    left_t = spark.createDataFrame([], "k string, l long")
+    right_t = spark.createDataFrame([], "k string, r string")
+    g = DifferentialGraph(spark)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    j = a.join(b, on=["k"])
+    (d1,) = g.step(j, a=_delta(spark, [("x", 1)], left_t.schema))
+    assert _rows(d1, "k", "l", "r", DIFF) == []          # no match yet
+    (d2,) = g.step(j, b=_delta(spark, [("x", "R")], right_t.schema))
+    assert _rows(d2, "k", "l", "r", DIFF) == [("x", 1, "R", 1)]
+    # retract the right row -> joined row retracts
+    (d3,) = g.step(j, b=_delta(spark, [("x", "R")], right_t.schema, diff=-1))
+    assert _rows(d3, "k", "l", "r", DIFF) == [("x", 1, "R", -1)]
+
+
+def test_join_same_batch_both_sides(spark):
+    left_t = spark.createDataFrame([], "k string, l long")
+    right_t = spark.createDataFrame([], "k string, r string")
+    g = DifferentialGraph(spark)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    out = g.run(a.join(b, on=["k"]), [
+        {"a": _delta(spark, [("x", 1)], left_t.schema),
+         "b": _delta(spark, [("x", "R")], right_t.schema)},
+    ])
+    # dA ⋈ dB must be counted exactly once
+    assert _rows(out, "k", "l", "r", DIFF) == [("x", 1, "R", 1)]
+
+
+def test_left_join_padding_appears_and_retracts(spark):
+    left_t = spark.createDataFrame([], "k string, l long")
+    right_t = spark.createDataFrame([], "k string, r string")
+    g = DifferentialGraph(spark)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    j = a.join(b, on=["k"], how="left")
+    (d1,) = g.step(j, a=_delta(spark, [("x", 1)], left_t.schema))
+    assert _rows(d1, "k", "l", "r", DIFF) == [("x", 1, None, 1)]
+    # match arrives: padded row retracts, joined row appears
+    (d2,) = g.step(j, b=_delta(spark, [("x", "R")], right_t.schema))
+    assert _rows(d2, "k", "l", "r", DIFF) == [
+        ("x", 1, "R", 1), ("x", 1, None, -1)]
+    # match leaves again: reverse
+    (d3,) = g.step(j, b=_delta(spark, [("x", "R")], right_t.schema, diff=-1))
+    assert _rows(d3, "k", "l", "r", DIFF) == [
+        ("x", 1, "R", -1), ("x", 1, None, 1)]
+
+
+def test_left_join_same_batch_new_left_and_presence_flip(spark):
+    # the case the padding algebra note covers: a key appears on the
+    # right in the SAME batch as new left rows arrive — those rows never
+    # emit padding, and nothing is over-retracted
+    left_t = spark.createDataFrame([], "k string, l long")
+    right_t = spark.createDataFrame([], "k string, r string")
+    g = DifferentialGraph(spark)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    j = a.join(b, on=["k"], how="left")
+    g.step(j, a=_delta(spark, [("x", 1)], left_t.schema))
+    (d2,) = g.step(
+        j,
+        a=_delta(spark, [("x", 2)], left_t.schema),
+        b=_delta(spark, [("x", "R")], right_t.schema),
+    )
+    assert _rows(d2, "k", "l", "r", DIFF) == [
+        ("x", 1, "R", 1), ("x", 1, None, -1), ("x", 2, "R", 1)]
+
+
+def test_distinct_presence_semantics(spark, tpl):
+    g = DifferentialGraph(spark)
+    d = g.source("t", tpl).select("user").distinct()
+    (d1,) = g.step(d, t=_delta(spark, [("a", 1), ("a", 2)], tpl.schema))
+    assert _rows(d1, "user", DIFF) == [("a", 1)]          # one insert
+    # drop one of the two supporting rows: still present, silent
+    (d2,) = g.step(d, t=_delta(spark, [("a", 1)], tpl.schema, diff=-1))
+    assert _rows(d2, "user", DIFF) == []
+    # drop the last: retract
+    (d3,) = g.step(d, t=_delta(spark, [("a", 2)], tpl.schema, diff=-1))
+    assert _rows(d3, "user", DIFF) == [("a", -1)]
+
+
+def test_composition_matches_batch_recompute_at_every_prefix(spark):
+    """filter -> join -> reduce, randomized inserts+retractions; the
+    integrated changelog equals the from-scratch batch answer after
+    every single batch."""
+    import random
+    rnd = random.Random(7)
+    left_t = spark.createDataFrame([], "k string, v long")
+    right_t = spark.createDataFrame([], "k string, w long")
+    g = DifferentialGraph(spark, checkpoint_every=2)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    q = (a.filter(F.col("v") % 2 == 0)
+          .join(b, on=["k"])
+          .reduce(["k"], s=("sum", "v"), m=("max", "w"), n=("count",)))
+
+    live_a, live_b = [], []   # mirrors of current multiset contents
+    logs = []
+    for t in range(6):
+        da, db = [], []
+        for _ in range(rnd.randint(1, 3)):
+            da.append((rnd.choice("pqr"), rnd.randint(0, 6), 1))
+        if live_a and rnd.random() < 0.7:
+            da.append(live_a.pop(rnd.randrange(len(live_a))) + (-1,))
+        for _ in range(rnd.randint(0, 2)):
+            db.append((rnd.choice("pqr"), rnd.randint(0, 9), 1))
+        if live_b and rnd.random() < 0.5:
+            db.append(live_b.pop(rnd.randrange(len(live_b))) + (-1,))
+        live_a += [r[:2] for r in da if r[2] > 0]
+        live_b += [r[:2] for r in db if r[2] > 0]
+        (out,) = g.step(
+            q,
+            a=spark.createDataFrame(da, "k string, v long, _pw_diff long"),
+            b=spark.createDataFrame(db, "k string, w long, _pw_diff long"),
+        )
+        logs.append(out.localCheckpoint(eager=True))
+        # batch recompute on current live sets
+        adf = spark.createDataFrame(live_a or [("zz", -1)], "k string, v long")
+        bdf = spark.createDataFrame(live_b or [("zz", -1)], "k string, w long")
+        expect = (adf.filter(F.col("v") % 2 == 0).join(bdf, on=["k"])
+                     .groupBy("k").agg(F.sum("v").alias("s"),
+                                       F.max("w").alias("m"),
+                                       F.count(F.lit(1)).alias("n")))
+        if not live_a:
+            expect = expect.filter(F.lit(False))
+        acc = logs[0]
+        for p in logs[1:]:
+            acc = acc.unionByName(p)
+        got = DifferentialGraph.integrate(acc)
+        assert _rows(got, "k", "s", "m", "n") == _rows(expect, "k", "s", "m", "n"), \
+            f"diverged at batch {t}"
+
+
+def test_flatten_union_and_negate(spark):
+    tpl = spark.createDataFrame([], "doc string, words array<string>")
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    words = src.flatten("words", alias="word").select("word")
+    both = words.union(words.negate())
+    b1 = as_delta(spark.createDataFrame([("d1", ["x", "y"])], tpl.schema))
+    out = g.run(both, [b1])
+    # x + (−x) consolidates to nothing
+    assert _rows(consolidate(out), "word") == []
+    assert _rows(words.delta(0), "word", DIFF) == [("x", 1), ("y", 1)]
+
+
+def test_avg_and_count_distinct_reducers(spark, tpl):
+    g = DifferentialGraph(spark)
+    r = g.source("t", tpl).reduce(
+        ["user"], mean=("avg", "amount"), k=("count_distinct", "amount"))
+    g.step(r, t=_delta(spark, [("a", 10), ("a", 20), ("a", 10)], tpl.schema))
+    (d2,) = g.step(r, t=_delta(spark, [("a", 10)], tpl.schema, diff=-1))
+    got = {(u, m, k, s) for u, m, k, s in
+           (tuple(x) for x in d2.select("user", "mean", "k", DIFF).collect())}
+    assert ("a", 40 / 3, 2, -1) in got
+    assert ("a", 15.0, 2, 1) in got

@@ -302,3 +302,39 @@ def test_retraction_semantics_pinned(spark, tmp_path):
     assert events[0] == ((1,), 10, True)
     assert ((1,), 10, False) in events
     assert events[-1] == ((1,), 15, True)
+
+
+def test_streaming_differential_derived_retractions(spark, tmp_path):
+    """subscribe_differential: a DERIVED table (filter -> groupby) over a
+    live stream emits exact -1/+1 deltas — file 2 updates key `a`, so the
+    old aggregate row retracts and the new one appears; key `b` (filtered
+    path unchanged) stays silent in batch 2."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "diffstream"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,2\nb,6\na,999\n")
+    (src / "f2.csv").write_text("k,v\na,4\n")
+    schema = pw.schema_from_types(k=str, v=int)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming",
+                           spark=spark)
+
+    events = []
+    q = st.subscribe_differential(
+        t,
+        lambda s: s.filter(F.col("v") < 100).reduce(
+            ["k"], total=("sum", "v"), n=("count",)),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["total"], row["n"], is_addition, time)),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    by_batch = {}
+    for k, total, n, is_add, tm in events:
+        by_batch.setdefault(tm, []).append((k, total, n, is_add))
+    assert len(by_batch) == 2, f"expected 2 micro-batches, got {by_batch}"
+    b1, b2 = (sorted(by_batch[t]) for t in sorted(by_batch))
+    assert b1 == [("a", 2, 1, True), ("b", 6, 1, True)]
+    # batch 2: only `a` changes — retraction of (2,1) then (6,2); b silent
+    assert b2 == [("a", 2, 1, False), ("a", 6, 2, True)]

@@ -1,0 +1,251 @@
+"""Pathway-style Table syntax over the differential engine.
+
+Lets a user write the reference's pipeline idiom —
+``this``-expressions, ``pw.reducers.*``, ``groupby().reduce()`` —
+against a live retraction stream (reference
+`python/pathway/internals/table.py` API over
+`src/engine/dataflow.rs` incremental operators):
+
+>>> g = DifferentialTableGraph(spark)
+>>> orders = g.input("orders", template_df)
+>>> totals = (orders.filter(this.amount > 0)
+...                 .groupby(this.user)
+...                 .reduce(this.user, total=reducers.sum(this.amount)))
+>>> g.run(totals.node, batches)        # -> full retraction changelog
+
+The bridge compiles each expression with the existing
+`pathway_spark.expressions` machinery (so the whole scalar namespace —
+str.*/dt.*/num.*, if_else, JSON ops — works unchanged), but resolves
+column references *by name* instead of binding to a concrete
+DataFrame: the resulting Columns then apply to whatever delta frame
+flows through the node at each micro-batch.
+
+Reducer support is the weight-aware subset (sum/count/min/max/avg/
+count_distinct/any/unique/argmin/argmax/earliest/latest); reducers
+whose value depends on row multiplicity in a way order statistics
+can't express (tuple, sorted_tuple, ndarray) raise with a pointer to
+the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expressions import (
+    BinaryOp,
+    ColumnExpression,
+    ColumnReference,
+    ReducerExpression,
+    RowContext,
+    to_col,
+)
+from ..table import Table
+from .differential import DIFF, TIME, DiffNode, DifferentialGraph, _data_cols
+
+
+class _NameContext(RowContext):
+    """Resolve refs to unbound `F.col(name)` so compiled Columns apply
+    to the per-batch delta frame, not the (empty) template; keeps the
+    template around for dtype-aware compilation (string +, int // ...)."""
+
+    def __init__(self, frames):
+        super().__init__(frames)
+
+    def ref(self, ref: ColumnReference) -> Column:
+        # validate the name resolves somewhere, then emit unbound
+        super().ref(ref)
+        return F.col(ref._name)
+
+
+# reference reducer name -> weight-aware differential spec kind
+_RED_MAP = {
+    "sum": "sum", "count": "count", "min": "min", "max": "max",
+    "avg": "avg", "count_distinct": "count_distinct", "any": "any",
+    "unique": "any", "argmin": "argmin", "argmax": "argmax",
+    "earliest": "earliest", "latest": "latest",
+}
+
+
+class DiffTable:
+    """A node in the differential graph, exposed through the reference's
+    Table vocabulary. `.node` is the underlying `DiffNode` (feed it to
+    `graph.run`/`graph.step`)."""
+
+    def __init__(self, node: DiffNode, template: DataFrame):
+        self.node = node
+        self._template = template  # empty frame carrying the schema
+
+    # -- schema plumbing -------------------------------------------------
+    def _ctx(self) -> _NameContext:
+        return _NameContext({"this": self._template})
+
+    def _apply_template(self, fn) -> DataFrame:
+        return fn(self._template)
+
+    @property
+    def column_names(self) -> list[str]:
+        return _data_cols(self._template)
+
+    # -- row ops ---------------------------------------------------------
+    def select(self, *args, **kwargs) -> "DiffTable":
+        ctx = self._ctx()
+        cols = [to_col(a, ctx).alias(a._name) for a in args
+                if isinstance(a, ColumnReference)]
+        cols += [to_col(e, ctx).alias(n) for n, e in kwargs.items()]
+        node = self.node.select(*cols)
+        return DiffTable(node, self._template.select(
+            *[c for c in cols]).limit(0))
+
+    def with_columns(self, **kwargs) -> "DiffTable":
+        ctx = self._ctx()
+        named = {n: to_col(e, ctx) for n, e in kwargs.items()}
+        node = self.node.with_columns(**named)
+        tpl = self._template
+        for n, c in named.items():
+            tpl = tpl.withColumn(n, c)
+        return DiffTable(node, tpl.limit(0))
+
+    def filter(self, expr) -> "DiffTable":
+        cond = to_col(expr, self._ctx())
+        return DiffTable(self.node.filter(cond), self._template)
+
+    def flatten(self, ref: ColumnReference) -> "DiffTable":
+        name = ref._name
+        node = self.node.flatten(name)
+        tpl = self._template.withColumn(
+            name, F.explode_outer(name)).limit(0)
+        return DiffTable(node, tpl)
+
+    def concat(self, other: "DiffTable") -> "DiffTable":
+        return DiffTable(self.node.union(other.node), self._template)
+
+    # -- joins -----------------------------------------------------------
+    def join(self, other: "DiffTable", *on, how: str = "inner") -> "DiffTable":
+        """`on`: equality conditions `left.a == right.b` (or bare
+        `this.k` refs for same-named keys).  Right key columns are
+        renamed to the left's names; remaining name collisions raise —
+        rename before joining (the reference disambiguates via its
+        JoinResult namespace, which has no meaning on raw deltas)."""
+        keys: list[tuple[str, str]] = []
+        for cond in on:
+            if isinstance(cond, ColumnReference):
+                keys.append((cond._name, cond._name))
+            elif (isinstance(cond, BinaryOp) and cond._op == "=="
+                    and isinstance(cond._lhs, ColumnReference)
+                    and isinstance(cond._rhs, ColumnReference)):
+                keys.append((cond._lhs._name, cond._rhs._name))
+            else:
+                raise TypeError(
+                    "differential join conditions must be column equalities")
+        lnames = [l for l, _ in keys]
+        rnode, rtpl = other.node, other._template
+        ren = {r: l for l, r in keys if l != r}
+        if ren:
+            rnode = rnode.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in _data_cols(rtpl)])
+            rtpl = rtpl.withColumnsRenamed(ren)
+        clash = (set(_data_cols(self._template)) &
+                 set(_data_cols(rtpl))) - set(lnames)
+        if clash:
+            raise ValueError(
+                f"column collision in differential join: {sorted(clash)}; "
+                "rename before joining")
+        node = self.node.join(rnode, on=lnames, how=how)
+        rextra = [c for c in _data_cols(rtpl) if c not in lnames]
+        tpl = self._template.join(rtpl.select(*lnames, *rextra),
+                                  on=lnames, how=how).limit(0)
+        return DiffTable(node, tpl)
+
+    def join_left(self, other: "DiffTable", *on) -> "DiffTable":
+        return self.join(other, *on, how="left")
+
+    def join_inner(self, other: "DiffTable", *on) -> "DiffTable":
+        return self.join(other, *on, how="inner")
+
+    # -- grouping --------------------------------------------------------
+    def groupby(self, *refs: ColumnReference) -> "DiffGrouped":
+        return DiffGrouped(self, [r._name for r in refs])
+
+    def distinct(self) -> "DiffTable":
+        return DiffTable(self.node.distinct(), self._template)
+
+
+class DiffGrouped:
+    def __init__(self, parent: DiffTable, keys: list[str]):
+        self._parent = parent
+        self._keys = keys
+
+    def reduce(self, *args, **kwargs) -> DiffTable:
+        parent, keys = self._parent, self._keys
+        ctx = parent._ctx()
+        specs: dict[str, tuple] = {}
+        out_names: list[str] = []
+        for a in args:
+            if not isinstance(a, ColumnReference) or a._name not in keys:
+                raise TypeError(
+                    "positional reduce args must be grouping columns")
+            out_names.append(a._name)
+        prepared: dict[str, Column] = {}
+        for name, expr in kwargs.items():
+            if not isinstance(expr, ReducerExpression):
+                raise TypeError(
+                    f"{name!r}: differential reduce takes pw.reducers.* "
+                    "expressions")
+            kind = _RED_MAP.get(expr._name)
+            if kind is None:
+                raise NotImplementedError(
+                    f"reducer {expr._name!r} is multiplicity-sensitive; "
+                    "use the batch groupby/reduce path")
+            cols = [to_col(a, ctx) for a in expr._args]
+            if not cols:
+                cols = [None]
+            # pre-compute reducer inputs as derived columns so the
+            # multiset state stores exactly what the aggregate consumes
+            argnames = []
+            for i, c in enumerate(cols):
+                if c is None:
+                    argnames.append(None)
+                    continue
+                an = f"__arg_{name}_{i}"
+                prepared[an] = c
+                argnames.append(an)
+            if expr._name in ("argmin", "argmax", "earliest", "latest"):
+                # reference order: (value_to_return, order_key) for
+                # argmin/argmax = (arg, value); earliest/latest single-arg
+                if len(argnames) == 1:
+                    argnames = [argnames[0], argnames[0]]
+            specs[name] = (kind, *[a for a in argnames if a is not None]) \
+                if any(argnames) else (kind,)
+        node = parent.node
+        if prepared:
+            node = node.with_columns(**prepared)
+        node = node.select(
+            *[F.col(k) for k in keys],
+            **{n: F.col(n) for n in prepared})
+        red = node.reduce(keys, specs)
+        # template: keys + one column per reducer (types approximated)
+        from .differential import _AGG_BUILDERS
+        tpl = parent._template
+        for n, c in prepared.items():
+            tpl = tpl.withColumn(n, c)
+        tpl = tpl.withColumn(DIFF, F.lit(1).cast("long"))
+        aggs = []
+        for n, (kind, *argn) in specs.items():
+            argn = argn or [keys[0]]
+            aggs.append(_AGG_BUILDERS[kind](*argn).alias(n))
+        tpl = tpl.groupBy(*keys).agg(*aggs).limit(0)
+        return DiffTable(red, tpl)
+
+
+class DifferentialTableGraph(DifferentialGraph):
+    """DifferentialGraph whose sources speak the Table idiom."""
+
+    def input(self, name: str, template) -> DiffTable:
+        df = template._df if isinstance(template, Table) else template
+        df = df.select(*[c for c in df.columns
+                         if c not in ("_pw_id", DIFF, TIME)])
+        node = self.source(name, df.limit(0))
+        return DiffTable(node, df.limit(0))

@@ -322,14 +322,24 @@ class _JoinNode(DiffNode):
         return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
 
 
+def _c(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# weight-aware aggregates over a consolidated multiset (weights > 0):
+# linear ones fold the weight in; order statistics ignore it
 _AGG_BUILDERS = {
-    "sum": lambda c: F.sum(F.col(c) * F.col(DIFF)),
+    "sum": lambda c: F.sum(_c(c) * F.col(DIFF)),
     "count": lambda c: F.sum(DIFF),
-    "min": lambda c: F.min(c),
-    "max": lambda c: F.max(c),
-    "avg": lambda c: F.sum(F.col(c) * F.col(DIFF)) / F.sum(DIFF),
-    "count_distinct": lambda c: F.countDistinct(c),
-    "any": lambda c: F.min(c),
+    "min": lambda c: F.min(_c(c)),
+    "max": lambda c: F.max(_c(c)),
+    "avg": lambda c: F.sum(_c(c) * F.col(DIFF)) / F.sum(DIFF),
+    "count_distinct": lambda c: F.countDistinct(_c(c)),
+    "any": lambda c: F.min(_c(c)),
+    "argmin": lambda c, v: F.min_by(_c(c), _c(v)),
+    "argmax": lambda c, v: F.max_by(_c(c), _c(v)),
+    "earliest": lambda c, v: F.min_by(_c(c), _c(v)),
+    "latest": lambda c, v: F.max_by(_c(c), _c(v)),
 }
 
 
@@ -344,16 +354,17 @@ class _ReduceNode(DiffNode):
         for name, spec in specs.items():
             if isinstance(spec, str):
                 spec = (spec,)
-            kind = spec[0]
-            col = spec[1] if len(spec) > 1 else (keys[0] if keys else None)
+            kind, args = spec[0], tuple(spec[1:])
             if kind not in _AGG_BUILDERS:
                 raise ValueError(f"unknown reducer {kind!r} for {name!r}")
-            self.specs[name] = (kind, col)
+            if not args:
+                args = (keys[0] if keys else None,)
+            self.specs[name] = (kind, args)
         self._state: _StateStore | None = None
 
     def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
-        aggs = [_AGG_BUILDERS[k](c).alias(n)
-                for n, (k, c) in self.specs.items()]
+        aggs = [_AGG_BUILDERS[k](*a).alias(n)
+                for n, (k, a) in self.specs.items()]
         grouped = multiset.groupBy(*self.keys).agg(*aggs)
         return grouped.withColumn(DIFF, F.lit(1).cast("long")) \
                       .withColumn(TIME, F.lit(t))

@@ -232,3 +232,73 @@ def test_avg_and_count_distinct_reducers(spark, tpl):
            (tuple(x) for x in d2.select("user", "mean", "k", DIFF).collect())}
     assert ("a", 40 / 3, 2, -1) in got
     assert ("a", 15.0, 2, 1) in got
+
+
+# ---------------------------------------------------------------------------
+# pathway-style Table syntax over the differential engine (diff_table.py)
+# ---------------------------------------------------------------------------
+
+def test_diff_table_pathway_syntax_end_to_end(spark):
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "user string, amount long, tag string")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    q = (t.filter(this.amount > 0)
+          .with_columns(double=this.amount * 2)
+          .groupby(this.user)
+          .reduce(this.user,
+                  total=r.sum(this.double),
+                  n=r.count(),
+                  hi=r.max(this.amount),
+                  first_tag=r.argmin(this.amount, this.tag)))
+    b1 = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 5, "y"), ("b", -1, "z"), ("b", 2, "w")],
+        tpl.schema)
+    (d1,) = g.step(q.node, t=b1)
+    assert _rows(d1, "user", "total", "n", "hi", "first_tag", DIFF) == [
+        ("a", 16, 2, 5, "x", 1), ("b", 4, 1, 2, "w", 1)]
+    # retract a's min row: total drops, argmin flips to the other row
+    b2 = spark.createDataFrame([("a", 3, "x")], tpl.schema) \
+              .withColumn(DIFF, F.lit(-1))
+    (d2,) = g.step(q.node, t=b2)
+    assert _rows(d2, "user", "total", "n", "hi", "first_tag", DIFF) == [
+        ("a", 10, 1, 5, "y", 1), ("a", 16, 2, 5, "x", -1)]
+
+
+def test_diff_table_join_with_renamed_keys(spark):
+    from pathway_spark import this, left, right, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    o_t = spark.createDataFrame([], "custkey long, price double")
+    c_t = spark.createDataFrame([], "c_custkey long, seg string")
+    g = DifferentialTableGraph(spark)
+    o, c = g.input("o", o_t), g.input("c", c_t)
+    q = (o.join(c, left.custkey == right.c_custkey)
+          .groupby(this.seg)
+          .reduce(this.seg, rev=r.sum(this.price)))
+    (d1,) = g.step(q.node,
+                   o=spark.createDataFrame([(1, 10.0), (2, 4.0)], o_t.schema),
+                   c=spark.createDataFrame([(1, "A"), (2, "A")], c_t.schema))
+    assert _rows(d1, "seg", "rev", DIFF) == [("A", 14.0, 1)]
+    # customer 2 switches segment: A retracts/re-emits, B appears
+    db = spark.createDataFrame([(2, "A", -1), (2, "B", 1)],
+                               "c_custkey long, seg string, _pw_diff long")
+    (d2,) = g.step(q.node, c=db)
+    assert _rows(d2, "seg", "rev", DIFF) == [
+        ("A", 10.0, 1), ("A", 14.0, -1), ("B", 4.0, 1)]
+
+
+def test_diff_table_unsupported_reducer_raises(spark):
+    import pytest as _pytest
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "user string, amount long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    with _pytest.raises(NotImplementedError):
+        t.groupby(this.user).reduce(this.user,
+                                    xs=r.sorted_tuple(this.amount))

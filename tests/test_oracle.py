@@ -79,3 +79,56 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_differential_engine_matches_oracle(spark, duck):
+    """Differential retraction engine vs DuckDB: feed orders in three
+    delta batches (the third RETRACTS a slice), integrate the emitted
+    changelog, and require exact equality with the one-shot SQL answer
+    on the surviving rows.  Aggregates chosen integer/exact (count, max,
+    sum of longs) so the comparison is hash-strict like the driver's."""
+    from pyspark.sql import functions as F
+    from pathway_spark import this, left, right, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark.streaming.differential import DIFF, DifferentialGraph
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+
+    g = DifferentialTableGraph(spark)
+    o, c = g.input("o", orders), g.input("c", cust)
+    q = (o.filter(this.o_totalprice > 1000)
+          .join(c, left.o_custkey == right.c_custkey)
+          .groupby(this.c_mktsegment)
+          .reduce(this.c_mktsegment,
+                  n=r.count(),
+                  max_order=r.max(this.o_orderkey),
+                  sum_cust=r.sum(this.o_custkey)))
+
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    b3 = (b1.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn(DIFF, F.lit(-1)))
+    log = g.run(q.node, [{"o": b1, "c": cust}, {"o": b2}, {"o": b3}])
+    assert log.filter(F.col(DIFF) < 0).count() > 0, "no retractions emitted"
+    got = DifferentialGraph.integrate(log)
+
+    res = duck.execute("""
+        SELECT c_mktsegment,
+               COUNT(*)::BIGINT AS n,
+               MAX(o_orderkey) AS max_order,
+               SUM(o_custkey)::BIGINT AS sum_cust
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 1000 AND o_orderkey % 4 != 0
+        GROUP BY c_mktsegment
+    """)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+    scols = got.columns
+    srows = [tuple(r) for r in got.collect()]
+    assert sorted(scols) == sorted(dcols)
+    ncols, nsrows = _normalize(srows, scols)
+    _, ndrows = _normalize(drows, dcols)
+    assert nsrows == ndrows

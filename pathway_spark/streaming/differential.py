@@ -27,9 +27,10 @@ update is one shuffle on the operator's own key:
 - join (inner):  d(A ⋈ B) = dA ⋈ B ∪ A_old ⋈ dB ∪ dA ⋈ dB
   with output weight = wA · wB (the bilinearity rule).  Implemented as
   dA ⋈ B_new ∪ A_old ⋈ dB — two key-partitioned joins per batch.
-- left join adds the null-padded complement A ⋉̸ B, maintained from
-  the right side's per-key presence; a key's presence flipping 0↔>0
-  retracts/emits the padded rows for all matching left rows.
+- left/right/full-outer joins add the null-padded complement
+  (A ⋉̸ B and/or B ⋉̸ A), maintained from the opposite side's per-key
+  presence; a key's presence flipping 0↔>0 retracts/emits the padded
+  rows for all matching rows of the kept side.
 - reduce (groupby/agg): the affected-key rule — keys touched by the
   delta recompute their aggregate from the consolidated input state
   (a semi-join on the delta's keys), then emit `-1` for the old output
@@ -89,13 +90,17 @@ def as_delta(df: DataFrame, *, diff: int = 1, time: int = 0) -> DataFrame:
 class _StateStore:
     """Accumulated multiset state for one node input.
 
-    In-memory consolidated DataFrame, lineage-truncated periodically.
-    At 100 TB this object is the thing you replace: back it with a
-    parquet/Delta versioned directory (write state_v{t}, read latest) —
-    `get`/`update`/`close` is the whole contract."""
+    Default: in-memory consolidated DataFrame, lineage-truncated via
+    localCheckpoint every `checkpoint_every` batches.  With a `path`
+    (graph built with `state_dir=`): a parquet-VERSIONED directory —
+    state snapshots land as `v{n:08d}/` and read back lineage-free, so
+    the pipeline survives a driver restart (`DifferentialGraph.commit`
+    / `restore`).  At cluster scale this is the state contract: any
+    object with `get`/`update`/`flush` over a durable store (Delta,
+    Iceberg) drops in."""
 
     def __init__(self, spark: SparkSession, template: DataFrame,
-                 checkpoint_every: int = 8):
+                 checkpoint_every: int = 8, path: str | None = None):
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
@@ -103,7 +108,27 @@ class _StateStore:
         self._spark = spark
         self._every = max(1, checkpoint_every)
         self._ticks = 0
-        self._persisted: DataFrame | None = None
+        self._path = path
+        self._ver = 0
+        if path is not None:
+            self._load_latest()
+
+    def _versions(self) -> list[int]:
+        import os
+        if self._path is None or not os.path.isdir(self._path):
+            return []
+        out = []
+        for d in os.listdir(self._path):
+            if d.startswith("v") and d[1:].isdigit():
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def _load_latest(self) -> None:
+        vers = self._versions()
+        if vers:
+            self._ver = vers[-1]
+            self._df = self._spark.read.parquet(
+                f"{self._path}/v{self._ver:08d}")
 
     def get(self) -> DataFrame:
         return self._df
@@ -113,12 +138,21 @@ class _StateStore:
         self._df = consolidate(self._df.unionByName(d))
         self._ticks += 1
         if self._ticks % self._every == 0:
-            # truncate lineage so plan depth stays O(1) across batches
-            old = self._persisted
+            self.flush()
+
+    def flush(self) -> None:
+        """Materialize current state: parquet version when durable,
+        else localCheckpoint — either way lineage depth resets to O(1)."""
+        if self._path is not None:
+            import shutil
+            self._ver += 1
+            dest = f"{self._path}/v{self._ver:08d}"
+            self._df.write.mode("overwrite").parquet(dest)
+            self._df = self._spark.read.parquet(dest)
+            for v in self._versions()[:-2]:   # keep latest two versions
+                shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
+        else:
             self._df = self._df.localCheckpoint(eager=True)
-            self._persisted = self._df
-            if old is not None:
-                pass  # localCheckpoint blocks are GC'd with the RDD
 
     def close(self) -> None:
         self._df = None
@@ -238,13 +272,14 @@ class _UnionNode(DiffNode):
 
 
 class _JoinNode(DiffNode):
-    """Bilinear delta join; left-outer adds presence-tracked null padding."""
+    """Bilinear delta join; outer variants add presence-tracked padding."""
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  on: list[str], how: str):
-        if how not in ("inner", "left"):
+        how = {"full": "outer", "full_outer": "outer"}.get(how, how)
+        if how not in ("inner", "left", "right", "outer"):
             raise NotImplementedError(
-                f"differential join supports inner/left, got {how!r}")
+                f"differential join supports inner/left/right/outer, got {how!r}")
         super().__init__(graph, [left, right])
         self.on = on
         self.how = how
@@ -253,10 +288,8 @@ class _JoinNode(DiffNode):
 
     def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
         if self._sa is None:
-            self._sa = _StateStore(self.graph.spark, da,
-                                   self.graph.checkpoint_every)
-            self._sb = _StateStore(self.graph.spark, db,
-                                   self.graph.checkpoint_every)
+            self._sa = self.graph._make_store(da)
+            self._sb = self.graph._make_store(db)
 
     @staticmethod
     def _weighted(a: DataFrame, b: DataFrame, on: list[str],
@@ -273,6 +306,7 @@ class _JoinNode(DiffNode):
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
         self._ensure_state(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
+        lcols = [c for c in _data_cols(da) if c not in self.on]
         rcols = [c for c in _data_cols(db) if c not in self.on]
         b_new = consolidate(b_old.unionByName(
             db.select(*_data_cols(b_old), DIFF)))
@@ -281,44 +315,51 @@ class _JoinNode(DiffNode):
         part2 = self._weighted(as_delta(a_old, time=t), db, self.on, rcols, t)
         inner = part1.unionByName(part2.select(*part1.columns))
         out = inner
-        if self.how == "left":
-            out = inner.unionByName(
-                self._left_padding(da, db, a_old, b_old, b_new, rcols, t)
+        if self.how in ("left", "outer"):
+            out = out.unionByName(
+                self._padding(da, a_old, b_old, b_new, rcols, t)
+                    .select(*inner.columns))
+        if self.how in ("right", "outer"):
+            a_new = consolidate(a_old.unionByName(
+                da.select(*_data_cols(a_old), DIFF)))
+            out = out.unionByName(
+                self._padding(db, b_old, a_old, a_new, lcols, t)
                     .select(*inner.columns))
         self._sa.update(da)
         self._sb.update(db)
         return out
 
-    def _left_padding(self, da, db, a_old, b_old, b_new,
-                      rcols: list[str], t: int) -> DataFrame:
-        """Delta of A ⋉̸ B × NULLs, from right-side key presence.
+    def _padding(self, d_keep, keep_old, probe_old, probe_new,
+                 null_cols: list[str], t: int) -> DataFrame:
+        """Delta of KEEP ⋉̸ PROBE × NULLs, from probe-side key presence.
 
-        pad(A, B) = (A anti-join keys(B)) with NULL right columns;
-        d pad = pad(A_new, B_new) − pad(A_old, B_old), computed from the
-        two presence sets (small: one row per join key) — left rows join
-        the *change* in absent-key sets, so cost ~ |affected keys|."""
+        pad(K, P) = (K anti-join keys(P)) with NULL probe columns;
+        d pad = pad(K_new, P_new) − pad(K_old, P_old), computed from the
+        two presence sets (small: one row per join key) — keep rows join
+        the *change* in absent-key sets, so cost ~ |affected keys|.
+        Called with (A, B) for left padding, (B, A) for right."""
         on = self.on
         def presence(state: DataFrame) -> DataFrame:
             return (state.groupBy(*on).agg(F.sum(DIFF).alias("__w"))
                          .filter(F.col("__w") > 0).select(*on))
-        p_old, p_new = presence(b_old), presence(b_new)
+        p_old, p_new = presence(probe_old), presence(probe_new)
         appeared = p_new.join(p_old, on=on, how="left_anti")   # 0 → >0
         vanished = p_old.join(p_new, on=on, how="left_anti")   # >0 → 0
-        nulls = [F.lit(None).alias(c) for c in rcols]
+        nulls = [F.lit(None).alias(c) for c in null_cols]
         def pad(rows: DataFrame, sign: int) -> DataFrame:
             return rows.select(
                 *_data_cols(rows), (F.col(DIFF) * sign).alias(DIFF),
             ).select("*", *nulls).withColumn(TIME, F.lit(t))
         # case algebra per key (p0/p1 = old/new presence), against
-        # d pad = A_new·[!p1] − A_old·[!p0]:
-        #   appeared (0→1): −A_old        (fresh excludes p_new keys)
-        #   vanished (1→0): +A_old + dA   (lost + fresh)
-        #   never present:  +dA           (fresh)
-        # NB gained uses A_old, not A_new — same-batch dA rows under an
+        # d pad = K_new·[!p1] − K_old·[!p0]:
+        #   appeared (0→1): −K_old        (fresh excludes p_new keys)
+        #   vanished (1→0): +K_old + dK   (lost + fresh)
+        #   never present:  +dK           (fresh)
+        # NB gained uses K_old, not K_new — same-batch dK rows under an
         # appeared key never had padding emitted, so nothing to retract.
-        gained = pad(a_old.join(appeared, on=on, how="left_semi"), -1)
-        lost = pad(a_old.join(vanished, on=on, how="left_semi"), +1)
-        fresh = pad(da.drop(TIME).join(p_new, on=on, how="left_anti"), +1)
+        gained = pad(keep_old.join(appeared, on=on, how="left_semi"), -1)
+        lost = pad(keep_old.join(vanished, on=on, how="left_semi"), +1)
+        fresh = pad(d_keep.drop(TIME).join(p_new, on=on, how="left_anti"), +1)
         return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
 
 
@@ -372,8 +413,7 @@ class _ReduceNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._state is None:
-            self._state = _StateStore(self.graph.spark, delta,
-                                      self.graph.checkpoint_every)
+            self._state = self.graph._make_store(delta)
         state = self._state.get()
         keys = delta.select(*self.keys).distinct()
         old_in = state.join(keys, on=self.keys, how="left_semi")
@@ -398,8 +438,7 @@ class _DistinctNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._state is None:
-            self._state = _StateStore(self.graph.spark, delta,
-                                      self.graph.checkpoint_every)
+            self._state = self.graph._make_store(delta)
         state = self._state.get()
         cols = _data_cols(state)
         touched = delta.select(*cols).distinct()
@@ -429,12 +468,50 @@ class DifferentialGraph:
     >>> out = g.run(totals, batches=[batch1, batch2])  # list of deltas
     """
 
-    def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8):
+    def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
+                 state_dir: str | None = None):
         self.spark = spark
         self.checkpoint_every = checkpoint_every
+        self.state_dir = state_dir
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
+        self._stores: list[_StateStore] = []
         self._t = -1
+        if state_dir is not None:
+            self._load_meta()
+
+    def _make_store(self, template: DataFrame) -> _StateStore:
+        """Stores are numbered in creation order, which is deterministic
+        for a fixed graph topology and step sequence — rebuild the same
+        pipeline and `restore` finds each store's directory again."""
+        idx = len(self._stores)
+        path = (f"{self.state_dir}/store_{idx:04d}"
+                if self.state_dir is not None else None)
+        st = _StateStore(self.spark, template, self.checkpoint_every, path)
+        self._stores.append(st)
+        return st
+
+    def _meta_path(self) -> str:
+        return f"{self.state_dir}/_meta.json"
+
+    def _load_meta(self) -> None:
+        import json, os
+        if os.path.isfile(self._meta_path()):
+            with open(self._meta_path()) as f:
+                self._t = json.load(f)["t"]
+
+    def commit(self) -> None:
+        """Durably persist all state + the logical clock; a new process
+        that rebuilds the same graph with the same `state_dir` resumes
+        exactly here (parquet-versioned stores, latest-two retained)."""
+        import json, os
+        if self.state_dir is None:
+            raise ValueError("commit() requires a graph built with state_dir=")
+        for st in self._stores:
+            st.flush()
+        os.makedirs(self.state_dir, exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump({"t": self._t}, f)
 
     def source(self, name: str, template: DataFrame) -> SourceNode:
         node = SourceNode(self, name, template)

@@ -302,3 +302,116 @@ def test_diff_table_unsupported_reducer_raises(spark):
     with _pytest.raises(NotImplementedError):
         t.groupby(this.user).reduce(this.user,
                                     xs=r.sorted_tuple(this.amount))
+
+
+def test_right_and_outer_join_padding(spark):
+    left_t = spark.createDataFrame([], "k string, l long")
+    right_t = spark.createDataFrame([], "k string, r string")
+
+    def fresh(how):
+        g = DifferentialGraph(spark)
+        a, b = g.source("a", left_t), g.source("b", right_t)
+        return g, a, b, a.join(b, on=["k"], how=how)
+
+    # right join: unmatched RIGHT rows are padded
+    g, a, b, j = fresh("right")
+    (d1,) = g.step(j, b=_delta(spark, [("x", "R")], right_t.schema))
+    assert _rows(d1, "k", "l", "r", DIFF) == [("x", None, "R", 1)]
+    (d2,) = g.step(j, a=_delta(spark, [("x", 7)], left_t.schema))
+    assert _rows(d2, "k", "l", "r", DIFF) == [
+        ("x", 7, "R", 1), ("x", None, "R", -1)]
+
+    # outer join: both sides padded, and padding flips as matches arrive
+    g, a, b, j = fresh("outer")
+    (d1,) = g.step(
+        j,
+        a=_delta(spark, [("only_a", 1)], left_t.schema),
+        b=_delta(spark, [("only_b", "B")], right_t.schema),
+    )
+    assert _rows(d1, "k", "l", "r", DIFF) == [
+        ("only_a", 1, None, 1), ("only_b", None, "B", 1)]
+    (d2,) = g.step(j, b=_delta(spark, [("only_a", "R2")], right_t.schema))
+    assert _rows(d2, "k", "l", "r", DIFF) == [
+        ("only_a", 1, "R2", 1), ("only_a", 1, None, -1)]
+
+
+def test_outer_join_matches_batch_recompute_randomized(spark):
+    import random
+    rnd = random.Random(23)
+    left_t = spark.createDataFrame([], "k string, v long")
+    right_t = spark.createDataFrame([], "k string, w long")
+    g = DifferentialGraph(spark, checkpoint_every=3)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    j = a.join(b, on=["k"], how="outer")
+    live_a, live_b, logs = [], [], []
+    for t in range(5):
+        da, db = [], []
+        for _ in range(rnd.randint(0, 2)):
+            da.append((rnd.choice("pq"), rnd.randint(0, 3), 1))
+        for _ in range(rnd.randint(0, 2)):
+            db.append((rnd.choice("pq"), rnd.randint(0, 3), 1))
+        if live_a and rnd.random() < 0.6:
+            da.append(live_a.pop(rnd.randrange(len(live_a))) + (-1,))
+        if live_b and rnd.random() < 0.6:
+            db.append(live_b.pop(rnd.randrange(len(live_b))) + (-1,))
+        live_a += [r[:2] for r in da if r[2] > 0]
+        live_b += [r[:2] for r in db if r[2] > 0]
+        (out,) = g.step(
+            j,
+            a=spark.createDataFrame(da, "k string, v long, _pw_diff long"),
+            b=spark.createDataFrame(db, "k string, w long, _pw_diff long"),
+        )
+        logs.append(out.localCheckpoint(eager=True))
+        adf = spark.createDataFrame(live_a or [("zz", -1)], "k string, v long")
+        bdf = spark.createDataFrame(live_b or [("zz", -1)], "k string, w long")
+        if not live_a:
+            adf = adf.filter(F.lit(False))
+        if not live_b:
+            bdf = bdf.filter(F.lit(False))
+        expect = adf.join(bdf, on=["k"], how="outer")
+        acc = logs[0]
+        for p in logs[1:]:
+            acc = acc.unionByName(p)
+        got = DifferentialGraph.integrate(acc)
+        assert _rows(got, "k", "v", "w") == _rows(expect, "k", "v", "w"), \
+            f"outer join diverged at batch {t}"
+
+
+def test_durable_state_commit_and_resume(spark, tmp_path):
+    """Parquet-versioned state: run 2 batches, commit, REBUILD the graph
+    in a 'new process' with the same state_dir, feed batch 3 — the
+    resumed pipeline emits exactly what an uninterrupted one does."""
+    sd = str(tmp_path / "state")
+    tpl = spark.createDataFrame([], "user string, amount long")
+
+    def build(g):
+        return g.source("t", tpl).reduce(
+            ["user"], total=("sum", "amount"), n=("count",))
+
+    batches = [
+        _delta(spark, [("a", 10), ("b", 5)], tpl.schema),
+        _delta(spark, [("a", 2)], tpl.schema),
+        _delta(spark, [("b", 5), ("a", 1)], tpl.schema),
+    ]
+    # uninterrupted run
+    g0 = DifferentialGraph(spark)
+    q0 = build(g0)
+    full = [g0.step(q0, t=b)[0].collect() for b in batches]
+
+    # durable run: 2 batches then commit
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q1 = build(g1)
+    for b in batches[:2]:
+        g1.step(q1, t=b)
+    g1.commit()
+    del g1, q1
+
+    # 'restart': same topology, same state_dir
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q2 = build(g2)
+    assert g2._t == 1, "clock restored from _meta.json"
+    (d3,) = g2.step(q2, t=batches[2])
+
+    def norm(rows):
+        return sorted((r["user"], r["total"], r["n"], r[DIFF]) for r in rows)
+    assert norm(d3.collect()) == norm(full[2])

@@ -151,3 +151,29 @@ def test_string_concat_stays_codegen(spark):
     out = nation.select(tag=pw.this.n_name + "-" + pw.this.n_name)
     rep = plan_report(out)
     assert rep["python_evals"] == 0
+
+
+def test_differential_step_plans_stay_jvm_side(spark):
+    """Every per-batch differential rule (join delta, reduce affected-key,
+    distinct presence) must compile to pure JVM DataFrame algebra — no
+    Python eval nodes — and the reduce path must not explode into
+    unbounded shuffles (state semi-join + two aggregations)."""
+    from pyspark.sql import functions as F
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    left_t = spark.createDataFrame([], "k string, v long")
+    right_t = spark.createDataFrame([], "k string, w long")
+    g = DifferentialGraph(spark)
+    a, b = g.source("a", left_t), g.source("b", right_t)
+    q = (a.filter(F.col("v") > 0)
+          .join(b, on=["k"], how="left")
+          .reduce(["k"], s=("sum", "v"), m=("max", "w")))
+    (d1,) = g.step(
+        q,
+        a=spark.createDataFrame([("x", 1)], left_t.schema),
+        b=spark.createDataFrame([("x", 2)], right_t.schema),
+    )
+    rep = plan_report(d1)
+    assert rep["python_evals"] == 0, rep
+    # affected-key reduce over a 1-batch state: bounded exchange count
+    assert rep["shuffles"] <= 14, rep

@@ -177,3 +177,24 @@ def test_differential_step_plans_stay_jvm_side(spark):
     assert rep["python_evals"] == 0, rep
     # affected-key reduce over a 1-batch state: bounded exchange count
     assert rep["shuffles"] <= 14, rep
+
+
+def test_tpch_plan_quality(spark):
+    """TPC-H suite stays the 100 TB shape: shipdate/orderdate filters
+    reach the parquet scan, dimension joins broadcast, fact-fact joins
+    are the only sort-merge shuffles, and nothing drops to Python."""
+    from pathway_spark.benchmarks import tpch
+
+    expectations = {
+        #            min_bcast  max_shuffles
+        "tpch_q1":  (0, 2),
+        "tpch_q7":  (3, 5),
+        "tpch_q10": (2, 3),
+        "tpch_q18": (1, 3),
+    }
+    for name, (min_bcast, max_shuf) in expectations.items():
+        rep = plan_report(tpch.QUERIES[name](spark, SF_DIR).to_df())
+        assert rep["python_evals"] == 0, (name, rep)
+        assert rep["pushed_filters"], (name, rep)
+        assert rep["broadcast_joins"] >= min_bcast, (name, rep)
+        assert rep["shuffles"] <= max_shuf, (name, rep)

@@ -41,6 +41,9 @@ HEADLINE = [
     "q52_embedding_lsh",
     "q62_split_documents",
     "q63_salted_agg",
+    "tpch_q1",
+    "tpch_q7",
+    "tpch_q18",
 ]
 
 
@@ -54,6 +57,12 @@ def main() -> None:
     spark = get_spark("pathway-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+
+    # TPC-H suite additions (benchmarks/tpch.py returns Tables)
+    from pathway_spark.benchmarks import tpch
+
+    for _tq in ("tpch_q1", "tpch_q7", "tpch_q18"):
+        qs[_tq] = (lambda f: lambda sp, sf: f(sp, sf).to_df())(tpch.QUERIES[_tq])
 
     # warm the JVM + file listing once (excluded from timings)
     qs["q01_filter_groupby"](spark, SF_DIR).write.format("noop").mode(

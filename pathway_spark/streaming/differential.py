@@ -88,23 +88,39 @@ def as_delta(df: DataFrame, *, diff: int = 1, time: int = 0) -> DataFrame:
 
 
 class _StateStore:
-    """Accumulated multiset state for one node input.
+    """Accumulated multiset state for one node input — LSM-style.
 
-    Default: in-memory consolidated DataFrame, lineage-truncated via
-    localCheckpoint every `checkpoint_every` batches.  With a `path`
-    (graph built with `state_dir=`): a parquet-VERSIONED directory —
-    state snapshots land as `v{n:08d}/` and read back lineage-free, so
-    the pipeline survives a driver restart (`DifferentialGraph.commit`
-    / `restore`).  At cluster scale this is the state contract: any
-    object with `get`/`update`/`flush` over a durable store (Delta,
-    Iceberg) drops in."""
+    Differential dataflow keeps state in *arrangements* (LSM batches
+    merged lazily); the Spark translation: state is a LIST of
+    materialized chunks (base + one small chunk per batch), and
+    `get()` is their zero-cost union.  Per-batch work is then
+    O(|delta|) — only the tiny delta chunk is materialized — instead
+    of a full-state consolidate-shuffle per batch.  Every
+    `checkpoint_every` batches the chunks COMPACT into one
+    consolidated base (the amortized full-state shuffle).
+
+    Consequence consumers must honor: between compactions `get()` is
+    NOT consolidated — a retracted row appears as a +1 and a -1 row.
+    That is harmless wherever state enters *linear* algebra (joins,
+    weight-aware sums); order statistics (min/max/distinct) must
+    consolidate the slice they aggregate first (see `_ReduceNode`:
+    it consolidates the affected-key slice, cost O(|affected|)).
+
+    With a `path` (graph built with `state_dir=`), compaction writes a
+    parquet VERSION (`v{n:08d}/`) read back lineage-free, so the
+    pipeline survives a driver restart (`DifferentialGraph.commit` /
+    `restore`).  At cluster scale the same layout holds: delta chunks
+    append as small files, compaction rewrites the base — swap in
+    Delta/Iceberg for transactional state by overriding `flush`."""
 
     def __init__(self, spark: SparkSession, template: DataFrame,
                  checkpoint_every: int = 8, path: str | None = None):
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
-        self._df = empty.select(*_data_cols(empty), F.col(DIFF).cast("long"))
+        base = empty.select(*_data_cols(empty), F.col(DIFF).cast("long"))
+        self._cols = base.columns
+        self._chunks: list[DataFrame] = [base]
         self._spark = spark
         self._every = max(1, checkpoint_every)
         self._ticks = 0
@@ -127,35 +143,55 @@ class _StateStore:
         vers = self._versions()
         if vers:
             self._ver = vers[-1]
-            self._df = self._spark.read.parquet(
-                f"{self._path}/v{self._ver:08d}")
+            self._chunks = [self._spark.read.parquet(
+                f"{self._path}/v{self._ver:08d}").select(*self._cols)]
 
     def get(self) -> DataFrame:
-        return self._df
+        """Union of all live chunks (multiset-correct, possibly
+        unconsolidated between compactions)."""
+        acc = self._chunks[0]
+        for c in self._chunks[1:]:
+            acc = acc.unionByName(c)
+        return acc
 
     def update(self, delta: DataFrame) -> None:
-        d = delta.select(*_data_cols(self._df), F.col(DIFF).cast("long"))
-        self._df = consolidate(self._df.unionByName(d))
+        d = delta.select(*_data_cols(self._chunks[0]),
+                         F.col(DIFF).cast("long"))
+        # keep each chunk's partition contribution bounded: without
+        # this every chunk adds its parent's partition count to all
+        # later scans of the union and per-batch task counts grow.
+        # Steady-state deltas are small → one partition; a genuinely
+        # wide delta (>64 planned partitions, e.g. an initial load)
+        # stays wide and should be folded into the base right after
+        # (the graph compacts all stores after batch 0).
+        if d.rdd.getNumPartitions() <= 64:
+            d = d.coalesce(1)
+        # lineage cut for ONLY the delta chunk — O(|delta|); lazy, so
+        # the materialization fuses into this batch's output action
+        # instead of costing a separate job
+        self._chunks.append(d.localCheckpoint(eager=False))
         self._ticks += 1
         if self._ticks % self._every == 0:
             self.flush()
 
     def flush(self) -> None:
-        """Materialize current state: parquet version when durable,
-        else localCheckpoint — either way lineage depth resets to O(1)."""
+        """Compact: consolidate all chunks into one base (the amortized
+        full-state shuffle); parquet version when durable."""
+        full = consolidate(self.get())
         if self._path is not None:
             import shutil
             self._ver += 1
             dest = f"{self._path}/v{self._ver:08d}"
-            self._df.write.mode("overwrite").parquet(dest)
-            self._df = self._spark.read.parquet(dest)
+            full.write.mode("overwrite").parquet(dest)
+            self._chunks = [self._spark.read.parquet(dest)
+                                .select(*self._cols)]
             for v in self._versions()[:-2]:   # keep latest two versions
                 shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
         else:
-            self._df = self._df.localCheckpoint(eager=True)
+            self._chunks = [full.localCheckpoint(eager=True)]
 
     def close(self) -> None:
-        self._df = None
+        self._chunks = []
 
 
 class DiffNode:
@@ -247,9 +283,14 @@ class SourceNode(DiffNode):
             self._pending = self._template
         else:
             d = as_delta(delta, time=t)
-            self._pending = d.select(
+            d = d.select(
                 *_data_cols(self._template),
                 F.col(DIFF).cast("long"), F.lit(t).alias(TIME))
+            # one shared lineage cut per batch: every consumer (output
+            # action, state chunks) reuses the same materialized blocks,
+            # so a nondeterministic source plan (sample/limit) cannot
+            # evaluate differently for the emitted delta vs the state
+            self._pending = d.localCheckpoint(eager=False)
 
     def _advance(self, t: int) -> DataFrame:
         return self._pending if self._pending is not None else self._template
@@ -308,8 +349,11 @@ class _JoinNode(DiffNode):
         a_old, b_old = self._sa.get(), self._sb.get()
         lcols = [c for c in _data_cols(da) if c not in self.on]
         rcols = [c for c in _data_cols(db) if c not in self.on]
-        b_new = consolidate(b_old.unionByName(
-            db.select(*_data_cols(b_old), DIFF)))
+        # joins are LINEAR in each input, so the possibly-unconsolidated
+        # chunked state unions are multiset-correct as-is — no
+        # full-state consolidate per batch; spurious +x/-x pairs from
+        # not-yet-compacted retractions cancel in the output consolidate
+        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
         # dA ⋈ B_new ∪ A_old ⋈ dB  ==  dA⋈B + A⋈dB + dA⋈dB
         part1 = self._weighted(da, as_delta(b_new, time=t), self.on, rcols, t)
         part2 = self._weighted(as_delta(a_old, time=t), db, self.on, rcols, t)
@@ -320,14 +364,13 @@ class _JoinNode(DiffNode):
                 self._padding(da, a_old, b_old, b_new, rcols, t)
                     .select(*inner.columns))
         if self.how in ("right", "outer"):
-            a_new = consolidate(a_old.unionByName(
-                da.select(*_data_cols(a_old), DIFF)))
+            a_new = a_old.unionByName(da.select(*_data_cols(a_old), DIFF))
             out = out.unionByName(
                 self._padding(db, b_old, a_old, a_new, lcols, t)
                     .select(*inner.columns))
         self._sa.update(da)
         self._sb.update(db)
-        return out
+        return consolidate(out).withColumn(TIME, F.lit(t))
 
     def _padding(self, d_keep, keep_old, probe_old, probe_new,
                  null_cols: list[str], t: int) -> DataFrame:
@@ -416,10 +459,14 @@ class _ReduceNode(DiffNode):
             self._state = self.graph._make_store(delta)
         state = self._state.get()
         keys = delta.select(*self.keys).distinct()
-        old_in = state.join(keys, on=self.keys, how="left_semi")
-        new_state = consolidate(state.unionByName(
-            delta.select(*_data_cols(state), DIFF)))
-        new_in = new_state.join(keys, on=self.keys, how="left_semi")
+        # the chunked state may carry uncompacted +x/-x pairs, which
+        # would corrupt order statistics (min/max/distinct) — so
+        # consolidate ONLY the affected-key slice: the semi-join prunes
+        # each chunk scan down to |affected| rows before the shuffle
+        old_in = consolidate(
+            state.join(keys, on=self.keys, how="left_semi"))
+        new_in = consolidate(old_in.unionByName(
+            delta.select(*_data_cols(old_in), DIFF)))
         old_out = self._aggregate(old_in, t).withColumn(DIFF, -F.col(DIFF))
         new_out = self._aggregate(new_in, t)
         self._state.update(delta)
@@ -530,7 +577,14 @@ class DifferentialGraph:
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t)
         nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
-        return [n.delta(t) for n in nodes]
+        out = [n.delta(t) for n in nodes]
+        if t == 0:
+            # the initial load is usually the one WIDE batch: fold it
+            # into each store's consolidated base now (full-parallelism
+            # shuffle once) so steady-state scans see base + tiny chunks
+            for st in self._stores:
+                st.flush()
+        return out
 
     def run(self, output: DiffNode,
             batches: Iterable[DataFrame | dict[str, DataFrame]],

@@ -169,8 +169,40 @@ class DiffTable:
     def groupby(self, *refs: ColumnReference) -> "DiffGrouped":
         return DiffGrouped(self, [r._name for r in refs])
 
+    def windowby(self, time_ref, *, window, instance=None) -> "DiffGrouped":
+        """Tumbling/sliding windows over a retraction stream: window
+        assignment (`_assign_hopping`) is a pure projection — LINEAR —
+        so it composes with delta propagation unchanged; the windowed
+        aggregate then retracts/re-emits per affected window like any
+        differential reduce.  Session windows merge neighboring rows
+        (non-linear) and stay on the batch/watermark path."""
+        from ..operators.temporal import WEND, WSTART, _assign_hopping
+
+        if window.kind not in ("tumbling", "sliding"):
+            raise NotImplementedError(
+                f"differential windowby supports tumbling/sliding, "
+                f"got {window.kind!r} (session merging is not linear)")
+        tcol = to_col(time_ref, self._ctx())
+        node = _LinearWindowNode(self.node, tcol, window)
+        tpl = _assign_hopping(self._template, tcol, window).limit(0)
+        keys = [WSTART, WEND]
+        if instance is not None:
+            keys.append(instance._name)
+        return DiffGrouped(DiffTable(node, tpl), keys)
+
     def distinct(self) -> "DiffTable":
         return DiffTable(self.node.distinct(), self._template)
+
+
+def _LinearWindowNode(node: DiffNode, tcol: Column, window):
+    from ..operators.temporal import _assign_hopping
+
+    graph = node.graph
+    # reuse the generic linear wrapper: window fan-out applies per delta
+    # row; diffs ride along untouched
+    from .differential import _LinearNode
+    return _LinearNode(graph, node,
+                       lambda df: _assign_hopping(df, tcol, window))
 
 
 class DiffGrouped:

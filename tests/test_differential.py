@@ -415,3 +415,43 @@ def test_durable_state_commit_and_resume(spark, tmp_path):
     def norm(rows):
         return sorted((r["user"], r["total"], r["n"], r[DIFF]) for r in rows)
     assert norm(d3.collect()) == norm(full[2])
+
+
+def test_diff_table_tumbling_window_retractions(spark):
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "user string, t long, v long")
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("t", tpl)
+    win = (tbl.windowby(this.t, window=pw.temporal.tumbling(10))
+              .reduce(this._pw_window_start,
+                      n=r.count(), s=r.sum(this.v)))
+    b1 = spark.createDataFrame(
+        [("a", 3, 1), ("a", 7, 2), ("a", 13, 5)], tpl.schema)
+    (d1,) = g.step(win.node, t=b1)
+    got1 = _rows(d1, "_pw_window_start", "n", "s", DIFF)
+    assert got1 == [(0, 2, 3, 1), (10, 1, 5, 1)]
+    # retract the t=7 event: window [0,10) retracts and re-emits; [10,20) silent
+    b2 = spark.createDataFrame([("a", 7, 2)], tpl.schema) \
+              .withColumn(DIFF, F.lit(-1))
+    (d2,) = g.step(win.node, t=b2)
+    assert _rows(d2, "_pw_window_start", "n", "s", DIFF) == [
+        (0, 1, 1, 1), (0, 2, 3, -1)]
+
+
+def test_diff_table_sliding_window_fanout(spark):
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "t long, v long")
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("t", tpl)
+    win = (tbl.windowby(this.t, window=pw.temporal.sliding(hop=5, duration=10))
+              .reduce(this._pw_window_start, n=r.count()))
+    (d1,) = g.step(win.node,
+                   t=spark.createDataFrame([(7, 1)], tpl.schema))
+    # t=7 lands in windows starting at 0 and 5
+    assert _rows(d1, "_pw_window_start", "n", DIFF) == [(0, 1, 1), (5, 1, 1)]

@@ -159,6 +159,60 @@ class DiffTable:
                                   on=lnames, how=how).limit(0)
         return DiffTable(node, tpl)
 
+    def interval_join(self, other: "DiffTable", self_time: ColumnReference,
+                      other_time: ColumnReference, interval,
+                      *on) -> "DiffTable":
+        """Stream-stream interval join WITH retractions: matches rows
+        where other_time − self_time ∈ [interval.lower, interval.upper]
+        (reference `temporal.interval_join`); the bilinear delta rule is
+        predicate-agnostic, so retracting either side retracts exactly
+        its joined pairs.  `interval` is `pw.temporal.interval(lo, hi)`
+        or any object with lower_bound/upper_bound; bounds are ints for
+        numeric time columns, timedeltas for timestamps."""
+        import datetime as _dt
+
+        lo = getattr(interval, "lower_bound", None)
+        hi = getattr(interval, "upper_bound", None)
+        if lo is None:
+            lo, hi = interval  # plain (lo, hi) tuple
+        lname, rname = self_time._name, other_time._name
+        keys = []
+        for cond in on:
+            if (isinstance(cond, BinaryOp) and cond._op == "=="
+                    and isinstance(cond._lhs, ColumnReference)
+                    and isinstance(cond._rhs, ColumnReference)):
+                keys.append((cond._lhs._name, cond._rhs._name))
+            else:
+                raise TypeError("extra interval_join conditions must be "
+                                "column equalities")
+        lcols = _data_cols(self._template)
+        rcols = [c for c in _data_cols(other._template)]
+        clash = set(lcols) & set(rcols)
+        if clash:
+            raise ValueError(
+                f"column collision in interval_join: {sorted(clash)}; "
+                "rename before joining")
+
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+
+        use_td = isinstance(lo, _dt.timedelta)
+        lo_v = int(lo.total_seconds() * 1_000_000) if use_td else lo
+        hi_v = int(hi.total_seconds() * 1_000_000) if use_td else hi
+
+        def cond_fn(a, b):
+            lt, rt = a[lname], b[rname]
+            if use_td:
+                lt, rt = _us(lt), _us(rt)
+            c = (rt >= lt + F.lit(lo_v)) & (rt <= lt + F.lit(hi_v))
+            for lk, rk in keys:
+                c = c & (a[lk] == b[rk])
+            return c
+
+        node = self.node.join_theta(other.node, cond_fn, lcols, rcols)
+        tpl = self._template.crossJoin(other._template).limit(0)
+        return DiffTable(node, tpl)
+
     def join_left(self, other: "DiffTable", *on) -> "DiffTable":
         return self.join(other, *on, how="left")
 

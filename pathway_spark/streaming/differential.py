@@ -241,6 +241,13 @@ class DiffNode:
              how: str = "inner") -> "DiffNode":
         return _JoinNode(self.graph, self, other, list(on), how)
 
+    def join_theta(self, other: "DiffNode", cond_fn,
+                   lcols: Sequence[str], rcols: Sequence[str]) -> "DiffNode":
+        """Inner join under an arbitrary predicate; `cond_fn(a, b)`
+        receives the two aliased frames and returns a boolean Column."""
+        return _ThetaJoinNode(self.graph, self, other, cond_fn,
+                              list(lcols), list(rcols))
+
     def reduce(self, keys: Sequence[str],
                aggs: dict[str, tuple] | None = None, **kw: tuple) -> "DiffNode":
         """aggs: name -> ("sum"|"count"|"min"|"max"|"avg"|"count_distinct"|
@@ -310,6 +317,53 @@ class _UnionNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         a, b = (i.delta(t) for i in self.inputs)
         return a.unionByName(b.select(*a.columns))
+
+
+class _ThetaJoinNode(DiffNode):
+    """Bilinear delta join under an arbitrary θ predicate (interval /
+    range joins): d(A ⋈θ B) = dA ⋈θ B_new ∪ A_old ⋈θ dB — the
+    bilinearity rule is predicate-agnostic, only the matching changes.
+    Equi keys (when given) ride in the predicate so Catalyst still
+    extracts them into a hash/sort-merge join with the range as a
+    post-filter; a pure range condition plans as a broadcast
+    nested-loop of the (small) delta against state — the right shape,
+    since only deltas ever sit on the loop side."""
+
+    def __init__(self, graph, left: DiffNode, right: DiffNode,
+                 cond_fn, lcols: list[str], rcols: list[str]):
+        super().__init__(graph, [left, right])
+        self._cond_fn = cond_fn       # (left_df, right_df) -> Column
+        self._lcols = lcols           # output columns from the left
+        self._rcols = rcols           # output columns from the right
+        self._sa: _StateStore | None = None
+        self._sb: _StateStore | None = None
+
+    def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
+        if self._sa is None:
+            self._sa = self.graph._make_store(da)
+            self._sb = self.graph._make_store(db)
+
+    def _weighted(self, a: DataFrame, b: DataFrame, t: int) -> DataFrame:
+        wa, wb = f"{DIFF}__a", f"{DIFF}__b"
+        a = a.select(*self._lcols, F.col(DIFF).alias(wa)).alias("l")
+        b = b.select(*self._rcols, F.col(DIFF).alias(wb)).alias("r")
+        out = a.join(b, on=self._cond_fn(a, b), how="inner")
+        return (out.select(
+            *[a[c] for c in self._lcols], *[b[c] for c in self._rcols],
+            (F.col(wa) * F.col(wb)).alias(DIFF))
+            .withColumn(TIME, F.lit(t)))
+
+    def _advance(self, t: int) -> DataFrame:
+        da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        self._ensure_state(da, db)
+        a_old, b_old = self._sa.get(), self._sb.get()
+        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
+        part1 = self._weighted(da, as_delta(b_new, time=t), t)
+        part2 = self._weighted(as_delta(a_old, time=t), db, t)
+        out = part1.unionByName(part2.select(*part1.columns))
+        self._sa.update(da)
+        self._sb.update(db)
+        return consolidate(out).withColumn(TIME, F.lit(t))
 
 
 class _JoinNode(DiffNode):

@@ -455,3 +455,30 @@ def test_diff_table_sliding_window_fanout(spark):
                    t=spark.createDataFrame([(7, 1)], tpl.schema))
     # t=7 lands in windows starting at 0 and 5
     assert _rows(d1, "_pw_window_start", "n", DIFF) == [(0, 1, 1), (5, 1, 1)]
+
+
+def test_diff_table_interval_join_retractions(spark):
+    import pathway_spark as pw
+    from pathway_spark import this, left, right
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    a_t = spark.createDataFrame([], "aid long, at long, k string")
+    b_t = spark.createDataFrame([], "bid long, bt long, kk string")
+    g = DifferentialTableGraph(spark)
+    a, b = g.input("a", a_t), g.input("b", b_t)
+    j = a.interval_join(b, this.at, this.bt, pw.temporal.interval(-2, 2),
+                        left.k == right.kk)
+    (d1,) = g.step(j.node,
+                   a=spark.createDataFrame([(1, 10, "x"), (2, 20, "x")], a_t.schema),
+                   b=spark.createDataFrame([(7, 11, "x"), (8, 30, "x")], b_t.schema))
+    # only (1,7): |11-10|<=2 and same key
+    assert _rows(d1, "aid", "bid", DIFF) == [(1, 7, 1)]
+    # retract the matching right row -> pair retracts
+    (d2,) = g.step(j.node, b=spark.createDataFrame(
+        [(7, 11, "x")], b_t.schema).withColumn(DIFF, F.lit(-1)))
+    assert _rows(d2, "aid", "bid", DIFF) == [(1, 7, -1)]
+    # same-batch both sides counted once
+    (d3,) = g.step(j.node,
+                   a=spark.createDataFrame([(3, 100, "y")], a_t.schema),
+                   b=spark.createDataFrame([(9, 99, "y")], b_t.schema))
+    assert _rows(d3, "aid", "bid", DIFF) == [(3, 9, 1)]

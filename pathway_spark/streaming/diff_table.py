@@ -213,6 +213,53 @@ class DiffTable:
         tpl = self._template.crossJoin(other._template).limit(0)
         return DiffTable(node, tpl)
 
+    def asof_join(self, other: "DiffTable", self_time: ColumnReference,
+                  other_time: ColumnReference, *on, how: str = "inner",
+                  direction: str = "backward") -> "DiffTable":
+        """Asof join over retraction streams.  Asof matching is NOT
+        bilinear (retracting the matched right row promotes the
+        next-best), so it runs on the generic keyed-recompute rule:
+        per batch, the affected-key slices of both sides recompute the
+        batch `operators.asof.asof_join` and the node emits
+        new − old.  Correct for any insert/retract sequence; cost is
+        O(rows under affected keys), not O(state)."""
+        from ..operators.asof import asof_join as _batch_asof
+        from ..table import Table
+        from .differential import _KeyedRecomputeNode
+
+        keys = []
+        for cond in on:
+            if isinstance(cond, ColumnReference):
+                keys.append((cond._name, cond._name))
+            elif (isinstance(cond, BinaryOp) and cond._op == "=="
+                    and isinstance(cond._lhs, ColumnReference)
+                    and isinstance(cond._rhs, ColumnReference)):
+                keys.append((cond._lhs._name, cond._rhs._name))
+            else:
+                raise TypeError("asof_join conditions must be column "
+                                "equalities")
+        if not keys:
+            raise ValueError("differential asof_join needs at least one "
+                             "equality key (slices recompute per key)")
+        conds = [ColumnReference("left", l) == ColumnReference("right", r)
+                 for l, r in keys]
+
+        def op_fn(ldf, rdf):
+            out = _batch_asof(
+                Table.from_spark(ldf), Table.from_spark(rdf),
+                self_time, other_time, conds,
+                how=how, direction=direction)
+            return out.to_df()
+
+        node = _KeyedRecomputeNode(
+            self.graph_of(), self.node, other.node,
+            [l for l, _ in keys], [r for _, r in keys], op_fn)
+        tpl = op_fn(self._template, other._template).limit(0)
+        return DiffTable(node, tpl)
+
+    def graph_of(self):
+        return self.node.graph
+
     def join_left(self, other: "DiffTable", *on) -> "DiffTable":
         return self.join(other, *on, how="left")
 

@@ -366,6 +366,64 @@ class _ThetaJoinNode(DiffNode):
         return consolidate(out).withColumn(TIME, F.lit(t))
 
 
+def _expand(ms: DataFrame) -> DataFrame:
+    """Multiset → plain rows: replicate by multiplicity (weights in a
+    consolidated, well-formed stream are positive and almost always 1,
+    so the explode is effectively free)."""
+    pos = ms.filter(F.col(DIFF) > 0)
+    return (pos.withColumn("__x", F.explode(F.sequence(F.lit(1), F.col(DIFF))))
+               .drop("__x", DIFF))
+
+
+class _KeyedRecomputeNode(DiffNode):
+    """Differential wrapper for ANY keyed binary batch operator.
+
+    If `op(A, B)`'s output rows for key k depend only on A- and B-rows
+    with key k (true for asof joins, per-key sort/diff, windowed ops
+    keyed per instance...), then the operator is incrementally
+    maintainable without a custom delta rule: per batch, recompute
+    `op` on the affected-key SLICES of both states and emit
+    `op(new slices) − op(old slices)`.  This is differential
+    dataflow's generic `reduce` contract applied to a two-input
+    operator — cost O(|slices|), not O(|state|)."""
+
+    def __init__(self, graph, left: DiffNode, right: DiffNode,
+                 lkeys: list[str], rkeys: list[str], op_fn):
+        super().__init__(graph, [left, right])
+        self._lkeys, self._rkeys = lkeys, rkeys
+        self._op = op_fn            # (left_df, right_df) -> plain DataFrame
+        self._sa: _StateStore | None = None
+        self._sb: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        if self._sa is None:
+            self._sa = self.graph._make_store(da)
+            self._sb = self.graph._make_store(db)
+        a_old, b_old = self._sa.get(), self._sb.get()
+        touched = (da.select(*[F.col(k) for k in self._lkeys])
+                     .unionByName(db.select(
+                         *[F.col(rk).alias(lk) for lk, rk
+                           in zip(self._lkeys, self._rkeys)]))
+                     .distinct())
+        touched_r = touched.select(
+            *[F.col(lk).alias(rk) for lk, rk
+              in zip(self._lkeys, self._rkeys)])
+        ao = consolidate(a_old.join(touched, on=self._lkeys,
+                                    how="left_semi"))
+        bo = consolidate(b_old.join(touched_r, on=self._rkeys,
+                                    how="left_semi"))
+        an = consolidate(ao.unionByName(da.select(*_data_cols(ao), DIFF)))
+        bn = consolidate(bo.unionByName(db.select(*_data_cols(bo), DIFF)))
+        old = self._op(_expand(ao), _expand(bo)) \
+            .withColumn(DIFF, F.lit(-1).cast("long"))
+        new = self._op(_expand(an), _expand(bn)) \
+            .withColumn(DIFF, F.lit(1).cast("long"))
+        self._sa.update(da)
+        self._sb.update(db)
+        return consolidate(old.unionByName(new)).withColumn(TIME, F.lit(t))
+
+
 class _JoinNode(DiffNode):
     """Bilinear delta join; outer variants add presence-tracked padding."""
 

@@ -482,3 +482,32 @@ def test_diff_table_interval_join_retractions(spark):
                    a=spark.createDataFrame([(3, 100, "y")], a_t.schema),
                    b=spark.createDataFrame([(9, 99, "y")], b_t.schema))
     assert _rows(d3, "aid", "bid", DIFF) == [(3, 9, 1)]
+
+
+def test_diff_table_asof_join_retraction_promotes_next_best(spark):
+    """Asof matching is not bilinear: when the matched right row
+    retracts, the left row must re-match to the next-best — the
+    keyed-recompute rule handles it."""
+    from pathway_spark import this, left, right
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    trades_t = spark.createDataFrame([], "sym string, tt long, px double")
+    quotes_t = spark.createDataFrame([], "qsym string, qt long, bid double")
+    g = DifferentialTableGraph(spark)
+    tr, qu = g.input("t", trades_t), g.input("q", quotes_t)
+    j = tr.asof_join(qu, this.tt, this.qt, left.sym == right.qsym,
+                     how="inner", direction="backward")
+    (d1,) = g.step(j.node,
+                   t=spark.createDataFrame([("A", 10, 1.0)], trades_t.schema),
+                   q=spark.createDataFrame([("A", 5, 9.0), ("A", 8, 9.5)],
+                                           quotes_t.schema))
+    assert _rows(d1, "sym", "tt", "qt", "bid", DIFF) == [("A", 10, 8, 9.5, 1)]
+    # retract the matched quote (qt=8): match falls back to qt=5
+    (d2,) = g.step(j.node, q=spark.createDataFrame(
+        [("A", 8, 9.5)], quotes_t.schema).withColumn(DIFF, F.lit(-1)))
+    assert _rows(d2, "sym", "tt", "qt", "bid", DIFF) == [
+        ("A", 10, 5, 9.0, 1), ("A", 10, 8, 9.5, -1)]
+    # an unrelated key's update leaves A silent
+    (d3,) = g.step(j.node, q=spark.createDataFrame(
+        [("B", 1, 2.0)], quotes_t.schema))
+    assert _rows(d3, "sym", "tt", "qt", "bid", DIFF) == []

@@ -276,13 +276,22 @@ class DiffTable:
         so it composes with delta propagation unchanged; the windowed
         aggregate then retracts/re-emits per affected window like any
         differential reduce.  Session windows merge neighboring rows
-        (non-linear) and stay on the batch/watermark path."""
+        (non-linear), so they run the keyed-recompute rule per
+        `instance` — a retraction that SPLITS a session retracts the
+        old merged window and emits the two new ones."""
         from ..operators.temporal import WEND, WSTART, _assign_hopping
 
+        if window.kind == "session":
+            if instance is None:
+                raise ValueError(
+                    "differential session windows need instance= (the "
+                    "recompute scope); without one every batch would "
+                    "recompute all sessions")
+            return _SessionDiffGrouped(self, time_ref, window, instance)
         if window.kind not in ("tumbling", "sliding"):
             raise NotImplementedError(
-                f"differential windowby supports tumbling/sliding, "
-                f"got {window.kind!r} (session merging is not linear)")
+                f"differential windowby supports tumbling/sliding/"
+                f"session, got {window.kind!r}")
         tcol = to_col(time_ref, self._ctx())
         node = _LinearWindowNode(self.node, tcol, window)
         tpl = _assign_hopping(self._template, tcol, window).limit(0)
@@ -371,6 +380,38 @@ class DiffGrouped:
             aggs.append(_AGG_BUILDERS[kind](*argn).alias(n))
         tpl = tpl.groupBy(*keys).agg(*aggs).limit(0)
         return DiffTable(red, tpl)
+
+
+class _SessionDiffGrouped:
+    """windowby(session).reduce over a retraction stream: the whole
+    windowby+reduce recomputes per affected instance (keyed-recompute),
+    because session bounds depend on neighboring rows."""
+
+    def __init__(self, parent: DiffTable, time_ref, window, instance):
+        self._parent = parent
+        self._time_ref = time_ref
+        self._window = window
+        self._instance = instance
+
+    def reduce(self, *args, **kwargs) -> DiffTable:
+        from ..operators import temporal
+        from ..table import Table
+        from .differential import _KeyedRecomputeUnaryNode
+
+        parent = self._parent
+        time_ref, window, instance = (self._time_ref, self._window,
+                                      self._instance)
+
+        def op_fn(df):
+            t = Table.from_spark(df)
+            wt = temporal.windowby(t, time_ref, window=window,
+                                   instance=instance)
+            return wt.reduce(*args, **kwargs).to_df()
+
+        node = _KeyedRecomputeUnaryNode(
+            parent.node.graph, parent.node, [instance._name], op_fn)
+        tpl = op_fn(parent._template).limit(0)
+        return DiffTable(node, tpl)
 
 
 class DifferentialTableGraph(DifferentialGraph):

@@ -511,3 +511,31 @@ def test_diff_table_asof_join_retraction_promotes_next_best(spark):
     (d3,) = g.step(j.node, q=spark.createDataFrame(
         [("B", 1, 2.0)], quotes_t.schema))
     assert _rows(d3, "sym", "tt", "qt", "bid", DIFF) == []
+
+
+def test_diff_table_session_window_split_on_retraction(spark):
+    """A retraction that removes the bridging event must SPLIT the
+    merged session: old merged window retracts, two new ones emit."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "user string, t long")
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("t", tpl)
+    win = (tbl.windowby(this.t, window=pw.temporal.session(max_gap=5),
+                        instance=this.user)
+              .reduce(user=this._pw_instance, n=r.count(),
+                      lo=r.min(this.t), hi=r.max(this.t)))
+    b1 = spark.createDataFrame(
+        [("a", 0), ("a", 4), ("a", 8), ("a", 20)], tpl.schema)
+    (d1,) = g.step(win.node, t=b1)
+    # gap<=5 merges 0,4,8 into one session; 20 is its own
+    assert _rows(d1, "user", "n", "lo", "hi", DIFF) == [
+        ("a", 1, 20, 20, 1), ("a", 3, 0, 8, 1)]
+    # retract the bridge t=4: session [0..8] splits into [0] and [8]
+    b2 = spark.createDataFrame([("a", 4)], tpl.schema) \
+              .withColumn(DIFF, F.lit(-1))
+    (d2,) = g.step(win.node, t=b2)
+    assert _rows(d2, "user", "n", "lo", "hi", DIFF) == [
+        ("a", 1, 0, 0, 1), ("a", 1, 8, 8, 1), ("a", 3, 0, 8, -1)]

@@ -161,3 +161,8 @@ def subscribe_differential(stream_df, build, on_change, *,
                 on_change(row=d, time=t, is_addition=w > 0)
 
     return df.writeStream.outputMode("append").foreachBatch(batch_fn).start()
+
+
+from . import differential  # noqa: E402,F401  (retraction-stream engine)
+from .differential import DifferentialGraph  # noqa: E402,F401
+from .diff_table import DifferentialTableGraph  # noqa: E402,F401

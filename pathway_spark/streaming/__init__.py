@@ -129,7 +129,8 @@ def run_to_memory(table_or_df, name: str, output_mode: str = "append"):
 
 
 def subscribe_differential(stream_df, build, on_change, *,
-                           checkpoint_every: int = 8):
+                           checkpoint_every: int = 8,
+                           table_syntax: bool = False):
     """Retraction-true subscribe for DERIVED tables over a live stream.
 
     `subscribe_stream` retracts per-key updates the sink can see; this
@@ -147,10 +148,19 @@ def subscribe_differential(stream_df, build, on_change, *,
     from .differential import DIFF, TIME, DifferentialGraph
 
     df = stream_df._df if isinstance(stream_df, Table) else stream_df
-    graph = DifferentialGraph(df.sparkSession,
-                              checkpoint_every=checkpoint_every)
     template = df.sparkSession.createDataFrame([], df.schema)
-    out = build(graph.source("src", template))
+    if table_syntax:
+        # build() receives a DiffTable and writes this/left/right
+        # expressions + pw.reducers.* (diff_table.py bridge)
+        from .diff_table import DifferentialTableGraph, DiffTable
+        graph = DifferentialTableGraph(df.sparkSession,
+                                       checkpoint_every=checkpoint_every)
+        res = build(graph.input("src", template))
+        out = res.node if isinstance(res, DiffTable) else res
+    else:
+        graph = DifferentialGraph(df.sparkSession,
+                                  checkpoint_every=checkpoint_every)
+        out = build(graph.source("src", template))
 
     def batch_fn(bdf: DataFrame, batch_id: int):
         (delta,) = graph.step(out, src=bdf)

@@ -338,3 +338,33 @@ def test_streaming_differential_derived_retractions(spark, tmp_path):
     assert b1 == [("a", 2, 1, True), ("b", 6, 1, True)]
     # batch 2: only `a` changes — retraction of (2,1) then (6,2); b silent
     assert b2 == [("a", 2, 1, False), ("a", 6, 2, True)]
+
+
+def test_streaming_differential_table_syntax(spark, tmp_path):
+    """subscribe_differential(table_syntax=True): pathway expressions
+    over a live stream, retractions included."""
+    import pathway_spark.streaming as st
+    from pathway_spark import reducers as rd
+    from pathway_spark import this
+
+    src = tmp_path / "diffts"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,2\nb,6\n")
+    (src / "f2.csv").write_text("k,v\na,4\n")
+    schema = pw.schema_from_types(k=str, v=int)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming",
+                           spark=spark)
+    events = []
+    q = st.subscribe_differential(
+        t,
+        lambda s: (s.filter(this.v > 0).groupby(this.k)
+                    .reduce(this.k, total=rd.sum(this.v))),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["total"], is_addition)),
+        table_syntax=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert ("a", 2, True) in events and ("a", 2, False) in events \
+        and ("a", 6, True) in events
+    assert ("b", 6, True) in events and ("b", 6, False) not in events

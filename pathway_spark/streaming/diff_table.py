@@ -252,13 +252,10 @@ class DiffTable:
             return out.to_df()
 
         node = _KeyedRecomputeNode(
-            self.graph_of(), self.node, other.node,
+            self.node.graph, self.node, other.node,
             [l for l, _ in keys], [r for _, r in keys], op_fn)
         tpl = op_fn(self._template, other._template).limit(0)
         return DiffTable(node, tpl)
-
-    def graph_of(self):
-        return self.node.graph
 
     def join_left(self, other: "DiffTable", *on) -> "DiffTable":
         return self.join(other, *on, how="left")

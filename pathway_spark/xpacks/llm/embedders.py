@@ -126,6 +126,61 @@ class GeminiEmbedder(_gated_embedder("google.genai", "GeminiEmbedder")):
 
 
 __all__ = [
-    "BaseEmbedder", "DeterministicHashEmbedder", "OpenAIEmbedder",
+    "BaseEmbedder", "DeterministicHashEmbedder", "OpenAICompatibleEmbedder",
+    "OpenAIEmbedder",
     "LiteLLMEmbedder", "SentenceTransformerEmbedder", "GeminiEmbedder",
 ]
+
+
+class OpenAICompatibleEmbedder(BaseEmbedder):
+    """Embedder over the OpenAI-compatible REST protocol with NO client
+    package: stdlib urllib against `base_url` (api.openai.com, or any
+    compatible server — vLLM, Ollama, LiteLLM proxy...).  Reference
+    `embedders.py:115` OpenAIEmbedder wraps the `openai` client; the
+    wire protocol (`POST {base}/embeddings`, bearer auth, `{"model",
+    "input"}` → `data[*].embedding`) is public and stable, so this
+    path runs in containers without the SDK.  Retries 5xx/429 with
+    exponential backoff."""
+
+    def __init__(self, *, base_url: str, api_key: str | None = None,
+                 model: str = "text-embedding-3-small",
+                 max_retries: int = 3, timeout: float = 30.0, **kw):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.max_retries = max_retries
+        self.timeout = timeout
+        super().__init__(self._embed_one, **kw)
+
+    def _post(self, payload: dict) -> dict:
+        import json as _json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/embeddings",
+            data=_json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                **({"Authorization": f"Bearer {self.api_key}"}
+                   if self.api_key else {}),
+            },
+            method="POST",
+        )
+        delay = 0.5
+        for attempt in range(self.max_retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return _json.loads(r.read())
+            except urllib.error.HTTPError as exc:
+                if exc.code in (429, 500, 502, 503) and attempt < self.max_retries:
+                    _time.sleep(delay)
+                    delay *= 2
+                    continue
+                raise
+        raise RuntimeError("unreachable")
+
+    def _embed_one(self, text: str) -> list[float]:
+        resp = self._post({"model": self.model, "input": [text]})
+        return [float(x) for x in resp["data"][0]["embedding"]]

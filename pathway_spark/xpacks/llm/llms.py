@@ -105,6 +105,65 @@ class HFPipelineChat(_gated_chat("transformers", "HFPipelineChat")):
 
 
 __all__ = [
-    "BaseChat", "EchoChat", "OpenAIChat", "LiteLLMChat", "CohereChat",
-    "HFPipelineChat", "prompt_chat_single_qa",
+    "BaseChat", "EchoChat", "OpenAICompatibleChat", "OpenAIChat",
+    "LiteLLMChat", "CohereChat", "HFPipelineChat", "prompt_chat_single_qa",
 ]
+
+
+class OpenAICompatibleChat(BaseChat):
+    """Chat over the OpenAI-compatible REST protocol with NO client
+    package (stdlib urllib): `POST {base}/chat/completions`, bearer
+    auth, `{"model", "messages", ...}` → `choices[0].message.content`.
+    Works against api.openai.com or any compatible server (vLLM,
+    Ollama, LiteLLM proxy).  Retries 5xx/429 with backoff; generation
+    kwargs (temperature, max_tokens...) pass through the payload."""
+
+    def __init__(self, *, base_url: str, api_key: str | None = None,
+                 model: str = "gpt-4o-mini", max_retries: int = 3,
+                 timeout: float = 60.0, **generation_kwargs):
+        udf_kw = {k: generation_kwargs.pop(k) for k in
+                  ("cache_strategy", "retry_strategy")
+                  if k in generation_kwargs}
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.max_retries = max_retries
+        self.timeout = timeout
+        self.generation_kwargs = generation_kwargs
+        super().__init__(self._complete, **udf_kw)
+
+    def _post(self, payload: dict) -> dict:
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={
+                "Content-Type": "application/json",
+                **({"Authorization": f"Bearer {self.api_key}"}
+                   if self.api_key else {}),
+            },
+            method="POST",
+        )
+        delay = 0.5
+        for attempt in range(self.max_retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as exc:
+                if exc.code in (429, 500, 502, 503) and attempt < self.max_retries:
+                    _time.sleep(delay)
+                    delay *= 2
+                    continue
+                raise
+        raise RuntimeError("unreachable")
+
+    def _complete(self, prompt: str) -> str:
+        resp = self._post({
+            "model": self.model,
+            "messages": _messages_of(prompt),
+            **self.generation_kwargs,
+        })
+        return resp["choices"][0]["message"]["content"]

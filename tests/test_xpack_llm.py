@@ -160,3 +160,101 @@ def test_vector_store_plan_quality(spark, docs):
     assert "BatchEvalPython" not in txt
     # the only Python in the plan is the Arrow-batched embedder UDF
     assert "ArrowEvalPython" in txt
+
+
+# ---------------------------------------------------------------------------
+# OpenAI-compatible REST transport (no client package) — offline fixture
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+from http.server import BaseHTTPRequestHandler as _BaseHandler
+from http.server import ThreadingHTTPServer as _ThreadingServer
+
+
+@pytest.fixture()
+def openai_fixture():
+    """Minimal OpenAI-compatible server: /embeddings returns a vector
+    derived from input length; /chat/completions upcases the last user
+    message. Records every (path, body, auth) for payload asserts.
+    First embeddings call returns 500 to exercise the retry path."""
+    import json as _json
+
+    calls = []
+    fail_once = {"n": 1}
+    lock = _threading.Lock()
+
+    class Handler(_BaseHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(length))
+            with lock:
+                calls.append((self.path, body,
+                              self.headers.get("Authorization")))
+            if self.path.endswith("/embeddings") and fail_once["n"] > 0:
+                fail_once["n"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            if self.path.endswith("/embeddings"):
+                text = body["input"][0]
+                vec = [float(len(text)), 1.0, 0.0]
+                out = {"data": [{"embedding": vec}]}
+            else:
+                msg = body["messages"][-1]["content"]
+                out = {"choices": [{"message": {"content": msg.upper()}}]}
+            data = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = _ThreadingServer(("127.0.0.1", 0), Handler)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}/v1", calls
+    finally:
+        srv.shutdown()
+
+
+def test_openai_compatible_embedder_rest_protocol(spark, openai_fixture):
+    base, calls = openai_fixture
+    from pathway_spark.xpacks.llm.embedders import OpenAICompatibleEmbedder
+
+    emb = OpenAICompatibleEmbedder(base_url=base, api_key="sk-test",
+                                   model="text-embedding-3-small")
+    t = pw.debug.table_from_rows(
+        pw.schema_from_types(txt=str), [("hello",), ("hi",)], spark=spark)
+    out = t.select(v=emb(pw.this.txt))
+    rows = {tuple(r)[0][0] for r in out.to_df().select("v").collect()}
+    assert rows == {5.0, 2.0}  # len("hello"), len("hi")
+    emb_calls = [c for c in calls if c[0].endswith("/embeddings")]
+    # retry happened: >= 3 calls for 2 rows (first returned 500)
+    assert len(emb_calls) >= 3
+    path, body, auth = emb_calls[-1]
+    assert body["model"] == "text-embedding-3-small"
+    assert isinstance(body["input"], list)
+    assert auth == "Bearer sk-test"
+
+
+def test_openai_compatible_chat_rest_protocol(spark, openai_fixture):
+    base, calls = openai_fixture
+    import json as _json
+
+    from pathway_spark.xpacks.llm.llms import OpenAICompatibleChat
+
+    chat = OpenAICompatibleChat(base_url=base, api_key="sk-test",
+                                model="gpt-4o-mini", temperature=0.2)
+    t = pw.debug.table_from_rows(
+        pw.schema_from_types(q=str), [("what is pathway",)], spark=spark)
+    prompts = t.select(p=pw.apply(lambda q: _json.dumps(
+        [{"role": "user", "content": q}]), pw.this.q))
+    out = prompts.select(a=chat(pw.this.p))
+    got = [r[0] for r in out.to_df().select("a").collect()]
+    assert got == ["WHAT IS PATHWAY"]
+    chat_calls = [c for c in calls if c[0].endswith("/chat/completions")]
+    assert chat_calls and chat_calls[-1][1]["temperature"] == 0.2
+    assert chat_calls[-1][1]["messages"][-1]["role"] == "user"

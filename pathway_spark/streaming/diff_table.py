@@ -64,7 +64,7 @@ class _NameContext(RowContext):
 _RED_MAP = {
     "sum": "sum", "count": "count", "min": "min", "max": "max",
     "avg": "avg", "count_distinct": "count_distinct", "any": "any",
-    "unique": "any", "argmin": "argmin", "argmax": "argmax",
+    "unique": "unique", "argmin": "argmin", "argmax": "argmax",
     "earliest": "earliest", "latest": "latest",
 }
 

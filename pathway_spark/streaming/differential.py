@@ -424,6 +424,37 @@ class _KeyedRecomputeNode(DiffNode):
         return consolidate(old.unionByName(new)).withColumn(TIME, F.lit(t))
 
 
+class _KeyedRecomputeUnaryNode(DiffNode):
+    """One-input keyed recompute: for operators whose output under key
+    k depends only on input rows with key k (session windows per
+    instance, per-key sort/diff/prev-next, interpolation...), the
+    affected-key slices recompute the batch operator and the node
+    emits new − old."""
+
+    def __init__(self, graph, parent: DiffNode, keys: list[str], op_fn):
+        super().__init__(graph, [parent])
+        self._keys = keys
+        self._op = op_fn             # (plain_df) -> plain DataFrame
+        self._state: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        delta = self.inputs[0].delta(t)
+        if self._state is None:
+            self._state = self.graph._make_store(delta)
+        state = self._state.get()
+        touched = delta.select(*self._keys).distinct()
+        old_in = consolidate(state.join(touched, on=self._keys,
+                                        how="left_semi"))
+        new_in = consolidate(old_in.unionByName(
+            delta.select(*_data_cols(old_in), DIFF)))
+        old = self._op(_expand(old_in)) \
+            .withColumn(DIFF, F.lit(-1).cast("long"))
+        new = self._op(_expand(new_in)) \
+            .withColumn(DIFF, F.lit(1).cast("long"))
+        self._state.update(delta)
+        return consolidate(old.unionByName(new)).withColumn(TIME, F.lit(t))
+
+
 class _JoinNode(DiffNode):
     """Bilinear delta join; outer variants add presence-tracked padding."""
 
@@ -532,6 +563,10 @@ _AGG_BUILDERS = {
     "avg": lambda c: F.sum(_c(c) * F.col(DIFF)) / F.sum(DIFF),
     "count_distinct": lambda c: F.countDistinct(_c(c)),
     "any": lambda c: F.min(_c(c)),
+    "unique": lambda c: F.when(
+        F.count_distinct(_c(c)) <= 1, F.any_value(_c(c), ignoreNulls=True)
+    ).otherwise(F.raise_error(
+        F.lit("unique(): more than one distinct value"))),
     "argmin": lambda c, v: F.min_by(_c(c), _c(v)),
     "argmax": lambda c, v: F.max_by(_c(c), _c(v)),
     "earliest": lambda c, v: F.min_by(_c(c), _c(v)),

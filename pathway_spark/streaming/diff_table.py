@@ -29,14 +29,11 @@ the batch path.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..expressions import (
     BinaryOp,
-    ColumnExpression,
     ColumnReference,
     ReducerExpression,
     RowContext,

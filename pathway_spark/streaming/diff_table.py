@@ -297,6 +297,21 @@ class DiffTable:
     def distinct(self) -> "DiffTable":
         return DiffTable(self.node.distinct(), self._template)
 
+    # -- set ops (row-level; the reference keys these on row ids) --------
+    def intersect(self, other: "DiffTable") -> "DiffTable":
+        """Rows of self whose full row content appears in `other`."""
+        cols = _data_cols(self._template)
+        return DiffTable(self.node.semi_join(other.node, cols,
+                                             _data_cols(other._template)),
+                         self._template)
+
+    def difference(self, other: "DiffTable") -> "DiffTable":
+        """Rows of self absent (by full row content) from `other`."""
+        cols = _data_cols(self._template)
+        return DiffTable(self.node.anti_join(other.node, cols,
+                                             _data_cols(other._template)),
+                         self._template)
+
 
 def _LinearWindowNode(node: DiffNode, tcol: Column, window):
     from ..operators.temporal import _assign_hopping

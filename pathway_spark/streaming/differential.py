@@ -248,6 +248,18 @@ class DiffNode:
         return _ThetaJoinNode(self.graph, self, other, cond_fn,
                               list(lcols), list(rcols))
 
+    def semi_join(self, other: "DiffNode", lkeys: Sequence[str],
+                  rkeys: Sequence[str] | None = None) -> "DiffNode":
+        rkeys = list(rkeys) if rkeys is not None else list(lkeys)
+        return _SemiAntiNode(self.graph, self, other, list(lkeys), rkeys,
+                             anti=False)
+
+    def anti_join(self, other: "DiffNode", lkeys: Sequence[str],
+                  rkeys: Sequence[str] | None = None) -> "DiffNode":
+        rkeys = list(rkeys) if rkeys is not None else list(lkeys)
+        return _SemiAntiNode(self.graph, self, other, list(lkeys), rkeys,
+                             anti=True)
+
     def reduce(self, keys: Sequence[str],
                aggs: dict[str, tuple] | None = None, **kw: tuple) -> "DiffNode":
         """aggs: name -> ("sum"|"count"|"min"|"max"|"avg"|"count_distinct"|
@@ -364,6 +376,64 @@ class _ThetaJoinNode(DiffNode):
         self._sa.update(da)
         self._sb.update(db)
         return consolidate(out).withColumn(TIME, F.lit(t))
+
+
+class _SemiAntiNode(DiffNode):
+    """Differential semi/anti join: keep (or drop) left rows by the
+    RIGHT side's per-key presence.  Same presence algebra as outer-join
+    padding: a key flipping 0↔>0 emits/retracts every matching left
+    row; left deltas pass/block by the new presence.
+
+    anti per key (p0/p1 = old/new right presence):
+      appeared (0→1): −A_old   vanished (1→0): +A_old + dA
+      never: +dA               always: nothing
+    semi is the complement (signs swapped, dA gated on presence)."""
+
+    def __init__(self, graph, left: DiffNode, right: DiffNode,
+                 lkeys: list[str], rkeys: list[str], anti: bool):
+        super().__init__(graph, [left, right])
+        self._lkeys, self._rkeys = lkeys, rkeys
+        self._anti = anti
+        self._sa: _StateStore | None = None
+        self._sb: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        if self._sa is None:
+            self._sa = self.graph._make_store(da)
+            self._sb = self.graph._make_store(db)
+        a_old, b_old = self._sa.get(), self._sb.get()
+        lk, rk = self._lkeys, self._rkeys
+
+        def presence(ms: DataFrame) -> DataFrame:
+            return (ms.groupBy(*rk).agg(F.sum(DIFF).alias("__w"))
+                      .filter(F.col("__w") > 0)
+                      .select(*[F.col(r).alias(l) for l, r in zip(lk, rk)]))
+
+        p_old = presence(b_old)
+        p_new = presence(b_old.unionByName(
+            db.select(*_data_cols(b_old), DIFF)))
+        appeared = p_new.join(p_old, on=lk, how="left_anti")
+        vanished = p_old.join(p_new, on=lk, how="left_anti")
+
+        def rows(src: DataFrame, keys: DataFrame, sign: int) -> DataFrame:
+            return src.join(keys, on=lk, how="left_semi").select(
+                *_data_cols(src), (F.col(DIFF) * sign).alias(DIFF))
+
+        if self._anti:
+            flipped = rows(a_old, appeared, -1).unionByName(
+                rows(a_old, vanished, +1))
+            gate = da.drop(TIME).join(p_new, on=lk, how="left_anti") \
+                     .select(*_data_cols(a_old), DIFF)
+        else:
+            flipped = rows(a_old, appeared, +1).unionByName(
+                rows(a_old, vanished, -1))
+            gate = da.drop(TIME).join(p_new, on=lk, how="left_semi") \
+                     .select(*_data_cols(a_old), DIFF)
+        self._sa.update(da)
+        self._sb.update(db)
+        return consolidate(flipped.unionByName(gate)) \
+            .withColumn(TIME, F.lit(t))
 
 
 def _expand(ms: DataFrame) -> DataFrame:

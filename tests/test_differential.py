@@ -539,3 +539,65 @@ def test_diff_table_session_window_split_on_retraction(spark):
     (d2,) = g.step(win.node, t=b2)
     assert _rows(d2, "user", "n", "lo", "hi", DIFF) == [
         ("a", 1, 0, 0, 1), ("a", 1, 8, 8, 1), ("a", 3, 0, 8, -1)]
+
+
+def test_diff_table_intersect_difference_presence(spark):
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialTableGraph(spark)
+    a, b = g.input("a", tpl), g.input("b", tpl)
+    inter, diff = a.intersect(b), a.difference(b)
+    (d1, e1) = g.step([inter.node, diff.node],
+                      a=spark.createDataFrame([("x", 1), ("y", 2)], tpl.schema),
+                      b=spark.createDataFrame([("x", 1)], tpl.schema))
+    assert _rows(d1, "k", "v", DIFF) == [("x", 1, 1)]
+    assert _rows(e1, "k", "v", DIFF) == [("y", 2, 1)]
+    # the matching right row retracts: x moves from intersect to difference
+    (d2, e2) = g.step([inter.node, diff.node],
+                      b=spark.createDataFrame([("x", 1)], tpl.schema)
+                          .withColumn(DIFF, F.lit(-1)))
+    assert _rows(d2, "k", "v", DIFF) == [("x", 1, -1)]
+    assert _rows(e2, "k", "v", DIFF) == [("x", 1, 1)]
+
+
+def test_semi_anti_randomized_prefix_equality(spark):
+    import random
+    rnd = random.Random(99)
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialGraph(spark, checkpoint_every=2)
+    a, b = g.source("a", tpl), g.source("b", tpl)
+    semi = a.semi_join(b, ["k"])
+    anti = a.anti_join(b, ["k"])
+    live_a, live_b, slog, alog = [], [], [], []
+    for t in range(5):
+        da = [(rnd.choice("pqr"), rnd.randint(0, 2), 1)
+              for _ in range(rnd.randint(0, 2))]
+        db = [(rnd.choice("pqr"), rnd.randint(0, 2), 1)
+              for _ in range(rnd.randint(0, 2))]
+        if live_a and rnd.random() < 0.5:
+            da.append(live_a.pop(rnd.randrange(len(live_a))) + (-1,))
+        if live_b and rnd.random() < 0.5:
+            db.append(live_b.pop(rnd.randrange(len(live_b))) + (-1,))
+        live_a += [r[:2] for r in da if r[2] > 0]
+        live_b += [r[:2] for r in db if r[2] > 0]
+        ds, dn = g.step([semi, anti],
+                        a=spark.createDataFrame(da, "k string, v long, _pw_diff long"),
+                        b=spark.createDataFrame(db, "k string, v long, _pw_diff long"))
+        slog.append(ds.localCheckpoint(eager=True))
+        alog.append(dn.localCheckpoint(eager=True))
+        adf = spark.createDataFrame(live_a or [("zz", -1)], "k string, v long")
+        bdf = spark.createDataFrame(live_b or [("zz", -1)], "k string, v long")
+        if not live_a:
+            adf = adf.filter(F.lit(False))
+        if not live_b:
+            bdf = bdf.filter(F.lit(False))
+        es = adf.join(bdf.select("k").distinct(), on="k", how="left_semi")
+        en = adf.join(bdf.select("k").distinct(), on="k", how="left_anti")
+        for logs, expect in ((slog, es), (alog, en)):
+            acc = logs[0]
+            for p in logs[1:]:
+                acc = acc.unionByName(p)
+            got = DifferentialGraph.integrate(acc)
+            assert _rows(got, "k", "v") == _rows(expect, "k", "v"), \
+                f"diverged at batch {t}"

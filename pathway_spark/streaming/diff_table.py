@@ -312,6 +312,23 @@ class DiffTable:
                                              _data_cols(other._template)),
                          self._template)
 
+    def update_rows(self, other: "DiffTable",
+                    *keys: ColumnReference) -> "DiffTable":
+        """Upsert `other`'s rows over self by key (reference
+        `table.py:1776`, keyed explicitly here since raw deltas carry
+        no universe): pure composition — other ∪ (self ⋉̸ keys(other))
+        — so an upsert arriving on the patch stream retracts the base
+        row it shadows, and a patch RETRACTION resurfaces it."""
+        knames = [k._name for k in keys]
+        if not knames:
+            raise ValueError("differential update_rows needs key columns")
+        if set(_data_cols(self._template)) != set(_data_cols(other._template)):
+            raise ValueError("update_rows requires identical schemas")
+        kept = self.node.anti_join(other.node, knames)
+        node = other.node.select(
+            *[F.col(c) for c in _data_cols(self._template)]).union(kept)
+        return DiffTable(node, self._template)
+
 
 def _LinearWindowNode(node: DiffNode, tcol: Column, window):
     from ..operators.temporal import _assign_hopping

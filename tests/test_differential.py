@@ -601,3 +601,25 @@ def test_semi_anti_randomized_prefix_equality(spark):
             got = DifferentialGraph.integrate(acc)
             assert _rows(got, "k", "v") == _rows(expect, "k", "v"), \
                 f"diverged at batch {t}"
+
+
+def test_diff_table_update_rows_upsert_and_unpatch(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialTableGraph(spark)
+    base, patch = g.input("base", tpl), g.input("patch", tpl)
+    up = base.update_rows(patch, this.k)
+    (d1,) = g.step(up.node,
+                   base=spark.createDataFrame([("x", 1), ("y", 2)], tpl.schema))
+    assert _rows(d1, "k", "v", DIFF) == [("x", 1, 1), ("y", 2, 1)]
+    # patch overrides x: base row retracts, patched value appears
+    (d2,) = g.step(up.node,
+                   patch=spark.createDataFrame([("x", 99)], tpl.schema))
+    assert _rows(d2, "k", "v", DIFF) == [("x", 1, -1), ("x", 99, 1)]
+    # patch retraction resurfaces the shadowed base row
+    (d3,) = g.step(up.node,
+                   patch=spark.createDataFrame([("x", 99)], tpl.schema)
+                       .withColumn(DIFF, F.lit(-1)))
+    assert _rows(d3, "k", "v", DIFF) == [("x", 1, 1), ("x", 99, -1)]

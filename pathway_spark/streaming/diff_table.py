@@ -264,6 +264,12 @@ class DiffTable:
     def groupby(self, *refs: ColumnReference) -> "DiffGrouped":
         return DiffGrouped(self, [r._name for r in refs])
 
+    def reduce(self, **kwargs) -> "DiffTable":
+        """Global (keyless) reduce over the retraction stream — emits
+        -old/+new for THE one group per batch; an empty stream emits
+        nothing (matching differential reduce, not SQL's phantom row)."""
+        return DiffGrouped(self, []).reduce(**kwargs)
+
     def windowby(self, time_ref, *, window, instance=None) -> "DiffGrouped":
         """Tumbling/sliding windows over a retraction stream: window
         assignment (`_assign_hopping`) is a pure projection — LINEAR —
@@ -402,7 +408,7 @@ class DiffGrouped:
         tpl = tpl.withColumn(DIFF, F.lit(1).cast("long"))
         aggs = []
         for n, (kind, *argn) in specs.items():
-            argn = argn or [keys[0]]
+            argn = argn or [keys[0] if keys else DIFF]
             aggs.append(_AGG_BUILDERS[kind](*argn).alias(n))
         tpl = tpl.groupBy(*keys).agg(*aggs).limit(0)
         return DiffTable(red, tpl)

@@ -666,22 +666,34 @@ class _ReduceNode(DiffNode):
     def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
         aggs = [_AGG_BUILDERS[k](*a).alias(n)
                 for n, (k, a) in self.specs.items()]
-        grouped = multiset.groupBy(*self.keys).agg(*aggs)
-        return grouped.withColumn(DIFF, F.lit(1).cast("long")) \
-                      .withColumn(TIME, F.lit(t))
+        # __n suppresses the phantom row a GLOBAL (keyless) aggregate
+        # emits over an empty multiset — differential reduce outputs
+        # nothing for an empty group, keyed or not
+        grouped = multiset.groupBy(*self.keys).agg(
+            *aggs, F.sum(DIFF).alias("__n"))
+        return (grouped.filter(F.col("__n").isNotNull()).drop("__n")
+                .withColumn(DIFF, F.lit(1).cast("long"))
+                .withColumn(TIME, F.lit(t)))
 
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._state is None:
             self._state = self.graph._make_store(delta)
         state = self._state.get()
-        keys = delta.select(*self.keys).distinct()
-        # the chunked state may carry uncompacted +x/-x pairs, which
-        # would corrupt order statistics (min/max/distinct) — so
-        # consolidate ONLY the affected-key slice: the semi-join prunes
-        # each chunk scan down to |affected| rows before the shuffle
-        old_in = consolidate(
-            state.join(keys, on=self.keys, how="left_semi"))
+        if not self.keys:
+            # global reduce: every batch touches THE one group — the
+            # affected-key rule degenerates to a full recompute (state
+            # stays chunk-bounded; the consolidate is the same shuffle
+            # a compaction pays)
+            old_in = consolidate(state)
+        else:
+            keys = delta.select(*self.keys).distinct()
+            # the chunked state may carry uncompacted +x/-x pairs, which
+            # would corrupt order statistics (min/max/distinct) — so
+            # consolidate ONLY the affected-key slice: the semi-join
+            # prunes each chunk scan to |affected| rows pre-shuffle
+            old_in = consolidate(
+                state.join(keys, on=self.keys, how="left_semi"))
         new_in = consolidate(old_in.unionByName(
             delta.select(*_data_cols(old_in), DIFF)))
         old_out = self._aggregate(old_in, t).withColumn(DIFF, -F.col(DIFF))

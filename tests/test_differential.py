@@ -623,3 +623,22 @@ def test_diff_table_update_rows_upsert_and_unpatch(spark):
                    patch=spark.createDataFrame([("x", 99)], tpl.schema)
                        .withColumn(DIFF, F.lit(-1)))
     assert _rows(d3, "k", "v", DIFF) == [("x", 1, 1), ("x", 99, -1)]
+
+
+def test_diff_table_global_reduce(spark):
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    q = t.reduce(total=r.sum(this.v), n=r.count())
+    (d1,) = g.step(q.node, t=spark.createDataFrame([("a", 1), ("b", 2)], tpl.schema))
+    assert _rows(d1, "total", "n", DIFF) == [(3, 2, 1)]
+    (d2,) = g.step(q.node, t=spark.createDataFrame([("c", 10)], tpl.schema))
+    assert _rows(d2, "total", "n", DIFF) == [(3, 2, -1), (13, 3, 1)]
+    # retract everything: the group disappears, no phantom SQL row
+    (d3,) = g.step(q.node, t=spark.createDataFrame(
+        [("a", 1, -1), ("b", 2, -1), ("c", 10, -1)],
+        "k string, v long, _pw_diff long"))
+    assert _rows(d3, "total", "n", DIFF) == [(13, 3, -1)]

@@ -61,7 +61,9 @@ def apply_behavior(df: DataFrame, time_col: str, behavior) -> DataFrame:
     watermark (state eviction + late-data drop)."""
     if behavior is None or not df.isStreaming:
         return df
-    cutoff = getattr(behavior, "cutoff", None) or getattr(behavior, "shift", None)
+    cutoff = getattr(behavior, "cutoff", None)
+    if cutoff is None:
+        cutoff = getattr(behavior, "shift", None)
     if cutoff is not None:
         df = df.withWatermark(time_col, _fmt_interval(cutoff))
     return df

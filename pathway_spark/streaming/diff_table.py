@@ -89,8 +89,13 @@ class DiffTable:
     # -- row ops ---------------------------------------------------------
     def select(self, *args, **kwargs) -> "DiffTable":
         ctx = self._ctx()
-        cols = [to_col(a, ctx).alias(a._name) for a in args
-                if isinstance(a, ColumnReference)]
+        for a in args:
+            if not isinstance(a, ColumnReference):
+                raise TypeError(
+                    f"positional select args must be column references "
+                    f"(got {type(a).__name__}); name computed expressions "
+                    f"as keyword args")
+        cols = [to_col(a, ctx).alias(a._name) for a in args]
         cols += [to_col(e, ctx).alias(n) for n, e in kwargs.items()]
         node = self.node.select(*cols)
         return DiffTable(node, self._template.select(
@@ -304,18 +309,25 @@ class DiffTable:
         return DiffTable(self.node.distinct(), self._template)
 
     # -- set ops (row-level; the reference keys these on row ids) --------
+    def _same_schema_cols(self, other: "DiffTable", op: str) -> list[str]:
+        cols = _data_cols(self._template)
+        if set(cols) != set(_data_cols(other._template)):
+            raise ValueError(
+                f"{op} requires identical column sets; got {cols} vs "
+                f"{_data_cols(other._template)}")
+        return cols
+
     def intersect(self, other: "DiffTable") -> "DiffTable":
         """Rows of self whose full row content appears in `other`."""
-        cols = _data_cols(self._template)
-        return DiffTable(self.node.semi_join(other.node, cols,
-                                             _data_cols(other._template)),
+        cols = self._same_schema_cols(other, "intersect")
+        # pair by NAME on both sides, never by position
+        return DiffTable(self.node.semi_join(other.node, cols, cols),
                          self._template)
 
     def difference(self, other: "DiffTable") -> "DiffTable":
         """Rows of self absent (by full row content) from `other`."""
-        cols = _data_cols(self._template)
-        return DiffTable(self.node.anti_join(other.node, cols,
-                                             _data_cols(other._template)),
+        cols = self._same_schema_cols(other, "difference")
+        return DiffTable(self.node.anti_join(other.node, cols, cols),
                          self._template)
 
     def update_rows(self, other: "DiffTable",
@@ -373,6 +385,15 @@ class DiffGrouped:
                 raise NotImplementedError(
                     f"reducer {expr._name!r} is multiplicity-sensitive; "
                     "use the batch groupby/reduce path")
+            for a in expr._args:
+                if (isinstance(a, ColumnReference)
+                        and a._name not in parent._template.columns):
+                    raise NotImplementedError(
+                        f"reducer {expr._name!r} references "
+                        f"{a._name!r}, which differential deltas do not "
+                        "carry (this is the reducer's implicit default); "
+                        "pass the argument explicitly, e.g. "
+                        "argmin(value, arg) / earliest(expr, time=this.<col>)")
             cols = [to_col(a, ctx) for a in expr._args]
             if not cols:
                 cols = [None]
@@ -411,7 +432,14 @@ class DiffGrouped:
             argn = argn or [keys[0] if keys else DIFF]
             aggs.append(_AGG_BUILDERS[kind](*argn).alias(n))
         tpl = tpl.groupBy(*keys).agg(*aggs).limit(0)
-        return DiffTable(red, tpl)
+        out = DiffTable(red, tpl)
+        if out_names and set(out_names) != set(keys):
+            # the reference projects to exactly the requested grouping
+            # columns; dropping a key is fine in multiset semantics
+            sel = out_names + list(specs)
+            out = DiffTable(out.node.select(*[F.col(c) for c in sel]),
+                            tpl.select(*sel).limit(0))
+        return out
 
 
 class _SessionDiffGrouped:

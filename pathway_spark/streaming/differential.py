@@ -114,7 +114,8 @@ class _StateStore:
     Delta/Iceberg for transactional state by overriding `flush`."""
 
     def __init__(self, spark: SparkSession, template: DataFrame,
-                 checkpoint_every: int = 8, path: str | None = None):
+                 checkpoint_every: int = 8, path: str | None = None,
+                 restore_version: int | None = None):
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
@@ -127,7 +128,7 @@ class _StateStore:
         self._path = path
         self._ver = 0
         if path is not None:
-            self._load_latest()
+            self._load_version(restore_version)
 
     def _versions(self) -> list[int]:
         import os
@@ -139,12 +140,26 @@ class _StateStore:
                 out.append(int(d[1:]))
         return sorted(out)
 
-    def _load_latest(self) -> None:
+    def _load_version(self, want: int | None) -> None:
+        """Load the version the graph's committed meta recorded (never
+        blindly the newest: a crash between a store's flush and the
+        meta write must roll back to the committed one, or replayed
+        batches would double-count)."""
         vers = self._versions()
-        if vers:
+        if want is not None:
+            if want == 0:
+                return  # committed before this store ever flushed
+            if want not in vers:
+                raise RuntimeError(
+                    f"state dir {self._path} lacks committed version "
+                    f"v{want:08d} (found {vers}); cannot resume safely")
+            self._ver = want
+        elif vers:
             self._ver = vers[-1]
-            self._chunks = [self._spark.read.parquet(
-                f"{self._path}/v{self._ver:08d}").select(*self._cols)]
+        else:
+            return
+        self._chunks = [self._spark.read.parquet(
+            f"{self._path}/v{self._ver:08d}").select(*self._cols)]
 
     def get(self) -> DataFrame:
         """Union of all live chunks (multiset-correct, possibly
@@ -172,23 +187,32 @@ class _StateStore:
         self._chunks.append(d.localCheckpoint(eager=False))
         self._ticks += 1
         if self._ticks % self._every == 0:
-            self.flush()
+            self.compact()
+
+    def compact(self) -> None:
+        """Consolidate all chunks into one in-memory base (the
+        amortized full-state shuffle).  Durable versions are NOT
+        written here — only `flush()` (from `commit()`) does, so
+        on-disk versions always correspond to a committed clock."""
+        full = consolidate(self.get())
+        self._chunks = [full.localCheckpoint(eager=True)]
 
     def flush(self) -> None:
-        """Compact: consolidate all chunks into one base (the amortized
-        full-state shuffle); parquet version when durable."""
+        """Write a durable parquet version of the current state (called
+        by `DifferentialGraph.commit`, which records the version per
+        store in its meta — restore loads exactly those)."""
+        if self._path is None:
+            self.compact()
+            return
         full = consolidate(self.get())
-        if self._path is not None:
-            import shutil
-            self._ver += 1
-            dest = f"{self._path}/v{self._ver:08d}"
-            full.write.mode("overwrite").parquet(dest)
-            self._chunks = [self._spark.read.parquet(dest)
-                                .select(*self._cols)]
-            for v in self._versions()[:-2]:   # keep latest two versions
-                shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
-        else:
-            self._chunks = [full.localCheckpoint(eager=True)]
+        import shutil
+        self._ver += 1
+        dest = f"{self._path}/v{self._ver:08d}"
+        full.write.mode("overwrite").parquet(dest)
+        self._chunks = [self._spark.read.parquet(dest)
+                            .select(*self._cols)]
+        for v in self._versions()[:-2]:   # keep latest two versions
+            shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
 
     def close(self) -> None:
         self._chunks = []
@@ -405,16 +429,22 @@ class _SemiAntiNode(DiffNode):
         a_old, b_old = self._sa.get(), self._sb.get()
         lk, rk = self._lkeys, self._rkeys
 
-        def presence(ms: DataFrame) -> DataFrame:
-            return (ms.groupBy(*rk).agg(F.sum(DIFF).alias("__w"))
+        def presence(ms: DataFrame, keys: DataFrame) -> DataFrame:
+            # keys is small (delta-derived); the semi-join prunes each
+            # state chunk before the aggregation — O(slice), not O(state)
+            return (ms.join(keys, on=rk, how="left_semi")
+                      .groupBy(*rk).agg(F.sum(DIFF).alias("__w"))
                       .filter(F.col("__w") > 0)
                       .select(*[F.col(r).alias(l) for l, r in zip(lk, rk)]))
 
-        p_old = presence(b_old)
-        p_new = presence(b_old.unionByName(
-            db.select(*_data_cols(b_old), DIFF)))
+        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
+        pk = db.select(*rk).distinct()            # where flips can happen
+        p_old = presence(b_old, pk)
+        p_new = presence(b_new, pk)
         appeared = p_new.join(p_old, on=lk, how="left_anti")
         vanished = p_old.join(p_new, on=lk, how="left_anti")
+        kk = da.select(*[F.col(l).alias(r) for l, r in zip(lk, rk)])                .distinct()                        # gate for fresh rows
+        p_new_gate = presence(b_new, kk)
 
         def rows(src: DataFrame, keys: DataFrame, sign: int) -> DataFrame:
             return src.join(keys, on=lk, how="left_semi").select(
@@ -423,12 +453,12 @@ class _SemiAntiNode(DiffNode):
         if self._anti:
             flipped = rows(a_old, appeared, -1).unionByName(
                 rows(a_old, vanished, +1))
-            gate = da.drop(TIME).join(p_new, on=lk, how="left_anti") \
+            gate = da.drop(TIME).join(p_new_gate, on=lk, how="left_anti") \
                      .select(*_data_cols(a_old), DIFF)
         else:
             flipped = rows(a_old, appeared, +1).unionByName(
                 rows(a_old, vanished, -1))
-            gate = da.drop(TIME).join(p_new, on=lk, how="left_semi") \
+            gate = da.drop(TIME).join(p_new_gate, on=lk, how="left_semi") \
                      .select(*_data_cols(a_old), DIFF)
         self._sa.update(da)
         self._sb.update(db)
@@ -574,33 +604,41 @@ class _JoinNode(DiffNode):
         out = inner
         if self.how in ("left", "outer"):
             out = out.unionByName(
-                self._padding(da, a_old, b_old, b_new, rcols, t)
+                self._padding(da, a_old, b_old, b_new, db, rcols, t)
                     .select(*inner.columns))
         if self.how in ("right", "outer"):
             a_new = a_old.unionByName(da.select(*_data_cols(a_old), DIFF))
             out = out.unionByName(
-                self._padding(db, b_old, a_old, a_new, lcols, t)
+                self._padding(db, b_old, a_old, a_new, da, lcols, t)
                     .select(*inner.columns))
         self._sa.update(da)
         self._sb.update(db)
         return consolidate(out).withColumn(TIME, F.lit(t))
 
     def _padding(self, d_keep, keep_old, probe_old, probe_new,
-                 null_cols: list[str], t: int) -> DataFrame:
+                 d_probe, null_cols: list[str], t: int) -> DataFrame:
         """Delta of KEEP ⋉̸ PROBE × NULLs, from probe-side key presence.
 
         pad(K, P) = (K anti-join keys(P)) with NULL probe columns;
-        d pad = pad(K_new, P_new) − pad(K_old, P_old), computed from the
-        two presence sets (small: one row per join key) — keep rows join
-        the *change* in absent-key sets, so cost ~ |affected keys|.
-        Called with (A, B) for left padding, (B, A) for right."""
+        d pad = pad(K_new, P_new) − pad(K_old, P_old).  Presence can
+        only FLIP on keys the probe delta touches, and the fresh-row
+        gate only needs presence under the keep delta's keys — so every
+        presence aggregation first semi-joins the state on one of those
+        (small) key sets: per-batch cost is O(state rows under delta
+        keys), never a full-state groupBy.
+        Called with (A, B, dB) for left padding, (B, A, dA) for right."""
         on = self.on
-        def presence(state: DataFrame) -> DataFrame:
-            return (state.groupBy(*on).agg(F.sum(DIFF).alias("__w"))
+        def presence(state: DataFrame, keys: DataFrame) -> DataFrame:
+            return (state.join(keys, on=on, how="left_semi")
+                         .groupBy(*on).agg(F.sum(DIFF).alias("__w"))
                          .filter(F.col("__w") > 0).select(*on))
-        p_old, p_new = presence(probe_old), presence(probe_new)
+        pk = d_probe.select(*on).distinct()       # where flips can happen
+        p_old = presence(probe_old, pk)
+        p_new = presence(probe_new, pk)
         appeared = p_new.join(p_old, on=on, how="left_anti")   # 0 → >0
         vanished = p_old.join(p_new, on=on, how="left_anti")   # >0 → 0
+        kk = d_keep.select(*on).distinct()        # gate for fresh rows
+        p_new_keep = presence(probe_new, kk)
         nulls = [F.lit(None).alias(c) for c in null_cols]
         def pad(rows: DataFrame, sign: int) -> DataFrame:
             return rows.select(
@@ -615,7 +653,8 @@ class _JoinNode(DiffNode):
         # appeared key never had padding emitted, so nothing to retract.
         gained = pad(keep_old.join(appeared, on=on, how="left_semi"), -1)
         lost = pad(keep_old.join(vanished, on=on, how="left_semi"), +1)
-        fresh = pad(d_keep.drop(TIME).join(p_new, on=on, how="left_anti"), +1)
+        fresh = pad(d_keep.drop(TIME).join(p_new_keep, on=on,
+                                           how="left_anti"), +1)
         return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
 
 
@@ -723,9 +762,9 @@ class _DistinctNode(DiffNode):
                       .groupBy(*cols).agg(F.sum(DIFF).alias("__w"))
                       .filter(F.col("__w") > 0).drop("__w"))
         old_p = present(state)
-        new_state = consolidate(state.unionByName(
-            delta.select(*cols, DIFF)))
-        new_p = present(new_state)
+        # no intermediate consolidate: present() already sums weights
+        # over the touched slice, so the plain union is enough
+        new_p = present(state.unionByName(delta.select(*cols, DIFF)))
         ins = new_p.join(old_p, on=cols, how="left_anti") \
                    .withColumn(DIFF, F.lit(1).cast("long"))
         outs = old_p.join(new_p, on=cols, how="left_anti") \
@@ -752,6 +791,7 @@ class DifferentialGraph:
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
         self._stores: list[_StateStore] = []
+        self._restore_vers: dict[str, int] = {}
         self._t = -1
         if state_dir is not None:
             self._load_meta()
@@ -763,7 +803,8 @@ class DifferentialGraph:
         idx = len(self._stores)
         path = (f"{self.state_dir}/store_{idx:04d}"
                 if self.state_dir is not None else None)
-        st = _StateStore(self.spark, template, self.checkpoint_every, path)
+        st = _StateStore(self.spark, template, self.checkpoint_every, path,
+                         restore_version=self._restore_vers.get(str(idx)))
         self._stores.append(st)
         return st
 
@@ -774,7 +815,11 @@ class DifferentialGraph:
         import json, os
         if os.path.isfile(self._meta_path()):
             with open(self._meta_path()) as f:
-                self._t = json.load(f)["t"]
+                meta = json.load(f)
+            self._t = meta["t"]
+            # versions recorded AT commit: stores load exactly these,
+            # never a newer uncommitted flush (crash-window safety)
+            self._restore_vers = dict(meta.get("vers", {}))
 
     def commit(self) -> None:
         """Durably persist all state + the logical clock; a new process
@@ -783,11 +828,13 @@ class DifferentialGraph:
         import json, os
         if self.state_dir is None:
             raise ValueError("commit() requires a graph built with state_dir=")
-        for st in self._stores:
+        vers: dict[str, int] = {}
+        for i, st in enumerate(self._stores):
             st.flush()
+            vers[str(i)] = st._ver
         os.makedirs(self.state_dir, exist_ok=True)
         with open(self._meta_path(), "w") as f:
-            json.dump({"t": self._t}, f)
+            json.dump({"t": self._t, "vers": vers}, f)
 
     def source(self, name: str, template: DataFrame) -> SourceNode:
         node = SourceNode(self, name, template)
@@ -812,7 +859,7 @@ class DifferentialGraph:
             # into each store's consolidated base now (full-parallelism
             # shuffle once) so steady-state scans see base + tiny chunks
             for st in self._stores:
-                st.flush()
+                st.compact()
         return out
 
     def run(self, output: DiffNode,
@@ -836,7 +883,11 @@ class DifferentialGraph:
             if on_change is not None:
                 on_change(out, self._t)
         if not pieces:
-            return output.delta(max(self._t, 0)).filter(F.lit(False))
+            # advance through one EMPTY step rather than peeking at the
+            # node (a bare delta(0) would memoize empty outputs at t=0
+            # and swallow the first real batch fed later)
+            (out,) = self.step(output)
+            return out
         acc = pieces[0]
         for p in pieces[1:]:
             acc = acc.unionByName(p)
@@ -846,7 +897,4 @@ class DifferentialGraph:
     def integrate(changelog: DataFrame) -> DataFrame:
         """Fold a retraction stream to its final snapshot (Σ diffs > 0),
         replicating rows by their net multiplicity."""
-        net = consolidate(changelog.drop(TIME))
-        pos = net.filter(F.col(DIFF) > 0)
-        return (pos.withColumn("__k", F.explode(F.sequence(F.lit(1), F.col(DIFF))))
-                   .drop("__k", DIFF))
+        return _expand(consolidate(changelog.drop(TIME)))

@@ -642,3 +642,115 @@ def test_diff_table_global_reduce(spark):
         [("a", 1, -1), ("b", 2, -1), ("c", 10, -1)],
         "k string, v long, _pw_diff long"))
     assert _rows(d3, "total", "n", DIFF) == [(13, 3, -1)]
+
+
+# ---------------------------------------------------------------------------
+# regressions from the round-4 code review
+# ---------------------------------------------------------------------------
+
+def test_run_empty_batches_does_not_poison_memo(spark, tpl):
+    g = DifferentialGraph(spark)
+    node = g.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    out = g.run(node, [])          # no batches: empty result, clock advances
+    assert out.count() == 0
+    # the first REAL batch must flow (previously the t=0 memo swallowed it)
+    (d,) = g.step(node, t=_delta(spark, [("a", 5)], tpl.schema))
+    assert _rows(d, "user", "total", DIFF) == [("a", 5, 1)]
+
+
+def test_durable_restore_rejects_uncommitted_version(spark, tmp_path):
+    """Crash window: a store flushed a newer version but the meta write
+    never happened — restore must load the COMMITTED version, and
+    refuse when the recorded version is gone."""
+    sd = str(tmp_path / "st")
+    tpl = spark.createDataFrame([], "user string, amount long")
+
+    def build(g):
+        return g.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q1 = build(g1)
+    g1.step(q1, t=_delta(spark, [("a", 1)], tpl.schema))
+    g1.commit()                                   # committed: t=0, v1
+    # simulate post-commit work whose flush landed but whose meta didn't
+    g1.step(q1, t=_delta(spark, [("a", 10)], tpl.schema))
+    for st in g1._stores:
+        st.flush()                                # uncommitted v2
+    del g1, q1
+
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q2 = build(g2)
+    assert g2._t == 0, "clock is the committed one"
+    # replaying the uncommitted batch must NOT double-count
+    (d,) = g2.step(q2, t=_delta(spark, [("a", 10)], tpl.schema))
+    assert _rows(d, "user", "total", DIFF) == [("a", 1, -1), ("a", 11, 1)]
+
+
+def test_reducer_default_args_raise_clearly(spark):
+    import pytest as _pytest
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "user string, amount long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    with _pytest.raises(NotImplementedError, match="argmin"):
+        t.groupby(this.user).reduce(this.user, a=r.argmin(this.amount))
+    with _pytest.raises(NotImplementedError, match="earliest"):
+        t.groupby(this.user).reduce(this.user, e=r.earliest(this.amount))
+
+
+def test_select_rejects_non_reference_positionals(spark):
+    import pytest as _pytest
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "a long, b long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    with _pytest.raises(TypeError, match="keyword"):
+        t.select(this.a, this.b + 1)
+
+
+def test_intersect_pairs_columns_by_name_not_position(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "src string, dst string")
+    g = DifferentialTableGraph(spark)
+    a = g.input("a", tpl)
+    # b's template lists columns in the REVERSE order
+    b = g.input("b", spark.createDataFrame([], "dst string, src string"))
+    inter = a.intersect(b)
+    (d,) = g.step(inter.node,
+                  a=spark.createDataFrame([("s1", "d1")], tpl.schema),
+                  b=spark.createDataFrame([("d1", "s1")], "dst string, src string"))
+    # same logical row (src=s1, dst=d1) on both sides -> present
+    assert _rows(d, "src", "dst", DIFF) == [("s1", "d1", 1)]
+
+
+def test_reduce_projects_to_requested_keys(spark):
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "a string, b string, v long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    q = t.groupby(this.a, this.b).reduce(this.a, x=r.sum(this.v))
+    assert sorted(q.column_names) == ["a", "x"]
+    (d,) = g.step(q.node, t=spark.createDataFrame(
+        [("k", "m", 1), ("k", "n", 2)], tpl.schema))
+    assert _rows(d, "a", "x", DIFF) == [("k", 1, 1), ("k", 2, 1)]
+
+
+def test_zero_cutoff_behavior_sets_watermark(spark):
+    import datetime as dtm
+    import pathway_spark.streaming as st
+
+    sdf = (spark.readStream.format("rate").option("rowsPerSecond", 1).load())
+    out = st.apply_behavior(
+        sdf, "timestamp", st.common_behavior(cutoff=dtm.timedelta(0)))
+    # a zero cutoff is a real watermark ("0 seconds"), not a no-op
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in plan.lower(), plan

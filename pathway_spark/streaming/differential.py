@@ -41,9 +41,10 @@ update is one shuffle on the operator's own key:
   cursors.
 - distinct: reduce with presence semantics (net weight > 0 → one row).
 
-State is lineage-truncated via `localCheckpoint` every
-`checkpoint_every` batches (at cluster scale, swap `_StateStore` for a
-Delta/parquet-versioned store — the interface is three methods).
+State is LSM-chunked (see `_StateStore`): per-batch delta chunks,
+in-memory compaction every `checkpoint_every` batches, and durable
+parquet versions written only by `DifferentialGraph.commit` so restore
+is always commit-consistent.
 
 Scale notes: all state updates shuffle on the operator key only; the
 affected-key reduce touches |delta-keys| groups, not |state| groups;

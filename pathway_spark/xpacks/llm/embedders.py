@@ -27,6 +27,11 @@ class BaseEmbedder(UDF):
 
     def __init__(self, fn: Callable, *, cache_strategy: CacheStrategy | None = None,
                  retry_strategy: AsyncRetryStrategy | None = None, **kw):
+        if retry_strategy is not None and "executor" not in kw:
+            # the UDF layer retries through its async executor — wire the
+            # strategy in rather than silently dropping it
+            from ...udfs import async_executor
+            kw["executor"] = async_executor(retry_strategy=retry_strategy)
         super().__init__(fn, return_type="array<float>",
                          cache_strategy=cache_strategy, **kw)
 
@@ -48,6 +53,9 @@ def _hash_embed(text: str, dimensions: int) -> list[float]:
     n = math.sqrt(float((vec * vec).sum()))
     if n > 0:
         vec /= n
+    else:
+        vec[0] = 1.0   # empty/whitespace text: deterministic unit vector,
+                       # never all-zero (zero norms poison cosine downstream)
     return [float(x) for x in vec]
 
 
@@ -65,16 +73,19 @@ class DeterministicHashEmbedder(BaseEmbedder):
 
 def _gated_embedder(pkg: str, cls: str):
     class _Gated(BaseEmbedder):
-        def __init__(self, *args, model: str | None = None, **kw):
+        def __init__(self, model: str | None = None, **kw):
+            import importlib
             try:
-                __import__(pkg)
+                # import_module resolves dotted names to the LEAF module
+                # (__import__("google.genai") returns `google`, which has
+                # no Client) — reference clients are submodules
+                mod = importlib.import_module(pkg)
             except ImportError as exc:
                 raise ImportError(
                     f"{cls} requires the `{pkg}` package (not in this "
                     f"container); use DeterministicHashEmbedder for offline "
                     f"runs."
                 ) from exc
-            mod = __import__(pkg)
             self._client_pkg = mod
             self._model = model
 
@@ -139,8 +150,8 @@ class OpenAICompatibleEmbedder(BaseEmbedder):
     `embedders.py:115` OpenAIEmbedder wraps the `openai` client; the
     wire protocol (`POST {base}/embeddings`, bearer auth, `{"model",
     "input"}` → `data[*].embedding`) is public and stable, so this
-    path runs in containers without the SDK.  Retries 5xx/429 with
-    exponential backoff."""
+    path runs in containers without the SDK.  Retries retryable HTTP
+    statuses (408/429/5xx) and network errors with backoff (_rest.py)."""
 
     def __init__(self, *, base_url: str, api_key: str | None = None,
                  model: str = "text-embedding-3-small",
@@ -152,35 +163,12 @@ class OpenAICompatibleEmbedder(BaseEmbedder):
         self.timeout = timeout
         super().__init__(self._embed_one, **kw)
 
-    def _post(self, payload: dict) -> dict:
-        import json as _json
-        import time as _time
-        import urllib.error
-        import urllib.request
-
-        req = urllib.request.Request(
-            f"{self.base_url}/embeddings",
-            data=_json.dumps(payload).encode(),
-            headers={
-                "Content-Type": "application/json",
-                **({"Authorization": f"Bearer {self.api_key}"}
-                   if self.api_key else {}),
-            },
-            method="POST",
-        )
-        delay = 0.5
-        for attempt in range(self.max_retries + 1):
-            try:
-                with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                    return _json.loads(r.read())
-            except urllib.error.HTTPError as exc:
-                if exc.code in (429, 500, 502, 503) and attempt < self.max_retries:
-                    _time.sleep(delay)
-                    delay *= 2
-                    continue
-                raise
-        raise RuntimeError("unreachable")
-
     def _embed_one(self, text: str) -> list[float]:
-        resp = self._post({"model": self.model, "input": [text]})
+        from ._rest import openai_post
+
+        resp = openai_post(
+            f"{self.base_url}/embeddings",
+            {"model": self.model, "input": [text]},
+            api_key=self.api_key, max_retries=self.max_retries,
+            timeout=self.timeout)
         return [float(x) for x in resp["data"][0]["embedding"]]

@@ -46,6 +46,9 @@ class EchoChat(BaseChat):
     def __init__(self, prefix: str = "", **kw):
         def call(prompt: str) -> str:
             msgs = _messages_of(prompt)
+            if not msgs:
+                return prefix   # empty message list: empty completion,
+                                # never an IndexError that kills the batch
             return prefix + msgs[-1]["content"]
 
         super().__init__(call, **kw)
@@ -118,12 +121,19 @@ class OpenAICompatibleChat(BaseChat):
     Ollama, LiteLLM proxy).  Retries 5xx/429 with backoff; generation
     kwargs (temperature, max_tokens...) pass through the payload."""
 
+    # UDF-layer options must never leak into the HTTP payload
+    _UDF_OPTS = ("cache_strategy", "retry_strategy", "deterministic",
+                 "executor")
+
     def __init__(self, *, base_url: str, api_key: str | None = None,
                  model: str = "gpt-4o-mini", max_retries: int = 3,
                  timeout: float = 60.0, **generation_kwargs):
-        udf_kw = {k: generation_kwargs.pop(k) for k in
-                  ("cache_strategy", "retry_strategy")
+        udf_kw = {k: generation_kwargs.pop(k) for k in self._UDF_OPTS
                   if k in generation_kwargs}
+        rs = udf_kw.pop("retry_strategy", None)
+        if rs is not None and "executor" not in udf_kw:
+            from ...udfs import async_executor
+            udf_kw["executor"] = async_executor(retry_strategy=rs)
         self.base_url = base_url.rstrip("/")
         self.api_key = api_key
         self.model = model
@@ -132,38 +142,16 @@ class OpenAICompatibleChat(BaseChat):
         self.generation_kwargs = generation_kwargs
         super().__init__(self._complete, **udf_kw)
 
-    def _post(self, payload: dict) -> dict:
-        import time as _time
-        import urllib.error
-        import urllib.request
-
-        req = urllib.request.Request(
-            f"{self.base_url}/chat/completions",
-            data=json.dumps(payload).encode(),
-            headers={
-                "Content-Type": "application/json",
-                **({"Authorization": f"Bearer {self.api_key}"}
-                   if self.api_key else {}),
-            },
-            method="POST",
-        )
-        delay = 0.5
-        for attempt in range(self.max_retries + 1):
-            try:
-                with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                    return json.loads(r.read())
-            except urllib.error.HTTPError as exc:
-                if exc.code in (429, 500, 502, 503) and attempt < self.max_retries:
-                    _time.sleep(delay)
-                    delay *= 2
-                    continue
-                raise
-        raise RuntimeError("unreachable")
-
     def _complete(self, prompt: str) -> str:
-        resp = self._post({
-            "model": self.model,
-            "messages": _messages_of(prompt),
-            **self.generation_kwargs,
-        })
+        from ._rest import openai_post
+
+        msgs = _messages_of(prompt)
+        if not msgs:
+            return ""
+        resp = openai_post(
+            f"{self.base_url}/chat/completions",
+            {"model": self.model, "messages": msgs,
+             **self.generation_kwargs},
+            api_key=self.api_key, max_retries=self.max_retries,
+            timeout=self.timeout)
         return resp["choices"][0]["message"]["content"]

@@ -258,3 +258,43 @@ def test_openai_compatible_chat_rest_protocol(spark, openai_fixture):
     chat_calls = [c for c in calls if c[0].endswith("/chat/completions")]
     assert chat_calls and chat_calls[-1][1]["temperature"] == 0.2
     assert chat_calls[-1][1]["messages"][-1]["role"] == "user"
+
+
+def test_llm_review_regressions(spark, openai_fixture):
+    """Round-4 review fixes: retry_strategy wires into the async
+    executor (not silently dropped), positional model names bind,
+    UDF options never leak into HTTP payloads, empty text embeds to a
+    unit vector, and empty message lists don't kill the batch."""
+    import math
+
+    from pathway_spark.udfs import AsyncExecutor, FixedDelayRetryStrategy
+    from pathway_spark.xpacks.llm.embedders import (
+        DeterministicHashEmbedder, OpenAICompatibleEmbedder, _hash_embed)
+    from pathway_spark.xpacks.llm.llms import EchoChat, OpenAICompatibleChat
+
+    base, calls = openai_fixture
+    rs = FixedDelayRetryStrategy()
+    emb = OpenAICompatibleEmbedder(base_url=base, retry_strategy=rs)
+    assert isinstance(emb._executor, AsyncExecutor)
+    assert emb._executor.retry_strategy is rs
+
+    chat = OpenAICompatibleChat(base_url=base, retry_strategy=rs,
+                                deterministic=True, temperature=0.1)
+    assert isinstance(chat._executor, AsyncExecutor)
+    # deterministic is a UDF option, NOT a generation kwarg
+    assert chat.generation_kwargs == {"temperature": 0.1}
+    assert chat._complete('[{"role": "user", "content": "hi"}]') == "HI"
+    assert chat._complete("[]") == ""          # empty messages: no crash
+
+    vec = _hash_embed("   ", 8)
+    assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-12
+
+    echo = EchoChat(prefix="p:")
+    assert echo._fn("[]") == "p:"
+
+    # positional model binds (was silently dropped for gated embedders)
+    import pytest as _pytest
+    from pathway_spark.xpacks.llm.embedders import OpenAIEmbedder
+    with _pytest.raises(ImportError):
+        OpenAIEmbedder("text-embedding-3-large")   # pkg gated, but the
+        # signature accepts the positional model (no silent *args drop)

@@ -275,6 +275,43 @@ class DiffTable:
         nothing (matching differential reduce, not SQL's phantom row)."""
         return DiffGrouped(self, []).reduce(**kwargs)
 
+    # -- generic extension point -----------------------------------------
+    def keyed_recompute(self, keys, op_fn) -> "DiffTable":
+        """Make ANY keyed batch operator incrementally maintainable.
+
+        `op_fn(Table) -> Table` must produce, for key k, output that
+        depends only on input rows with key k (per-key sort/diff,
+        interpolation, custom per-entity logic...).  Per batch the
+        affected-key slice recomputes through `op_fn` and the node
+        emits new − old — the same rule the built-in asof join and
+        session windows use.  `keys`: this-references naming the
+        recompute scope."""
+        from ..table import Table
+        from .differential import _KeyedRecomputeUnaryNode
+
+        knames = [k._name for k in keys] \
+            if isinstance(keys, (list, tuple)) else [keys._name]
+
+        def raw_op(df):
+            return op_fn(Table.from_spark(df)).to_df()
+
+        node = _KeyedRecomputeUnaryNode(
+            self.node.graph, self.node, knames, raw_op)
+        tpl = raw_op(self._template).limit(0)
+        return DiffTable(node, tpl)
+
+    def sort_diff(self, timestamp: ColumnReference, *values,
+                  instance: ColumnReference) -> "DiffTable":
+        """Ordered per-instance difference (reference `table.diff`) over
+        a retraction stream: retracting a middle row re-links its
+        neighbors, so the follower's `diff_*` retracts and re-emits
+        against the new predecessor.  Built on `keyed_recompute`."""
+        from ..operators.sort import diff as _batch_diff
+
+        return self.keyed_recompute(
+            [instance],
+            lambda t: _batch_diff(t, timestamp, values, instance))
+
     def windowby(self, time_ref, *, window, instance=None) -> "DiffGrouped":
         """Tumbling/sliding windows over a retraction stream: window
         assignment (`_assign_hopping`) is a pure projection — LINEAR —

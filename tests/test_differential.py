@@ -754,3 +754,25 @@ def test_zero_cutoff_behavior_sets_watermark(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower(), plan
+
+
+def test_diff_table_sort_diff_relinks_on_retraction(spark):
+    """Ordered diff over a retraction stream: retracting the middle row
+    re-links its neighbors — the follower's diff retracts and re-emits
+    against the new predecessor (keyed_recompute rule)."""
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "m string, t long, v long")
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("t", tpl)
+    q = tbl.sort_diff(this.t, this.v, instance=this.m)
+    (d1,) = g.step(q.node, t=spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 13), ("a", 3, 20)], tpl.schema))
+    assert _rows(d1, "t", "diff_v", DIFF) == [
+        (1, None, 1), (2, 3, 1), (3, 7, 1)]
+    # retract the middle row: t=3 now diffs against t=1 (20-10=10)
+    (d2,) = g.step(q.node, t=spark.createDataFrame(
+        [("a", 2, 13)], tpl.schema).withColumn(DIFF, F.lit(-1)))
+    assert _rows(d2, "t", "diff_v", DIFF) == [
+        (2, 3, -1), (3, 7, -1), (3, 10, 1)]

@@ -312,6 +312,35 @@ class DiffTable:
             [instance],
             lambda t: _batch_diff(t, timestamp, values, instance))
 
+    def interpolate(self, timestamp: ColumnReference, *values,
+                    mode: str = "linear",
+                    instance: ColumnReference) -> "DiffTable":
+        """Per-instance linear gap interpolation with retractions:
+        retracting a non-null anchor re-interpolates the rows that
+        leaned on it (keyed_recompute; instance required — it is the
+        recompute scope, as in the batch operator's scale note)."""
+        from ..operators.sort import interpolate as _batch_interp
+
+        return self.keyed_recompute(
+            [instance],
+            lambda t: _batch_interp(t, timestamp, *values, mode=mode,
+                                    instance=instance))
+
+    # -- trivial row-op parity -------------------------------------------
+    def without(self, *refs: ColumnReference) -> "DiffTable":
+        drop = {r._name for r in refs}
+        keep = [c for c in _data_cols(self._template) if c not in drop]
+        return DiffTable(self.node.select(*[F.col(c) for c in keep]),
+                         self._template.select(*keep).limit(0))
+
+    def rename(self, **kwargs: ColumnReference) -> "DiffTable":
+        """new_name=this.old_name, reference `rename_columns` style."""
+        ren = {ref._name: new for new, ref in kwargs.items()}
+        cols = [F.col(c).alias(ren.get(c, c))
+                for c in _data_cols(self._template)]
+        tpl = self._template.withColumnsRenamed(ren)
+        return DiffTable(self.node.select(*cols), tpl.limit(0))
+
     def windowby(self, time_ref, *, window, instance=None) -> "DiffGrouped":
         """Tumbling/sliding windows over a retraction stream: window
         assignment (`_assign_hopping`) is a pure projection — LINEAR —

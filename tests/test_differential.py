@@ -776,3 +776,37 @@ def test_diff_table_sort_diff_relinks_on_retraction(spark):
         [("a", 2, 13)], tpl.schema).withColumn(DIFF, F.lit(-1)))
     assert _rows(d2, "t", "diff_v", DIFF) == [
         (2, 3, -1), (3, 7, -1), (3, 10, 1)]
+
+
+def test_diff_table_interpolate_reanchors_on_retraction(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame(
+        [("a", 0, 0.0)], "m string, t long, v double").limit(0)
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("t", tpl)
+    q = tbl.interpolate(this.t, this.v, instance=this.m)
+    rows = [("a", 0, 0.0), ("a", 2, None), ("a", 4, 8.0)]
+    (d1,) = g.step(q.node, t=spark.createDataFrame(rows, tpl.schema))
+    got1 = {(r["t"]): r["v"] for r in d1.collect()}
+    assert got1[2] == 4.0           # midpoint of 0..8
+    # retract the right anchor: t=2 re-interpolates (forward-fill to 0.0)
+    (d2,) = g.step(q.node, t=spark.createDataFrame(
+        [("a", 4, 8.0)], tpl.schema).withColumn(DIFF, F.lit(-1)))
+    changed = {(r["t"], r["v"], r[DIFF]) for r in d2.collect()}
+    assert (2, 4.0, -1) in changed
+    assert any(t == 2 and d == 1 for t, v, d in changed)
+
+
+def test_diff_table_without_and_rename(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "a long, b long, c long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    slim = t.without(this.c).rename(x=this.a)
+    assert slim.column_names == ["x", "b"]
+    (d,) = g.step(slim.node, t=spark.createDataFrame([(1, 2, 3)], tpl.schema))
+    assert _rows(d, "x", "b", DIFF) == [(1, 2, 1)]

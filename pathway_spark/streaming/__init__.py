@@ -178,3 +178,61 @@ def subscribe_differential(stream_df, build, on_change, *,
 from . import differential  # noqa: E402,F401  (retraction-stream engine)
 from .differential import DifferentialGraph  # noqa: E402,F401
 from .diff_table import DifferentialTableGraph  # noqa: E402,F401
+
+
+def subscribe_differential_multi(streams, build, on_change, *,
+                                 checkpoint_every: int = 8,
+                                 table_syntax: bool = False):
+    """Differential subscribe over SEVERAL live streams — e.g. a join
+    of two file-watch sources emitting exact -1/+1 deltas as either
+    side changes.
+
+    `streams`: {source_name: streaming DataFrame (or Table)}.
+    `build(sources: dict[str, node])` returns the output node (or
+    DiffTable with table_syntax=True).  Each stream's micro-batches
+    feed the shared graph under a lock, one logical step per batch
+    (absent sources see empty deltas — valid differential semantics);
+    `on_change(row, time, is_addition)` fires per output delta row.
+    Returns the list of StreamingQuery handles (stop/processAllAvailable
+    each)."""
+    import threading
+
+    from .differential import DIFF, TIME, DifferentialGraph
+
+    frames = {n: (s._df if isinstance(s, Table) else s)
+              for n, s in streams.items()}
+    # the Table wrapper's synthetic row id is meaningless across deltas
+    # and collides when two sources join — drop it everywhere
+    frames = {n: (f.drop(ID) if ID in f.columns else f)
+              for n, f in frames.items()}
+    spark = next(iter(frames.values())).sparkSession
+    if table_syntax:
+        from .diff_table import DifferentialTableGraph, DiffTable
+        graph = DifferentialTableGraph(spark,
+                                       checkpoint_every=checkpoint_every)
+        sources = {n: graph.input(n, spark.createDataFrame([], f.schema))
+                   for n, f in frames.items()}
+        res = build(sources)
+        out = res.node if isinstance(res, DiffTable) else res
+    else:
+        graph = DifferentialGraph(spark, checkpoint_every=checkpoint_every)
+        sources = {n: graph.source(n, spark.createDataFrame([], f.schema))
+                   for n, f in frames.items()}
+        out = build(sources)
+
+    lock = threading.Lock()
+
+    def make_batch_fn(name):
+        def batch_fn(bdf: DataFrame, batch_id: int):
+            with lock:      # one logical step per arriving micro-batch
+                (delta,) = graph.step(out, **{name: bdf})
+                for row in delta.toLocalIterator():
+                    d = row.asDict()
+                    t, w = d.pop(TIME), d.pop(DIFF)
+                    for _ in range(abs(int(w))):
+                        on_change(row=d, time=t, is_addition=w > 0)
+        return batch_fn
+
+    return [f.writeStream.outputMode("append")
+             .foreachBatch(make_batch_fn(n)).start()
+            for n, f in frames.items()]

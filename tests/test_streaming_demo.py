@@ -368,3 +368,42 @@ def test_streaming_differential_table_syntax(spark, tmp_path):
     assert ("a", 2, True) in events and ("a", 2, False) in events \
         and ("a", 6, True) in events
     assert ("b", 6, True) in events and ("b", 6, False) not in events
+
+
+def test_streaming_differential_two_live_streams_join(spark, tmp_path):
+    """Join of TWO live streams with retractions: when the second
+    stream's matching row arrives later, the joined row appears; a
+    left-join would retract its padding — here the inner join emits
+    exactly the late pair."""
+    import pathway_spark.streaming as st
+
+    left_dir, right_dir = tmp_path / "L", tmp_path / "R"
+    left_dir.mkdir(); right_dir.mkdir()
+    (left_dir / "l1.csv").write_text("k,l\nx,1\ny,2\n")
+    (right_dir / "r1.csv").write_text("k,r\nx,10\n")
+    lt = pw.demo.replay_csv(str(left_dir),
+                            schema=pw.schema_from_types(k=str, l=int),
+                            mode="streaming", spark=spark)
+    rt = pw.demo.replay_csv(str(right_dir),
+                            schema=pw.schema_from_types(k=str, r=int),
+                            mode="streaming", spark=spark)
+
+    events = []
+    queries = st.subscribe_differential_multi(
+        {"L": lt, "R": rt},
+        lambda s: s["L"].join(s["R"], on=["k"]),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["l"], row["r"], is_addition)),
+    )
+    for q in queries:
+        q.processAllAvailable()
+    # late right row for y arrives in a new file
+    (right_dir / "r2.csv").write_text("k,r\ny,20\n")
+    for q in queries:
+        q.processAllAvailable()
+    for q in queries:
+        q.stop()
+
+    assert ("x", 1, 10, True) in events
+    assert ("y", 2, 20, True) in events          # late-arriving match
+    assert len([e for e in events if not e[3]]) == 0

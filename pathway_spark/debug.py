@@ -9,6 +9,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .schema import Schema, schema_from_dict
 from .table import ID, Table
@@ -127,3 +128,52 @@ def compute_and_print_update_stream(table: Table, **kw) -> None:
     pdf["__time__"] = 0
     pdf["__diff__"] = 1
     print(pdf.to_string())
+
+
+def assert_stream_equality(changelog, expected, *,
+                           exact_times: bool = True) -> None:
+    """Reference `tests/utils.py:304-420` `assert_stream_equality`: the
+    emitted `(row, time, diff)` stream must equal the expected one.
+
+    `changelog`: DataFrame (or Table) carrying `_pw_time`/`_pw_diff` —
+    e.g. the return of `DifferentialGraph.replay`.  `expected`: a
+    markdown string with `__time__`/`__diff__` columns (or a Table/
+    DataFrame already carrying `_pw_time`/`_pw_diff`).  Comparison is
+    per-time multisets of rows after cancelling +/- pairs within a
+    time (differential consolidation), which is exactly the
+    reference's notion of stream equality.  `exact_times=False`
+    compares only the ORDER of times, not their values (the
+    reference's `assert_stream_equality_wo_times`)."""
+    from pyspark.sql import DataFrame
+
+    def norm(obj):
+        if isinstance(obj, str):
+            obj = table_from_markdown(obj)
+        df = obj._df if isinstance(obj, Table) else obj
+        assert isinstance(df, DataFrame)
+        cols = [c for c in df.columns if c not in (ID,)]
+        if "_pw_time" not in cols:
+            raise ValueError("stream comparison needs a _pw_time column")
+        if "_pw_diff" not in cols:
+            df = df.withColumn("_pw_diff", F.lit(1))
+            cols.append("_pw_diff")
+        data = [c for c in cols if c not in ("_pw_time", "_pw_diff")]
+        out: dict[int, dict[tuple, int]] = {}
+        for r in df.select(*data, "_pw_time", "_pw_diff").collect():
+            t, w = int(r["_pw_time"]), int(r["_pw_diff"])
+            key = tuple(r[c] for c in data)
+            bucket = out.setdefault(t, {})
+            bucket[key] = bucket.get(key, 0) + w
+        return {t: {k: w for k, w in b.items() if w != 0}
+                for t, b in out.items()
+                if any(w != 0 for w in b.values())}, data
+
+    got, got_cols = norm(changelog)
+    want, want_cols = norm(expected)
+    assert set(got_cols) == set(want_cols), \
+        f"column mismatch: {got_cols} vs {want_cols}"
+    if not exact_times:
+        got = {i: got[t] for i, t in enumerate(sorted(got))}
+        want = {i: want[t] for i, t in enumerate(sorted(want))}
+    assert got == want, (
+        f"stream mismatch:\n  got  = {got}\n  want = {want}")

@@ -130,7 +130,56 @@ def run_to_memory(table_or_df, name: str, output_mode: str = "append"):
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+class _SubscribedQuery:
+    """Thin proxy over a StreamingQuery that fires `on_end` exactly once
+    when the subscription terminates (`stop()` / `awaitTermination`) —
+    the reference's `pw.io.subscribe(on_end=)` end-of-stream contract
+    (io/_subscribe.py:17)."""
+
+    def __init__(self, query, on_end=None):
+        self._q = query
+        self._on_end = on_end
+        self._ended = False
+
+    def _fire_end(self):
+        if not self._ended:
+            self._ended = True
+            if self._on_end is not None:
+                self._on_end()
+
+    def stop(self):
+        self._q.stop()
+        self._fire_end()
+
+    def awaitTermination(self, timeout=None):
+        out = self._q.awaitTermination(timeout)
+        if out is not False:   # None (no timeout) or True = terminated
+            self._fire_end()
+        return out
+
+    def __getattr__(self, name):
+        return getattr(self._q, name)
+
+
+def _emit_delta(delta, on_change, on_time_end, batch_time):
+    """Drive the reference subscribe callbacks for one output delta:
+    every row change first, then one atomic `on_time_end(time)` —
+    the per-minibatch consistency contract (io/_subscribe.py
+    on_time_end: 'all changes for a time have been delivered')."""
+    from .differential import DIFF, TIME
+
+    for row in delta.toLocalIterator():
+        d = row.asDict()
+        t, w = d.pop(TIME), d.pop(DIFF)
+        for _ in range(abs(int(w))):
+            on_change(row=d, time=t, is_addition=w > 0)
+    if on_time_end is not None:
+        on_time_end(batch_time)
+
+
 def subscribe_differential(stream_df, build, on_change, *,
+                           on_time_end=None, on_end=None,
+                           time_column: str | None = None,
                            checkpoint_every: int = 8,
                            table_syntax: bool = False):
     """Retraction-true subscribe for DERIVED tables over a live stream.
@@ -145,11 +194,29 @@ def subscribe_differential(stream_df, build, on_change, *,
     Structured Streaming's own output modes cannot produce.
 
     on_change(row: dict, time: int, is_addition: bool) per delta row
-    (driver-side by contract, batches streamed via toLocalIterator).
-    Returns the StreamingQuery."""
-    from .differential import DIFF, TIME, DifferentialGraph
+    (driver-side by contract, batches streamed via toLocalIterator);
+    on_time_end(time) after each micro-batch's changes (atomic
+    per-batch marker); on_end() when the query terminates.
+
+    `time_column` names an EVENT-TIME column of the input: each
+    micro-batch is split into one logical step per distinct event time
+    (ascending), and emitted deltas carry that time in `_pw_time` —
+    the reference's per-minibatch `DataRow::time` semantics
+    (`src/engine/graph.rs:255`) instead of the arrival batch ordinal.
+    Event times already behind the graph's clock (late arrivals across
+    micro-batches) are folded forward to the current processing time,
+    exactly as the reference stamps a late row with the minibatch that
+    first processes it.  Without `time_column`, times are connector
+    commit ordinals (one per micro-batch).
+    Returns the StreamingQuery (proxied for on_end)."""
+    from .differential import DifferentialGraph
 
     df = stream_df._df if isinstance(stream_df, Table) else stream_df
+    # the Table wrapper's synthetic row id is meaningless across deltas
+    # (it would make retraction matching depend on an internal hash) —
+    # drop it from the graph's schema, like the multi-stream variant
+    if ID in df.columns:
+        df = df.drop(ID)
     template = df.sparkSession.createDataFrame([], df.schema)
     if table_syntax:
         # build() receives a DiffTable and writes this/left/right
@@ -164,15 +231,41 @@ def subscribe_differential(stream_df, build, on_change, *,
                                   checkpoint_every=checkpoint_every)
         out = build(graph.source("src", template))
 
-    def batch_fn(bdf: DataFrame, batch_id: int):
-        (delta,) = graph.step(out, src=bdf)
-        for row in delta.toLocalIterator():
-            d = row.asDict()
-            t, w = d.pop(TIME), d.pop(DIFF)
-            for _ in range(abs(int(w))):
-                on_change(row=d, time=t, is_addition=w > 0)
+    seen = {"last": -1}
 
-    return df.writeStream.outputMode("append").foreachBatch(batch_fn).start()
+    def batch_fn(bdf: DataFrame, batch_id: int):
+        # Spark re-executes a micro-batch after transient failures (and
+        # replays the last one on restart); graph.step is NOT idempotent
+        # (it advances the clock and feeds state), so drop re-delivered
+        # ids — the first delivery already applied them.
+        if batch_id <= seen["last"]:
+            return
+        seen["last"] = batch_id
+        if time_column is None:
+            (delta,) = graph.step(out, src=bdf)
+            _emit_delta(delta, on_change, on_time_end, graph._t)
+            return
+        # event-time mode: one logical step per distinct event time in
+        # this micro-batch, ascending; late times fold forward to the
+        # clock (strict monotonicity of the differential clock)
+        tv_col = F.col(time_column)
+        dtype = dict(bdf.dtypes).get(time_column, "")
+        if "timestamp" in dtype:
+            tv_col = F.unix_micros(tv_col)
+        tagged = bdf.withColumn("__pw_evt", tv_col)
+        times = sorted(r[0] for r in
+                       tagged.select("__pw_evt").distinct().collect()
+                       if r[0] is not None)
+        for tv in times:
+            eff = max(int(tv), graph._t + 1)
+            sub = tagged.filter(F.col("__pw_evt") == tv).drop("__pw_evt")
+            (delta,) = graph.step(out, time=eff, src=sub)
+            _emit_delta(delta, on_change, on_time_end, eff)
+
+    q = df.writeStream.outputMode("append").foreachBatch(batch_fn).start()
+    proxy = _SubscribedQuery(q, on_end)
+    proxy._batch_fn = batch_fn   # exposed for redelivery/idempotency tests
+    return proxy
 
 
 from . import differential  # noqa: E402,F401  (retraction-stream engine)
@@ -181,6 +274,7 @@ from .diff_table import DifferentialTableGraph  # noqa: E402,F401
 
 
 def subscribe_differential_multi(streams, build, on_change, *,
+                                 on_time_end=None,
                                  checkpoint_every: int = 8,
                                  table_syntax: bool = False):
     """Differential subscribe over SEVERAL live streams — e.g. a join
@@ -192,12 +286,13 @@ def subscribe_differential_multi(streams, build, on_change, *,
     DiffTable with table_syntax=True).  Each stream's micro-batches
     feed the shared graph under a lock, one logical step per batch
     (absent sources see empty deltas — valid differential semantics);
-    `on_change(row, time, is_addition)` fires per output delta row.
+    `on_change(row, time, is_addition)` fires per output delta row,
+    then `on_time_end(time)` closes the batch atomically.
     Returns the list of StreamingQuery handles (stop/processAllAvailable
     each)."""
     import threading
 
-    from .differential import DIFF, TIME, DifferentialGraph
+    from .differential import DifferentialGraph
 
     frames = {n: (s._df if isinstance(s, Table) else s)
               for n, s in streams.items()}
@@ -221,16 +316,18 @@ def subscribe_differential_multi(streams, build, on_change, *,
         out = build(sources)
 
     lock = threading.Lock()
+    seen: dict[str, int] = {n: -1 for n in frames}
 
     def make_batch_fn(name):
         def batch_fn(bdf: DataFrame, batch_id: int):
             with lock:      # one logical step per arriving micro-batch
+                # idempotent against foreachBatch re-execution: the
+                # graph clock/state already absorbed this batch_id
+                if batch_id <= seen[name]:
+                    return
+                seen[name] = batch_id
                 (delta,) = graph.step(out, **{name: bdf})
-                for row in delta.toLocalIterator():
-                    d = row.asDict()
-                    t, w = d.pop(TIME), d.pop(DIFF)
-                    for _ in range(abs(int(w))):
-                        on_change(row=d, time=t, is_addition=w > 0)
+                _emit_delta(delta, on_change, on_time_end, graph._t)
         return batch_fn
 
     return [f.writeStream.outputMode("append")

@@ -145,20 +145,20 @@ class _StateStore:
         """Load the version the graph's committed meta recorded (never
         blindly the newest: a crash between a store's flush and the
         meta write must roll back to the committed one, or replayed
-        batches would double-count)."""
+        batches would double-count).
+
+        `want is None` means NO commit ever recorded this store — any
+        v* dirs on disk are uncommitted leftovers of a crash before the
+        first `_meta.json` write, so the store starts EMPTY (loading
+        vers[-1] here would double-count the replay of batch 0)."""
+        if want is None or want == 0:
+            return  # never committed (or committed pre-first-flush)
         vers = self._versions()
-        if want is not None:
-            if want == 0:
-                return  # committed before this store ever flushed
-            if want not in vers:
-                raise RuntimeError(
-                    f"state dir {self._path} lacks committed version "
-                    f"v{want:08d} (found {vers}); cannot resume safely")
-            self._ver = want
-        elif vers:
-            self._ver = vers[-1]
-        else:
-            return
+        if want not in vers:
+            raise RuntimeError(
+                f"state dir {self._path} lacks committed version "
+                f"v{want:08d} (found {vers}); cannot resume safely")
+        self._ver = want
         self._chunks = [self._spark.read.parquet(
             f"{self._path}/v{self._ver:08d}").select(*self._cols)]
 
@@ -476,6 +476,36 @@ def _expand(ms: DataFrame) -> DataFrame:
                .drop("__x", DIFF))
 
 
+def _trace_old(node, new: DataFrame, keys: list[str], touched: DataFrame,
+               recompute_old) -> DataFrame:
+    """Old-output rows to retract, for a keyed-recompute node.
+
+    Preferred path: slice the node's OUTPUT TRACE under the touched
+    keys and negate those exact bytes (float-safe — see _ReduceNode).
+    Requires every key column to appear in the op's output; otherwise
+    fall back to `recompute_old()` (re-running the op on the old
+    slices), which is only byte-stable for deterministic ops."""
+    if set(keys) <= set(new.columns):
+        if node._out_state is None:
+            node._out_state = node.graph._make_store(
+                new.withColumn(DIFF, F.lit(1).cast("long")))
+        sl = node._out_state.get().join(touched, on=keys, how="left_semi")
+        return consolidate(sl).withColumn(DIFF, -F.col(DIFF))
+    return recompute_old().withColumn(DIFF, F.lit(-1).cast("long"))
+
+
+def _emit_traced(node, old: DataFrame, new: DataFrame, t: int) -> DataFrame:
+    """Consolidate old∪new, stamp the time, and append the emitted delta
+    to the node's output trace under ONE shared lineage cut (the trace
+    must hold the same bytes the consumer saw)."""
+    out = consolidate(old.unionByName(new.select(*old.columns))) \
+        .withColumn(TIME, F.lit(t))
+    if node._out_state is not None:
+        out = out.localCheckpoint(eager=False)
+        node._out_state.update(out)
+    return out
+
+
 class _KeyedRecomputeNode(DiffNode):
     """Differential wrapper for ANY keyed binary batch operator.
 
@@ -495,6 +525,7 @@ class _KeyedRecomputeNode(DiffNode):
         self._op = op_fn            # (left_df, right_df) -> plain DataFrame
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
+        self._out_state: _StateStore | None = None
 
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
@@ -516,13 +547,18 @@ class _KeyedRecomputeNode(DiffNode):
                                     how="left_semi"))
         an = consolidate(ao.unionByName(da.select(*_data_cols(ao), DIFF)))
         bn = consolidate(bo.unionByName(db.select(*_data_cols(bo), DIFF)))
-        old = self._op(_expand(ao), _expand(bo)) \
-            .withColumn(DIFF, F.lit(-1).cast("long"))
         new = self._op(_expand(an), _expand(bn)) \
             .withColumn(DIFF, F.lit(1).cast("long"))
+        # retract from the OUTPUT TRACE where the op's key columns
+        # survive into its output (asof joins, sort/diff, interpolate):
+        # exact-byte cancellation even when the op's float arithmetic
+        # is summation-order sensitive (see _ReduceNode).  An op that
+        # projects its keys away falls back to recompute-old.
+        old = _trace_old(self, new, self._lkeys, touched,
+                         lambda: self._op(_expand(ao), _expand(bo)))
         self._sa.update(da)
         self._sb.update(db)
-        return consolidate(old.unionByName(new)).withColumn(TIME, F.lit(t))
+        return _emit_traced(self, old, new, t)
 
 
 class _KeyedRecomputeUnaryNode(DiffNode):
@@ -537,6 +573,7 @@ class _KeyedRecomputeUnaryNode(DiffNode):
         self._keys = keys
         self._op = op_fn             # (plain_df) -> plain DataFrame
         self._state: _StateStore | None = None
+        self._out_state: _StateStore | None = None
 
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
@@ -548,12 +585,12 @@ class _KeyedRecomputeUnaryNode(DiffNode):
                                         how="left_semi"))
         new_in = consolidate(old_in.unionByName(
             delta.select(*_data_cols(old_in), DIFF)))
-        old = self._op(_expand(old_in)) \
-            .withColumn(DIFF, F.lit(-1).cast("long"))
         new = self._op(_expand(new_in)) \
             .withColumn(DIFF, F.lit(1).cast("long"))
+        old = _trace_old(self, new, self._keys, touched,
+                         lambda: self._op(_expand(old_in)))
         self._state.update(delta)
-        return consolidate(old.unionByName(new)).withColumn(TIME, F.lit(t))
+        return _emit_traced(self, old, new, t)
 
 
 class _JoinNode(DiffNode):
@@ -685,7 +722,17 @@ _AGG_BUILDERS = {
 
 
 class _ReduceNode(DiffNode):
-    """Affected-key groupby/agg with retraction of superseded rows."""
+    """Affected-key groupby/agg with retraction of superseded rows.
+
+    Retractions come from an OUTPUT TRACE, not a recompute: the node
+    keeps a second store holding exactly the rows it has emitted, and
+    retracts those bytes.  Recomputing the old aggregate would emit a
+    retraction that differs from the original row by a float-summation
+    ULP whenever partition order shifts between batches — the -old/+old
+    pair then fails to cancel and a phantom stale row survives
+    integration.  Differential dataflow's reduce does the same: it
+    subtracts from the arranged *output* trace
+    (`differential-dataflow reduce`), never from a re-evaluation."""
 
     def __init__(self, graph, parent: DiffNode, keys: list[str],
                  specs: dict[str, tuple]):
@@ -702,6 +749,7 @@ class _ReduceNode(DiffNode):
                 args = (keys[0] if keys else None,)
             self.specs[name] = (kind, args)
         self._state: _StateStore | None = None
+        self._out_state: _StateStore | None = None
 
     def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
         aggs = [_AGG_BUILDERS[k](*a).alias(n)
@@ -736,12 +784,26 @@ class _ReduceNode(DiffNode):
                 state.join(keys, on=self.keys, how="left_semi"))
         new_in = consolidate(old_in.unionByName(
             delta.select(*_data_cols(old_in), DIFF)))
-        old_out = self._aggregate(old_in, t).withColumn(DIFF, -F.col(DIFF))
         new_out = self._aggregate(new_in, t)
+        if self._out_state is None:
+            self._out_state = self.graph._make_store(new_out.drop(TIME))
+        otrace = self._out_state.get()
+        if self.keys:
+            otrace = otrace.join(keys, on=self.keys, how="left_semi")
+        # exact bytes previously emitted, negated — guaranteed to cancel
+        old_out = (consolidate(otrace)
+                   .withColumn(DIFF, -F.col(DIFF))
+                   .withColumn(TIME, F.lit(t)))
         self._state.update(delta)
         # identical old/new rows cancel here, so steady keys emit nothing
-        return consolidate(old_out.unionByName(new_out)) \
+        out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
+        # one shared lineage cut: the returned delta and the output-trace
+        # chunk must be the SAME bytes (a second evaluation could differ
+        # by a ULP again, re-opening the hole this trace closes)
+        out = out.localCheckpoint(eager=False)
+        self._out_state.update(out)
+        return out
 
 
 class _DistinctNode(DiffNode):
@@ -796,6 +858,10 @@ class DifferentialGraph:
         self._t = -1
         if state_dir is not None:
             self._load_meta()
+        # first-ever step folds the (usually wide) initial load into the
+        # stores' bases; tracked separately from the clock because the
+        # logical time of batch 0 is caller-chosen (event-time replay)
+        self._stepped = self._t != -1
 
     def _make_store(self, template: DataFrame) -> _StateStore:
         """Stores are numbered in creation order, which is deterministic
@@ -842,12 +908,27 @@ class DifferentialGraph:
         self._sources[name] = node
         return node
 
-    def step(self, outputs: Sequence[DiffNode] | DiffNode,
-             **deltas: DataFrame) -> list[DataFrame]:
-        """Advance one logical time; feed `deltas` keyed by source name,
-        return each requested output node's delta for this batch."""
-        self._t += 1
-        t = self._t
+    def step(self, outputs: Sequence[DiffNode] | DiffNode, *,
+             time: int | None = None, **deltas: DataFrame) -> list[DataFrame]:
+        """Advance the logical clock; feed `deltas` keyed by source name,
+        return each requested output node's delta for this batch.
+
+        `time` sets the batch's LOGICAL timestamp — the value stamped
+        into every emitted delta's `_pw_time`, matching the reference's
+        per-minibatch `DataRow::time` (`src/engine/graph.rs:255`; the
+        `__time__` column of `pw.debug.table_from_markdown` fixtures).
+        Omitted, the clock advances by 1 (processing-ordinal times, the
+        pre-event-time behavior).  Times must be strictly increasing —
+        out-of-order event times must be folded into a batch upstream
+        (watermark semantics), exactly as the reference's connectors
+        assign each input row the minibatch timestamp that first
+        processes it."""
+        t = self._t + 1 if time is None else int(time)
+        if t <= self._t:
+            raise ValueError(
+                f"logical time must be strictly increasing: got {t} after "
+                f"{self._t} (fold late rows into the current batch instead)")
+        self._t = t
         unknown = set(deltas) - set(self._sources)
         if unknown:
             raise KeyError(f"unknown sources: {sorted(unknown)}")
@@ -855,13 +936,64 @@ class DifferentialGraph:
             src._feed(deltas.get(name), t)
         nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
         out = [n.delta(t) for n in nodes]
-        if t == 0:
+        if not self._stepped:
+            self._stepped = True
             # the initial load is usually the one WIDE batch: fold it
             # into each store's consolidated base now (full-parallelism
             # shuffle once) so steady-state scans see base + tiny chunks
             for st in self._stores:
                 st.compact()
         return out
+
+    def replay(self, output: DiffNode,
+               timed: DataFrame | dict[str, DataFrame],
+               on_change: Callable | None = None) -> DataFrame:
+        """Replay a TIMED changelog through the graph — the reference's
+        `__time__`/`__diff__` markdown-stream semantics
+        (`python/pathway/debug/__init__.py:446`,
+        `tests/utils.py:304-420` `assert_stream_equality`).
+
+        `timed`: DataFrame(s) carrying `_pw_time` (logical event time)
+        and optionally `_pw_diff`; all rows sharing a `_pw_time` form
+        one minibatch, fed in ascending time order, and every emitted
+        delta is stamped with that same logical time.  Returns the full
+        output changelog (union of per-time deltas)."""
+        frames = timed if isinstance(timed, dict) else None
+        if frames is None:
+            only = next(iter(self._sources)) if len(self._sources) == 1 \
+                else None
+            if only is None:
+                raise ValueError("multi-source graph needs a dict of "
+                                 "timed frames")
+            frames = {only: timed}
+        # accept Table-wrapped fixtures (pw.debug.table_from_markdown):
+        # unwrap and drop the synthetic row id — replay keys rows by
+        # content, like the reference's __time__/__diff__ markdowns
+        frames = {n: (f._df if hasattr(f, "_df") else f)
+                  for n, f in frames.items()}
+        frames = {n: (f.drop("_pw_id") if "_pw_id" in f.columns else f)
+                  for n, f in frames.items()}
+        frames = {n: (f if TIME in f.columns
+                      else f.withColumn(TIME, F.lit(0)))
+                  for n, f in frames.items()}
+        times = sorted({r[0] for f in frames.values()
+                        for r in f.select(TIME).distinct().collect()})
+        pieces: list[DataFrame] = []
+        for tv in times:
+            batch = {n: f.filter(F.col(TIME) == tv).drop(TIME)
+                     for n, f in frames.items()}
+            (out,) = self.step(output, time=int(tv), **batch)
+            out = out.localCheckpoint(eager=True)
+            pieces.append(out)
+            if on_change is not None:
+                on_change(out, int(tv))
+        if not pieces:
+            (out,) = self.step(output)
+            return out
+        acc = pieces[0]
+        for p in pieces[1:]:
+            acc = acc.unionByName(p)
+        return acc
 
     def run(self, output: DiffNode,
             batches: Iterable[DataFrame | dict[str, DataFrame]],

@@ -810,3 +810,130 @@ def test_diff_table_without_and_rename(spark):
     assert slim.column_names == ["x", "b"]
     (d,) = g.step(slim.node, t=spark.createDataFrame([(1, 2, 3)], tpl.schema))
     assert _rows(d, "x", "b", DIFF) == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------- event time
+# The reference stamps every delta with its minibatch's LOGICAL time
+# (`src/engine/graph.rs:255` DataRow::time; `debug/__init__.py:446`
+# __time__ markdown semantics).  These pin that `_pw_time` carries the
+# caller-chosen event time, not the batch ordinal.
+
+def test_replay_timed_markdown_reference_stream_semantics(spark):
+    """The canonical reference fixture style: a __time__/__diff__
+    markdown replayed through groupby/reduce must emit the exact
+    (row, time, diff) stream the reference engine would."""
+    import pathway_spark as pw
+    from pathway_spark.debug import assert_stream_equality
+
+    src = pw.debug.table_from_markdown("""
+        k | v | __time__ | __diff__
+        a | 1 |     2    |     1
+        a | 2 |     2    |     1
+        b | 3 |     4    |     1
+        a | 1 |     6    |    -1
+    """, spark=spark)
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialGraph(spark)
+    node = g.source("t", tpl).reduce(["k"], total=("sum", "v"))
+    out = g.replay(node, src)
+    assert_stream_equality(out, """
+        k | total | __time__ | __diff__
+        a |   3   |    2     |     1
+        b |   3   |    4     |     1
+        a |   3   |    6     |    -1
+        a |   2   |    6     |     1
+    """)
+
+
+def test_replay_multi_source_timed_join(spark):
+    """Timed replay across two sources: each distinct __time__ is one
+    logical step over BOTH sources; the joined delta carries the event
+    time of the batch that produced it."""
+    from pathway_spark.debug import assert_stream_equality
+
+    lt = spark.createDataFrame(
+        [("x", 1, 10), ("y", 2, 30)], "k string, l long, _pw_time long")
+    rt = spark.createDataFrame(
+        [("x", 7, 20)], "k string, r long, _pw_time long")
+    g = DifferentialGraph(spark)
+    a = g.source("a", spark.createDataFrame([], "k string, l long"))
+    b = g.source("b", spark.createDataFrame([], "k string, r long"))
+    out = g.replay(a.join(b, on=["k"]), {"a": lt, "b": rt})
+    assert_stream_equality(out, """
+        k | l | r | __time__ | __diff__
+        x | 1 | 7 |    20    |     1
+    """)
+
+
+def test_step_rejects_non_increasing_time(spark, tpl):
+    g = DifferentialGraph(spark)
+    node = g.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    g.step(node, time=10, t=_delta(spark, [("a", 1)], tpl.schema))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        g.step(node, time=10, t=_delta(spark, [("a", 2)], tpl.schema))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        g.step(node, time=3)
+    # a later time is fine, and lands on the emitted rows
+    (d,) = g.step(node, time=17, t=_delta(spark, [("a", 2)], tpl.schema))
+    assert {r[TIME] for r in d.collect()} == {17}
+
+
+def test_commit_restores_logical_time(spark, tpl, tmp_path):
+    sd = str(tmp_path / "evstate")
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    n1 = g1.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    g1.step(n1, time=100, t=_delta(spark, [("a", 1)], tpl.schema))
+    g1.commit()
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    n2 = g2.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    assert g2._t == 100, "logical event-time clock restored"
+    (d,) = g2.step(n2, time=250, t=_delta(spark, [("a", 2)], tpl.schema))
+    got = _rows(d, "user", "total", DIFF, TIME)
+    assert got == [("a", 1, -1, 250), ("a", 3, 1, 250)]
+
+
+def test_restore_ignores_uncommitted_leftover_versions(spark, tpl, tmp_path):
+    """Crash window: stores flushed but the FIRST _meta.json write never
+    happened.  Restore must treat the graph as never-committed (start
+    empty) — loading the leftover v* dirs while the clock resets would
+    double-count the replay of batch 0."""
+    sd = str(tmp_path / "crash0")
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    n1 = g1.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    g1.step(n1, t=_delta(spark, [("a", 1)], tpl.schema))
+    for st in g1._stores:
+        st.flush()                    # crash happens HERE: no meta write
+    del g1, n1
+
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    n2 = g2.source("t", tpl).reduce(["user"], total=("sum", "amount"))
+    assert g2._t == -1, "no committed meta -> fresh clock"
+    (d,) = g2.step(n2, t=_delta(spark, [("a", 1)], tpl.schema))
+    # replaying batch 0 must emit total=1 exactly once, NOT total=2
+    assert _rows(d, "user", "total", DIFF) == [("a", 1, 1)]
+
+
+def test_reduce_retractions_are_bytewise_exact_from_output_trace(spark):
+    """Float sums are summation-order sensitive: a recomputed old
+    aggregate can differ from the originally emitted row by one ULP,
+    leaving an uncancellable phantom row in the integrated output.
+    The reduce node must therefore retract the EXACT bytes it emitted
+    (output trace), so every retraction matches a prior insertion."""
+    import struct
+
+    tplf = spark.createDataFrame([], "k string, v double")
+    g = DifferentialGraph(spark, checkpoint_every=3)
+    node = g.source("t", tplf).reduce(["k"], s=("sum", "v"), n=("count",))
+    emitted: dict[tuple, int] = {}
+    for i in range(8):
+        rows = [("a", 0.1 * (i + 1)), ("b", 1e15 if i % 2 else 0.3)]
+        (d,) = g.step(node, t=spark.createDataFrame(rows, tplf.schema))
+        for r in d.collect():
+            key = (r["k"], struct.pack(">d", r["s"]).hex(), r["n"])
+            w = emitted.get(key, 0) + r[DIFF]
+            assert w >= 0, (
+                f"retraction of never-emitted bytes at batch {i}: {key}")
+            emitted[key] = w
+    live = {k for k, w in emitted.items() if w > 0}
+    assert len({k[0] for k in live}) == 2 and len(live) == 2, \
+        f"exactly one live row per key expected, got {live}"

@@ -407,3 +407,100 @@ def test_streaming_differential_two_live_streams_join(spark, tmp_path):
     assert ("x", 1, 10, True) in events
     assert ("y", 2, 20, True) in events          # late-arriving match
     assert len([e for e in events if not e[3]]) == 0
+
+
+def test_subscribe_differential_callbacks_contract(spark, tmp_path):
+    """pw.io.subscribe contract on the differential path: rows carry NO
+    internal _pw_id, on_time_end(t) closes each batch atomically after
+    its changes, and on_end() fires exactly once at stop()."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "subcontract"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,2\n")
+    (src / "f2.csv").write_text("k,v\na,4\n")
+    t = pw.demo.replay_csv(str(src),
+                           schema=pw.schema_from_types(k=str, v=int),
+                           mode="streaming", spark=spark)
+    log = []
+    q = st.subscribe_differential(
+        t,
+        lambda s: s.reduce(["k"], total=("sum", "v")),
+        lambda row, time, is_addition: log.append(("change", dict(row))),
+        on_time_end=lambda t_: log.append(("time_end", t_)),
+        on_end=lambda: log.append(("end",)),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.stop()      # idempotent: on_end must not re-fire
+
+    assert log[-1] == ("end",)
+    assert log.count(("end",)) == 1
+    # every change row is free of internal columns
+    for kind, payload in ((e[0], e[1]) for e in log if e[0] == "change"):
+        assert "_pw_id" not in payload
+    # batches close atomically: change+ events, then their time_end
+    kinds = [e[0] for e in log]
+    assert kinds.count("time_end") == 2
+    assert kinds.index("time_end") > kinds.index("change")
+
+
+def test_subscribe_differential_redelivered_batch_ignored(spark, tmp_path):
+    """foreachBatch may re-execute a micro-batch after transient
+    failures (and replays the last one on restart): re-delivering an
+    already-seen batch_id must be a no-op — graph.step is not
+    idempotent, so a double-feed would corrupt derived state."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "redeliver"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,2\n")
+    t = pw.demo.replay_csv(str(src),
+                           schema=pw.schema_from_types(k=str, v=int),
+                           mode="streaming", spark=spark)
+    events = []
+    q = st.subscribe_differential(
+        t,
+        lambda s: s.reduce(["k"], total=("sum", "v")),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["total"], is_addition)),
+    )
+    q.processAllAvailable()
+    n_before = len(events)
+    # simulate Spark re-executing the last micro-batch (same batch_id)
+    redelivered = spark.createDataFrame([("a", 2)], "k string, v long")
+    q._batch_fn(redelivered, 0)
+    q.stop()
+    assert len(events) == n_before, \
+        f"redelivered batch was re-applied: {events}"
+    assert events == [("a", 2, True)]
+
+
+def test_subscribe_differential_event_time_column(spark, tmp_path):
+    """time_column= stamps deltas with SOURCE event time (the
+    reference's DataRow::time), splitting a micro-batch into one
+    logical step per distinct event time, ascending."""
+    import pathway_spark.streaming as st
+
+    src = tmp_path / "evtsub"
+    src.mkdir()
+    # one file = one micro-batch carrying two event times
+    (src / "f1.csv").write_text("k,v,ts\na,2,100\na,3,200\n")
+    t = pw.demo.replay_csv(
+        str(src), schema=pw.schema_from_types(k=str, v=int, ts=int),
+        mode="streaming", spark=spark)
+    events = []
+    q = st.subscribe_differential(
+        t,
+        lambda s: s.reduce(["k"], total=("sum", "v")),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["total"], time, is_addition)),
+        time_column="ts",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert events == [
+        ("a", 2, 100, True),              # step at event time 100
+        ("a", 2, 200, False),             # superseded at event time 200
+        ("a", 5, 200, True),
+    ]

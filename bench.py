@@ -105,6 +105,34 @@ def main() -> None:
     q.stop()
     timings["stream_wordcount"] = round(time.perf_counter() - t0, 3)
 
+    # differential-engine throughput: the join+reduce graph over
+    # orders⋈customer, initial load (excluded) then 5 steady-state
+    # 1k-row delta batches — tracks incremental perf round-over-round
+    # like the batch queries (scripts/diff_bench.py is the standalone
+    # profiler with per-batch detail)
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .select("c_custkey", "c_nationkey")
+            .withColumnRenamed("c_custkey", "o_custkey"))
+    g = DifferentialGraph(spark)
+    src_o = g.source("orders", orders)
+    src_c = g.source("customer", cust)
+    diff_out = src_o.join(src_c, on=["o_custkey"]).reduce(
+        ["c_nationkey"], revenue=("sum", "o_totalprice"), n=("count",))
+    (d0,) = g.step(diff_out, orders=orders, customer=cust)
+    d0.localCheckpoint(eager=True)          # initial load, not timed
+    delta_base = orders.limit(1000).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    for i in range(5):
+        delta = delta_base.withColumn(
+            "o_orderkey", SF.col("o_orderkey") + SF.lit((i + 1) * 10_000_000))
+        (d,) = g.step(diff_out, orders=delta)
+        d.localCheckpoint(eager=True)
+    timings["diff_join_reduce_5x1k"] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

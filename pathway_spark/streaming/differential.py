@@ -116,7 +116,7 @@ class _StateStore:
 
     def __init__(self, spark: SparkSession, template: DataFrame,
                  checkpoint_every: int = 8, path: str | None = None,
-                 restore_version: int | None = None):
+                 restore_version: int | None = None, phase: int = 0):
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
@@ -125,6 +125,9 @@ class _StateStore:
         self._chunks: list[DataFrame] = [base]
         self._spark = spark
         self._every = max(1, checkpoint_every)
+        # stagger: stores compact on different batches (phase offset)
+        # so one batch never pays every store's full-state consolidate
+        self._phase = phase % self._every
         self._ticks = 0
         self._path = path
         self._ver = 0
@@ -170,33 +173,40 @@ class _StateStore:
             acc = acc.unionByName(c)
         return acc
 
-    def update(self, delta: DataFrame) -> None:
+    def update(self, delta: DataFrame, *, wide: bool = False) -> None:
         d = delta.select(*_data_cols(self._chunks[0]),
                          F.col(DIFF).cast("long"))
         # keep each chunk's partition contribution bounded: without
         # this every chunk adds its parent's partition count to all
         # later scans of the union and per-batch task counts grow.
-        # Steady-state deltas are small → one partition; a genuinely
-        # wide delta (>64 planned partitions, e.g. an initial load)
-        # stays wide and should be folded into the base right after
-        # (the graph compacts all stores after batch 0).
-        if d.rdd.getNumPartitions() <= 64:
+        # Steady-state deltas are small → one partition.  `wide` is
+        # the graph-known initial load (batch 0), which stays wide and
+        # is folded into the base right after (the graph compacts all
+        # stores after batch 0).  The wideness MUST be caller-supplied,
+        # never probed via `.rdd.getNumPartitions()`: under AQE that
+        # probe forces immediate execution of the delta's whole
+        # lineage — one extra full job per store per batch.
+        if not wide:
             d = d.coalesce(1)
         # lineage cut for ONLY the delta chunk — O(|delta|); lazy, so
         # the materialization fuses into this batch's output action
         # instead of costing a separate job
         self._chunks.append(d.localCheckpoint(eager=False))
         self._ticks += 1
-        if self._ticks % self._every == 0:
-            self.compact()
+        if (self._ticks + self._phase) % self._every == 0:
+            self.compact(eager=False)
 
-    def compact(self) -> None:
+    def compact(self, *, eager: bool = True) -> None:
         """Consolidate all chunks into one in-memory base (the
         amortized full-state shuffle).  Durable versions are NOT
         written here — only `flush()` (from `commit()`) does, so
-        on-disk versions always correspond to a committed clock."""
+        on-disk versions always correspond to a committed clock.
+        Periodic tick-compactions pass `eager=False` so the
+        consolidate fuses into the NEXT batch's single action instead
+        of costing its own job; the post-initial-load compaction stays
+        eager (it is the one wide shuffle worth its own job)."""
         full = consolidate(self.get())
-        self._chunks = [full.localCheckpoint(eager=True)]
+        self._chunks = [full.localCheckpoint(eager=eager)]
 
     def flush(self) -> None:
         """Write a durable parquet version of the current state (called
@@ -300,10 +310,34 @@ class DiffNode:
         return _LinearNode(self.graph, self,
                            lambda df: df.withColumn(DIFF, -F.col(DIFF)))
 
+    def _small(self, df: DataFrame) -> DataFrame:
+        """Broadcast-hint a delta-derived frame.  Checkpointed state
+        frames carry no size statistics, so without the hint Catalyst
+        falls back to shuffling the FULL state against a 1k-row delta
+        every batch.  Steady-state deltas are micro-batch-bounded
+        (small by construction); the one wide batch — the initial
+        load — skips the hint."""
+        return df if self.graph._wide_batch else F.broadcast(df)
+
+    # nodes whose per-batch output is EXPENSIVE and consumed more than
+    # once (downstream rule + a state-chunk append, or graph fan-out)
+    # mark _CKPT_OUT so delta() wraps the output in ONE shared lazy
+    # localCheckpoint: every consumer then reuses the same materialized
+    # blocks instead of re-executing the node's whole plan (separately
+    # compiled Spark plans do NOT share exchanges — without this, a
+    # join feeding a reduce ran once for the output action and again
+    # when the reduce's state chunk materialized, re-scanning even the
+    # base parquet).  Reduce/keyed-recompute already checkpoint inside
+    # their trace logic; linear ops are cheap narrow recomputes.
+    _CKPT_OUT = False
+
     # -- evaluation ------------------------------------------------------
     def delta(self, t: int) -> DataFrame:
         if self._memo_t != t:
-            self._memo = self._advance(t)
+            out = self._advance(t)
+            if self._CKPT_OUT:
+                out = out.localCheckpoint(eager=False)
+            self._memo = out
             self._memo_t = t
         return self._memo
 
@@ -357,6 +391,8 @@ class _UnionNode(DiffNode):
 
 
 class _ThetaJoinNode(DiffNode):
+    _CKPT_OUT = True
+
     """Bilinear delta join under an arbitrary θ predicate (interval /
     range joins): d(A ⋈θ B) = dA ⋈θ B_new ∪ A_old ⋈θ dB — the
     bilinearity rule is predicate-agnostic, only the matching changes.
@@ -395,15 +431,18 @@ class _ThetaJoinNode(DiffNode):
         self._ensure_state(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
         b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
-        part1 = self._weighted(da, as_delta(b_new, time=t), t)
-        part2 = self._weighted(as_delta(a_old, time=t), db, t)
+        part1 = self._weighted(self._small(da), as_delta(b_new, time=t), t)
+        part2 = self._weighted(as_delta(a_old, time=t), self._small(db), t)
         out = part1.unionByName(part2.select(*part1.columns))
-        self._sa.update(da)
-        self._sb.update(db)
+        wide = self.graph._wide_batch
+        self._sa.update(da, wide=wide)
+        self._sb.update(db, wide=wide)
         return consolidate(out).withColumn(TIME, F.lit(t))
 
 
 class _SemiAntiNode(DiffNode):
+    _CKPT_OUT = True
+
     """Differential semi/anti join: keep (or drop) left rows by the
     RIGHT side's per-key presence.  Same presence algebra as outer-join
     padding: a key flipping 0↔>0 emits/retracts every matching left
@@ -431,9 +470,10 @@ class _SemiAntiNode(DiffNode):
         lk, rk = self._lkeys, self._rkeys
 
         def presence(ms: DataFrame, keys: DataFrame) -> DataFrame:
-            # keys is small (delta-derived); the semi-join prunes each
-            # state chunk before the aggregation — O(slice), not O(state)
-            return (ms.join(keys, on=rk, how="left_semi")
+            # keys is small (delta-derived) → broadcast semi-join prunes
+            # each state chunk before the aggregation — O(slice) and no
+            # state shuffle
+            return (ms.join(self._small(keys), on=rk, how="left_semi")
                       .groupBy(*rk).agg(F.sum(DIFF).alias("__w"))
                       .filter(F.col("__w") > 0)
                       .select(*[F.col(r).alias(l) for l, r in zip(lk, rk)]))
@@ -448,7 +488,8 @@ class _SemiAntiNode(DiffNode):
         p_new_gate = presence(b_new, kk)
 
         def rows(src: DataFrame, keys: DataFrame, sign: int) -> DataFrame:
-            return src.join(keys, on=lk, how="left_semi").select(
+            return src.join(self._small(keys), on=lk,
+                            how="left_semi").select(
                 *_data_cols(src), (F.col(DIFF) * sign).alias(DIFF))
 
         if self._anti:
@@ -461,8 +502,9 @@ class _SemiAntiNode(DiffNode):
                 rows(a_old, vanished, -1))
             gate = da.drop(TIME).join(p_new_gate, on=lk, how="left_semi") \
                      .select(*_data_cols(a_old), DIFF)
-        self._sa.update(da)
-        self._sb.update(db)
+        wide = self.graph._wide_batch
+        self._sa.update(da, wide=wide)
+        self._sb.update(db, wide=wide)
         return consolidate(flipped.unionByName(gate)) \
             .withColumn(TIME, F.lit(t))
 
@@ -489,7 +531,8 @@ def _trace_old(node, new: DataFrame, keys: list[str], touched: DataFrame,
         if node._out_state is None:
             node._out_state = node.graph._make_store(
                 new.withColumn(DIFF, F.lit(1).cast("long")))
-        sl = node._out_state.get().join(touched, on=keys, how="left_semi")
+        sl = node._out_state.get().join(node._small(touched), on=keys,
+                                        how="left_semi")
         return consolidate(sl).withColumn(DIFF, -F.col(DIFF))
     return recompute_old().withColumn(DIFF, F.lit(-1).cast("long"))
 
@@ -502,7 +545,7 @@ def _emit_traced(node, old: DataFrame, new: DataFrame, t: int) -> DataFrame:
         .withColumn(TIME, F.lit(t))
     if node._out_state is not None:
         out = out.localCheckpoint(eager=False)
-        node._out_state.update(out)
+        node._out_state.update(out, wide=node.graph._wide_batch)
     return out
 
 
@@ -541,9 +584,9 @@ class _KeyedRecomputeNode(DiffNode):
         touched_r = touched.select(
             *[F.col(lk).alias(rk) for lk, rk
               in zip(self._lkeys, self._rkeys)])
-        ao = consolidate(a_old.join(touched, on=self._lkeys,
+        ao = consolidate(a_old.join(self._small(touched), on=self._lkeys,
                                     how="left_semi"))
-        bo = consolidate(b_old.join(touched_r, on=self._rkeys,
+        bo = consolidate(b_old.join(self._small(touched_r), on=self._rkeys,
                                     how="left_semi"))
         an = consolidate(ao.unionByName(da.select(*_data_cols(ao), DIFF)))
         bn = consolidate(bo.unionByName(db.select(*_data_cols(bo), DIFF)))
@@ -556,8 +599,9 @@ class _KeyedRecomputeNode(DiffNode):
         # projects its keys away falls back to recompute-old.
         old = _trace_old(self, new, self._lkeys, touched,
                          lambda: self._op(_expand(ao), _expand(bo)))
-        self._sa.update(da)
-        self._sb.update(db)
+        wide = self.graph._wide_batch
+        self._sa.update(da, wide=wide)
+        self._sb.update(db, wide=wide)
         return _emit_traced(self, old, new, t)
 
 
@@ -581,7 +625,7 @@ class _KeyedRecomputeUnaryNode(DiffNode):
             self._state = self.graph._make_store(delta)
         state = self._state.get()
         touched = delta.select(*self._keys).distinct()
-        old_in = consolidate(state.join(touched, on=self._keys,
+        old_in = consolidate(state.join(self._small(touched), on=self._keys,
                                         how="left_semi"))
         new_in = consolidate(old_in.unionByName(
             delta.select(*_data_cols(old_in), DIFF)))
@@ -589,11 +633,13 @@ class _KeyedRecomputeUnaryNode(DiffNode):
             .withColumn(DIFF, F.lit(1).cast("long"))
         old = _trace_old(self, new, self._keys, touched,
                          lambda: self._op(_expand(old_in)))
-        self._state.update(delta)
+        self._state.update(delta, wide=self.graph._wide_batch)
         return _emit_traced(self, old, new, t)
 
 
 class _JoinNode(DiffNode):
+    _CKPT_OUT = True
+
     """Bilinear delta join; outer variants add presence-tracked padding."""
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
@@ -636,8 +682,12 @@ class _JoinNode(DiffNode):
         # not-yet-compacted retractions cancel in the output consolidate
         b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
         # dA ⋈ B_new ∪ A_old ⋈ dB  ==  dA⋈B + A⋈dB + dA⋈dB
-        part1 = self._weighted(da, as_delta(b_new, time=t), self.on, rcols, t)
-        part2 = self._weighted(as_delta(a_old, time=t), db, self.on, rcols, t)
+        # the DELTA side broadcasts (see _small): state stays in place,
+        # per-batch join cost is a state scan, not a state shuffle
+        part1 = self._weighted(self._small(da), as_delta(b_new, time=t),
+                               self.on, rcols, t)
+        part2 = self._weighted(as_delta(a_old, time=t), self._small(db),
+                               self.on, rcols, t)
         inner = part1.unionByName(part2.select(*part1.columns))
         out = inner
         if self.how in ("left", "outer"):
@@ -649,8 +699,9 @@ class _JoinNode(DiffNode):
             out = out.unionByName(
                 self._padding(db, b_old, a_old, a_new, da, lcols, t)
                     .select(*inner.columns))
-        self._sa.update(da)
-        self._sb.update(db)
+        wide = self.graph._wide_batch
+        self._sa.update(da, wide=wide)
+        self._sb.update(db, wide=wide)
         return consolidate(out).withColumn(TIME, F.lit(t))
 
     def _padding(self, d_keep, keep_old, probe_old, probe_new,
@@ -667,7 +718,7 @@ class _JoinNode(DiffNode):
         Called with (A, B, dB) for left padding, (B, A, dA) for right."""
         on = self.on
         def presence(state: DataFrame, keys: DataFrame) -> DataFrame:
-            return (state.join(keys, on=on, how="left_semi")
+            return (state.join(self._small(keys), on=on, how="left_semi")
                          .groupBy(*on).agg(F.sum(DIFF).alias("__w"))
                          .filter(F.col("__w") > 0).select(*on))
         pk = d_probe.select(*on).distinct()       # where flips can happen
@@ -689,8 +740,10 @@ class _JoinNode(DiffNode):
         #   never present:  +dK           (fresh)
         # NB gained uses K_old, not K_new — same-batch dK rows under an
         # appeared key never had padding emitted, so nothing to retract.
-        gained = pad(keep_old.join(appeared, on=on, how="left_semi"), -1)
-        lost = pad(keep_old.join(vanished, on=on, how="left_semi"), +1)
+        gained = pad(keep_old.join(self._small(appeared), on=on,
+                                   how="left_semi"), -1)
+        lost = pad(keep_old.join(self._small(vanished), on=on,
+                                 how="left_semi"), +1)
         fresh = pad(d_keep.drop(TIME).join(p_new_keep, on=on,
                                            how="left_anti"), +1)
         return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
@@ -781,7 +834,8 @@ class _ReduceNode(DiffNode):
             # consolidate ONLY the affected-key slice: the semi-join
             # prunes each chunk scan to |affected| rows pre-shuffle
             old_in = consolidate(
-                state.join(keys, on=self.keys, how="left_semi"))
+                state.join(self._small(keys), on=self.keys,
+                           how="left_semi"))
         new_in = consolidate(old_in.unionByName(
             delta.select(*_data_cols(old_in), DIFF)))
         new_out = self._aggregate(new_in, t)
@@ -789,12 +843,13 @@ class _ReduceNode(DiffNode):
             self._out_state = self.graph._make_store(new_out.drop(TIME))
         otrace = self._out_state.get()
         if self.keys:
-            otrace = otrace.join(keys, on=self.keys, how="left_semi")
+            otrace = otrace.join(self._small(keys), on=self.keys,
+                                 how="left_semi")
         # exact bytes previously emitted, negated — guaranteed to cancel
         old_out = (consolidate(otrace)
                    .withColumn(DIFF, -F.col(DIFF))
                    .withColumn(TIME, F.lit(t)))
-        self._state.update(delta)
+        self._state.update(delta, wide=self.graph._wide_batch)
         # identical old/new rows cancel here, so steady keys emit nothing
         out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
@@ -802,11 +857,13 @@ class _ReduceNode(DiffNode):
         # chunk must be the SAME bytes (a second evaluation could differ
         # by a ULP again, re-opening the hole this trace closes)
         out = out.localCheckpoint(eager=False)
-        self._out_state.update(out)
+        self._out_state.update(out, wide=self.graph._wide_batch)
         return out
 
 
 class _DistinctNode(DiffNode):
+    _CKPT_OUT = True
+
     """Multiset → set semantics: a row is present iff net weight > 0."""
 
     def __init__(self, graph, parent: DiffNode):
@@ -821,7 +878,7 @@ class _DistinctNode(DiffNode):
         cols = _data_cols(state)
         touched = delta.select(*cols).distinct()
         def present(ms: DataFrame) -> DataFrame:
-            return (ms.join(touched, on=cols, how="left_semi")
+            return (ms.join(self._small(touched), on=cols, how="left_semi")
                       .groupBy(*cols).agg(F.sum(DIFF).alias("__w"))
                       .filter(F.col("__w") > 0).drop("__w"))
         old_p = present(state)
@@ -832,7 +889,7 @@ class _DistinctNode(DiffNode):
                    .withColumn(DIFF, F.lit(1).cast("long"))
         outs = old_p.join(new_p, on=cols, how="left_anti") \
                     .withColumn(DIFF, F.lit(-1).cast("long"))
-        self._state.update(delta)
+        self._state.update(delta, wide=self.graph._wide_batch)
         return ins.unionByName(outs).withColumn(TIME, F.lit(t))
 
 
@@ -853,6 +910,9 @@ class DifferentialGraph:
         self.state_dir = state_dir
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
+        # True only while evaluating the INITIAL batch (the one wide
+        # load): stores keep that delta's parallelism; every later
+        # delta chunk coalesces to one partition (see _StateStore.update)
         self._stores: list[_StateStore] = []
         self._restore_vers: dict[str, int] = {}
         self._t = -1
@@ -863,6 +923,10 @@ class DifferentialGraph:
         # logical time of batch 0 is caller-chosen (event-time replay)
         self._stepped = self._t != -1
 
+    @property
+    def _wide_batch(self) -> bool:
+        return not self._stepped
+
     def _make_store(self, template: DataFrame) -> _StateStore:
         """Stores are numbered in creation order, which is deterministic
         for a fixed graph topology and step sequence — rebuild the same
@@ -871,7 +935,8 @@ class DifferentialGraph:
         path = (f"{self.state_dir}/store_{idx:04d}"
                 if self.state_dir is not None else None)
         st = _StateStore(self.spark, template, self.checkpoint_every, path,
-                         restore_version=self._restore_vers.get(str(idx)))
+                         restore_version=self._restore_vers.get(str(idx)),
+                         phase=idx)
         self._stores.append(st)
         return st
 

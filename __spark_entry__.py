@@ -961,6 +961,16 @@ def x50_deduplicate_method(spark, sf):
     return out.to_df().select("text")
 
 
+def q69_deduplicate_keep(spark, sf):
+    """Table.deduplicate with the keep= deterministic survivor order
+    (round-5 graduation of x50): one row per distinct text, survivor =
+    min doc_id — value-deterministic, so DuckDB reproduces it with a
+    row_number window.  The engine-order variant stays as x50."""
+    d = _t(spark, sf, "documents")
+    out = d.deduplicate(value=this.text, keep=this.doc_id)
+    return out.to_df().select("doc_id", "text", "n_chars")
+
+
 def q51_pagerank(spark, sf):
     """pagerank over the user co-occurrence graph — oracled round-3 via
     pagerank_exact: 1e-9 fixed-point integer arithmetic is bit-identical
@@ -1240,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_count_distribution": q68_count_distribution,
         "x39_approx_distinct": x39_approx_distinct,
         "x50_deduplicate_method": x50_deduplicate_method,
+        "q69_deduplicate_keep": q69_deduplicate_keep,
     }
 
 
@@ -1600,6 +1611,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_quantity > 5
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q69_deduplicate_keep": """
+            SELECT doc_id, text, n_chars FROM (
+                SELECT doc_id, text, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) t
+            WHERE rn = 1
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

@@ -391,12 +391,18 @@ class Table:
         allows t.reduce(...) producing a single row."""
         return GroupedTable(self, []).reduce(*args, **kwargs)
 
-    def deduplicate(self, *, value=None, instance=None, acceptor=None, name=None) -> "Table":
+    def deduplicate(self, *, value=None, instance=None, acceptor=None,
+                    name=None, keep=None) -> "Table":
         """reference table.py:1315 / stdlib/stateful/deduplicate.py:9.
 
         Batch semantics: one surviving row per `value` (or per `instance`).
         Default keeps the row with the smallest id (deterministic);
         `acceptor(new, old)` folds rows in id order via applyInPandas.
+        `keep=<expr>` (extension): survivor is the row minimizing the
+        given USER column instead of the internal id — a
+        value-deterministic order any external engine can reproduce
+        (ties broken by id; pass a group-unique column for cross-engine
+        exactness).
         Streaming: see streaming.deduplicate (dropDuplicatesWithinWatermark).
         """
         ctx = self._ctx()
@@ -407,7 +413,9 @@ class Table:
         df = self._df
         if acceptor is None:
             strukt = F.struct(*[F.col(f"`{c}`") for c in df.columns])
-            agg = df.groupBy(*keys).agg(F.min_by(strukt, F.col(ID)).alias("__row"))
+            order = (F.struct(to_col(keep, ctx), F.col(ID))
+                     if keep is not None else F.col(ID))
+            agg = df.groupBy(*keys).agg(F.min_by(strukt, order).alias("__row"))
             out = agg.select("__row.*")
             return Table(out)
         # custom acceptor: fold per group in id order (python slow path)

@@ -326,6 +326,48 @@ class DiffTable:
             lambda t: _batch_interp(t, timestamp, *values, mode=mode,
                                     instance=instance))
 
+    # -- incremental graph algorithms ------------------------------------
+    def _edge_node(self, u, v) -> DiffNode:
+        un = u._name if u is not None else "u"
+        vn = v._name if v is not None else "v"
+        if (un, vn) == ("u", "v"):
+            return self.node
+        return self.node.select(F.col(un).alias("u"), F.col(vn).alias("v"))
+
+    def pagerank(self, u=None, v=None, *, steps: int = 5,
+                 damping_pct: int = 85) -> "DiffTable":
+        """Incremental PageRank over a live edge stream (reference
+        `stdlib/graphs/pagerank` inside an iterate scope): emits
+        (w, rank, comp) deltas as edges come and go — an edge
+        retraction re-solves only the affected component
+        (streaming/incremental_graph.py affected-component rule).
+        Ranks are 10^-9 fixed-point integers (engine-exact)."""
+        from .incremental_graph import incremental_pagerank
+
+        node = incremental_pagerank(self._edge_node(u, v), steps=steps,
+                                    damping_pct=damping_pct)
+        un = u._name if u is not None else "u"
+        tpl = (self._template
+               .select(F.col(un).alias("w"), F.col(un).alias("comp"))
+               .limit(0)
+               .withColumn("rank", F.lit(0).cast("long"))
+               .select("w", "rank", "comp"))
+        return DiffTable(node, tpl)
+
+    def connected_components(self, u=None, v=None) -> "DiffTable":
+        """Incremental connected components over a live edge stream
+        (reference `stdlib/graphs` via iterate): (w, label) deltas;
+        retracting a bridge edge splits the component and relabels only
+        the affected nodes."""
+        from .incremental_graph import incremental_connected_components
+
+        node = incremental_connected_components(self._edge_node(u, v))
+        un = u._name if u is not None else "u"
+        tpl = (self._template
+               .select(F.col(un).alias("w"), F.col(un).alias("label"))
+               .limit(0))
+        return DiffTable(node, tpl)
+
     # -- trivial row-op parity -------------------------------------------
     def without(self, *refs: ColumnReference) -> "DiffTable":
         drop = {r._name for r in refs}

@@ -121,3 +121,37 @@ def test_incremental_cc_only_touched_components_emit(spark):
     assert 12 in touched_nodes
     assert touched_nodes <= {10, 11, 12}, \
         f"untouched components re-emitted: {sorted(touched_nodes)}"
+
+
+def test_diff_table_pagerank_and_cc_surface(spark):
+    """Pathway-syntax bridge: DiffTable.pagerank / connected_components
+    over a live edge stream with retractions."""
+    from pathway_spark import this
+    from pathway_spark.operators.iterate import pagerank_exact
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark.table import ID, Table
+
+    tpl = spark.createDataFrame([], "src long, dst long")
+    g = DifferentialTableGraph(spark)
+    edges = g.input("e", tpl)
+    pr = edges.pagerank(this.src, this.dst, steps=3)
+    cc = edges.connected_components(this.src, this.dst)
+
+    b1 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], tpl.schema)
+    b2 = (spark.createDataFrame([(2, 3)], tpl.schema)
+          .withColumn("_pw_diff", F.lit(-1)))
+    d1p, d1c = (d.localCheckpoint(eager=True)
+                for d in g.step([pr.node, cc.node], e=b1))
+    d2p, d2c = (d.localCheckpoint(eager=True)
+                for d in g.step([pr.node, cc.node], e=b2))
+
+    live = spark.createDataFrame([(1, 2), (10, 11)], "u long, v long")
+    want_pr = _snap(pagerank_exact(Table(live), steps=3)._df.drop(ID),
+                    ["w", "rank"])
+    got_pr = _snap(DifferentialGraph.integrate(
+        d1p.unionByName(d2p)).drop("comp"), ["w", "rank"])
+    assert got_pr == want_pr
+
+    got_cc = _snap(DifferentialGraph.integrate(
+        d1c.unionByName(d2c)), ["w", "label"])
+    assert got_cc == [(1, 1), (2, 1), (10, 10), (11, 10)]

@@ -173,3 +173,37 @@ def incremental_pagerank(edges: DiffNode, steps: int = 5,
 
     return _ComponentRecomputeNode(edges.graph, edges, op, node_col="w",
                                    comp_cols=["comp"])
+
+
+def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
+    """Differential single-source shortest paths (reference
+    `stdlib/graphs/bellman_ford`): (w, d, comp) deltas over a live
+    (u, v, dist) edge stream.  Distances are component-local (nodes
+    outside the start's component are unreachable and not emitted), so
+    the affected-component rule applies unchanged; relaxation to a
+    fixed point is deterministic (min over path sums), so retract/
+    insert pairs cancel exactly via the output trace."""
+    from ..operators.iterate import _dfs_equal
+
+    def op(e: DataFrame) -> DataFrame:
+        verts = (e.select(F.col("u").alias("w"))
+                  .union(e.select(F.col("v").alias("w"))).distinct())
+        dists = verts.select(
+            "w", F.when(F.col("w") == F.lit(start_vertex), 0.0).alias("d"))
+        while True:
+            relaxed = (dists.join(e, dists["w"] == e["u"], "inner")
+                       .select(F.col("v").alias("w"),
+                               (F.col("d") + F.col("dist")).alias("nd"))
+                       .groupBy("w").agg(F.min("nd").alias("nd")))
+            new = (dists.join(relaxed, "w", "left")
+                   .select("w", F.least(F.col("d"), F.col("nd")).alias("d"))
+                   ).localCheckpoint(eager=True)
+            if _dfs_equal(new.select("w", "d"), dists.select("w", "d")):
+                break
+            dists = new
+        labels = _cc_labels(e)
+        return (dists.join(labels, "w")
+                     .select("w", "d", F.col("label").alias("comp")))
+
+    return _ComponentRecomputeNode(edges.graph, edges, op, node_col="w",
+                                   comp_cols=["comp"])

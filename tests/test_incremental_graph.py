@@ -155,3 +155,45 @@ def test_diff_table_pagerank_and_cc_surface(spark):
     got_cc = _snap(DifferentialGraph.integrate(
         d1c.unionByName(d2c)), ["w", "label"])
     assert got_cc == [(1, 1), (2, 1), (10, 10), (11, 10)]
+
+
+def test_incremental_bellman_ford_prefix_equals_batch(spark):
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_bellman_ford)
+
+    def wedges(rows):
+        return spark.createDataFrame(rows, "u long, v long, dist double")
+
+    g = DifferentialGraph(spark)
+    src = g.source("e", wedges([]).filter(F.lit(False)))
+    out = incremental_bellman_ford(src, start_vertex=1)
+
+    batches = [
+        ([(1, 2, 1.0), (2, 3, 2.0), (1, 3, 10.0), (10, 11, 1.0)], []),
+        # a shortcut lowers d(3); separate component untouched
+        ([(1, 3, 2.5)], []),
+        # retract the shortcut: d(3) must go back up
+        ([], [(1, 3, 2.5)]),
+    ]
+    live: list[tuple] = []
+    changelog = None
+    for ins, dels in batches:
+        parts = []
+        if ins:
+            parts.append(wedges(ins).withColumn("_pw_diff", F.lit(1)))
+        if dels:
+            parts.append(wedges(dels).withColumn("_pw_diff", F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out, e=delta)
+        changelog = (d if changelog is None
+                     else changelog.unionByName(d)).localCheckpoint(True)
+        for e in ins:
+            live.append(e)
+        for e in dels:
+            live.remove(e)
+        got = _snap(DifferentialGraph.integrate(changelog).drop("comp"),
+                    ["w", "d"])
+    # final snapshot: d(2)=1, d(3)=3 (via 2), 10/11 unreachable (None)
+    assert got == [(1, 0.0), (2, 1.0), (3, 3.0), (10, None), (11, None)]

@@ -49,19 +49,34 @@ class _ComponentRecomputeNode(DiffNode):
     only on that component's edges, keyed by a node column `node_col`
     present in the output."""
 
-    def __init__(self, graph, edges: DiffNode, op_fn, node_col: str = "w",
-                 comp_cols: list[str] | None = None):
+    def __init__(self, graph, edges: DiffNode, op_fn, out_template_fn,
+                 node_col: str = "w", comp_cols: list[str] | None = None):
         super().__init__(graph, [edges])
         self._op = op_fn
+        self._out_tpl = out_template_fn   # (edge_template_df) -> empty out df
         self._ncol = node_col
         self._ccols = comp_cols
         self._estate = None      # edge multiset
         self._out_state = None   # output trace (exact emitted bytes)
+        self._primed = False     # True once the trace holds a full answer
+
+    def _ensure_stores(self, dE: DataFrame) -> None:
+        """Both stores are created UP FRONT (deterministic creation
+        order for durable restore) from explicit templates; whether the
+        node starts 'primed' comes from the restored trace version, NOT
+        from in-memory state — a restored process must take the
+        incremental branch, never re-emit the whole answer as +1."""
+        if self._estate is not None:
+            return
+        self._estate = self.graph._make_store(dE)
+        tpl = self._out_tpl(dE.filter(F.lit(False))) \
+            .withColumn(DIFF, F.lit(1).cast("long"))
+        self._out_state = self.graph._make_store(tpl)
+        self._primed = self._out_state._ver > 0 or self._estate._ver > 0
 
     def _advance(self, t: int) -> DataFrame:
         dE = self.inputs[0].delta(t)
-        if self._estate is None:
-            self._estate = self.graph._make_store(dE)
+        self._ensure_stores(dE)
         e_state = self._estate.get()
         nc = self._ncol
 
@@ -70,13 +85,13 @@ class _ComponentRecomputeNode(DiffNode):
                      .unionByName(dE.select(F.col("v").alias(nc)))
                      .distinct())
 
-        if self._out_state is None:
+        if not self._primed:
             # first batch: no previous output — everything is "new"
+            self._primed = True
             e_new = _expand(consolidate(
                 e_state.unionByName(dE.select(*_data_cols(e_state), DIFF))))
             new = self._op(e_new).withColumn(DIFF, F.lit(1).cast("long"))
             out = new.withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
-            self._out_state = self.graph._make_store(out.drop(TIME))
             self._out_state.update(out, wide=self.graph._wide_batch)
             self._estate.update(dE, wide=self.graph._wide_batch)
             return out
@@ -147,7 +162,10 @@ def incremental_connected_components(edges: DiffNode) -> DiffNode:
     and retractions as edges come and go.  The label doubles as the
     component key, so affected-component slicing needs no extra
     column."""
-    return _ComponentRecomputeNode(edges.graph, edges, _cc_labels,
+    def tpl(e):
+        return e.select(F.col("u").alias("w"), F.col("u").alias("label"))
+
+    return _ComponentRecomputeNode(edges.graph, edges, _cc_labels, tpl,
                                    node_col="w", comp_cols=["label"])
 
 
@@ -171,8 +189,13 @@ def incremental_pagerank(edges: DiffNode, steps: int = 5,
         return (ranks.join(labels, "w")
                      .select("w", "rank", F.col("label").alias("comp")))
 
-    return _ComponentRecomputeNode(edges.graph, edges, op, node_col="w",
-                                   comp_cols=["comp"])
+    def tpl(e):
+        return e.select(F.col("u").alias("w"),
+                        F.lit(0).cast("long").alias("rank"),
+                        F.col("u").alias("comp"))
+
+    return _ComponentRecomputeNode(edges.graph, edges, op, tpl,
+                                   node_col="w", comp_cols=["comp"])
 
 
 def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
@@ -205,5 +228,10 @@ def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
         return (dists.join(labels, "w")
                      .select("w", "d", F.col("label").alias("comp")))
 
-    return _ComponentRecomputeNode(edges.graph, edges, op, node_col="w",
-                                   comp_cols=["comp"])
+    def tpl(e):
+        return e.select(F.col("u").alias("w"),
+                        F.lit(0.0).cast("double").alias("d"),
+                        F.col("u").alias("comp"))
+
+    return _ComponentRecomputeNode(edges.graph, edges, op, tpl,
+                                   node_col="w", comp_cols=["comp"])

@@ -197,3 +197,29 @@ def test_incremental_bellman_ford_prefix_equals_batch(spark):
                     ["w", "d"])
     # final snapshot: d(2)=1, d(3)=3 (via 2), 10/11 unreachable (None)
     assert got == [(1, 0.0), (2, 1.0), (3, 3.0), (10, None), (11, None)]
+
+
+def test_incremental_cc_durable_restore_takes_incremental_branch(
+        spark, tmp_path):
+    """A restored process must NOT re-emit the whole answer as +1 —
+    the trace store's committed content primes the node."""
+    sd = str(tmp_path / "state")
+
+    def build(g):
+        src = g.source("e", spark.createDataFrame([], "u long, v long"))
+        return incremental_connected_components(src)
+
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    out1 = build(g1)
+    (d0,) = g1.step(out1, e=_edges(spark, [(1, 2), (10, 11)])
+                    .withColumn("_pw_diff", F.lit(1)))
+    d0.localCheckpoint(eager=True).count()
+    g1.commit()
+
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    out2 = build(g2)
+    (d1,) = g2.step(out2, e=_edges(spark, [(11, 12)])
+                    .withColumn("_pw_diff", F.lit(1)))
+    rows = sorted((r["w"], r["label"], r["_pw_diff"]) for r in d1.collect())
+    # only the touched component changes; nothing re-emitted for (1,2)
+    assert rows == [(12, 10, 1)], rows

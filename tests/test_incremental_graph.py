@@ -223,3 +223,96 @@ def test_incremental_cc_durable_restore_takes_incremental_branch(
     rows = sorted((r["w"], r["label"], r["_pw_diff"]) for r in d1.collect())
     # only the touched component changes; nothing re-emitted for (1,2)
     assert rows == [(12, 10, 1)], rows
+
+
+def test_incremental_cc_randomized_prefix_equality(spark):
+    """Randomized edge stream (seeded): inserts and retractions in
+    every batch; the integrated changelog must equal batch CC at every
+    prefix."""
+    import random
+
+    from pathway_spark.operators.iterate import connected_components
+    from pathway_spark.table import ID, Table
+
+    rng = random.Random(7)
+    g = DifferentialGraph(spark, checkpoint_every=3)
+    src = g.source("e", _edges(spark, [(0, 0)]).filter(F.lit(False)))
+    out = incremental_connected_components(src)
+
+    live: list[tuple] = []
+    changelog = None
+    for _ in range(6):
+        n_ins = rng.randint(1, 4)
+        ins = [(rng.randint(0, 14), rng.randint(0, 14))
+               for _ in range(n_ins)]
+        ins = [(u, v) for u, v in ins if u != v]
+        dels = []
+        if live and rng.random() < 0.7:
+            dels = [live[rng.randrange(len(live))]]
+        d = _apply(spark, g, out, ins, dels)
+        changelog = (d if changelog is None
+                     else changelog.unionByName(d)).localCheckpoint(True)
+        live.extend(ins)
+        for e in dels:
+            live.remove(e)
+        got = _snap(DifferentialGraph.integrate(changelog), ["w", "label"])
+        if live:
+            want = _snap(connected_components(
+                Table(_edges(spark, live)))._df.drop(ID), ["w", "label"])
+        else:
+            want = []
+        assert got == want, f"live={live} ins={ins} dels={dels}"
+
+
+def test_subscribe_differential_incremental_pagerank(spark, tmp_path):
+    """End-to-end: a file-watch edge stream drives incremental
+    pagerank through subscribe_differential; callbacks deliver exact
+    -1/+1 rank deltas that integrate to the batch answer."""
+    import time as _time
+
+    from pathway_spark.operators.iterate import pagerank_exact
+    from pathway_spark.streaming import subscribe_differential
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_pagerank)
+    from pathway_spark.table import ID, Table
+
+    src_dir = str(tmp_path / "edges")
+    import os
+    os.makedirs(src_dir)
+    _edges(spark, [(1, 2), (2, 3)]).write.mode("overwrite") \
+        .parquet(f"{src_dir}/b0.parquet")
+
+    stream = (spark.readStream.schema("u long, v long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir + "/*"))
+
+    got: dict[tuple, int] = {}
+    times_closed = []
+
+    def on_change(row, time, is_addition):
+        k = (row["w"], row["rank"])
+        got[k] = got.get(k, 0) + (1 if is_addition else -1)
+
+    q = subscribe_differential(
+        stream, lambda s: incremental_pagerank(s, steps=3),
+        on_change, on_time_end=lambda t: times_closed.append(t))
+    try:
+        q.processAllAvailable()
+        _edges(spark, [(3, 4)]).write.mode("overwrite") \
+            .parquet(f"{src_dir}/b1.parquet")
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if len(times_closed) >= 2:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+
+    final = sorted(k for k, n in got.items() if n > 0)
+    want = sorted(
+        (r["w"], r["rank"]) for r in pagerank_exact(
+            Table(_edges(spark, [(1, 2), (2, 3), (3, 4)])), steps=3)
+        ._df.drop(ID).collect())
+    assert final == want, f"{final} != {want}"
+    assert len(times_closed) >= 2

@@ -330,6 +330,7 @@ class DiffNode:
     # base parquet).  Reduce/keyed-recompute already checkpoint inside
     # their trace logic; linear ops are cheap narrow recomputes.
     _CKPT_OUT = False
+    _requested = False   # set by step(): True when the caller consumes us
 
     # -- evaluation ------------------------------------------------------
     def delta(self, t: int) -> DataFrame:
@@ -702,7 +703,9 @@ class _JoinNode(DiffNode):
         wide = self.graph._wide_batch
         self._sa.update(da, wide=wide)
         self._sb.update(db, wide=wide)
-        return consolidate(out).withColumn(TIME, F.lit(t))
+        if self._requested:
+            out = consolidate(out)
+        return out.withColumn(TIME, F.lit(t))
 
     def _padding(self, d_keep, keep_old, probe_old, probe_new,
                  d_probe, null_cols: list[str], t: int) -> DataFrame:
@@ -803,6 +806,118 @@ class _ReduceNode(DiffNode):
             self.specs[name] = (kind, args)
         self._state: _StateStore | None = None
         self._out_state: _StateStore | None = None
+        self._acc: _StateStore | None = None
+        # sum/count/avg fold the weight column exactly even over an
+        # UNCONSOLIDATED multiset (+x/-x pairs cancel inside the sum),
+        # so linear-only reduces skip the two slice-consolidate
+        # shuffles per batch; order statistics (min/max/distinct/
+        # argmin...) need the consolidated slice
+        self._linear = all(k in ("sum", "count", "avg")
+                           for k, _ in self.specs.values())
+        self._strategy: str | None = None   # "acc" | "slice", set on 1st batch
+
+    # -- accumulator strategy (abelian-group reduce) ---------------------
+    # For linear aggregates over EXACT (integral) columns the group's
+    # aggregate is itself an abelian sum, so the node keeps per-key
+    # PARTIAL SUMS (one row per key) instead of the input multiset:
+    #   acc_new(k) = acc_old(k) + Σ_delta(c·w),  n_new = n_old + Σ_delta w
+    # Per batch that is one delta-sized groupBy plus a broadcast-pruned
+    # scan of the (|keys|-row) accumulator — the input state store is
+    # never created, so a 100 TB input needs only |keys| rows of state.
+    # Differential dataflow's reduce makes the same specialization for
+    # abelian groups (`count`/`sum` operate on aggregates, not traces).
+    # Floats stay on the slice path: incremental += would drift from a
+    # batch recompute by summation-order ULPs; integer sums cannot.
+
+    def _acc_ok(self, delta: DataFrame) -> bool:
+        from pyspark.sql import types as T
+
+        if not self._linear:
+            return False
+        dtypes = {f.name: f.dataType for f in delta.schema.fields}
+        for _name, (k, a) in self.specs.items():
+            if k == "count":
+                continue
+            col = a[0]
+            if not isinstance(col, str):
+                return False       # expression arg: dtype unknown
+            dt = dtypes.get(col)
+            if not isinstance(dt, (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType)):
+                return False
+        return True
+
+    def _part_cols(self) -> list[str]:
+        return ["__pw_n"] + [f"__ps_{n}" for n, (k, _a) in self.specs.items()
+                             if k in ("sum", "avg")]
+
+    def _part_aggs(self) -> list[Column]:
+        aggs = [F.sum(F.col(DIFF)).cast("long").alias("__pw_n")]
+        for name, (k, a) in self.specs.items():
+            if k in ("sum", "avg"):
+                aggs.append(F.sum(_c(a[0]) * F.col(DIFF)).cast("long")
+                            .alias(f"__ps_{name}"))
+        return aggs
+
+    def _finals(self) -> list[Column]:
+        out = []
+        for name, (k, _a) in self.specs.items():
+            if k == "count":
+                out.append(F.col("__pw_n").alias(name))
+            elif k == "sum":
+                out.append(F.col(f"__ps_{name}").alias(name))
+            else:   # avg — same long/long division as _AGG_BUILDERS
+                out.append((F.col(f"__ps_{name}") / F.col("__pw_n"))
+                           .alias(name))
+        return out
+
+    def _advance_acc(self, delta: DataFrame, t: int) -> DataFrame:
+        parts = self._part_cols()
+        if self._acc is None:
+            tpl = (delta.filter(F.lit(False))
+                   .groupBy(*self.keys).agg(*self._part_aggs()))
+            self._acc = self.graph._make_store(
+                tpl.withColumn(DIFF, F.lit(1).cast("long")))
+        d_parts = delta.groupBy(*self.keys).agg(*self._part_aggs())
+        acc_state = self._acc.get()
+        if self.keys:
+            keys = delta.select(*self.keys).distinct()
+            acc_slice = consolidate(acc_state.join(
+                self._small(keys), on=self.keys, how="left_semi"))
+        else:
+            keys = None
+            acc_slice = consolidate(acc_state)
+        merged = (acc_slice.select(*self.keys, *parts)
+                  .unionByName(d_parts.select(*self.keys, *parts)))
+        comb = merged.groupBy(*self.keys).agg(
+            *[F.sum(c).cast("long").alias(c) for c in parts])
+        # one shared cut: the acc chunk and the emitted finals must see
+        # the same combined bytes
+        comb = comb.localCheckpoint(eager=False)
+        new_acc = comb.filter(F.col("__pw_n") != 0)
+        new_out = (new_acc.select(*self.keys, *self._finals())
+                   .withColumn(DIFF, F.lit(1).cast("long"))
+                   .withColumn(TIME, F.lit(t)))
+        if self._out_state is None:
+            self._out_state = self.graph._make_store(new_out.drop(TIME))
+        otrace = self._out_state.get()
+        if keys is not None:
+            otrace = otrace.join(self._small(keys), on=self.keys,
+                                 how="left_semi")
+        old_out = (consolidate(otrace)
+                   .withColumn(DIFF, -F.col(DIFF))
+                   .withColumn(TIME, F.lit(t)))
+        wide = self.graph._wide_batch
+        acc_delta = (acc_slice.select(*self.keys, *parts)
+                     .withColumn(DIFF, F.lit(-1).cast("long"))
+                     .unionByName(new_acc.withColumn(
+                         DIFF, F.lit(1).cast("long"))))
+        self._acc.update(acc_delta, wide=wide)
+        out = consolidate(old_out.unionByName(new_out)) \
+            .withColumn(TIME, F.lit(t))
+        out = out.localCheckpoint(eager=False)
+        self._out_state.update(out, wide=wide)
+        return out
 
     def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
         aggs = [_AGG_BUILDERS[k](*a).alias(n)
@@ -812,12 +927,17 @@ class _ReduceNode(DiffNode):
         # nothing for an empty group, keyed or not
         grouped = multiset.groupBy(*self.keys).agg(
             *aggs, F.sum(DIFF).alias("__n"))
-        return (grouped.filter(F.col("__n").isNotNull()).drop("__n")
+        return (grouped.filter(F.col("__n").isNotNull()
+                               & (F.col("__n") != 0)).drop("__n")
                 .withColumn(DIFF, F.lit(1).cast("long"))
                 .withColumn(TIME, F.lit(t)))
 
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
+        if self._strategy is None:
+            self._strategy = "acc" if self._acc_ok(delta) else "slice"
+        if self._strategy == "acc":
+            return self._advance_acc(delta, t)
         if self._state is None:
             self._state = self.graph._make_store(delta)
         state = self._state.get()
@@ -826,18 +946,20 @@ class _ReduceNode(DiffNode):
             # affected-key rule degenerates to a full recompute (state
             # stays chunk-bounded; the consolidate is the same shuffle
             # a compaction pays)
-            old_in = consolidate(state)
+            old_in = state if self._linear else consolidate(state)
         else:
             keys = delta.select(*self.keys).distinct()
             # the chunked state may carry uncompacted +x/-x pairs, which
             # would corrupt order statistics (min/max/distinct) — so
             # consolidate ONLY the affected-key slice: the semi-join
-            # prunes each chunk scan to |affected| rows pre-shuffle
-            old_in = consolidate(
-                state.join(self._small(keys), on=self.keys,
-                           how="left_semi"))
-        new_in = consolidate(old_in.unionByName(
-            delta.select(*_data_cols(old_in), DIFF)))
+            # prunes each chunk scan to |affected| rows pre-shuffle.
+            # Linear reduces skip both consolidates (see _linear).
+            sliced = state.join(self._small(keys), on=self.keys,
+                                how="left_semi")
+            old_in = sliced if self._linear else consolidate(sliced)
+        merged = old_in.unionByName(
+            delta.select(*_data_cols(old_in), DIFF))
+        new_in = merged if self._linear else consolidate(merged)
         new_out = self._aggregate(new_in, t)
         if self._out_state is None:
             self._out_state = self.graph._make_store(new_out.drop(TIME))
@@ -1000,6 +1122,13 @@ class DifferentialGraph:
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t)
         nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
+        # only nodes handed to the caller need CONSOLIDATED deltas;
+        # internal consumers are weight-aware, so interior joins skip
+        # their output consolidate (one shuffle stage per batch saved)
+        for n in self._nodes:
+            n._requested = False
+        for n in nodes:
+            n._requested = True
         out = [n.delta(t) for n in nodes]
         if not self._stepped:
             self._stepped = True

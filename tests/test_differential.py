@@ -937,3 +937,97 @@ def test_reduce_retractions_are_bytewise_exact_from_output_trace(spark):
     live = {k for k, w in emitted.items() if w > 0}
     assert len({k[0] for k in live}) == 2 and len(live) == 2, \
         f"exactly one live row per key expected, got {live}"
+
+
+def test_reduce_accumulator_strategy_selection(spark):
+    """Linear reduces over integral columns take the abelian-group
+    accumulator path (state = one partial-sum row per key, no input
+    multiset store); float sums stay on slice-recompute so integration
+    remains bit-equal to a batch recompute."""
+    tpl_long = spark.createDataFrame([], "k string, v long")
+    tpl_dbl = spark.createDataFrame([], "k string, v double")
+    g = DifferentialGraph(spark)
+    n_long = g.source("a", tpl_long).reduce(
+        ["k"], s=("sum", "v"), n=("count",), m=("avg", "v"))
+    n_dbl = g.source("b", tpl_dbl).reduce(["k"], s=("sum", "v"))
+    n_minmax = g.source("a", tpl_long).reduce(["k"], mx=("max", "v"))
+    g.step([n_long, n_dbl, n_minmax],
+           a=spark.createDataFrame([("x", 1)], tpl_long.schema),
+           b=spark.createDataFrame([("x", 1.0)], tpl_dbl.schema))
+    assert n_long._strategy == "acc"
+    assert n_long._state is None and n_long._acc is not None
+    assert n_dbl._strategy == "slice" and n_dbl._acc is None
+    assert n_minmax._strategy == "slice"
+
+
+def test_reduce_accumulator_matches_slice_randomized(spark):
+    """Random insert/retract stream: the accumulator path must emit a
+    changelog that integrates to the same snapshot as the generic slice
+    path at every prefix (longs — exact on both)."""
+    import random
+
+    rng = random.Random(11)
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialGraph(spark, checkpoint_every=3)
+    acc_node = g.source("t", tpl).reduce(
+        ["k"], s=("sum", "v"), n=("count",), a=("avg", "v"))
+    live: list[tuple] = []
+    cl = None
+    for _ in range(5):
+        ins = [(rng.choice("pqr"), rng.randint(-5, 9))
+               for _ in range(rng.randint(1, 3))]
+        dels = [live[rng.randrange(len(live))]] \
+            if live and rng.random() < 0.6 else []
+        rows = [(k, v, 1) for k, v in ins] + [(k, v, -1) for k, v in dels]
+        (d,) = g.step(acc_node, t=spark.createDataFrame(
+            rows, "k string, v long, _pw_diff int"))
+        cl = (d if cl is None else cl.unionByName(d)) \
+            .localCheckpoint(eager=True)
+        live.extend(ins)
+        for e in dels:
+            live.remove(e)
+        got = sorted((r["k"], r["s"], r["n"], r["a"]) for r in
+                     DifferentialGraph.integrate(cl).collect())
+        want = {}
+        for k, v in live:
+            s, n = want.get(k, (0, 0))
+            want[k] = (s + v, n + 1)
+        want = sorted((k, s, n, s / n) for k, (s, n) in want.items())
+        assert got == want, f"live={live}"
+
+
+def test_reduce_accumulator_durable_restore(spark, tmp_path):
+    """Acc-strategy reduce round-trips through commit/restore: the
+    accumulator store resumes and the continued stream matches an
+    uninterrupted run."""
+    sd = str(tmp_path / "state")
+    tpl = spark.createDataFrame([], "k string, v long")
+
+    def build(g):
+        return g.source("t", tpl).reduce(["k"], s=("sum", "v"),
+                                         n=("count",))
+
+    batches = [
+        [("a", 1), ("b", 2)],
+        [("a", 3)],
+        [("b", -1), ("c", 5)],
+    ]
+    g0 = DifferentialGraph(spark)
+    q0 = build(g0)
+    full = [g0.step(q0, t=spark.createDataFrame(b, tpl.schema))[0]
+            .collect() for b in batches]
+
+    g1 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q1 = build(g1)
+    for b in batches[:2]:
+        g1.step(q1, t=spark.createDataFrame(b, tpl.schema))
+    g1.commit()
+    assert q1._strategy == "acc"
+
+    g2 = DifferentialGraph(spark, checkpoint_every=1, state_dir=sd)
+    q2 = build(g2)
+    (d3,) = g2.step(q2, t=spark.createDataFrame(batches[2], tpl.schema))
+
+    def norm(rows):
+        return sorted((r["k"], r["s"], r["n"], r[DIFF]) for r in rows)
+    assert norm(d3.collect()) == norm(full[2])

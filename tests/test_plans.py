@@ -200,6 +200,33 @@ def test_tpch_plan_quality(spark):
         assert rep["shuffles"] <= max_shuf, (name, rep)
 
 
+def test_tpch_ext_plan_quality(spark):
+    """The synthesized-table TPC-H queries keep the same 100 TB shape:
+    pushed filters, broadcast dims, bounded shuffles, no Python."""
+    from pathway_spark.benchmarks import tpch_ext
+
+    expectations = {
+        #             min_bcast  max_shuffles
+        "tpch_q2":   (6, 4),
+        "tpch_q4":   (1, 3),
+        "tpch_q5":   (4, 2),
+        "tpch_q9":   (4, 2),
+        "tpch_q11":  (4, 3),
+        "tpch_q12":  (1, 2),
+        "tpch_q13":  (1, 3),
+        "tpch_q16":  (2, 4),
+        "tpch_q19":  (1, 2),
+        "tpch_q20":  (3, 4),
+        "tpch_q21":  (3, 5),
+    }
+    for name, (min_bcast, max_shuf) in expectations.items():
+        rep = plan_report(tpch_ext.QUERIES[name](spark, SF_DIR).to_df())
+        assert rep["python_evals"] == 0, (name, rep)
+        assert rep["pushed_filters"], (name, rep)
+        assert rep["broadcast_joins"] >= min_bcast, (name, rep)
+        assert rep["shuffles"] <= max_shuf, (name, rep)
+
+
 def test_differential_steady_delta_broadcasts(spark, monkeypatch):
     """Steady-state differential joins must BROADCAST the delta side:
     checkpointed state frames have no stats, so without the explicit

@@ -326,6 +326,20 @@ class DiffTable:
             lambda t: _batch_interp(t, timestamp, *values, mode=mode,
                                     instance=instance))
 
+    def ignore_late(self, time_ref: ColumnReference, threshold) -> "DiffTable":
+        """Cutoff behavior (reference `table.py:852`): drop rows older
+        than max(time) − threshold as the watermark advances."""
+        return DiffTable(self.node.ignore_late(time_ref._name, threshold),
+                         self._template)
+
+    def forget(self, time_ref: ColumnReference, threshold) -> "DiffTable":
+        """State-eviction behavior (reference `table.py:671`): rows
+        falling behind the watermark horizon are RETRACTED, so every
+        downstream join/groupby evicts them — bounded state over
+        infinite streams."""
+        return DiffTable(self.node.forget(time_ref._name, threshold),
+                         self._template)
+
     # -- incremental graph algorithms ------------------------------------
     def _edge_node(self, u, v) -> DiffNode:
         un = u._name if u is not None else "u"

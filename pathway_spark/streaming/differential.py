@@ -295,6 +295,23 @@ class DiffNode:
         return _SemiAntiNode(self.graph, self, other, list(lkeys), rkeys,
                              anti=True)
 
+    def ignore_late(self, time_col: str, threshold) -> "DiffNode":
+        """Drop rows older than max(time) − threshold (the reference's
+        cutoff behavior, `table.py:852`): the watermark advances with
+        the data; late rows never enter downstream state."""
+        return _ForgetNode(self.graph, self, time_col, threshold,
+                           retract=False)
+
+    def forget(self, time_col: str, threshold) -> "DiffNode":
+        """Watermark-horizon state eviction (reference `table.py:671`
+        `forget`): rows older than max(time) − threshold are RETRACTED
+        (-1 deltas), so every downstream join/reduce evicts their
+        state automatically — composed before a join, this bounds the
+        join's state by the retention horizon, the requirement for
+        infinite streams.  Late rows are dropped (cutoff)."""
+        return _ForgetNode(self.graph, self, time_col, threshold,
+                           retract=True)
+
     def reduce(self, keys: Sequence[str],
                aggs: dict[str, tuple] | None = None, **kw: tuple) -> "DiffNode":
         """aggs: name -> ("sum"|"count"|"min"|"max"|"avg"|"count_distinct"|
@@ -636,6 +653,72 @@ class _KeyedRecomputeUnaryNode(DiffNode):
                          lambda: self._op(_expand(old_in)))
         self._state.update(delta, wide=self.graph._wide_batch)
         return _emit_traced(self, old, new, t)
+
+
+class _ForgetNode(DiffNode):
+    _CKPT_OUT = True
+
+    """Watermark-horizon eviction.  State: the current watermark (one
+    row) and — in retract mode — the still-alive rows.  Per batch the
+    watermark advances to max(seen time); rows older than
+    watermark − threshold emit -1 deltas and leave the state, so the
+    node's own state AND all downstream state stay bounded by the
+    retention horizon.  All comparisons are one broadcast of the
+    1-row cut frame — no shuffles beyond the delta itself."""
+
+    def __init__(self, graph, parent: DiffNode, time_col: str, threshold,
+                 retract: bool):
+        super().__init__(graph, [parent])
+        self._tcol = time_col
+        self._thr = threshold
+        self._retract = retract
+        self._wm: _StateStore | None = None
+        self._rows: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        d = self.inputs[0].delta(t)
+        if self._wm is None:
+            mx_tpl = (d.filter(F.lit(False))
+                      .select(F.col(self._tcol).alias("__mx"))
+                      .withColumn(DIFF, F.lit(1).cast("long")))
+            self._wm = self.graph._make_store(mx_tpl)
+            if self._retract:
+                self._rows = self.graph._make_store(d)
+        old_mx = consolidate(self._wm.get()).select("__mx")
+        d_mx = d.select(F.col(self._tcol).alias("__mx"))
+        new_mx = (old_mx.unionByName(d_mx)
+                  .agg(F.max("__mx").alias("__mx")))
+        new_mx = new_mx.localCheckpoint(eager=False)   # shared: cut + wm store
+        if isinstance(self._thr, (int, float)):
+            cut_expr = F.col("__mx") - F.lit(self._thr)
+        else:   # timedelta over timestamp columns
+            cut_expr = F.col("__mx") - F.expr(
+                f"INTERVAL {int(self._thr.total_seconds() * 1e6)} MICROSECOND")
+        cut = F.broadcast(new_mx.select(cut_expr.alias("__cut")))
+        d_pass = (d.crossJoin(cut)
+                  .filter(F.coalesce(F.col(self._tcol) >= F.col("__cut"),
+                                     F.lit(True)))
+                  .drop("__cut"))
+        wide = self.graph._wide_batch
+        # watermark store: replace the single max row
+        self._wm.update(
+            old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
+                  .unionByName(new_mx.withColumn(DIFF,
+                                                 F.lit(1).cast("long"))),
+            wide=False)
+        if not self._retract:
+            return d_pass.withColumn(TIME, F.lit(t))
+        alive = consolidate(self._rows.get())
+        expired = (alive.crossJoin(cut)
+                   .filter(F.col(self._tcol) < F.col("__cut"))
+                   .drop("__cut")
+                   .withColumn(DIFF, -F.col(DIFF)))
+        out = (d_pass.drop(TIME)
+               .unionByName(expired.select(*_data_cols(d_pass), DIFF))
+               .withColumn(TIME, F.lit(t)))
+        out = out.localCheckpoint(eager=False)
+        self._rows.update(out, wide=wide)
+        return out
 
 
 class _JoinNode(DiffNode):

@@ -1031,3 +1031,60 @@ def test_reduce_accumulator_durable_restore(spark, tmp_path):
     def norm(rows):
         return sorted((r["k"], r["s"], r["n"], r[DIFF]) for r in rows)
     assert norm(d3.collect()) == norm(full[2])
+
+
+def test_forget_retracts_expired_rows_downstream(spark):
+    """forget() emits -1 deltas past the watermark horizon, so a
+    downstream reduce's snapshot only covers the retention window —
+    the reference's forget behavior (`table.py:671`), and the bounded-
+    state contract for infinite streams."""
+    tpl = spark.createDataFrame([], "k string, ts long, v long")
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    windowed = src.forget("ts", 10).reduce(
+        ["k"], s=("sum", "v"), n=("count",))
+
+    batches = [
+        [("a", 1, 100), ("b", 2, 10)],
+        [("a", 8, 7)],
+        # ts=15 advances the watermark to 15: cut = 5 → rows at ts 1,2 expire
+        [("b", 15, 3)],
+    ]
+    cl = None
+    for b in batches:
+        (d,) = g.step(windowed, t=spark.createDataFrame(
+            b, tpl.schema))
+        cl = (d if cl is None else cl.unionByName(d)) \
+            .localCheckpoint(eager=True)
+    snap = sorted((r["k"], r["s"], r["n"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    # only ts >= 5 rows remain: a@8(7), b@15(3)
+    assert snap == [("a", 7, 1), ("b", 3, 1)], snap
+
+
+def test_forget_drops_late_rows(spark):
+    """Rows arriving behind the cut never enter downstream state
+    (cutoff semantics)."""
+    tpl = spark.createDataFrame([], "k string, ts long, v long")
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    out = src.forget("ts", 5).reduce(["k"], n=("count",))
+    g.step(out, t=spark.createDataFrame([("a", 100, 1)], tpl.schema))
+    (d,) = g.step(out, t=spark.createDataFrame(
+        [("late", 3, 1), ("ok", 99, 1)], tpl.schema))
+    rows = sorted((r["k"], r["n"], r[DIFF]) for r in d.collect())
+    assert ("late", 1, 1) not in rows
+    assert ("ok", 1, 1) in rows
+
+
+def test_ignore_late_stateless_cutoff(spark):
+    tpl = spark.createDataFrame([], "k string, ts long")
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    out = src.ignore_late("ts", 10)
+    (d0,) = g.step(out, t=spark.createDataFrame([("x", 100)], tpl.schema))
+    d0.collect()
+    (d1,) = g.step(out, t=spark.createDataFrame(
+        [("old", 50), ("new", 95)], tpl.schema))
+    ks = {r["k"] for r in d1.collect()}
+    assert ks == {"new"}, ks

@@ -340,6 +340,12 @@ class DiffTable:
         return DiffTable(self.node.forget(time_ref._name, threshold),
                          self._template)
 
+    def buffer(self, time_ref: ColumnReference, threshold) -> "DiffTable":
+        """Exactly-once release behavior (reference `_buffer`): rows are
+        held until the watermark passes their event time."""
+        return DiffTable(self.node.buffer(time_ref._name, threshold),
+                         self._template)
+
     # -- incremental graph algorithms ------------------------------------
     def _edge_node(self, u, v) -> DiffNode:
         un = u._name if u is not None else "u"

@@ -312,6 +312,16 @@ class DiffNode:
         return _ForgetNode(self.graph, self, time_col, threshold,
                            retract=True)
 
+    def buffer(self, time_col: str, threshold) -> "DiffNode":
+        """Delay emission until the watermark passes (the reference's
+        `table.py` `_buffer` / `exactly_once_behavior`): a row is held
+        in the node's pending state and released (+1) only once
+        max(seen time) − threshold reaches its time — so downstream
+        sees each row exactly once, after its event-time is final.
+        Retractions of still-pending rows cancel silently inside the
+        buffer (the row never escapes)."""
+        return _BufferNode(self.graph, self, time_col, threshold)
+
     def reduce(self, keys: Sequence[str],
                aggs: dict[str, tuple] | None = None, **kw: tuple) -> "DiffNode":
         """aggs: name -> ("sum"|"count"|"min"|"max"|"avg"|"count_distinct"|
@@ -719,6 +729,61 @@ class _ForgetNode(DiffNode):
         out = out.localCheckpoint(eager=False)
         self._rows.update(out, wide=wide)
         return out
+
+
+class _BufferNode(DiffNode):
+    _CKPT_OUT = True
+
+    """Watermark-gated release buffer.  State: the watermark (one
+    row) + pending rows.  Per batch the incoming delta joins the
+    pending set; everything at or behind the cut releases downstream,
+    the rest waits.  A retraction arriving while its row is still
+    pending cancels in the pending consolidate and nothing is ever
+    emitted — exactly-once emission per final row."""
+
+    def __init__(self, graph, parent: DiffNode, time_col: str, threshold):
+        super().__init__(graph, [parent])
+        self._tcol = time_col
+        self._thr = threshold
+        self._wm: _StateStore | None = None
+        self._pending: _StateStore | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        d = self.inputs[0].delta(t)
+        if self._wm is None:
+            mx_tpl = (d.filter(F.lit(False))
+                      .select(F.col(self._tcol).alias("__mx"))
+                      .withColumn(DIFF, F.lit(1).cast("long")))
+            self._wm = self.graph._make_store(mx_tpl)
+            self._pending = self.graph._make_store(d)
+        old_mx = consolidate(self._wm.get()).select("__mx")
+        new_mx = (old_mx.unionByName(
+            d.select(F.col(self._tcol).alias("__mx")))
+            .agg(F.max("__mx").alias("__mx")))
+        new_mx = new_mx.localCheckpoint(eager=False)
+        if isinstance(self._thr, (int, float)):
+            cut_expr = F.col("__mx") - F.lit(self._thr)
+        else:
+            cut_expr = F.col("__mx") - F.expr(
+                f"INTERVAL {int(self._thr.total_seconds() * 1e6)} MICROSECOND")
+        cut = F.broadcast(new_mx.select(cut_expr.alias("__cut")))
+        pool = consolidate(self._pending.get().unionByName(
+            d.select(*_data_cols(self._pending.get()), DIFF)))
+        pool = pool.crossJoin(cut).localCheckpoint(eager=False)
+        released = (pool.filter(F.coalesce(
+            F.col(self._tcol) <= F.col("__cut"), F.lit(False)))
+            .drop("__cut"))
+        self._wm.update(
+            old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
+                  .unionByName(new_mx.withColumn(DIFF,
+                                                 F.lit(1).cast("long"))),
+            wide=False)
+        # pending state: append this batch's delta, remove released rows
+        upd = (d.drop(TIME)
+               .unionByName(released.withColumn(DIFF, -F.col(DIFF))
+                            .select(*_data_cols(d.drop(TIME)), DIFF)))
+        self._pending.update(upd, wide=self.graph._wide_batch)
+        return released.withColumn(TIME, F.lit(t))
 
 
 class _JoinNode(DiffNode):

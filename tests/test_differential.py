@@ -1088,3 +1088,31 @@ def test_ignore_late_stateless_cutoff(spark):
         [("old", 50), ("new", 95)], tpl.schema))
     ks = {r["k"] for r in d1.collect()}
     assert ks == {"new"}, ks
+
+
+def test_buffer_releases_on_watermark(spark):
+    """buffer(): rows escape only once max(time) − threshold passes
+    their time; a retraction of a still-pending row never emits."""
+    tpl = spark.createDataFrame([], "k string, ts long")
+    g = DifferentialGraph(spark)
+    src = g.source("t", tpl)
+    out = src.buffer("ts", 5)
+
+    (d0,) = g.step(out, t=spark.createDataFrame(
+        [("a", 10), ("b", 12)], tpl.schema))
+    assert d0.count() == 0            # cut = 12−5 = 7: both still pending
+
+    # retract b while pending: must cancel silently
+    (d1,) = g.step(out, t=spark.createDataFrame([("b", 12)], tpl.schema)
+                   .withColumn(DIFF, F.lit(-1)))
+    assert d1.count() == 0
+
+    # watermark jumps to 20 → cut 15: a@10 releases; b was cancelled
+    (d2,) = g.step(out, t=spark.createDataFrame([("c", 20)], tpl.schema))
+    rows = sorted((r["k"], r["ts"], r[DIFF]) for r in d2.collect())
+    assert rows == [("a", 10, 1)], rows
+
+    # watermark to 26 → cut 21: c@20 releases exactly once
+    (d3,) = g.step(out, t=spark.createDataFrame([("d", 26)], tpl.schema))
+    rows = sorted((r["k"], r["ts"], r[DIFF]) for r in d3.collect())
+    assert rows == [("c", 20, 1)], rows

@@ -403,7 +403,8 @@ class DiffTable:
         tpl = self._template.withColumnsRenamed(ren)
         return DiffTable(self.node.select(*cols), tpl.limit(0))
 
-    def windowby(self, time_ref, *, window, instance=None) -> "DiffGrouped":
+    def windowby(self, time_ref, *, window, instance=None,
+                 behavior=None) -> "DiffGrouped":
         """Tumbling/sliding windows over a retraction stream: window
         assignment (`_assign_hopping`) is a pure projection — LINEAR —
         so it composes with delta propagation unchanged; the windowed
@@ -411,8 +412,29 @@ class DiffTable:
         differential reduce.  Session windows merge neighboring rows
         (non-linear), so they run the keyed-recompute rule per
         `instance` — a retraction that SPLITS a session retracts the
-        old merged window and emits the two new ones."""
+        old merged window and emits the two new ones.
+
+        `behavior` (reference `temporal_behavior.py`) composes the
+        differential behavior nodes onto the TIME column:
+        `delay` → buffer (rows wait for the watermark);
+        `cutoff` → ignore_late when `keep_results` (late rows dropped,
+        emitted windows stand) or forget when not (results retract as
+        their rows fall behind the horizon)."""
         from ..operators.temporal import WEND, WSTART, _assign_hopping
+
+        src: DiffTable = self
+        if behavior is not None:
+            delay = getattr(behavior, "delay", None)
+            if delay is None:
+                delay = getattr(behavior, "shift", None)
+            cutoff = getattr(behavior, "cutoff", None)
+            keep = getattr(behavior, "keep_results", True)
+            if delay is not None:
+                src = src.buffer(time_ref, delay)
+            if cutoff is not None:
+                src = (src.ignore_late(time_ref, cutoff) if keep
+                       else src.forget(time_ref, cutoff))
+        self = src
 
         if window.kind == "session":
             if instance is None:

@@ -1116,3 +1116,38 @@ def test_buffer_releases_on_watermark(spark):
     (d3,) = g.step(out, t=spark.createDataFrame([("d", 26)], tpl.schema))
     rows = sorted((r["k"], r["ts"], r[DIFF]) for r in d3.collect())
     assert rows == [("c", 20, 1)], rows
+
+
+def test_diff_windowby_behavior_forget_retracts_closed_windows(spark):
+    """windowby(behavior=common_behavior(cutoff=..., keep_results=False))
+    retracts a window's result once its rows fall behind the horizon;
+    keep_results=True leaves emitted windows standing."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming import common_behavior
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "t long, v long")
+
+    def run(keep):
+        g = DifferentialTableGraph(spark)
+        tbl = g.input("s", tpl)
+        win = (tbl.windowby(this.t, window=pw.temporal.tumbling(10),
+                            behavior=common_behavior(cutoff=15,
+                                                     keep_results=keep))
+               .reduce(this._pw_window_start, n=r.count()))
+        cl = None
+        for rows in ([(1, 1), (2, 1)], [(12, 1)], [(40, 1)]):
+            (d,) = g.step(win.node, s=spark.createDataFrame(
+                rows, tpl.schema))
+            cl = (d if cl is None else cl.unionByName(d)) \
+                .localCheckpoint(eager=True)
+        from pathway_spark.streaming.differential import DifferentialGraph
+        return sorted((row["_pw_window_start"], row["n"]) for row in
+                      DifferentialGraph.integrate(cl).collect())
+
+    # keep_results=False: after t=40 (cut 25), windows [0,10) and
+    # [10,20) retracted — only [40,50) remains
+    assert run(False) == [(40, 1)]
+    # keep_results=True: every emitted window stands
+    assert run(True) == [(0, 2), (10, 1), (40, 1)]

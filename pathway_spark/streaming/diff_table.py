@@ -259,6 +259,32 @@ class DiffTable:
         tpl = op_fn(self._template, other._template).limit(0)
         return DiffTable(node, tpl)
 
+    def asof_now_join(self, other: "DiffTable", *on,
+                      how: str = "inner") -> "DiffTable":
+        """Differential asof_now (reference `_asof_now_join.py:176`):
+        each LEFT delta row joins the right side's CURRENT state and
+        the match is FROZEN — later right-side changes never retract
+        it (unlike asof_join/join).  Left retractions remove the
+        frozen rows via the output trace."""
+        from .differential import _AsofNowNode
+
+        if how != "inner":
+            raise NotImplementedError(
+                "differential asof_now_join supports how='inner'")
+        lk, rk = [], []
+        for c in on:
+            if not isinstance(c, BinaryOp) or c._op != "==":
+                raise TypeError("asof_now_join takes pw.left.x == pw.right.y")
+            lk.append(c._lhs._name)
+            rk.append(c._rhs._name)
+        node = _AsofNowNode(self.node.graph, self.node, other.node, lk, rk)
+        rtpl = other._template
+        rcols = [c for c in _data_cols(rtpl) if c not in _data_cols(
+            self._template)]
+        tpl = (self._template.crossJoin(rtpl.select(*rcols))
+               if rcols else self._template).limit(0)
+        return DiffTable(node, tpl)
+
     def join_left(self, other: "DiffTable", *on) -> "DiffTable":
         return self.join(other, *on, how="left")
 
@@ -443,10 +469,12 @@ class DiffTable:
                     "recompute scope); without one every batch would "
                     "recompute all sessions")
             return _SessionDiffGrouped(self, time_ref, window, instance)
+        if window.kind == "intervals_over":
+            return _IntervalsOverDiffGrouped(self, time_ref, window)
         if window.kind not in ("tumbling", "sliding"):
             raise NotImplementedError(
                 f"differential windowby supports tumbling/sliding/"
-                f"session, got {window.kind!r}")
+                f"session/intervals_over, got {window.kind!r}")
         tcol = to_col(time_ref, self._ctx())
         node = _LinearWindowNode(self.node, tcol, window)
         tpl = _assign_hopping(self._template, tcol, window).limit(0)
@@ -622,6 +650,47 @@ class _SessionDiffGrouped:
             parent.node.graph, parent.node, [instance._name], op_fn)
         tpl = op_fn(parent._template).limit(0)
         return DiffTable(node, tpl)
+
+
+class _IntervalsOverDiffGrouped:
+    """windowby(intervals_over(at=DiffTable)).reduce over retraction
+    streams: the window IS a θ-join of the data against the at-points
+    (t ∈ [p+lower, p+upper]) followed by a per-point reduce — both
+    already differential, so data AND at-point deltas retract exactly.
+    The point column is exposed as `_pw_window_start`, like the batch
+    operator."""
+
+    def __init__(self, parent: DiffTable, time_ref, window):
+        from ..operators.temporal import WSTART
+
+        at = window.at
+        if not isinstance(at, DiffTable):
+            raise TypeError(
+                "differential intervals_over needs at=DiffTable (a live "
+                "point stream); wrap static points in a graph input")
+        at_cols = _data_cols(at._template)
+        if len(at_cols) != 1:
+            raise TypeError("intervals_over: at= must have ONE time column")
+        lo, up = window.lower, window.upper
+        if not isinstance(lo, (int, float)) or not isinstance(up, (int, float)):
+            raise NotImplementedError(
+                "differential intervals_over takes integer bounds "
+                "(same units as the time column)")
+        tname = time_ref._name
+        at_node = at.node.select(F.col(at_cols[0]).alias(WSTART))
+
+        def cond(a, b):
+            t, p = a[tname], b[WSTART]
+            return (t >= p + F.lit(lo)) & (t <= p + F.lit(up))
+
+        lcols = _data_cols(parent._template)
+        node = parent.node.join_theta(at_node, cond, lcols, [WSTART])
+        tpl = parent._template.crossJoin(
+            at._template.select(F.col(at_cols[0]).alias(WSTART))).limit(0)
+        self._grouped = DiffGrouped(DiffTable(node, tpl), [WSTART])
+
+    def reduce(self, *args, **kwargs) -> DiffTable:
+        return self._grouped.reduce(*args, **kwargs)
 
 
 class DifferentialTableGraph(DifferentialGraph):

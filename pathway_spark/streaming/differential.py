@@ -786,6 +786,69 @@ class _BufferNode(DiffNode):
         return released.withColumn(TIME, F.lit(t))
 
 
+class _AsofNowNode(DiffNode):
+    _CKPT_OUT = True
+
+    """Freeze-at-arrival join (reference `_asof_now_join.py`): a left
+    delta row joins the right side's CURRENT state and the result is
+    immutable — later right-side deltas only update the right state,
+    they never retract already-emitted matches (the defining contrast
+    with the bilinear `_JoinNode`).  Left retractions remove their
+    frozen outputs via the node's output trace."""
+
+    def __init__(self, graph, left: DiffNode, right: DiffNode,
+                 lkeys: list[str], rkeys: list[str]):
+        super().__init__(graph, [left, right])
+        self._lk, self._rk = lkeys, rkeys
+        self._sb: _StateStore | None = None
+        self._trace: _StateStore | None = None
+        self._lcols: list[str] | None = None
+        self._rcols: list[str] | None = None
+
+    def _advance(self, t: int) -> DataFrame:
+        da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        if self._sb is None:
+            self._sb = self.graph._make_store(db)
+            self._lcols = _data_cols(da)
+            self._rcols = [c for c in _data_cols(db)
+                           if c not in self._lcols]
+        r_now = self._sb.get().unionByName(
+            db.select(*_data_cols(self._sb.get()), DIFF))
+        pos = da.filter(F.col(DIFF) > 0)
+        neg = da.filter(F.col(DIFF) < 0)
+        wa, wb = f"{DIFF}__a", f"{DIFF}__b"
+        a = self._small(pos.withColumnRenamed(DIFF, wa).drop(TIME)) \
+            .alias("l")
+        b = r_now.withColumnRenamed(DIFF, wb).alias("r")
+        cond = None
+        for lk, rk in zip(self._lk, self._rk):
+            c = F.col(f"l.`{lk}`") == F.col(f"r.`{rk}`")
+            cond = c if cond is None else (cond & c)
+        frozen = (a.join(b, on=cond, how="inner")
+                  .select(*[F.col(f"l.`{c}`") for c in self._lcols],
+                          *[F.col(f"r.`{c}`") for c in self._rcols],
+                          (F.col(wa) * F.col(wb)).alias(DIFF)))
+        if self._trace is None:
+            self._trace = self.graph._make_store(
+                frozen.filter(F.lit(False)))
+        # left retraction: drop that left row's frozen outputs, exact
+        # bytes from the trace
+        gone = consolidate(
+            self._trace.get().join(
+                self._small(neg.select(*self._lcols).distinct()),
+                on=self._lcols, how="left_semi")) \
+            .withColumn(DIFF, -F.col(DIFF))
+        # consolidate: the unconsolidated right-state chunks surface as
+        # +x/-x row pairs inside `frozen`; net them before freezing
+        out = consolidate(frozen.unionByName(gone.select(*frozen.columns))) \
+            .withColumn(TIME, F.lit(t))
+        out = out.localCheckpoint(eager=False)
+        wide = self.graph._wide_batch
+        self._trace.update(out, wide=wide)
+        self._sb.update(db, wide=wide)
+        return out
+
+
 class _JoinNode(DiffNode):
     _CKPT_OUT = True
 

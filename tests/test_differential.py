@@ -1151,3 +1151,79 @@ def test_diff_windowby_behavior_forget_retracts_closed_windows(spark):
     assert run(False) == [(40, 1)]
     # keep_results=True: every emitted window stands
     assert run(True) == [(0, 2), (10, 1), (40, 1)]
+
+
+def test_diff_asof_now_freezes_matches(spark):
+    """asof_now: left rows join the right state AT ARRIVAL; later right
+    updates never retract the frozen match, and a left retraction
+    removes exactly its frozen rows."""
+    import pathway_spark as pw
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    ltpl = spark.createDataFrame([], "k string, lv long")
+    rtpl = spark.createDataFrame([], "k string, rv long")
+    g = DifferentialTableGraph(spark)
+    lt, rt = g.input("l", ltpl), g.input("r", rtpl)
+    out = lt.asof_now_join(rt, pw.left.k == pw.right.k)
+
+    # t0: right has (a,1); left (a,10) freezes rv=1
+    (d0,) = g.step(out.node,
+                   l=spark.createDataFrame([("a", 10)], ltpl.schema),
+                   r=spark.createDataFrame([("a", 1)], rtpl.schema))
+    assert sorted((r["k"], r["lv"], r["rv"], r[DIFF])
+                  for r in d0.collect()) == [("a", 10, 1, 1)]
+
+    # t1: right replaces (a,1)->(a,2): NO retraction of the frozen row
+    rdelta = (spark.createDataFrame([("a", 1, -1), ("a", 2, 1)],
+                                    "k string, rv long, _pw_diff int"))
+    (d1,) = g.step(out.node, r=rdelta)
+    assert d1.count() == 0
+
+    # t2: a NEW left row freezes against the CURRENT right value 2
+    (d2,) = g.step(out.node,
+                   l=spark.createDataFrame([("a", 20)], ltpl.schema))
+    assert sorted((r["k"], r["lv"], r["rv"], r[DIFF])
+                  for r in d2.collect()) == [("a", 20, 2, 1)]
+
+    # t3: retract left (a,10): exactly its frozen row leaves
+    (d3,) = g.step(out.node, l=spark.createDataFrame(
+        [("a", 10, -1)], "k string, lv long, _pw_diff int"))
+    assert sorted((r["k"], r["lv"], r["rv"], r[DIFF])
+                  for r in d3.collect()) == [("a", 10, 1, -1)]
+
+
+def test_diff_intervals_over_retraction(spark):
+    """intervals_over over retraction streams: data and at-point deltas
+    both retract; the snapshot equals the batch window contents."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    dtpl = spark.createDataFrame([], "t long, v long")
+    atpl = spark.createDataFrame([], "p long")
+    g = DifferentialTableGraph(spark)
+    data, pts = g.input("d", dtpl), g.input("a", atpl)
+    win = data.windowby(
+        this.t, window=pw.temporal.intervals_over(
+            at=pts, lower_bound=-5, upper_bound=5)
+    ).reduce(n=r.count(), s=r.sum(this.v))
+
+    (d0,) = g.step(win.node,
+                   d=spark.createDataFrame([(1, 10), (4, 20), (9, 30)],
+                                           dtpl.schema),
+                   a=spark.createDataFrame([(3,)], atpl.schema))
+    cl = d0.localCheckpoint(eager=True)
+    # point 3 covers t in [-2, 8]: rows t=1,4 -> n=2 s=30
+    snap = sorted((row["_pw_window_start"], row["n"], row["s"]) for row in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [(3, 2, 30)]
+
+    # retract the t=4 row AND add point 10 (covers t in [5,15] -> t=9)
+    (d1,) = g.step(win.node,
+                   d=spark.createDataFrame([(4, 20, -1)],
+                                           "t long, v long, _pw_diff int"),
+                   a=spark.createDataFrame([(10,)], atpl.schema))
+    cl = cl.unionByName(d1.localCheckpoint(eager=True))
+    snap = sorted((row["_pw_window_start"], row["n"], row["s"]) for row in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [(3, 1, 10), (10, 1, 30)]

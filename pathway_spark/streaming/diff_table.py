@@ -352,6 +352,24 @@ class DiffTable:
             lambda t: _batch_interp(t, timestamp, *values, mode=mode,
                                     instance=instance))
 
+    def deduplicate(self, *, value: ColumnReference,
+                    keep: ColumnReference,
+                    instance: ColumnReference | None = None) -> "DiffTable":
+        """Differential deduplicate (reference `table.py:1315`): one
+        surviving row per `value` (or per `instance`) — the row
+        minimizing `keep` (a value-deterministic order; the batch
+        engine-order default has no meaning across deltas, so `keep`
+        is required here).  Retractions re-elect the survivor."""
+        keys = [(instance or value)._name]
+        carry = [c for c in (value._name, keep._name) if c not in keys]
+        specs = {c: ("argmin", c, keep._name) for c in
+                 _data_cols(self._template) if c not in keys}
+        node = self.node.reduce(keys, {n: tuple(s) for n, s in specs.items()})
+        tpl = self._template.select(*keys, *[c for c in
+                                             _data_cols(self._template)
+                                             if c not in keys]).limit(0)
+        return DiffTable(node, tpl)
+
     def ignore_late(self, time_ref: ColumnReference, threshold) -> "DiffTable":
         """Cutoff behavior (reference `table.py:852`): drop rows older
         than max(time) − threshold as the watermark advances."""

@@ -1227,3 +1227,31 @@ def test_diff_intervals_over_retraction(spark):
     snap = sorted((row["_pw_window_start"], row["n"], row["s"]) for row in
                   DifferentialGraph.integrate(cl).collect())
     assert snap == [(3, 1, 10), (10, 1, 30)]
+
+
+def test_diff_table_deduplicate_reelects_on_retraction(spark):
+    """Differential deduplicate: keep=min column picks the survivor;
+    retracting the survivor re-elects the next-best row."""
+    import pathway_spark as pw
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "txt string, pri long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    out = t.deduplicate(value=this.txt, keep=this.pri)
+
+    (d0,) = g.step(out.node, t=spark.createDataFrame(
+        [("x", 5), ("x", 2), ("y", 9)], tpl.schema))
+    cl = d0.localCheckpoint(eager=True)
+    snap = sorted((r["txt"], r["pri"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("x", 2), ("y", 9)]
+
+    # retract the x survivor (pri=2): x re-elects pri=5
+    (d1,) = g.step(out.node, t=spark.createDataFrame(
+        [("x", 2, -1)], "txt string, pri long, _pw_diff int"))
+    cl = cl.unionByName(d1.localCheckpoint(eager=True))
+    snap = sorted((r["txt"], r["pri"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("x", 5), ("y", 9)]

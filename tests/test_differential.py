@@ -1255,3 +1255,42 @@ def test_diff_table_deduplicate_reelects_on_retraction(spark):
     snap = sorted((r["txt"], r["pri"]) for r in
                   DifferentialGraph.integrate(cl).collect())
     assert snap == [("x", 5), ("y", 9)]
+
+
+def test_forget_randomized_matches_simulator(spark):
+    """Random timed stream through forget(): the integrated snapshot
+    after every batch must equal a pure-python simulation of the
+    watermark semantics (late rows dropped at arrival, alive rows
+    retracted when the advancing watermark passes them)."""
+    import random
+
+    rng = random.Random(23)
+    tpl = spark.createDataFrame([], "k long, ts long")
+    g = DifferentialGraph(spark, checkpoint_every=2)
+    src = g.source("t", tpl)
+    out = src.forget("ts", 20)
+
+    alive: list[tuple] = []     # simulator state
+    wm = None
+    cl = None
+    next_k = 0
+    for _ in range(6):
+        rows = []
+        for _ in range(rng.randint(1, 4)):
+            base = wm if wm is not None else 0
+            ts = base + rng.randint(-30, 25)
+            rows.append((next_k, ts))
+            next_k += 1
+        (d,) = g.step(out, t=spark.createDataFrame(rows, tpl.schema))
+        cl = (d if cl is None else cl.unionByName(d)) \
+            .localCheckpoint(eager=True)
+        # simulate: watermark advances to max seen; cut = wm - 20
+        batch_max = max(ts for _, ts in rows)
+        wm = batch_max if wm is None else max(wm, batch_max)
+        cut = wm - 20
+        rows_kept = [(k, ts) for k, ts in rows if ts >= cut]
+        alive = [(k, ts) for k, ts in alive + rows_kept if ts >= cut]
+        got = sorted(tuple(r) for r in
+                     DifferentialGraph.integrate(cl)
+                     .select("k", "ts").collect())
+        assert got == sorted(alive), f"wm={wm} cut={cut}"

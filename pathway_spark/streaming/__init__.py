@@ -271,6 +271,11 @@ def subscribe_differential(stream_df, build, on_change, *,
 from . import differential  # noqa: E402,F401  (retraction-stream engine)
 from .differential import DifferentialGraph  # noqa: E402,F401
 from .diff_table import DifferentialTableGraph  # noqa: E402,F401
+from .incremental_graph import (  # noqa: E402,F401
+    incremental_bellman_ford,
+    incremental_connected_components,
+    incremental_pagerank,
+)
 
 
 def subscribe_differential_multi(streams, build, on_change, *,

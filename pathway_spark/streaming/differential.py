@@ -40,6 +40,14 @@ update is one shuffle on the operator's own key:
   `reduce` uses, expressed as Spark joins instead of arrangement
   cursors.
 - distinct: reduce with presence semantics (net weight > 0 → one row).
+- linear reduces over integral columns specialize to an ABELIAN-GROUP
+  ACCUMULATOR (per-key partial sums — no input multiset state at all);
+  float sums stay on slice-recompute so integration is bit-equal to a
+  batch recompute.
+- watermark behaviors: ignore_late (cutoff), forget (expired rows
+  RETRACT — downstream state bounded by the retention horizon), buffer
+  (exactly-once release when the watermark passes).
+- asof_now joins freeze left rows against right state at arrival.
 
 State is LSM-chunked (see `_StateStore`): per-batch delta chunks,
 in-memory compaction every `checkpoint_every` batches, and durable

@@ -1,4 +1,5 @@
 """`python -m pathway_spark ...` — reference `python/pathway/__main__.py`."""
-from pathway_spark.cli import main
+if __name__ == "__main__":
+    from pathway_spark.cli import main
 
-raise SystemExit(main())
+    raise SystemExit(main())

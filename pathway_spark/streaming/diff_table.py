@@ -359,15 +359,23 @@ class DiffTable:
         surviving row per `value` (or per `instance`) — the row
         minimizing `keep` (a value-deterministic order; the batch
         engine-order default has no meaning across deltas, so `keep`
-        is required here).  Retractions re-elect the survivor."""
+        is required here).  Retractions re-elect the survivor.
+
+        The survivor is selected as ONE argmin over the whole packed
+        row under a total order (keep, then every remaining column) —
+        per-column argmins would assemble a franken-row mixing fields
+        of tied rows."""
         keys = [(instance or value)._name]
-        carry = [c for c in (value._name, keep._name) if c not in keys]
-        specs = {c: ("argmin", c, keep._name) for c in
-                 _data_cols(self._template) if c not in keys}
-        node = self.node.reduce(keys, {n: tuple(s) for n, s in specs.items()})
-        tpl = self._template.select(*keys, *[c for c in
-                                             _data_cols(self._template)
-                                             if c not in keys]).limit(0)
+        rest = [c for c in _data_cols(self._template) if c not in keys]
+        packed = self.node.select(
+            *keys,
+            F.struct(*[F.col(c) for c in rest]).alias("__row"),
+            F.struct(F.col(keep._name),
+                     *[F.col(c) for c in rest]).alias("__ord"))
+        red = packed.reduce(keys, __row=("argmin", "__row", "__ord"))
+        node = red.select(*keys, *[F.col(f"__row.`{c}`").alias(c)
+                                   for c in rest])
+        tpl = self._template.select(*keys, *rest).limit(0)
         return DiffTable(node, tpl)
 
     def ignore_late(self, time_ref: ColumnReference, threshold) -> "DiffTable":
@@ -467,10 +475,10 @@ class DiffTable:
         from ..operators.temporal import WEND, WSTART, _assign_hopping
 
         src: DiffTable = self
-        if behavior is not None:
+        exactly_once = behavior is not None and hasattr(behavior, "shift") \
+            and not hasattr(behavior, "cutoff")
+        if behavior is not None and not exactly_once:
             delay = getattr(behavior, "delay", None)
-            if delay is None:
-                delay = getattr(behavior, "shift", None)
             cutoff = getattr(behavior, "cutoff", None)
             keep = getattr(behavior, "keep_results", True)
             if delay is not None:
@@ -496,6 +504,17 @@ class DiffTable:
         tcol = to_col(time_ref, self._ctx())
         node = _LinearWindowNode(self.node, tcol, window)
         tpl = _assign_hopping(self._template, tcol, window).limit(0)
+        if exactly_once:
+            # release a window's rows TOGETHER once the event-time
+            # watermark passes its END (+shift): buffer keyed on WEND
+            # with the watermark advancing on the raw time column, and
+            # drop rows arriving after their window already released —
+            # the reduce below then emits each window exactly once
+            from .differential import _BufferNode
+
+            shift = getattr(behavior, "shift", None) or 0
+            node = _BufferNode(self.node.graph, node, WEND, shift,
+                               wm_col=time_ref._name, drop_late=True)
         keys = [WSTART, WEND]
         if instance is not None:
             keys.append(instance._name)

@@ -366,6 +366,12 @@ class DiffNode:
     # their trace logic; linear ops are cheap narrow recomputes.
     _CKPT_OUT = False
     _requested = False   # set by step(): True when the caller consumes us
+    # pass-through nodes (select/filter/union/forget...) forward their
+    # input's rows without consolidating, so a caller requesting THEM
+    # effectively requests their inputs' deltas too — step() propagates
+    # the requested flag down through these (a requested select over an
+    # interior join must still see the join's CONSOLIDATED output)
+    _PASSTHROUGH = False
 
     # -- evaluation ------------------------------------------------------
     def delta(self, t: int) -> DataFrame:
@@ -396,6 +402,18 @@ class SourceNode(DiffNode):
         if delta is None:
             self._pending = self._template
         else:
+            # restore the wide-batch guard the static flag lost: a
+            # burst micro-batch (backlogged file source, large replay
+            # slice) must NOT be coalesced to one partition or
+            # broadcast-hinted.  Probing .rdd on a SOURCE delta is
+            # cheap — source plans are shuffle-free scans, so no AQE
+            # stage materialization is triggered (the probe this
+            # replaces sat on derived, shuffle-heavy plans).
+            try:
+                if delta.rdd.getNumPartitions() > 64:
+                    self.graph._batch_wide = True
+            except Exception:
+                pass
             d = as_delta(delta, time=t)
             d = d.select(
                 *_data_cols(self._template),
@@ -411,6 +429,7 @@ class SourceNode(DiffNode):
 
 
 class _LinearNode(DiffNode):
+    _PASSTHROUGH = True
     def __init__(self, graph, parent: DiffNode,
                  fn: Callable[[DataFrame], DataFrame]):
         super().__init__(graph, [parent])
@@ -421,6 +440,7 @@ class _LinearNode(DiffNode):
 
 
 class _UnionNode(DiffNode):
+    _PASSTHROUGH = True
     def _advance(self, t: int) -> DataFrame:
         a, b = (i.delta(t) for i in self.inputs)
         return a.unionByName(b.select(*a.columns))
@@ -673,7 +693,56 @@ class _KeyedRecomputeUnaryNode(DiffNode):
         return _emit_traced(self, old, new, t)
 
 
-class _ForgetNode(DiffNode):
+
+class _WatermarkedNode(DiffNode):
+    """Shared machinery for the behavior nodes: a one-row watermark
+    store advanced by a designated column's max, and the broadcast
+    1-row cut frame (__cut = watermark − threshold)."""
+
+    _wm: "_StateStore | None" = None
+
+    def _wm_init(self, d: DataFrame, wm_col: str) -> None:
+        mx_tpl = (d.filter(F.lit(False))
+                  .select(F.col(wm_col).alias("__mx"))
+                  .withColumn(DIFF, F.lit(1).cast("long")))
+        self._wm = self.graph._make_store(mx_tpl)
+
+    def _wm_cut(self, d: DataFrame, wm_col: str, threshold):
+        """Advance the watermark by this delta; return (old_cut, cut):
+        broadcast 1-row frames of watermark − threshold BEFORE and
+        AFTER the advance (old_cut is what late-drop compares against).
+        Exactly one retract/insert lands in the watermark store."""
+        old_mx = consolidate(self._wm.get()).select("__mx")
+        old_mx = old_mx.localCheckpoint(eager=False)
+        # old_cut must be a ONE-ROW frame even before any watermark
+        # exists (empty frame × crossJoin would wipe the delta): the
+        # aggregate yields a single NULL row, and NULL cuts compare
+        # permissively downstream
+        old_mx_row = old_mx.agg(F.max("__mx").alias("__mx"))
+        new_mx = (old_mx.unionByName(d.select(F.col(wm_col).alias("__mx")))
+                  .agg(F.max("__mx").alias("__mx")))
+        new_mx = new_mx.localCheckpoint(eager=False)
+        if isinstance(threshold, (int, float)):
+            def cexpr(col):
+                return col - F.lit(threshold)
+        else:   # datetime.timedelta over timestamp columns
+            us = int(threshold.total_seconds() * 1e6)
+
+            def cexpr(col):
+                return col - F.expr(f"INTERVAL {us} MICROSECOND")
+        old_cut = F.broadcast(old_mx_row.select(
+            cexpr(F.col("__mx")).alias("__cut")))
+        cut = F.broadcast(new_mx.select(cexpr(F.col("__mx")).alias("__cut")))
+        self._wm.update(
+            old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
+                  .unionByName(new_mx.withColumn(DIFF,
+                                                 F.lit(1).cast("long"))),
+            wide=False)
+        return old_cut, cut
+
+
+class _ForgetNode(_WatermarkedNode):
+    _PASSTHROUGH = True
     _CKPT_OUT = True
 
     """Watermark-horizon eviction.  State: the current watermark (one
@@ -681,8 +750,9 @@ class _ForgetNode(DiffNode):
     watermark advances to max(seen time); rows older than
     watermark − threshold emit -1 deltas and leave the state, so the
     node's own state AND all downstream state stay bounded by the
-    retention horizon.  All comparisons are one broadcast of the
-    1-row cut frame — no shuffles beyond the delta itself."""
+    retention horizon.  Rows with a NULL time pass through and never
+    expire.  All comparisons are one broadcast of the 1-row cut frame
+    — no shuffles beyond the delta itself."""
 
     def __init__(self, graph, parent: DiffNode, time_col: str, threshold,
                  retract: bool):
@@ -690,40 +760,19 @@ class _ForgetNode(DiffNode):
         self._tcol = time_col
         self._thr = threshold
         self._retract = retract
-        self._wm: _StateStore | None = None
         self._rows: _StateStore | None = None
 
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
         if self._wm is None:
-            mx_tpl = (d.filter(F.lit(False))
-                      .select(F.col(self._tcol).alias("__mx"))
-                      .withColumn(DIFF, F.lit(1).cast("long")))
-            self._wm = self.graph._make_store(mx_tpl)
+            self._wm_init(d, self._tcol)
             if self._retract:
                 self._rows = self.graph._make_store(d)
-        old_mx = consolidate(self._wm.get()).select("__mx")
-        d_mx = d.select(F.col(self._tcol).alias("__mx"))
-        new_mx = (old_mx.unionByName(d_mx)
-                  .agg(F.max("__mx").alias("__mx")))
-        new_mx = new_mx.localCheckpoint(eager=False)   # shared: cut + wm store
-        if isinstance(self._thr, (int, float)):
-            cut_expr = F.col("__mx") - F.lit(self._thr)
-        else:   # timedelta over timestamp columns
-            cut_expr = F.col("__mx") - F.expr(
-                f"INTERVAL {int(self._thr.total_seconds() * 1e6)} MICROSECOND")
-        cut = F.broadcast(new_mx.select(cut_expr.alias("__cut")))
+        _old_cut, cut = self._wm_cut(d, self._tcol, self._thr)
         d_pass = (d.crossJoin(cut)
                   .filter(F.coalesce(F.col(self._tcol) >= F.col("__cut"),
                                      F.lit(True)))
                   .drop("__cut"))
-        wide = self.graph._wide_batch
-        # watermark store: replace the single max row
-        self._wm.update(
-            old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
-                  .unionByName(new_mx.withColumn(DIFF,
-                                                 F.lit(1).cast("long"))),
-            wide=False)
         if not self._retract:
             return d_pass.withColumn(TIME, F.lit(t))
         alive = consolidate(self._rows.get())
@@ -735,11 +784,11 @@ class _ForgetNode(DiffNode):
                .unionByName(expired.select(*_data_cols(d_pass), DIFF))
                .withColumn(TIME, F.lit(t)))
         out = out.localCheckpoint(eager=False)
-        self._rows.update(out, wide=wide)
+        self._rows.update(out, wide=self.graph._wide_batch)
         return out
 
 
-class _BufferNode(DiffNode):
+class _BufferNode(_WatermarkedNode):
     _CKPT_OUT = True
 
     """Watermark-gated release buffer.  State: the watermark (one
@@ -747,45 +796,43 @@ class _BufferNode(DiffNode):
     pending set; everything at or behind the cut releases downstream,
     the rest waits.  A retraction arriving while its row is still
     pending cancels in the pending consolidate and nothing is ever
-    emitted — exactly-once emission per final row."""
+    emitted.
 
-    def __init__(self, graph, parent: DiffNode, time_col: str, threshold):
+    `wm_col` decouples the WATERMARK column from the RELEASE column:
+    exactly-once windowing advances the watermark on event time but
+    releases rows by their window END, so a whole window escapes in
+    one batch.  `drop_late` drops rows arriving at or behind the
+    PREVIOUS cut (their release point already passed — emitting them
+    would re-open an already-released group).  Rows with a NULL
+    release time release immediately (they cannot be watermarked)."""
+
+    def __init__(self, graph, parent: DiffNode, time_col: str, threshold,
+                 *, wm_col: str | None = None, drop_late: bool = False):
         super().__init__(graph, [parent])
         self._tcol = time_col
         self._thr = threshold
-        self._wm: _StateStore | None = None
+        self._wmcol = wm_col or time_col
+        self._drop_late = drop_late
         self._pending: _StateStore | None = None
 
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
         if self._wm is None:
-            mx_tpl = (d.filter(F.lit(False))
-                      .select(F.col(self._tcol).alias("__mx"))
-                      .withColumn(DIFF, F.lit(1).cast("long")))
-            self._wm = self.graph._make_store(mx_tpl)
+            self._wm_init(d, self._wmcol)
             self._pending = self.graph._make_store(d)
-        old_mx = consolidate(self._wm.get()).select("__mx")
-        new_mx = (old_mx.unionByName(
-            d.select(F.col(self._tcol).alias("__mx")))
-            .agg(F.max("__mx").alias("__mx")))
-        new_mx = new_mx.localCheckpoint(eager=False)
-        if isinstance(self._thr, (int, float)):
-            cut_expr = F.col("__mx") - F.lit(self._thr)
-        else:
-            cut_expr = F.col("__mx") - F.expr(
-                f"INTERVAL {int(self._thr.total_seconds() * 1e6)} MICROSECOND")
-        cut = F.broadcast(new_mx.select(cut_expr.alias("__cut")))
+        old_cut, cut = self._wm_cut(d, self._wmcol, self._thr)
+        if self._drop_late:
+            d = (d.crossJoin(old_cut)
+                 .filter(F.coalesce(F.col(self._tcol) > F.col("__cut"),
+                                    F.lit(True)))
+                 .drop("__cut"))
         pool = consolidate(self._pending.get().unionByName(
             d.select(*_data_cols(self._pending.get()), DIFF)))
         pool = pool.crossJoin(cut).localCheckpoint(eager=False)
-        released = (pool.filter(F.coalesce(
-            F.col(self._tcol) <= F.col("__cut"), F.lit(False)))
+        released = (pool.filter(F.when(
+            F.col(self._tcol).isNull(), F.lit(True)).otherwise(
+            F.col(self._tcol) <= F.col("__cut")))
             .drop("__cut"))
-        self._wm.update(
-            old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
-                  .unionByName(new_mx.withColumn(DIFF,
-                                                 F.lit(1).cast("long"))),
-            wide=False)
         # pending state: append this batch's delta, remove released rows
         upd = (d.drop(TIME)
                .unionByName(released.withColumn(DIFF, -F.col(DIFF))
@@ -822,8 +869,16 @@ class _AsofNowNode(DiffNode):
                            if c not in self._lcols]
         r_now = self._sb.get().unionByName(
             db.select(*_data_cols(self._sb.get()), DIFF))
-        pos = da.filter(F.col(DIFF) > 0)
-        neg = da.filter(F.col(DIFF) < 0)
+        # net the left delta first: a same-batch +r/-r pair must freeze
+        # NOTHING (the raw split would freeze r and fail to retract it
+        # because the trace lacks this batch's rows).  Retraction of a
+        # multi-inserted left row removes ALL its frozen outputs — the
+        # per-copy association is genuinely ambiguous (the copies froze
+        # different right states); the operator's contract is
+        # append-only-unique left rows, like the reference's.
+        da_net = consolidate(da.drop(TIME))
+        pos = da_net.filter(F.col(DIFF) > 0)
+        neg = da_net.filter(F.col(DIFF) < 0)
         wa, wb = f"{DIFF}__a", f"{DIFF}__b"
         a = self._small(pos.withColumnRenamed(DIFF, wa).drop(TIME)) \
             .alias("l")
@@ -1165,20 +1220,21 @@ class _ReduceNode(DiffNode):
             # affected-key rule degenerates to a full recompute (state
             # stays chunk-bounded; the consolidate is the same shuffle
             # a compaction pays)
-            old_in = state if self._linear else consolidate(state)
+            old_in = consolidate(state)
         else:
             keys = delta.select(*self.keys).distinct()
             # the chunked state may carry uncompacted +x/-x pairs, which
-            # would corrupt order statistics (min/max/distinct) — so
-            # consolidate ONLY the affected-key slice: the semi-join
-            # prunes each chunk scan to |affected| rows pre-shuffle.
-            # Linear reduces skip both consolidates (see _linear).
-            sliced = state.join(self._small(keys), on=self.keys,
-                                how="left_semi")
-            old_in = sliced if self._linear else consolidate(sliced)
-        merged = old_in.unionByName(
-            delta.select(*_data_cols(old_in), DIFF))
-        new_in = merged if self._linear else consolidate(merged)
+            # corrupt order statistics AND float sums (a +1e16/-1e16
+            # pair straddling a small value cancels catastrophically,
+            # not just by ULPs) — so consolidate ONLY the affected-key
+            # slice: the semi-join prunes each chunk scan to |affected|
+            # rows pre-shuffle.  The no-consolidate fast path lives in
+            # the integral accumulator strategy, never here.
+            old_in = consolidate(
+                state.join(self._small(keys), on=self.keys,
+                           how="left_semi"))
+        new_in = consolidate(old_in.unionByName(
+            delta.select(*_data_cols(old_in), DIFF)))
         new_out = self._aggregate(new_in, t)
         if self._out_state is None:
             self._out_state = self.graph._make_store(new_out.drop(TIME))
@@ -1257,6 +1313,7 @@ class DifferentialGraph:
         self._stores: list[_StateStore] = []
         self._restore_vers: dict[str, int] = {}
         self._t = -1
+        self._batch_wide = False   # set per batch by wide source feeds
         if state_dir is not None:
             self._load_meta()
         # first-ever step folds the (usually wide) initial load into the
@@ -1266,7 +1323,7 @@ class DifferentialGraph:
 
     @property
     def _wide_batch(self) -> bool:
-        return not self._stepped
+        return not self._stepped or self._batch_wide
 
     def _make_store(self, template: DataFrame) -> _StateStore:
         """Stores are numbered in creation order, which is deterministic
@@ -1329,6 +1386,7 @@ class DifferentialGraph:
         (watermark semantics), exactly as the reference's connectors
         assign each input row the minibatch timestamp that first
         processes it."""
+        self._batch_wide = False
         t = self._t + 1 if time is None else int(time)
         if t <= self._t:
             raise ValueError(
@@ -1346,8 +1404,14 @@ class DifferentialGraph:
         # their output consolidate (one shuffle stage per batch saved)
         for n in self._nodes:
             n._requested = False
-        for n in nodes:
+        stack = list(nodes)
+        while stack:
+            n = stack.pop()
+            if n._requested:
+                continue
             n._requested = True
+            if n._PASSTHROUGH:
+                stack.extend(n.inputs)
         out = [n.delta(t) for n in nodes]
         if not self._stepped:
             self._stepped = True

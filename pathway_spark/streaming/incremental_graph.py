@@ -201,19 +201,23 @@ def incremental_pagerank(edges: DiffNode, steps: int = 5,
 def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
     """Differential single-source shortest paths (reference
     `stdlib/graphs/bellman_ford`): (w, d, comp) deltas over a live
-    (u, v, dist) edge stream.  Distances are component-local (nodes
-    outside the start's component are unreachable and not emitted), so
-    the affected-component rule applies unchanged; relaxation to a
-    fixed point is deterministic (min over path sums), so retract/
-    insert pairs cancel exactly via the output trace."""
+    (u, v, dist) edge stream.  Nodes unreachable from the start carry
+    d = NULL (like the batch operator); the affected-component rule
+    applies unchanged because distances depend only on the node's
+    component; relaxation to a fixed point is deterministic (min over
+    path sums), so retract/insert pairs cancel exactly via the output
+    trace.  Relaxation is bounded by |V| passes (the Bellman-Ford
+    guarantee); a graph still relaxing after that has a negative
+    cycle and raises rather than spinning forever."""
     from ..operators.iterate import _dfs_equal
 
     def op(e: DataFrame) -> DataFrame:
         verts = (e.select(F.col("u").alias("w"))
                   .union(e.select(F.col("v").alias("w"))).distinct())
+        n_verts = verts.count()
         dists = verts.select(
             "w", F.when(F.col("w") == F.lit(start_vertex), 0.0).alias("d"))
-        while True:
+        for _ in range(max(1, n_verts)):
             relaxed = (dists.join(e, dists["w"] == e["u"], "inner")
                        .select(F.col("v").alias("w"),
                                (F.col("d") + F.col("dist")).alias("nd"))
@@ -224,6 +228,10 @@ def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
             if _dfs_equal(new.select("w", "d"), dists.select("w", "d")):
                 break
             dists = new
+        else:
+            raise ValueError(
+                "bellman_ford: still relaxing after |V| passes — the "
+                "edge stream contains a negative-weight cycle")
         labels = _cc_labels(e)
         return (dists.join(labels, "w")
                      .select("w", "d", F.col("label").alias("comp")))

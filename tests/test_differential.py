@@ -1294,3 +1294,34 @@ def test_forget_randomized_matches_simulator(spark):
                      DifferentialGraph.integrate(cl)
                      .select("k", "ts").collect())
         assert got == sorted(alive), f"wm={wm} cut={cut}"
+
+
+def test_diff_windowby_exactly_once_behavior(spark):
+    """exactly_once_behavior: a window's aggregate emits in ONE batch
+    (when the event-time watermark passes its end), never as an
+    update stream, and post-release stragglers are dropped."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming import exactly_once_behavior
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "t long, v long")
+    g = DifferentialTableGraph(spark)
+    tbl = g.input("s", tpl)
+    win = (tbl.windowby(this.t, window=pw.temporal.tumbling(10),
+                        behavior=exactly_once_behavior())
+           .reduce(this._pw_window_start, n=r.count()))
+
+    emitted = []
+    for rows in ([(1, 1), (2, 1)],       # window [0,10): open
+                 [(5, 1)],               # still open — nothing emits
+                 [(11, 1)],              # wm 11 → [0,10) closes, n=3
+                 [(3, 1)],               # straggler: dropped
+                 [(25, 1)]):             # wm 25 → [10,20) closes, n=1
+        (d,) = g.step(win.node, s=spark.createDataFrame(rows, tpl.schema))
+        emitted.append(sorted((row["_pw_window_start"], row["n"],
+                               row[DIFF]) for row in d.collect()))
+    assert emitted[0] == [] and emitted[1] == []
+    assert emitted[2] == [(0, 3, 1)]
+    assert emitted[3] == []              # straggler never re-opens [0,10)
+    assert emitted[4] == [(10, 1, 1)]

@@ -489,6 +489,10 @@ class DiffTable:
         self = src
 
         if window.kind == "session":
+            if exactly_once:
+                raise NotImplementedError(
+                    "exactly_once_behavior is wired for tumbling/sliding "
+                    "windows (session bounds are data-dependent)")
             if instance is None:
                 raise ValueError(
                     "differential session windows need instance= (the "
@@ -496,6 +500,10 @@ class DiffTable:
                     "recompute all sessions")
             return _SessionDiffGrouped(self, time_ref, window, instance)
         if window.kind == "intervals_over":
+            if exactly_once:
+                raise NotImplementedError(
+                    "exactly_once_behavior is wired for tumbling/sliding "
+                    "windows (intervals_over points are data-dependent)")
             return _IntervalsOverDiffGrouped(self, time_ref, window)
         if window.kind not in ("tumbling", "sliding"):
             raise NotImplementedError(

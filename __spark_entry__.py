@@ -807,6 +807,21 @@ def x39_approx_distinct(spark, sf):
     return out.to_df()
 
 
+def q70_approx_distinct_portable(spark, sf):
+    """Portable-KMV approximate distinct (round-5 graduation of the
+    x39 family): every step — 60-bit md5 hash, distinct, k-th smallest
+    by integer order, one IEEE division — is engine-exact, so DuckDB
+    reproduces the ESTIMATE bit-for-bit (native HLLs differ across
+    engines by design; x39 keeps exercising Spark's HLL++)."""
+    from pathway_spark.operators.sketches import (
+        approx_count_distinct_portable)
+
+    e = _t(spark, sf, "events")
+    return approx_count_distinct_portable(
+        e.to_df().select("event_type", "user_id"),
+        ["event_type"], "user_id", out_name="approx_users")
+
+
 def q40_iterate(spark, sf):
     """pw.iterate — fixed-point min-label propagation (connected
     components) over a co-occurrence graph of users (same hour bucket)."""
@@ -1251,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x39_approx_distinct": x39_approx_distinct,
         "x50_deduplicate_method": x50_deduplicate_method,
         "q69_deduplicate_keep": q69_deduplicate_keep,
+        "q70_approx_distinct_portable": q70_approx_distinct_portable,
     }
 
 
@@ -1611,6 +1627,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_quantity > 5
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q70_approx_distinct_portable": """
+            WITH __d AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM events
+            ), __r AS (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM __d
+            )
+            SELECT event_type,
+                   CASE WHEN COUNT(*) < 1024 THEN COUNT(*)::DOUBLE
+                        ELSE 1.1794386992128045e+21
+                             / CAST(MAX(CASE WHEN rn = 1024 THEN h END)
+                                    AS DOUBLE)
+                   END AS approx_users
+            FROM __r WHERE rn <= 1024
+            GROUP BY event_type
         """,
         "q69_deduplicate_keep": """
             SELECT doc_id, text, n_chars FROM (

@@ -1628,26 +1628,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity > 5
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q70_approx_distinct_portable": """
-            WITH __d AS (
-                SELECT DISTINCT event_type,
-                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-                FROM events
-            ), __r AS (
-                SELECT event_type, h,
-                       ROW_NUMBER() OVER (PARTITION BY event_type
-                                          ORDER BY h) AS rn
-                FROM __d
-            )
-            SELECT event_type,
-                   CASE WHEN COUNT(*) < 1024 THEN COUNT(*)::DOUBLE
-                        ELSE 1.1794386992128045e+21
-                             / CAST(MAX(CASE WHEN rn = 1024 THEN h END)
-                                    AS DOUBLE)
-                   END AS approx_users
-            FROM __r WHERE rn <= 1024
-            GROUP BY event_type
-        """,
+        # the oracle IS the shared template — one spec, zero drift
+        "q70_approx_distinct_portable": __import__(
+            "pathway_spark.operators.sketches",
+            fromlist=["PORTABLE_KMV_ORACLE"]).PORTABLE_KMV_ORACLE.format(
+            group_cols="event_type", value_col="user_id",
+            table="events", out_name="approx_users"),
         "q69_deduplicate_keep": """
             SELECT doc_id, text, n_chars FROM (
                 SELECT doc_id, text, n_chars,

@@ -41,8 +41,13 @@ def approx_count_distinct_portable(df: DataFrame, group_cols: list[str],
                                    ) -> DataFrame:
     """Per-group portable-KMV distinct estimate of `value_col`
     (exact below k distinct values)."""
+    # NULL values are ignored (count_distinct semantics) — they also
+    # sort differently across engines (Spark NULLS FIRST vs DuckDB
+    # NULLS LAST), which would shift the k-th smallest hash and break
+    # the bit-exact oracle contract
     h = hash64_cross(F.col(value_col).cast("string"))
-    d = df.select(*group_cols, h.alias("__h")).distinct()
+    d = (df.filter(F.col(value_col).isNotNull())
+         .select(*group_cols, h.alias("__h")).distinct())
     w = Window.partitionBy(*group_cols).orderBy("__h")
     ranked = (d.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= K))
@@ -59,7 +64,7 @@ WITH __d AS (
     SELECT DISTINCT {group_cols},
            ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT
              AS h
-    FROM {table}
+    FROM {table} WHERE {value_col} IS NOT NULL
 ), __r AS (
     SELECT {group_cols}, h,
            ROW_NUMBER() OVER (PARTITION BY {group_cols} ORDER BY h) AS rn

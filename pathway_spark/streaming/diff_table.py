@@ -518,9 +518,22 @@ class DiffTable:
             # with the watermark advancing on the raw time column, and
             # drop rows arriving after their window already released —
             # the reduce below then emits each window exactly once
+            import datetime as _dt
+
+            from pyspark.sql import types as _T
+
             from .differential import _BufferNode
 
-            shift = getattr(behavior, "shift", None) or 0
+            shift = getattr(behavior, "shift", None)
+            if shift is None:
+                # zero in the WEND column's own algebra: timestamps
+                # need an INTERVAL, numerics a plain 0 (`or 0` would
+                # also swallow an explicit timedelta(0))
+                wend_t = tpl.schema[WEND].dataType
+                shift = (_dt.timedelta(0)
+                         if isinstance(wend_t, (_T.TimestampType,
+                                                _T.TimestampNTZType,
+                                                _T.DateType)) else 0)
             node = _BufferNode(self.node.graph, node, WEND, shift,
                                wm_col=time_ref._name, drop_late=True)
         keys = [WSTART, WEND]
@@ -722,7 +735,10 @@ class _IntervalsOverDiffGrouped:
                 "differential intervals_over takes integer bounds "
                 "(same units as the time column)")
         tname = time_ref._name
-        at_node = at.node.select(F.col(at_cols[0]).alias(WSTART))
+        # DISTINCT the point stream like the batch operator
+        # (temporal.py intervals_over applies .distinct()): duplicate
+        # at-values must not multiply window weights
+        at_node = at.node.select(F.col(at_cols[0]).alias(WSTART)).distinct()
 
         def cond(a, b):
             t, p = a[tname], b[WSTART]

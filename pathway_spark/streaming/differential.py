@@ -405,12 +405,19 @@ class SourceNode(DiffNode):
             # restore the wide-batch guard the static flag lost: a
             # burst micro-batch (backlogged file source, large replay
             # slice) must NOT be coalesced to one partition or
-            # broadcast-hinted.  Probing .rdd on a SOURCE delta is
-            # cheap — source plans are shuffle-free scans, so no AQE
-            # stage materialization is triggered (the probe this
-            # replaces sat on derived, shuffle-heavy plans).
+            # broadcast-hinted.  Probe .rdd ONLY when the delta's plan
+            # is exchange-free (then the probe runs no jobs); plans
+            # with shuffles estimate via inputFiles() — under AQE,
+            # .rdd on a shuffling plan would execute its whole lineage
+            # once for the probe (the bug _StateStore.update documents)
             try:
-                if delta.rdd.getNumPartitions() > 64:
+                plan = delta._jdf.queryExecution() \
+                    .executedPlan().toString()
+                if "Exchange" not in plan:
+                    wide = delta.rdd.getNumPartitions() > 64
+                else:
+                    wide = len(delta.inputFiles()) > 64
+                if wide:
                     self.graph._batch_wide = True
             except Exception:
                 pass
@@ -895,11 +902,19 @@ class _AsofNowNode(DiffNode):
             self._trace = self.graph._make_store(
                 frozen.filter(F.lit(False)))
         # left retraction: drop that left row's frozen outputs, exact
-        # bytes from the trace
+        # bytes from the trace.  NULL-SAFE equality on every left
+        # column — plain left_semi `on=` uses EqualTo, under which a
+        # retraction of ('a', NULL) matches nothing and the frozen row
+        # survives forever (consolidate() itself groups NULLs equal,
+        # so the rest of the engine already treats them as matching)
+        tr = self._trace.get().alias("tr")
+        ng = self._small(neg.select(*self._lcols).distinct()).alias("ng")
+        null_safe = None
+        for c in self._lcols:
+            e = F.col(f"tr.`{c}`").eqNullSafe(F.col(f"ng.`{c}`"))
+            null_safe = e if null_safe is None else (null_safe & e)
         gone = consolidate(
-            self._trace.get().join(
-                self._small(neg.select(*self._lcols).distinct()),
-                on=self._lcols, how="left_semi")) \
+            tr.join(ng, on=null_safe, how="left_semi")) \
             .withColumn(DIFF, -F.col(DIFF))
         # consolidate: the unconsolidated right-state chunks surface as
         # +x/-x row pairs inside `frozen`; net them before freezing

@@ -1325,3 +1325,47 @@ def test_diff_windowby_exactly_once_behavior(spark):
     assert emitted[2] == [(0, 3, 1)]
     assert emitted[3] == []              # straggler never re-opens [0,10)
     assert emitted[4] == [(10, 1, 1)]
+
+
+def test_diff_intervals_over_duplicate_points(spark):
+    """Duplicate at-point values must not multiply window weights
+    (the batch operator dedups points; the differential one must too)."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    dtpl = spark.createDataFrame([], "t long, v long")
+    atpl = spark.createDataFrame([], "p long")
+    g = DifferentialTableGraph(spark)
+    data, pts = g.input("d", dtpl), g.input("a", atpl)
+    win = data.windowby(
+        this.t, window=pw.temporal.intervals_over(
+            at=pts, lower_bound=-5, upper_bound=5)
+    ).reduce(n=r.count())
+    (d0,) = g.step(win.node,
+                   d=spark.createDataFrame([(1, 10)], dtpl.schema),
+                   a=spark.createDataFrame([(3,), (3,)], atpl.schema))
+    rows = [(row["_pw_window_start"], row["n"]) for row in
+            DifferentialGraph.integrate(d0).collect()]
+    assert rows == [(3, 1)], rows
+
+
+def test_diff_asof_now_null_left_retraction(spark):
+    """Retracting a left row containing a NULL must remove its frozen
+    output (null-safe trace slicing)."""
+    import pathway_spark as pw
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    ltpl = spark.createDataFrame([], "k string, lv long")
+    rtpl = spark.createDataFrame([], "k string, rv long")
+    g = DifferentialTableGraph(spark)
+    lt, rt = g.input("l", ltpl), g.input("r", rtpl)
+    out = lt.asof_now_join(rt, pw.left.k == pw.right.k)
+    (d0,) = g.step(out.node,
+                   l=spark.createDataFrame([("a", None)], ltpl.schema),
+                   r=spark.createDataFrame([("a", 1)], rtpl.schema))
+    assert d0.count() == 1
+    (d1,) = g.step(out.node, l=spark.createDataFrame(
+        [("a", None, -1)], "k string, lv long, _pw_diff int"))
+    cl = d0.unionByName(d1)
+    assert DifferentialGraph.integrate(cl).count() == 0

@@ -48,7 +48,14 @@ def _repo_root() -> str:
 
 
 def ext_dir(sf_dir: str) -> str:
-    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    import hashlib
+
+    # key by basename AND a path hash: two corpora that share a
+    # directory name (sf0.1 under different roots) must not alternate
+    # over one cache dir
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    name = (os.path.basename(ap) or "sf") + "-" + \
+        hashlib.sha1(ap.encode()).hexdigest()[:8]
     return os.path.join(_repo_root(), ".tpch_ext", name)
 
 
@@ -112,10 +119,10 @@ def ensure_ext(sf_dir: str) -> str:
              l_shipdate + INTERVAL (
                1 + (hash(l_orderkey * 5 + l_linenumber * 11) % 30)::INT) DAY
                AS l_receiptdate,
-             ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB']
+             {_SHIPMODES!r}
                [1 + (hash(l_orderkey * 17 + l_linenumber) % 7)::INT]
                AS l_shipmode,
-             ['DELIVER IN PERSON','COLLECT COD','NONE','TAKE BACK RETURN']
+             {_INSTRUCT!r}
                [1 + (hash(l_orderkey * 23 + l_linenumber * 7) % 4)::INT]
                AS l_shipinstruct
       FROM lineitem l

@@ -13,8 +13,8 @@ map to the same environment contract the reference uses
 `PATHWAY_CONTINUE_AFTER_REPLAY`), which `pathway_spark.persistence`
 consumers can read.
 
-click is used when available (same UX as the reference); a plain
-argparse fallback keeps the CLI importable in minimal images.
+The implementation is plain argparse (no optional dependencies);
+subcommand and flag names mirror the reference CLI one-for-one.
 """
 
 from __future__ import annotations
@@ -50,13 +50,16 @@ def _resolve(threads: int, processes: int | None, addresses: str | None,
 
 
 def _run(program: str, arguments: list[str], cpus: int,
-         extra_env: dict[str, str]) -> int:
+         extra_env: dict[str, str], *, threads: int = 1,
+         processes: int = 1) -> int:
     env = os.environ.copy()
     env.update(extra_env)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    # the reference exports PATHWAY_THREADS/PROCESSES for the program;
-    # expose the resolved parallelism under both naming schemes
-    env["PATHWAY_THREADS"] = str(cpus)
+    # reference contract (cli.py:125): per-process thread count and
+    # process count, exactly as given — plus the resolved total for
+    # the Spark session
+    env["PATHWAY_THREADS"] = str(threads)
+    env["PATHWAY_PROCESSES"] = str(processes)
     cmd = [sys.executable, program, *arguments] \
         if program.endswith(".py") else [program, *arguments]
     return subprocess.call(cmd, env=env)
@@ -118,7 +121,11 @@ def main(argv: list[str] | None = None) -> int:
         extra["PATHWAY_REPLAY_MODE"] = args.mode
         if args.continue_after_replay:
             extra["PATHWAY_CONTINUE_AFTER_REPLAY"] = "true"
-    return _run(args.program, args.arguments, cpus, extra)
+    n_proc = (args.processes if args.processes is not None
+              else (len([a for a in (args.addresses or "").split(",") if a])
+                    or 1))
+    return _run(args.program, args.arguments, cpus, extra,
+                threads=args.threads, processes=n_proc)
 
 
 if __name__ == "__main__":

@@ -146,13 +146,19 @@ def pagerank_exact(edges: Table, steps: int = 5, damping_pct: int = 85) -> Table
 
 
 def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
-    """stdlib/graphs/bellman_ford/impl.py — shortest paths via iterate."""
+    """stdlib/graphs/bellman_ford/impl.py — shortest paths via iterate.
+
+    Relaxation is bounded by |V| passes (the Bellman-Ford guarantee:
+    |V|−1 improving passes + one stability check); a graph still
+    relaxing after that has a negative-weight cycle and raises instead
+    of spinning forever."""
     e = edges._df.select("u", "v", "dist")
     dists = vertices._df.select(
         F.col(vertices.column_names[0]).alias("w"),
         F.when(F.col(vertices.column_names[0]) == F.lit(start_vertex), 0.0).alias("d"),
     )
-    while True:
+    n_verts = dists.count()
+    for _ in range(max(1, n_verts)):
         relaxed = (
             dists.join(e, dists["w"] == e["u"], "inner")
             .select(F.col("v").alias("w"), (F.col("d") + F.col("dist")).alias("nd"))
@@ -166,6 +172,10 @@ def bellman_ford(vertices: Table, edges: Table, start_vertex) -> Table:
         if _dfs_equal(new.select("w", "d"), dists.select("w", "d")):
             break
         dists = new
+    else:
+        raise ValueError(
+            "bellman_ford: still relaxing after |V| passes — the edge "
+            "set contains a negative-weight cycle")
     return Table(dists.withColumn(ID, F.xxhash64("w")))
 
 

@@ -112,19 +112,19 @@ class _ComponentRecomputeNode(DiffNode):
             trace.join(self._small(comps), on=comp_cols, how="left_semi"))
 
         slice_nodes = (old_rows.select(nc).unionByName(touched).distinct())
-        # old components are edge-closed → semi-join on u covers every
-        # intra-component edge; delta edges (possibly cross-component)
-        # all have endpoints in slice_nodes via `touched`
-        e_all = consolidate(
-            e_state.unionByName(dE.select(*_data_cols(e_state), DIFF)))
-        e_u = e_all.join(self._small(slice_nodes.withColumnRenamed(nc, "u")),
-                         on="u", how="left_semi")
-        e_v = (e_all.join(self._small(slice_nodes.withColumnRenamed(nc, "u")),
-                          on="u", how="left_anti")
-               .join(self._small(slice_nodes.withColumnRenamed(nc, "v")),
-                     on="v", how="left_semi"))
-        e_slice = _expand(e_u.unionByName(e_v.select(*e_u.columns))) \
-            .localCheckpoint(eager=False)
+        # slice FIRST, consolidate the slice: consolidate commutes with
+        # the semi-join (u is a group-by column), and consolidating the
+        # whole edge state would pay a full-state shuffle per batch.
+        # Old components are edge-closed and labels are symmetric, so
+        # the u-side semi-join alone covers every intra-component edge;
+        # delta edges' endpoints are in slice_nodes via `touched`.
+        # slice_nodes is COMPONENT-sized (not delta-bounded) — no
+        # broadcast hint; this join may legitimately shuffle.
+        sn_u = slice_nodes.withColumnRenamed(nc, "u")
+        e_slice_ms = consolidate(
+            e_state.join(sn_u, on="u", how="left_semi")
+                   .unionByName(dE.select(*_data_cols(e_state), DIFF)))
+        e_slice = _expand(e_slice_ms).localCheckpoint(eager=False)
 
         new = self._op(e_slice).withColumn(DIFF, F.lit(1).cast("long"))
         old = old_rows.withColumn(DIFF, -F.col(DIFF))
@@ -136,25 +136,13 @@ class _ComponentRecomputeNode(DiffNode):
 
 
 def _cc_labels(e: DataFrame) -> DataFrame:
-    """Min-label propagation to a fixed point on a plain (u, v) edge
-    frame → (w, label).  Deterministic integers (same loop as
-    operators/iterate.py connected_components, without the Table/ID
-    wrapper)."""
-    from ..operators.iterate import _dfs_equal
+    """Min-label propagation on a plain (u, v) edge frame → (w, label):
+    the batch operator, shorn of its Table/ID wrapper (ONE loop to
+    maintain — incremental and batch labelings cannot diverge)."""
+    from ..operators.iterate import connected_components
+    from ..table import ID, Table
 
-    sym = e.select("u", "v").union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (sym.select(F.col("u").alias("w")).distinct()
-                 .withColumn("label", F.col("w")))
-    while True:
-        neigh = (sym.join(labels, sym["v"] == labels["w"], "inner")
-                    .select(F.col("u").alias("w"), F.col("label")))
-        new = (labels.select("w", "label").union(neigh)
-               .groupBy("w").agg(F.min("label").alias("label"))
-               ).localCheckpoint(eager=True)
-        if _dfs_equal(new, labels):
-            return new
-        labels = new
+    return connected_components(Table(e.select("u", "v")))._df.drop(ID)
 
 
 def incremental_connected_components(edges: DiffNode) -> DiffNode:
@@ -209,29 +197,14 @@ def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
     trace.  Relaxation is bounded by |V| passes (the Bellman-Ford
     guarantee); a graph still relaxing after that has a negative
     cycle and raises rather than spinning forever."""
-    from ..operators.iterate import _dfs_equal
+    from ..operators.iterate import bellman_ford
+    from ..table import ID, Table
 
     def op(e: DataFrame) -> DataFrame:
         verts = (e.select(F.col("u").alias("w"))
                   .union(e.select(F.col("v").alias("w"))).distinct())
-        n_verts = verts.count()
-        dists = verts.select(
-            "w", F.when(F.col("w") == F.lit(start_vertex), 0.0).alias("d"))
-        for _ in range(max(1, n_verts)):
-            relaxed = (dists.join(e, dists["w"] == e["u"], "inner")
-                       .select(F.col("v").alias("w"),
-                               (F.col("d") + F.col("dist")).alias("nd"))
-                       .groupBy("w").agg(F.min("nd").alias("nd")))
-            new = (dists.join(relaxed, "w", "left")
-                   .select("w", F.least(F.col("d"), F.col("nd")).alias("d"))
-                   ).localCheckpoint(eager=True)
-            if _dfs_equal(new.select("w", "d"), dists.select("w", "d")):
-                break
-            dists = new
-        else:
-            raise ValueError(
-                "bellman_ford: still relaxing after |V| passes — the "
-                "edge stream contains a negative-weight cycle")
+        dists = bellman_ford(Table(verts), Table(e),
+                             start_vertex)._df.drop(ID)
         labels = _cc_labels(e)
         return (dists.join(labels, "w")
                      .select("w", "d", F.col("label").alias("comp")))

@@ -146,7 +146,7 @@ def assert_stream_equality(changelog, expected, *,
     reference's `assert_stream_equality_wo_times`)."""
     from pyspark.sql import DataFrame
 
-    def norm(obj):
+    def norm(obj, data_order=None):
         if isinstance(obj, str):
             obj = table_from_markdown(obj)
         df = obj._df if isinstance(obj, Table) else obj
@@ -157,7 +157,11 @@ def assert_stream_equality(changelog, expected, *,
         if "_pw_diff" not in cols:
             df = df.withColumn("_pw_diff", F.lit(1))
             cols.append("_pw_diff")
-        data = [c for c in cols if c not in ("_pw_time", "_pw_diff")]
+        # key rows in ONE shared column order: keying each frame by its
+        # own order would both fail equal streams and pass transposed
+        # unequal ones when the declared column order differs
+        data = data_order or [c for c in cols
+                              if c not in ("_pw_time", "_pw_diff")]
         out: dict[int, dict[tuple, int]] = {}
         for r in df.select(*data, "_pw_time", "_pw_diff").collect():
             t, w = int(r["_pw_time"]), int(r["_pw_diff"])
@@ -169,9 +173,17 @@ def assert_stream_equality(changelog, expected, *,
                 if any(w != 0 for w in b.values())}, data
 
     got, got_cols = norm(changelog)
-    want, want_cols = norm(expected)
-    assert set(got_cols) == set(want_cols), \
-        f"column mismatch: {got_cols} vs {want_cols}"
+    # validate the expected frame's own column SET before forcing the
+    # shared key order (a missing column must raise, not KeyError)
+    exp = expected
+    if isinstance(exp, str):
+        exp = table_from_markdown(exp)
+    exp_df = exp._df if isinstance(exp, Table) else exp
+    exp_cols = {c for c in exp_df.columns
+                if c not in (ID, "_pw_time", "_pw_diff")}
+    assert set(got_cols) == exp_cols, \
+        f"column mismatch: {got_cols} vs {sorted(exp_cols)}"
+    want, _ = norm(exp_df, data_order=got_cols)
     if not exact_times:
         got = {i: got[t] for i, t in enumerate(sorted(got))}
         want = {i: want[t] for i, t in enumerate(sorted(want))}

@@ -180,6 +180,7 @@ def _emit_delta(delta, on_change, on_time_end, batch_time):
 def subscribe_differential(stream_df, build, on_change, *,
                            on_time_end=None, on_end=None,
                            time_column: str | None = None,
+                           time_granularity: int | None = None,
                            checkpoint_every: int = 8,
                            table_syntax: bool = False):
     """Retraction-true subscribe for DERIVED tables over a live stream.
@@ -237,30 +238,51 @@ def subscribe_differential(stream_df, build, on_change, *,
         # Spark re-executes a micro-batch after transient failures (and
         # replays the last one on restart); graph.step is NOT idempotent
         # (it advances the clock and feeds state), so drop re-delivered
-        # ids — the first delivery already applied them.
+        # ids — marked seen only AFTER the whole batch applied: marking
+        # first would permanently skip a batch whose processing failed
+        # mid-way and was redelivered.
         if batch_id <= seen["last"]:
             return
-        seen["last"] = batch_id
         if time_column is None:
             (delta,) = graph.step(out, src=bdf)
             _emit_delta(delta, on_change, on_time_end, graph._t)
+            seen["last"] = batch_id
             return
         # event-time mode: one logical step per distinct event time in
         # this micro-batch, ascending; late times fold forward to the
-        # clock (strict monotonicity of the differential clock)
+        # clock (strict monotonicity of the differential clock).
+        # NULL event times cannot be ordered — they ride with the
+        # FIRST sub-step (the minibatch that processes them, exactly
+        # how the reference stamps un-timed rows), never dropped.
         tv_col = F.col(time_column)
         dtype = dict(bdf.dtypes).get(time_column, "")
         if "timestamp" in dtype:
             tv_col = F.unix_micros(tv_col)
+        if time_granularity:
+            tv_col = (tv_col - tv_col % F.lit(int(time_granularity)))
         tagged = bdf.withColumn("__pw_evt", tv_col)
         times = sorted(r[0] for r in
                        tagged.select("__pw_evt").distinct().collect()
                        if r[0] is not None)
+        if not times:
+            if tagged.isEmpty():
+                seen["last"] = batch_id
+                return
+            (delta,) = graph.step(out, src=tagged.drop("__pw_evt"))
+            _emit_delta(delta, on_change, on_time_end, graph._t)
+            seen["last"] = batch_id
+            return
+        first = True
         for tv in times:
             eff = max(int(tv), graph._t + 1)
-            sub = tagged.filter(F.col("__pw_evt") == tv).drop("__pw_evt")
+            cond = F.col("__pw_evt") == tv
+            if first:
+                cond = cond | F.col("__pw_evt").isNull()
+                first = False
+            sub = tagged.filter(cond).drop("__pw_evt")
             (delta,) = graph.step(out, time=eff, src=sub)
             _emit_delta(delta, on_change, on_time_end, eff)
+        seen["last"] = batch_id
 
     q = df.writeStream.outputMode("append").foreachBatch(batch_fn).start()
     proxy = _SubscribedQuery(q, on_end)
@@ -330,9 +352,11 @@ def subscribe_differential_multi(streams, build, on_change, *,
                 # graph clock/state already absorbed this batch_id
                 if batch_id <= seen[name]:
                     return
-                seen[name] = batch_id
                 (delta,) = graph.step(out, **{name: bdf})
                 _emit_delta(delta, on_change, on_time_end, graph._t)
+                # mark AFTER success: a mid-batch failure must be
+                # re-appliable on redelivery
+                seen[name] = batch_id
         return batch_fn
 
     return [f.writeStream.outputMode("append")

@@ -1402,6 +1402,13 @@ class DifferentialGraph:
         assign each input row the minibatch timestamp that first
         processes it."""
         self._batch_wide = False
+        # a graph may legitimately have a SOURCE named "time" — a
+        # DataFrame arriving through the keyword is that source's
+        # delta, not a logical timestamp
+        if isinstance(time, DataFrame) and "time" in self._sources:
+            deltas = dict(deltas)
+            deltas["time"] = time
+            time = None
         t = self._t + 1 if time is None else int(time)
         if t <= self._t:
             raise ValueError(
@@ -1463,7 +1470,8 @@ class DifferentialGraph:
         # content, like the reference's __time__/__diff__ markdowns
         frames = {n: (f._df if hasattr(f, "_df") else f)
                   for n, f in frames.items()}
-        frames = {n: (f.drop("_pw_id") if "_pw_id" in f.columns else f)
+        from ..table import ID as _ID
+        frames = {n: (f.drop(_ID) if _ID in f.columns else f)
                   for n, f in frames.items()}
         frames = {n: (f if TIME in f.columns
                       else f.withColumn(TIME, F.lit(0)))

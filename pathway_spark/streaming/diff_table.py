@@ -63,6 +63,7 @@ _RED_MAP = {
     "avg": "avg", "count_distinct": "count_distinct", "any": "any",
     "unique": "unique", "argmin": "argmin", "argmax": "argmax",
     "earliest": "earliest", "latest": "latest",
+    "sorted_tuple": "sorted_tuple",
 }
 
 

@@ -1059,6 +1059,9 @@ _AGG_BUILDERS = {
         F.count_distinct(_c(c)) <= 1, F.any_value(_c(c), ignoreNulls=True)
     ).otherwise(F.raise_error(
         F.lit("unique(): more than one distinct value"))),
+    # multiplicity-sensitive but deterministic: rows replicate by
+    # weight BEFORE aggregation (_ReduceNode pre-expands the slice)
+    "sorted_tuple": lambda c: F.sort_array(F.collect_list(_c(c))),
     "argmin": lambda c, v: F.min_by(_c(c), _c(v)),
     "argmax": lambda c, v: F.max_by(_c(c), _c(v)),
     "earliest": lambda c, v: F.min_by(_c(c), _c(v)),
@@ -1208,7 +1211,14 @@ class _ReduceNode(DiffNode):
         self._out_state.update(out, wide=wide)
         return out
 
+    _EXPAND_KINDS = ("sorted_tuple",)   # need per-row multiplicity
+
     def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
+        if any(k in self._EXPAND_KINDS for k, _ in self.specs.values()):
+            # replicate rows by weight so collection reducers see the
+            # true multiset, then re-attach unit weights
+            multiset = _expand(multiset).withColumn(
+                DIFF, F.lit(1).cast("long"))
         aggs = [_AGG_BUILDERS[k](*a).alias(n)
                 for n, (k, a) in self.specs.items()]
         # __n suppresses the phantom row a GLOBAL (keyless) aggregate

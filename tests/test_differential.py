@@ -1369,3 +1369,30 @@ def test_diff_asof_now_null_left_retraction(spark):
         [("a", None, -1)], "k string, lv long, _pw_diff int"))
     cl = d0.unionByName(d1)
     assert DifferentialGraph.integrate(cl).count() == 0
+
+
+def test_diff_reduce_sorted_tuple_retractions(spark):
+    """sorted_tuple over a retraction stream: retraction removes the
+    element and re-emits the sorted collection (deterministic order,
+    weight-true multiset)."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    tpl = spark.createDataFrame([], "k string, v long")
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", tpl)
+    out = t.groupby(this.k).reduce(this.k, vals=r.sorted_tuple(this.v))
+    (d0,) = g.step(out.node, t=spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 1), ("b", 9)], tpl.schema))
+    cl = d0.localCheckpoint(eager=True)
+    snap = sorted((row["k"], tuple(row["vals"])) for row in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("a", (1, 1, 3)), ("b", (9,))]
+    # retract ONE of the duplicate 1s
+    (d1,) = g.step(out.node, t=spark.createDataFrame(
+        [("a", 1, -1)], "k string, v long, _pw_diff int"))
+    cl = cl.unionByName(d1.localCheckpoint(eager=True))
+    snap = sorted((row["k"], tuple(row["vals"])) for row in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("a", (1, 3)), ("b", (9,))]

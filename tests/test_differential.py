@@ -299,9 +299,11 @@ def test_diff_table_unsupported_reducer_raises(spark):
     tpl = spark.createDataFrame([], "user string, amount long")
     g = DifferentialTableGraph(spark)
     t = g.input("t", tpl)
+    # `tuple` stays batch-only (partition-order dependent);
+    # sorted_tuple graduated to the differential reducers in round 5
     with _pytest.raises(NotImplementedError):
         t.groupby(this.user).reduce(this.user,
-                                    xs=r.sorted_tuple(this.amount))
+                                    xs=r.tuple(this.amount))
 
 
 def test_right_and_outer_join_padding(spark):

@@ -544,3 +544,27 @@ def test_step_time_keyword_does_not_shadow_time_source(spark):
     out = src.reduce([], n=("count",))
     (d,) = g.step(out, time=spark.createDataFrame([(1,), (2,)], tpl.schema))
     assert [(r["n"], r["_pw_diff"]) for r in d.collect()] == [(2, 1)]
+
+
+def test_subscribe_differential_time_granularity(spark, tmp_path):
+    """time_granularity buckets event times: rows within one bucket
+    share a logical step instead of one step per distinct value."""
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    src = tmp_path / "gran"
+    src.mkdir()
+    (src / "f1.csv").write_text(
+        "k,v,ts\na,1,101\na,2,104\na,3,208\n")
+    t = pw.demo.replay_csv(
+        str(src), schema=pw.schema_from_types(k=str, v=int, ts=int),
+        mode="streaming", spark=spark)
+    times = []
+    q = st.subscribe_differential(
+        t, lambda s: s.reduce(["k"], total=("sum", "v")),
+        lambda row, time, is_addition: times.append(time),
+        time_column="ts", time_granularity=100)
+    q.processAllAvailable()
+    q.stop()
+    # ts 101 and 104 share bucket 100 (one step); 208 buckets to 200
+    assert sorted(set(times)) == [100, 200], times

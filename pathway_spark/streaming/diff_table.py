@@ -567,6 +567,34 @@ class DiffTable:
         return DiffTable(self.node.anti_join(other.node, cols, cols),
                          self._template)
 
+    def update_cells(self, other: "DiffTable",
+                     *keys: ColumnReference) -> "DiffTable":
+        """Patch a SUBSET of columns for matching keys (reference
+        `table.py:1834` update_cells): rows outside the patch keep
+        their cells (anti-join), matching rows join the patch stream's
+        values — both legs differential, so patch retractions restore
+        the original cells."""
+        knames = [k._name for k in keys]
+        if not knames:
+            raise ValueError("differential update_cells needs key columns")
+        ocols = [c for c in _data_cols(other._template)
+                 if c not in knames]
+        missing = set(ocols) - set(_data_cols(self._template))
+        if missing:
+            raise ValueError(
+                f"update_cells: patch columns {sorted(missing)} do not "
+                "exist on the base table")
+        cols = _data_cols(self._template)
+        kept = self.node.anti_join(other.node, knames)
+        base = self.node.select(
+            *[F.col(c) for c in cols if c not in ocols])
+        patch = other.node.select(
+            *[F.col(c) for c in (*knames, *ocols)])
+        patched = base.join(patch, on=knames).select(
+            *[F.col(c) for c in cols])
+        node = patched.union(kept)
+        return DiffTable(node, self._template)
+
     def update_rows(self, other: "DiffTable",
                     *keys: ColumnReference) -> "DiffTable":
         """Upsert `other`'s rows over self by key (reference

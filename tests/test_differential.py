@@ -1398,3 +1398,35 @@ def test_diff_reduce_sorted_tuple_retractions(spark):
     snap = sorted((row["k"], tuple(row["vals"])) for row in
                   DifferentialGraph.integrate(cl).collect())
     assert snap == [("a", (1, 3)), ("b", (9,))]
+
+
+def test_diff_table_update_cells_patch_and_retract(spark):
+    """update_cells over retraction streams: a patch replaces only its
+    columns for matching keys; retracting the patch restores the
+    original cells."""
+    import pathway_spark as pw
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    btpl = spark.createDataFrame([], "k string, a long, b long")
+    ptpl = spark.createDataFrame([], "k string, b long")
+    g = DifferentialTableGraph(spark)
+    base, patch = g.input("base", btpl), g.input("patch", ptpl)
+    out = base.update_cells(patch, this.k)
+
+    (d0,) = g.step(out.node,
+                   base=spark.createDataFrame(
+                       [("x", 1, 10), ("y", 2, 20)], btpl.schema),
+                   patch=spark.createDataFrame([("x", 99)], ptpl.schema))
+    cl = d0.localCheckpoint(eager=True)
+    snap = sorted((r["k"], r["a"], r["b"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("x", 1, 99), ("y", 2, 20)]
+
+    # retract the patch: x's original b=10 resurfaces
+    (d1,) = g.step(out.node, patch=spark.createDataFrame(
+        [("x", 99, -1)], "k string, b long, _pw_diff int"))
+    cl = cl.unionByName(d1.localCheckpoint(eager=True))
+    snap = sorted((r["k"], r["a"], r["b"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    assert snap == [("x", 1, 10), ("y", 2, 20)]

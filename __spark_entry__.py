@@ -665,30 +665,39 @@ def q28_json_numeric(spark, sf):
 
 
 def q29_dedup_exact(spark, sf):
-    """exact dedup — canonical (min doc_id) row per distinct text."""
-    from pathway_spark.operators.dedup import exact_dedup
+    """exact-dedup family (q30 folded in, round-6, to keep the 50-gate
+    driver window while graduating the round-5 gates).  Tagged union:
+
+    - part='canon': canonical (min doc_id) row per distinct text with
+      its duplicate count (the original q29).
+    - part='pairs': the (canonical_id, dup_id) exact-duplicate pair
+      table (the original q30).  The raw documents fixture has no
+      exact duplicates (round-1 gate passed vacuously on 0 rows), so
+      this leg unions in verbatim copies of the first 20 docs under
+      shifted ids — both engines see the same seeded duplicates."""
+    from pathway_spark.operators.dedup import exact_dedup, exact_dup_groups
 
     d = _t(spark, sf, "documents")
-    out = exact_dedup(d, "text", "doc_id")
-    return out.to_df().select("doc_id", "text", "_pw_dup_count")
-
-
-def q30_dup_pairs(spark, sf):
-    """exact duplicate pair table (canonical_id, dup_id).
-
-    The raw documents fixture has no exact duplicates (round-1 gate
-    passed vacuously on 0 rows), so the gate unions in verbatim copies
-    of the first 20 docs under shifted ids — both engines see the same
-    seeded duplicates and the pair table is non-empty."""
-    from pathway_spark.operators.dedup import exact_dup_groups
-
-    d = _t(spark, sf, "documents")
+    canon = exact_dedup(d, "text", "doc_id").to_df().select(
+        F.lit("canon").alias("part"),
+        F.col("doc_id"),
+        F.lit(None).cast("long").alias("dup_id"),
+        F.col("text"),
+        F.col("_pw_dup_count").cast("long").alias("num"),
+    )
     base = d._df.select("doc_id", "text")
     dups = base.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     t = Table.from_spark(base.unionByName(dups), id_columns=["doc_id"])
-    return exact_dup_groups(t, "text", "doc_id").to_df()
+    pairs = exact_dup_groups(t, "text", "doc_id").to_df().select(
+        F.lit("pairs").alias("part"),
+        F.col("canonical_id").alias("doc_id"),
+        F.col("dup_id").cast("long"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("long").alias("num"),
+    )
+    return canon.unionByName(pairs)
 
 
 def q31_ngram_jaccard(spark, sf):
@@ -807,19 +816,41 @@ def x39_approx_distinct(spark, sf):
     return out.to_df()
 
 
-def q70_approx_distinct_portable(spark, sf):
-    """Portable-KMV approximate distinct (round-5 graduation of the
-    x39 family): every step — 60-bit md5 hash, distinct, k-th smallest
-    by integer order, one IEEE division — is engine-exact, so DuckDB
-    reproduces the ESTIMATE bit-for-bit (native HLLs differ across
-    engines by design; x39 keeps exercising Spark's HLL++)."""
+def q39_graduations(spark, sf):
+    """Round-5 graduations, folded into ONE slot so the 50-gate driver
+    window holds every oracled behavior (round-5 shipped them as
+    q69/q70, which sorted past position 50 and the driver never saw
+    them).  Tagged union of two fully-oracled behaviors:
+
+    - part='dedup_keep': Table.deduplicate(value=, keep=) deterministic
+      survivor — one row per distinct text, survivor = min doc_id
+      (value-deterministic; the engine-order variant stays x50).
+    - part='kmv': portable-KMV approximate distinct per event_type —
+      every step (60-bit md5 hash, distinct, k-th smallest by integer
+      order, one IEEE division) is engine-exact, so DuckDB reproduces
+      the ESTIMATE bit-for-bit (native HLLs differ across engines by
+      design; x39 keeps exercising Spark's HLL++)."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
+    d = _t(spark, sf, "documents")
+    keep = d.deduplicate(value=this.text, keep=this.doc_id).to_df().select(
+        F.lit("dedup_keep").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("txt"),
+        F.col("n_chars").cast("double").alias("num"),
+    )
     e = _t(spark, sf, "events")
-    return approx_count_distinct_portable(
+    kmv = approx_count_distinct_portable(
         e.to_df().select("event_type", "user_id"),
-        ["event_type"], "user_id", out_name="approx_users")
+        ["event_type"], "user_id", out_name="approx_users",
+    ).select(
+        F.lit("kmv").alias("part"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("approx_users").cast("double").alias("num"),
+    )
+    return keep.unionByName(kmv)
 
 
 def q40_iterate(spark, sf):
@@ -974,16 +1005,6 @@ def x50_deduplicate_method(spark, sf):
     d = _t(spark, sf, "documents")
     out = d.deduplicate(value=this.text)
     return out.to_df().select("text")
-
-
-def q69_deduplicate_keep(spark, sf):
-    """Table.deduplicate with the keep= deterministic survivor order
-    (round-5 graduation of x50): one row per distinct text, survivor =
-    min doc_id — value-deterministic, so DuckDB reproduces it with a
-    row_number window.  The engine-order variant stays as x50."""
-    d = _t(spark, sf, "documents")
-    out = d.deduplicate(value=this.text, keep=this.doc_id)
-    return out.to_df().select("doc_id", "text", "n_chars")
 
 
 def q51_pagerank(spark, sf):
@@ -1239,7 +1260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_datetime_funcs": q27_datetime_funcs,
         "q28_json_numeric": q28_json_numeric,
         "q29_dedup_exact": q29_dedup_exact,
-        "q30_dup_pairs": q30_dup_pairs,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
         "q33_simhash": q33_simhash,
@@ -1263,10 +1283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_tpch5_shape": q66_tpch5_shape,
         "q67_semijoin_exists": q67_semijoin_exists,
         "q68_count_distribution": q68_count_distribution,
+        "q39_graduations": q39_graduations,
         "x39_approx_distinct": x39_approx_distinct,
         "x50_deduplicate_method": x50_deduplicate_method,
-        "q69_deduplicate_keep": q69_deduplicate_keep,
-        "q70_approx_distinct_portable": q70_approx_distinct_portable,
     }
 
 
@@ -1628,19 +1647,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity > 5
             GROUP BY l_returnflag, l_linestatus
         """,
-        # the oracle IS the shared template — one spec, zero drift
-        "q70_approx_distinct_portable": __import__(
-            "pathway_spark.operators.sketches",
-            fromlist=["PORTABLE_KMV_ORACLE"]).PORTABLE_KMV_ORACLE.format(
-            group_cols="event_type", value_col="user_id",
-            table="events", out_name="approx_users"),
-        "q69_deduplicate_keep": """
-            SELECT doc_id, text, n_chars FROM (
+        # the KMV leg IS the shared template — one spec, zero drift
+        "q39_graduations": """
+            SELECT 'dedup_keep' AS part, CAST(doc_id AS VARCHAR) AS key,
+                   text AS txt, CAST(n_chars AS DOUBLE) AS num
+            FROM (
                 SELECT doc_id, text, n_chars,
                        ROW_NUMBER() OVER (PARTITION BY text
                                           ORDER BY doc_id) AS rn
                 FROM documents) t
             WHERE rn = 1
+            UNION ALL
+            SELECT 'kmv' AS part, event_type AS key,
+                   CAST(NULL AS VARCHAR) AS txt, approx_users AS num
+            FROM (""" + __import__(
+            "pathway_spark.operators.sketches",
+            fromlist=["PORTABLE_KMV_ORACLE"]).PORTABLE_KMV_ORACLE.format(
+            group_cols="event_type", value_col="user_id",
+            table="events", out_name="approx_users") + """) k
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,
@@ -1930,20 +1954,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS canon,
                        COUNT(*) OVER (PARTITION BY text) AS _pw_dup_count
                 FROM documents
-            )
-            SELECT doc_id, text, _pw_dup_count FROM ranked WHERE doc_id = canon
-        """,
-        "q30_dup_pairs": """
-            WITH docs2 AS (
+            ), docs2 AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
-            ), canon AS (
+            ), pcanon AS (
                 SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n
                 FROM docs2 GROUP BY text
             )
-            SELECT c.canonical_id, d.doc_id AS dup_id
-            FROM docs2 d JOIN canon c ON d.text = c.text
+            SELECT 'canon' AS part, doc_id, CAST(NULL AS BIGINT) AS dup_id,
+                   text, CAST(_pw_dup_count AS BIGINT) AS num
+            FROM ranked WHERE doc_id = canon
+            UNION ALL
+            SELECT 'pairs', c.canonical_id, d.doc_id,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+            FROM docs2 d JOIN pcanon c ON d.text = c.text
             WHERE c.n > 1 AND d.doc_id <> c.canonical_id
         """,
         "q31_ngram_jaccard": """

@@ -177,6 +177,11 @@ def _emit_delta(delta, on_change, on_time_end, batch_time):
         on_time_end(batch_time)
 
 
+# Above this many distinct event times per micro-batch (each = one full
+# sequential graph step), warn the user toward `time_granularity=`.
+_MAX_SUBSTEPS_WARN = 64
+
+
 def subscribe_differential(stream_df, build, on_change, *,
                            on_time_end=None, on_end=None,
                            time_column: str | None = None,
@@ -232,21 +237,26 @@ def subscribe_differential(stream_df, build, on_change, *,
                                   checkpoint_every=checkpoint_every)
         out = build(graph.source("src", template))
 
-    seen = {"last": -1}
+    # Spark re-executes a micro-batch after transient failures (and
+    # replays the last one on restart); graph.step is NOT idempotent
+    # (it advances the clock and feeds state), so redelivered work must
+    # be skipped.  `last` = last fully-applied batch; `sub_batch`/`sub`
+    # = last APPLIED SUB-STEP of an in-progress event-time batch, so a
+    # redelivery after a mid-batch failure resumes from the first
+    # unapplied sub-step instead of re-running steps that already
+    # mutated the graph (which would double-count their deltas in
+    # state).  Each mark is set right after its step() returns — before
+    # the user callback — so a callback crash can lose that one
+    # emission but never corrupts state.
+    seen = {"last": -1, "sub_batch": -1, "sub": -1}
 
     def batch_fn(bdf: DataFrame, batch_id: int):
-        # Spark re-executes a micro-batch after transient failures (and
-        # replays the last one on restart); graph.step is NOT idempotent
-        # (it advances the clock and feeds state), so drop re-delivered
-        # ids — marked seen only AFTER the whole batch applied: marking
-        # first would permanently skip a batch whose processing failed
-        # mid-way and was redelivered.
         if batch_id <= seen["last"]:
             return
         if time_column is None:
             (delta,) = graph.step(out, src=bdf)
-            _emit_delta(delta, on_change, on_time_end, graph._t)
             seen["last"] = batch_id
+            _emit_delta(delta, on_change, on_time_end, graph._t)
             return
         # event-time mode: one logical step per distinct event time in
         # this micro-batch, ascending; late times fold forward to the
@@ -264,23 +274,34 @@ def subscribe_differential(stream_df, build, on_change, *,
         times = sorted(r[0] for r in
                        tagged.select("__pw_evt").distinct().collect()
                        if r[0] is not None)
+        if len(times) > _MAX_SUBSTEPS_WARN and not time_granularity:
+            import warnings
+            warnings.warn(
+                f"subscribe_differential: {len(times)} distinct event "
+                f"times in one micro-batch — each runs a full graph "
+                f"step ({len(times)} sequential Spark jobs). Pass "
+                f"time_granularity= to bucket event times (e.g. 1s of "
+                f"your time unit) and bound steps per batch.",
+                RuntimeWarning, stacklevel=2)
         if not times:
             if tagged.isEmpty():
                 seen["last"] = batch_id
                 return
             (delta,) = graph.step(out, src=tagged.drop("__pw_evt"))
-            _emit_delta(delta, on_change, on_time_end, graph._t)
             seen["last"] = batch_id
+            _emit_delta(delta, on_change, on_time_end, graph._t)
             return
-        first = True
-        for tv in times:
+        for i, tv in enumerate(times):
+            if batch_id == seen["sub_batch"] and i <= seen["sub"]:
+                continue    # applied before a mid-batch failure
             eff = max(int(tv), graph._t + 1)
             cond = F.col("__pw_evt") == tv
-            if first:
+            if i == 0:
+                # NULL event times ride with the first sub-step
                 cond = cond | F.col("__pw_evt").isNull()
-                first = False
             sub = tagged.filter(cond).drop("__pw_evt")
             (delta,) = graph.step(out, time=eff, src=sub)
+            seen["sub_batch"], seen["sub"] = batch_id, i
             _emit_delta(delta, on_change, on_time_end, eff)
         seen["last"] = batch_id
 

@@ -776,15 +776,19 @@ class _ForgetNode(_WatermarkedNode):
             if self._retract:
                 self._rows = self.graph._make_store(d)
         _old_cut, cut = self._wm_cut(d, self._tcol, self._thr)
+        # reference convention (table.py:671 forget / :852 ignore_late):
+        # rows satisfying time <= max(time) − threshold are removed, so
+        # the horizon row itself expires — pass is strict >, expire is <=
+        # (matches _BufferNode's <= release and the batch _late_filter)
         d_pass = (d.crossJoin(cut)
-                  .filter(F.coalesce(F.col(self._tcol) >= F.col("__cut"),
+                  .filter(F.coalesce(F.col(self._tcol) > F.col("__cut"),
                                      F.lit(True)))
                   .drop("__cut"))
         if not self._retract:
             return d_pass.withColumn(TIME, F.lit(t))
         alive = consolidate(self._rows.get())
         expired = (alive.crossJoin(cut)
-                   .filter(F.col(self._tcol) < F.col("__cut"))
+                   .filter(F.col(self._tcol) <= F.col("__cut"))
                    .drop("__cut")
                    .withColumn(DIFF, -F.col(DIFF)))
         out = (d_pass.drop(TIME)

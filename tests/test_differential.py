@@ -1049,7 +1049,7 @@ def test_forget_retracts_expired_rows_downstream(spark):
     batches = [
         [("a", 1, 100), ("b", 2, 10)],
         [("a", 8, 7)],
-        # ts=15 advances the watermark to 15: cut = 5 → rows at ts 1,2 expire
+        # ts=15 advances the watermark to 15: cut = 5 → rows at ts <= 5 expire
         [("b", 15, 3)],
     ]
     cl = None
@@ -1060,7 +1060,7 @@ def test_forget_retracts_expired_rows_downstream(spark):
             .localCheckpoint(eager=True)
     snap = sorted((r["k"], r["s"], r["n"]) for r in
                   DifferentialGraph.integrate(cl).collect())
-    # only ts >= 5 rows remain: a@8(7), b@15(3)
+    # only ts > 5 rows remain: a@8(7), b@15(3)
     assert snap == [("a", 7, 1), ("b", 3, 1)], snap
 
 
@@ -1290,8 +1290,9 @@ def test_forget_randomized_matches_simulator(spark):
         batch_max = max(ts for _, ts in rows)
         wm = batch_max if wm is None else max(wm, batch_max)
         cut = wm - 20
-        rows_kept = [(k, ts) for k, ts in rows if ts >= cut]
-        alive = [(k, ts) for k, ts in alive + rows_kept if ts >= cut]
+        # reference convention: rows with ts <= cut are removed
+        rows_kept = [(k, ts) for k, ts in rows if ts > cut]
+        alive = [(k, ts) for k, ts in alive + rows_kept if ts > cut]
         got = sorted(tuple(r) for r in
                      DifferentialGraph.integrate(cl)
                      .select("k", "ts").collect())

@@ -568,3 +568,93 @@ def test_subscribe_differential_time_granularity(spark, tmp_path):
     q.stop()
     # ts 101 and 104 share bucket 100 (one step); 208 buckets to 200
     assert sorted(set(times)) == [100, 200], times
+
+
+def test_subscribe_differential_substep_resume_after_midbatch_failure(
+        spark, tmp_path):
+    """A foreachBatch redelivery after a MID-batch failure must resume
+    from the first unapplied event-time sub-step: sub-steps whose
+    graph.step already ran mutated non-idempotent state (clock, state
+    chunks), so re-running them would double-count their deltas."""
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    src = tmp_path / "resume"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v,ts\na,1,50\n")
+    t = pw.demo.replay_csv(
+        str(src), schema=pw.schema_from_types(k=str, v=int, ts=int),
+        mode="streaming", spark=spark)
+    events = []
+    tripped = {"done": False}
+
+    def on_change(row, time, is_addition):
+        if time == 200 and not tripped["done"]:
+            tripped["done"] = True
+            raise RuntimeError("sink crashed mid-batch")
+        events.append((row["k"], row["total"], time, is_addition))
+
+    q = st.subscribe_differential(
+        t, lambda s: s.reduce(["k"], total=("sum", "v")),
+        on_change, time_column="ts")
+    q.processAllAvailable()
+    assert ("a", 1, 50, True) in events
+    bdf = spark.createDataFrame(
+        [("a", 2, 100), ("a", 4, 200), ("a", 8, 300)],
+        "k string, v long, ts long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        q._batch_fn(bdf, 1)          # applies sub-steps 100 and 200
+    q._batch_fn(bdf, 1)              # redelivery: resumes at 300 only
+    q.stop()
+    adds = [(k, tot, tm) for k, tot, tm, a in events if a]
+    # every sub-step applied exactly once: 1+2+4+8 = 15 (a double-apply
+    # of the 100/200 steps would end at 21; a skipped 200 step at 11)
+    assert adds[-1] == ("a", 15, 300), events
+    # sub-step 100's emission happened once, not re-emitted on redelivery
+    assert adds.count(("a", 3, 100)) == 1, events
+    # sub-step 200's emission was lost to the crash (state-safety trade)
+    assert ("a", 7, 200) not in [x[:3] for x in adds], events
+
+
+def test_subscribe_differential_substep_explosion_warns(
+        spark, tmp_path, monkeypatch):
+    """>_MAX_SUBSTEPS_WARN distinct event times in one micro-batch
+    warns toward time_granularity; WITH granularity the same batch
+    executes in O(1) logical steps and does not warn.  The threshold
+    is patched low so the un-bucketed leg doesn't actually run 65+
+    sequential graph steps in the test."""
+    import warnings as _w
+
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    monkeypatch.setattr(st, "_MAX_SUBSTEPS_WARN", 3)
+    rows = [("a", 1, 1000 + i) for i in range(6)]
+
+    def run(**kw):
+        src = tmp_path / f"explode{len(kw)}"
+        src.mkdir()
+        (src / "f1.csv").write_text(
+            "k,v,ts\n" + "\n".join(f"{k},{v},{ts}" for k, v, ts in rows))
+        t = pw.demo.replay_csv(
+            str(src), schema=pw.schema_from_types(k=str, v=int, ts=int),
+            mode="streaming", spark=spark)
+        times = []
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            q = st.subscribe_differential(
+                t, lambda s: s.reduce(["k"], total=("sum", "v")),
+                lambda row, time, is_addition: times.append(time),
+                time_column="ts", **kw)
+            q.processAllAvailable()
+            q.stop()
+        return times, [w for w in caught
+                       if issubclass(w.category, RuntimeWarning)
+                       and "distinct event" in str(w.message)]
+
+    times_g, warns_g = run(time_granularity=1000)
+    assert len(set(times_g)) == 1, "granularity should bucket to 1 step"
+    assert not warns_g
+    times_raw, warns_raw = run()
+    assert len(warns_raw) >= 1, "6 distinct times over threshold 3 warn"

@@ -573,7 +573,16 @@ class DiffTable:
         `table.py:1834` update_cells): rows outside the patch keep
         their cells (anti-join), matching rows join the patch stream's
         values — both legs differential, so patch retractions restore
-        the original cells."""
+        the original cells.
+
+        Divergences from the reference, both key-multiplicity guards:
+        the reference RAISES on duplicate patch ids; a stream cannot,
+        so the patch is reduced to one row per key first (deterministic
+        min per patched column) — without this, a net-weight-2 patch
+        key would double the joined leg while the anti-join removes the
+        base row only once, leaving net weight >1.  Patch keys absent
+        from the base are ignored (the reference raises on a universe
+        mismatch)."""
         knames = [k._name for k in keys]
         if not knames:
             raise ValueError("differential update_cells needs key columns")
@@ -589,7 +598,8 @@ class DiffTable:
         base = self.node.select(
             *[F.col(c) for c in cols if c not in ocols])
         patch = other.node.select(
-            *[F.col(c) for c in (*knames, *ocols)])
+            *[F.col(c) for c in (*knames, *ocols)]).reduce(
+            knames, {c: ("any", c) for c in ocols})
         patched = base.join(patch, on=knames).select(
             *[F.col(c) for c in cols])
         node = patched.union(kept)

@@ -345,14 +345,32 @@ class DiffNode:
         return _LinearNode(self.graph, self,
                            lambda df: df.withColumn(DIFF, -F.col(DIFF)))
 
-    def _small(self, df: DataFrame) -> DataFrame:
+    def _small(self, df: DataFrame, src: "DiffNode | None" = None
+               ) -> DataFrame:
         """Broadcast-hint a delta-derived frame.  Checkpointed state
         frames carry no size statistics, so without the hint Catalyst
         falls back to shuffling the FULL state against a 1k-row delta
         every batch.  Steady-state deltas are micro-batch-bounded
-        (small by construction); the one wide batch — the initial
-        load — skips the hint."""
-        return df if self.graph._wide_batch else F.broadcast(df)
+        (small by construction); the hint is skipped for the one wide
+        batch (the initial load) AND when `src` — the node whose delta
+        the frame derives from — is not provably micro-batch-bounded
+        (a retract-mode forget or a buffer can emit a state-sized
+        expiry/release batch on a watermark jump; broadcasting that
+        risks driver OOM, so those fall back to a shuffle join)."""
+        if self.graph._wide_batch:
+            return df
+        bounded = (src._delta_bounded() if src is not None
+                   else all(i._delta_bounded() for i in self.inputs))
+        return F.broadcast(df) if bounded else df
+
+    def _delta_bounded(self) -> bool:
+        """True when this node's per-batch delta size is provably
+        bounded by the micro-batch size (broadcast-safe).  Watermark
+        state eviction (forget retract mode) and buffer release are
+        not: a watermark jump can expire/release a state-sized batch —
+        they and everything downstream report unbounded, trading the
+        broadcast fast path for shuffle safety on those pipelines."""
+        return all(i._delta_bounded() for i in self.inputs)
 
     # nodes whose per-batch output is EXPENSIVE and consumed more than
     # once (downstream rule + a state-chunk append, or graph fan-out)
@@ -454,8 +472,6 @@ class _UnionNode(DiffNode):
 
 
 class _ThetaJoinNode(DiffNode):
-    _CKPT_OUT = True
-
     """Bilinear delta join under an arbitrary θ predicate (interval /
     range joins): d(A ⋈θ B) = dA ⋈θ B_new ∪ A_old ⋈θ dB — the
     bilinearity rule is predicate-agnostic, only the matching changes.
@@ -464,6 +480,7 @@ class _ThetaJoinNode(DiffNode):
     post-filter; a pure range condition plans as a broadcast
     nested-loop of the (small) delta against state — the right shape,
     since only deltas ever sit on the loop side."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  cond_fn, lcols: list[str], rcols: list[str]):
@@ -504,8 +521,6 @@ class _ThetaJoinNode(DiffNode):
 
 
 class _SemiAntiNode(DiffNode):
-    _CKPT_OUT = True
-
     """Differential semi/anti join: keep (or drop) left rows by the
     RIGHT side's per-key presence.  Same presence algebra as outer-join
     padding: a key flipping 0↔>0 emits/retracts every matching left
@@ -515,6 +530,7 @@ class _SemiAntiNode(DiffNode):
       appeared (0→1): −A_old   vanished (1→0): +A_old + dA
       never: +dA               always: nothing
     semi is the complement (signs swapped, dA gated on presence)."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  lkeys: list[str], rkeys: list[str], anti: bool):
@@ -749,9 +765,6 @@ class _WatermarkedNode(DiffNode):
 
 
 class _ForgetNode(_WatermarkedNode):
-    _PASSTHROUGH = True
-    _CKPT_OUT = True
-
     """Watermark-horizon eviction.  State: the current watermark (one
     row) and — in retract mode — the still-alive rows.  Per batch the
     watermark advances to max(seen time); rows older than
@@ -760,6 +773,8 @@ class _ForgetNode(_WatermarkedNode):
     retention horizon.  Rows with a NULL time pass through and never
     expire.  All comparisons are one broadcast of the 1-row cut frame
     — no shuffles beyond the delta itself."""
+    _PASSTHROUGH = True
+    _CKPT_OUT = True
 
     def __init__(self, graph, parent: DiffNode, time_col: str, threshold,
                  retract: bool):
@@ -768,6 +783,11 @@ class _ForgetNode(_WatermarkedNode):
         self._thr = threshold
         self._retract = retract
         self._rows: _StateStore | None = None
+
+    def _delta_bounded(self) -> bool:
+        # retract mode can expire a state-sized batch on a watermark
+        # jump — downstream must not broadcast such deltas
+        return (not self._retract) and super()._delta_bounded()
 
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
@@ -800,8 +820,6 @@ class _ForgetNode(_WatermarkedNode):
 
 
 class _BufferNode(_WatermarkedNode):
-    _CKPT_OUT = True
-
     """Watermark-gated release buffer.  State: the watermark (one
     row) + pending rows.  Per batch the incoming delta joins the
     pending set; everything at or behind the cut releases downstream,
@@ -816,6 +834,7 @@ class _BufferNode(_WatermarkedNode):
     PREVIOUS cut (their release point already passed — emitting them
     would re-open an already-released group).  Rows with a NULL
     release time release immediately (they cannot be watermarked)."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, parent: DiffNode, time_col: str, threshold,
                  *, wm_col: str | None = None, drop_late: bool = False):
@@ -825,6 +844,11 @@ class _BufferNode(_WatermarkedNode):
         self._wmcol = wm_col or time_col
         self._drop_late = drop_late
         self._pending: _StateStore | None = None
+
+    def _delta_bounded(self) -> bool:
+        # a watermark jump can release MANY accumulated pending batches
+        # at once — the release is not bounded by the input micro-batch
+        return False
 
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
@@ -853,14 +877,13 @@ class _BufferNode(_WatermarkedNode):
 
 
 class _AsofNowNode(DiffNode):
-    _CKPT_OUT = True
-
     """Freeze-at-arrival join (reference `_asof_now_join.py`): a left
     delta row joins the right side's CURRENT state and the result is
     immutable — later right-side deltas only update the right state,
     they never retract already-emitted matches (the defining contrast
     with the bilinear `_JoinNode`).  Left retractions remove their
     frozen outputs via the node's output trace."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  lkeys: list[str], rkeys: list[str]):
@@ -932,9 +955,8 @@ class _AsofNowNode(DiffNode):
 
 
 class _JoinNode(DiffNode):
-    _CKPT_OUT = True
-
     """Bilinear delta join; outer variants add presence-tracked padding."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  on: list[str], how: str):
@@ -1288,9 +1310,8 @@ class _ReduceNode(DiffNode):
 
 
 class _DistinctNode(DiffNode):
-    _CKPT_OUT = True
-
     """Multiset → set semantics: a row is present iff net weight > 0."""
+    _CKPT_OUT = True
 
     def __init__(self, graph, parent: DiffNode):
         super().__init__(graph, [parent])

@@ -1431,3 +1431,42 @@ def test_diff_table_update_cells_patch_and_retract(spark):
     snap = sorted((r["k"], r["a"], r["b"]) for r in
                   DifferentialGraph.integrate(cl).collect())
     assert snap == [("x", 1, 10), ("y", 2, 20)]
+
+
+def test_diff_table_update_cells_duplicate_patch_keys_net_weight_one(spark):
+    """A patch stream carrying MULTIPLE rows for the same key must not
+    multiply the patched leg: the patch reduces to one row per key
+    (deterministic min), so every base key keeps net weight 1 — the
+    reference raises on duplicate patch ids (table.py:1834); a stream
+    resolves them deterministically instead."""
+    import pathway_spark as pw
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    btpl = spark.createDataFrame([], "k string, a long, b long")
+    ptpl = spark.createDataFrame([], "k string, b long")
+    g = DifferentialTableGraph(spark)
+    base, patch = g.input("base", btpl), g.input("patch", ptpl)
+    out = base.update_cells(patch, this.k)
+
+    (d0,) = g.step(out.node,
+                   base=spark.createDataFrame(
+                       [("x", 1, 10), ("y", 2, 20)], btpl.schema),
+                   patch=spark.createDataFrame(
+                       [("x", 99), ("x", 55), ("z", 7)], ptpl.schema))
+    cl = d0.localCheckpoint(eager=True)
+    rows = sorted((r["k"], r["a"], r["b"]) for r in
+                  DifferentialGraph.integrate(cl)
+                  .collect())
+    # net weight exactly 1 per base key (integrate replicates by net
+    # multiplicity, so a weight-2 leg would appear twice); the
+    # duplicate resolves to min(55); patch key z (absent) is ignored
+    assert rows == [("x", 1, 55), ("y", 2, 20)], rows
+
+    # retracting ONE of the duplicate patch rows re-resolves to the other
+    (d1,) = g.step(out.node, patch=spark.createDataFrame(
+        [("x", 55, -1)], "k string, b long, _pw_diff int"))
+    cl = cl.unionByName(d1.localCheckpoint(eager=True))
+    rows = sorted((r["k"], r["a"], r["b"]) for r in
+                  DifferentialGraph.integrate(cl).collect())
+    assert rows == [("x", 1, 99), ("y", 2, 20)], rows

@@ -251,3 +251,32 @@ def test_differential_steady_delta_broadcasts(spark, monkeypatch):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_differential_forget_amplified_delta_not_broadcast(spark, monkeypatch):
+    """A join DOWNSTREAM of a retract-mode forget must NOT broadcast
+    its delta side: a watermark jump can make forget retract a
+    state-sized batch, and broadcasting that risks driver OOM — the
+    structural _delta_bounded guard trades the hint for a shuffle on
+    such pipelines (ADVICE r5).  The same join without forget keeps
+    the broadcast fast path (previous test)."""
+    from pathway_spark.streaming import differential as D
+
+    monkeypatch.setattr(D._JoinNode, "_CKPT_OUT", False)
+    tpl_a = spark.createDataFrame([], "k string, ts long, v long")
+    tpl_b = spark.createDataFrame([], "k string, w long")
+    g = D.DifferentialGraph(spark)
+    a, b = g.source("a", tpl_a), g.source("b", tpl_b)
+    q = a.forget("ts", 10).join(b, on=["k"])
+    assert not q._delta_bounded()
+    g.step(q, a=spark.createDataFrame([("x", 1, 1)], tpl_a.schema),
+           b=spark.createDataFrame([("x", 2)], tpl_b.schema))[0] \
+        .localCheckpoint(eager=True)
+    (d,) = g.step(q, a=spark.createDataFrame([("y", 2, 3)], tpl_a.schema))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    # ignore_late (no retraction state) stays bounded -> hint preserved
+    g2 = D.DifferentialGraph(spark)
+    a2, b2 = g2.source("a", tpl_a), g2.source("b", tpl_b)
+    q2 = a2.ignore_late("ts", 10).join(b2, on=["k"])
+    assert q2._delta_bounded()

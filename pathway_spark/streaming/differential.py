@@ -131,6 +131,13 @@ class _StateStore:
         base = empty.select(*_data_cols(empty), F.col(DIFF).cast("long"))
         self._cols = base.columns
         self._chunks: list[DataFrame] = [base]
+        # True while no appended chunk may contain NEGATIVE weights:
+        # then the chunk union holds no +x/−x cancellation pairs, and
+        # consumers may skip the slice consolidate entirely (order
+        # statistics see only truly-present rows; float sums cannot
+        # catastrophically cancel).  Compaction consolidates, which
+        # removes every pair — pair-freeness resets to True.
+        self._pair_free = True
         self._spark = spark
         self._every = max(1, checkpoint_every)
         # stagger: stores compact on different batches (phase offset)
@@ -181,7 +188,13 @@ class _StateStore:
             acc = acc.unionByName(c)
         return acc
 
-    def update(self, delta: DataFrame, *, wide: bool = False) -> None:
+    def update(self, delta: DataFrame, *, wide: bool = False,
+               positive: bool = False) -> None:
+        # `positive` is the CALLER's structural guarantee (insert-only
+        # lineage) that this delta has no negative weights — never
+        # probed from data
+        if not positive:
+            self._pair_free = False
         d = delta.select(*_data_cols(self._chunks[0]),
                          F.col(DIFF).cast("long"))
         # keep each chunk's partition contribution bounded: without
@@ -215,6 +228,7 @@ class _StateStore:
         eager (it is the one wide shuffle worth its own job)."""
         full = consolidate(self.get())
         self._chunks = [full.localCheckpoint(eager=eager)]
+        self._pair_free = True   # consolidated: no cancellation pairs
 
     def flush(self) -> None:
         """Write a durable parquet version of the current state (called
@@ -230,6 +244,7 @@ class _StateStore:
         full.write.mode("overwrite").parquet(dest)
         self._chunks = [self._spark.read.parquet(dest)
                             .select(*self._cols)]
+        self._pair_free = True
         for v in self._versions()[:-2]:   # keep latest two versions
             shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
 
@@ -249,6 +264,7 @@ class DiffNode:
         self.inputs = list(inputs)
         self._memo_t: int | None = None
         self._memo: DataFrame | None = None
+        self._empty_tpl: DataFrame | None = None  # set after 1st advance
         graph._nodes.append(self)
 
     # -- builder API ----------------------------------------------------
@@ -343,7 +359,8 @@ class DiffNode:
 
     def negate(self) -> "DiffNode":
         return _LinearNode(self.graph, self,
-                           lambda df: df.withColumn(DIFF, -F.col(DIFF)))
+                           lambda df: df.withColumn(DIFF, -F.col(DIFF)),
+                           sign_preserving=False)
 
     def _small(self, df: DataFrame, src: "DiffNode | None" = None
                ) -> DataFrame:
@@ -372,6 +389,15 @@ class DiffNode:
         broadcast fast path for shuffle safety on those pipelines."""
         return all(i._delta_bounded() for i in self.inputs)
 
+    def _insert_only(self) -> bool:
+        """True when this node's delta stream provably never carries a
+        negative weight (structural: insert-only sources through
+        sign-preserving operators).  Lets stateful consumers mark their
+        state chunks pair-free and skip slice consolidates.  Default
+        FALSE — only operators that provably preserve non-negativity
+        override."""
+        return False
+
     # nodes whose per-batch output is EXPENSIVE and consumed more than
     # once (downstream rule + a state-chunk append, or graph fan-out)
     # mark _CKPT_OUT so delta() wraps the output in ONE shared lazy
@@ -392,11 +418,29 @@ class DiffNode:
     _PASSTHROUGH = False
 
     # -- evaluation ------------------------------------------------------
+    def _empty_at(self, t: int) -> bool:
+        """Structurally known-empty delta for batch `t` — decided on
+        the driver from which sources were fed, NO action run.  An
+        empty-delta node is elided entirely: no plan built, no state
+        chunk appended (frontier sparsity — in a multi-source graph
+        most batches touch one source, so the untouched half of the
+        dataflow costs zero; Catalyst's PropagateEmptyRelation prunes
+        plan legs, but only this elision stops the per-batch state
+        appends and planning overhead)."""
+        return (all(i._empty_at(t) for i in self.inputs)
+                if self.inputs else False)
+
     def delta(self, t: int) -> DataFrame:
         if self._memo_t != t:
-            out = self._advance(t)
-            if self._CKPT_OUT:
-                out = out.localCheckpoint(eager=False)
+            if self._empty_tpl is not None and self._empty_at(t):
+                out = self._empty_tpl
+            else:
+                out = self._advance(t)
+                if self._CKPT_OUT:
+                    out = out.localCheckpoint(eager=False)
+                if self._empty_tpl is None:
+                    self._empty_tpl = self.graph.spark.createDataFrame(
+                        [], out.schema)
             self._memo = out
             self._memo_t = t
         return self._memo
@@ -415,11 +459,24 @@ class SourceNode(DiffNode):
         empty = as_delta(template.filter(F.lit(False)))
         self._template = empty
         self._pending: DataFrame | None = None
+        self._fed_t: int | None = None   # batch the last real feed was for
+        self._ins_only = True   # sticky: False once a fed delta carries DIFF
+
+    def _empty_at(self, t: int) -> bool:
+        return self._fed_t != t
+
+    def _insert_only(self) -> bool:
+        return self._ins_only
 
     def _feed(self, delta: DataFrame | None, t: int) -> None:
         if delta is None:
             self._pending = self._template
         else:
+            self._fed_t = t
+            if DIFF in delta.columns:
+                # caller-supplied weights may be negative — permanently
+                # drop the insert-only guarantee for this source
+                self._ins_only = False
             # restore the wide-batch guard the static flag lost: a
             # burst micro-batch (backlogged file source, large replay
             # slice) must NOT be coalesced to one partition or
@@ -456,9 +513,14 @@ class SourceNode(DiffNode):
 class _LinearNode(DiffNode):
     _PASSTHROUGH = True
     def __init__(self, graph, parent: DiffNode,
-                 fn: Callable[[DataFrame], DataFrame]):
+                 fn: Callable[[DataFrame], DataFrame],
+                 sign_preserving: bool = True):
         super().__init__(graph, [parent])
         self._fn = fn
+        self._sign_preserving = sign_preserving
+
+    def _insert_only(self) -> bool:
+        return self._sign_preserving and self.inputs[0]._insert_only()
 
     def _advance(self, t: int) -> DataFrame:
         return self._fn(self.inputs[0].delta(t))
@@ -466,6 +528,9 @@ class _LinearNode(DiffNode):
 
 class _UnionNode(DiffNode):
     _PASSTHROUGH = True
+    def _insert_only(self) -> bool:
+        return all(i._insert_only() for i in self.inputs)
+
     def _advance(self, t: int) -> DataFrame:
         a, b = (i.delta(t) for i in self.inputs)
         return a.unionByName(b.select(*a.columns))
@@ -491,6 +556,9 @@ class _ThetaJoinNode(DiffNode):
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
 
+    def _insert_only(self) -> bool:
+        return all(i._insert_only() for i in self.inputs)
+
     def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
         if self._sa is None:
             self._sa = self.graph._make_store(da)
@@ -508,15 +576,29 @@ class _ThetaJoinNode(DiffNode):
 
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        da_e = self.inputs[0]._empty_at(t) and self._sa is not None
+        db_e = self.inputs[1]._empty_at(t) and self._sb is not None
         self._ensure_state(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
-        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
-        part1 = self._weighted(self._small(da), as_delta(b_new, time=t), t)
-        part2 = self._weighted(as_delta(a_old, time=t), self._small(db), t)
-        out = part1.unionByName(part2.select(*part1.columns))
+        b_new = b_old if db_e else b_old.unionByName(
+            db.select(*_data_cols(b_old), DIFF))
+        parts = []
+        if not da_e:
+            parts.append(self._weighted(
+                self._small(da, self.inputs[0]), as_delta(b_new, time=t), t))
+        if not db_e:
+            parts.append(self._weighted(
+                as_delta(a_old, time=t), self._small(db, self.inputs[1]), t))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p.select(*out.columns))
         wide = self.graph._wide_batch
-        self._sa.update(da, wide=wide)
-        self._sb.update(db, wide=wide)
+        if not da_e:
+            self._sa.update(da, wide=wide,
+                            positive=self.inputs[0]._insert_only())
+        if not db_e:
+            self._sb.update(db, wide=wide,
+                            positive=self.inputs[1]._insert_only())
         return consolidate(out).withColumn(TIME, F.lit(t))
 
 
@@ -542,6 +624,8 @@ class _SemiAntiNode(DiffNode):
 
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        da_e = self.inputs[0]._empty_at(t) and self._sa is not None
+        db_e = self.inputs[1]._empty_at(t) and self._sb is not None
         if self._sa is None:
             self._sa = self.graph._make_store(da)
             self._sb = self.graph._make_store(db)
@@ -557,35 +641,43 @@ class _SemiAntiNode(DiffNode):
                       .filter(F.col("__w") > 0)
                       .select(*[F.col(r).alias(l) for l, r in zip(lk, rk)]))
 
-        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
-        pk = db.select(*rk).distinct()            # where flips can happen
-        p_old = presence(b_old, pk)
-        p_new = presence(b_new, pk)
-        appeared = p_new.join(p_old, on=lk, how="left_anti")
-        vanished = p_old.join(p_new, on=lk, how="left_anti")
-        kk = da.select(*[F.col(l).alias(r) for l, r in zip(lk, rk)])                .distinct()                        # gate for fresh rows
-        p_new_gate = presence(b_new, kk)
+        b_new = b_old if db_e else b_old.unionByName(
+            db.select(*_data_cols(b_old), DIFF))
 
         def rows(src: DataFrame, keys: DataFrame, sign: int) -> DataFrame:
             return src.join(self._small(keys), on=lk,
                             how="left_semi").select(
                 *_data_cols(src), (F.col(DIFF) * sign).alias(DIFF))
 
-        if self._anti:
-            flipped = rows(a_old, appeared, -1).unionByName(
-                rows(a_old, vanished, +1))
-            gate = da.drop(TIME).join(p_new_gate, on=lk, how="left_anti") \
-                     .select(*_data_cols(a_old), DIFF)
-        else:
-            flipped = rows(a_old, appeared, +1).unionByName(
-                rows(a_old, vanished, -1))
-            gate = da.drop(TIME).join(p_new_gate, on=lk, how="left_semi") \
-                     .select(*_data_cols(a_old), DIFF)
+        legs = []
+        if not db_e:   # presence can flip only under right-delta keys
+            pk = db.select(*rk).distinct()
+            p_old = presence(b_old, pk)
+            p_new = presence(b_new, pk)
+            appeared = p_new.join(p_old, on=lk, how="left_anti")
+            vanished = p_old.join(p_new, on=lk, how="left_anti")
+            sa, sv = (-1, +1) if self._anti else (+1, -1)
+            legs.append(rows(a_old, appeared, sa))
+            legs.append(rows(a_old, vanished, sv))
+        if not da_e:   # fresh left rows gate on the NEW presence
+            kk = da.select(*[F.col(l).alias(r)
+                             for l, r in zip(lk, rk)]).distinct()
+            p_new_gate = presence(b_new, kk)
+            gate_how = "left_anti" if self._anti else "left_semi"
+            legs.append(
+                da.drop(TIME).join(p_new_gate, on=lk, how=gate_how)
+                  .select(*_data_cols(a_old), DIFF))
         wide = self.graph._wide_batch
-        self._sa.update(da, wide=wide)
-        self._sb.update(db, wide=wide)
-        return consolidate(flipped.unionByName(gate)) \
-            .withColumn(TIME, F.lit(t))
+        if not da_e:
+            self._sa.update(da, wide=wide,
+                            positive=self.inputs[0]._insert_only())
+        if not db_e:
+            self._sb.update(db, wide=wide,
+                            positive=self.inputs[1]._insert_only())
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg.select(*out.columns))
+        return consolidate(out).withColumn(TIME, F.lit(t))
 
 
 def _expand(ms: DataFrame) -> DataFrame:
@@ -663,12 +755,25 @@ class _KeyedRecomputeNode(DiffNode):
         touched_r = touched.select(
             *[F.col(lk).alias(rk) for lk, rk
               in zip(self._lkeys, self._rkeys)])
-        ao = consolidate(a_old.join(self._small(touched), on=self._lkeys,
-                                    how="left_semi"))
-        bo = consolidate(b_old.join(self._small(touched_r), on=self._rkeys,
-                                    how="left_semi"))
-        an = consolidate(ao.unionByName(da.select(*_data_cols(ao), DIFF)))
-        bn = consolidate(bo.unionByName(db.select(*_data_cols(bo), DIFF)))
+        # pair-free stores (insert-only lineage / fresh compaction) skip
+        # the slice consolidates — _expand is multiplicity-correct over
+        # a pair-free multiset (see _ReduceNode)
+        a_pf = self._sa._pair_free and self.inputs[0]._insert_only()
+        b_pf = self._sb._pair_free and self.inputs[1]._insert_only()
+        ao = a_old.join(self._small(touched), on=self._lkeys,
+                        how="left_semi")
+        bo = b_old.join(self._small(touched_r), on=self._rkeys,
+                        how="left_semi")
+        if not a_pf:
+            ao = consolidate(ao)
+        if not b_pf:
+            bo = consolidate(bo)
+        an = ao.unionByName(da.select(*_data_cols(ao), DIFF))
+        bn = bo.unionByName(db.select(*_data_cols(bo), DIFF))
+        if not a_pf:
+            an = consolidate(an)
+        if not b_pf:
+            bn = consolidate(bn)
         new = self._op(_expand(an), _expand(bn)) \
             .withColumn(DIFF, F.lit(1).cast("long"))
         # retract from the OUTPUT TRACE where the op's key columns
@@ -679,8 +784,10 @@ class _KeyedRecomputeNode(DiffNode):
         old = _trace_old(self, new, self._lkeys, touched,
                          lambda: self._op(_expand(ao), _expand(bo)))
         wide = self.graph._wide_batch
-        self._sa.update(da, wide=wide)
-        self._sb.update(db, wide=wide)
+        self._sa.update(da, wide=wide,
+                        positive=self.inputs[0]._insert_only())
+        self._sb.update(db, wide=wide,
+                        positive=self.inputs[1]._insert_only())
         return _emit_traced(self, old, new, t)
 
 
@@ -704,15 +811,22 @@ class _KeyedRecomputeUnaryNode(DiffNode):
             self._state = self.graph._make_store(delta)
         state = self._state.get()
         touched = delta.select(*self._keys).distinct()
-        old_in = consolidate(state.join(self._small(touched), on=self._keys,
-                                        how="left_semi"))
-        new_in = consolidate(old_in.unionByName(
-            delta.select(*_data_cols(old_in), DIFF)))
+        pair_free = (self._state._pair_free
+                     and self.inputs[0]._insert_only())
+        old_in = state.join(self._small(touched), on=self._keys,
+                            how="left_semi")
+        if not pair_free:
+            old_in = consolidate(old_in)
+        new_in = old_in.unionByName(
+            delta.select(*_data_cols(old_in), DIFF))
+        if not pair_free:
+            new_in = consolidate(new_in)
         new = self._op(_expand(new_in)) \
             .withColumn(DIFF, F.lit(1).cast("long"))
         old = _trace_old(self, new, self._keys, touched,
                          lambda: self._op(_expand(old_in)))
-        self._state.update(delta, wide=self.graph._wide_batch)
+        self._state.update(delta, wide=self.graph._wide_batch,
+                           positive=self.inputs[0]._insert_only())
         return _emit_traced(self, old, new, t)
 
 
@@ -789,6 +903,9 @@ class _ForgetNode(_WatermarkedNode):
         # jump — downstream must not broadcast such deltas
         return (not self._retract) and super()._delta_bounded()
 
+    def _insert_only(self) -> bool:
+        return (not self._retract) and self.inputs[0]._insert_only()
+
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
         if self._wm is None:
@@ -849,6 +966,11 @@ class _BufferNode(_WatermarkedNode):
         # a watermark jump can release MANY accumulated pending batches
         # at once — the release is not bounded by the input micro-batch
         return False
+
+    def _insert_only(self) -> bool:
+        # released rows carry their original weights; pending-state
+        # retraction pairs cancel INSIDE the buffer, never released
+        return self.inputs[0]._insert_only()
 
     def _advance(self, t: int) -> DataFrame:
         d = self.inputs[0].delta(t)
@@ -950,7 +1072,8 @@ class _AsofNowNode(DiffNode):
         out = out.localCheckpoint(eager=False)
         wide = self.graph._wide_batch
         self._trace.update(out, wide=wide)
-        self._sb.update(db, wide=wide)
+        self._sb.update(db, wide=wide,
+                        positive=self.inputs[1]._insert_only())
         return out
 
 
@@ -970,6 +1093,12 @@ class _JoinNode(DiffNode):
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
 
+    def _insert_only(self) -> bool:
+        # inner: products of positive weights stay positive; outer
+        # variants emit -1 padding retractions when presence flips
+        return (self.how == "inner"
+                and all(i._insert_only() for i in self.inputs))
+
     def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
         if self._sa is None:
             self._sa = self.graph._make_store(da)
@@ -988,6 +1117,12 @@ class _JoinNode(DiffNode):
 
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
+        # one-sided frontier sparsity: an untouched side contributes no
+        # bilinear part, no padding flips, and — critically — no state
+        # chunk append (appends of empty chunks would still grow every
+        # later batch's union scan)
+        da_e = self.inputs[0]._empty_at(t) and self._sa is not None
+        db_e = self.inputs[1]._empty_at(t) and self._sb is not None
         self._ensure_state(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
         lcols = [c for c in _data_cols(da) if c not in self.on]
@@ -996,34 +1131,51 @@ class _JoinNode(DiffNode):
         # chunked state unions are multiset-correct as-is — no
         # full-state consolidate per batch; spurious +x/-x pairs from
         # not-yet-compacted retractions cancel in the output consolidate
-        b_new = b_old.unionByName(db.select(*_data_cols(b_old), DIFF))
+        b_new = b_old if db_e else b_old.unionByName(
+            db.select(*_data_cols(b_old), DIFF))
         # dA ⋈ B_new ∪ A_old ⋈ dB  ==  dA⋈B + A⋈dB + dA⋈dB
         # the DELTA side broadcasts (see _small): state stays in place,
         # per-batch join cost is a state scan, not a state shuffle
-        part1 = self._weighted(self._small(da), as_delta(b_new, time=t),
-                               self.on, rcols, t)
-        part2 = self._weighted(as_delta(a_old, time=t), self._small(db),
-                               self.on, rcols, t)
-        inner = part1.unionByName(part2.select(*part1.columns))
+        parts = []
+        if not da_e:
+            parts.append(self._weighted(
+                self._small(da, self.inputs[0]), as_delta(b_new, time=t),
+                self.on, rcols, t))
+        if not db_e:
+            parts.append(self._weighted(
+                as_delta(a_old, time=t), self._small(db, self.inputs[1]),
+                self.on, rcols, t))
+        inner = parts[0]
+        for p in parts[1:]:
+            inner = inner.unionByName(p.select(*inner.columns))
         out = inner
         if self.how in ("left", "outer"):
             out = out.unionByName(
-                self._padding(da, a_old, b_old, b_new, db, rcols, t)
+                self._padding(da, a_old, b_old, b_new, db, rcols, t,
+                              d_keep_empty=da_e, d_probe_empty=db_e)
                     .select(*inner.columns))
         if self.how in ("right", "outer"):
-            a_new = a_old.unionByName(da.select(*_data_cols(a_old), DIFF))
+            a_new = a_old if da_e else a_old.unionByName(
+                da.select(*_data_cols(a_old), DIFF))
             out = out.unionByName(
-                self._padding(db, b_old, a_old, a_new, da, lcols, t)
+                self._padding(db, b_old, a_old, a_new, da, lcols, t,
+                              d_keep_empty=db_e, d_probe_empty=da_e)
                     .select(*inner.columns))
         wide = self.graph._wide_batch
-        self._sa.update(da, wide=wide)
-        self._sb.update(db, wide=wide)
+        if not da_e:
+            self._sa.update(da, wide=wide,
+                            positive=self.inputs[0]._insert_only())
+        if not db_e:
+            self._sb.update(db, wide=wide,
+                            positive=self.inputs[1]._insert_only())
         if self._requested:
             out = consolidate(out)
         return out.withColumn(TIME, F.lit(t))
 
     def _padding(self, d_keep, keep_old, probe_old, probe_new,
-                 d_probe, null_cols: list[str], t: int) -> DataFrame:
+                 d_probe, null_cols: list[str], t: int,
+                 d_keep_empty: bool = False,
+                 d_probe_empty: bool = False) -> DataFrame:
         """Delta of KEEP ⋉̸ PROBE × NULLs, from probe-side key presence.
 
         pad(K, P) = (K anti-join keys(P)) with NULL probe columns;
@@ -1039,13 +1191,6 @@ class _JoinNode(DiffNode):
             return (state.join(self._small(keys), on=on, how="left_semi")
                          .groupBy(*on).agg(F.sum(DIFF).alias("__w"))
                          .filter(F.col("__w") > 0).select(*on))
-        pk = d_probe.select(*on).distinct()       # where flips can happen
-        p_old = presence(probe_old, pk)
-        p_new = presence(probe_new, pk)
-        appeared = p_new.join(p_old, on=on, how="left_anti")   # 0 → >0
-        vanished = p_old.join(p_new, on=on, how="left_anti")   # >0 → 0
-        kk = d_keep.select(*on).distinct()        # gate for fresh rows
-        p_new_keep = presence(probe_new, kk)
         nulls = [F.lit(None).alias(c) for c in null_cols]
         def pad(rows: DataFrame, sign: int) -> DataFrame:
             return rows.select(
@@ -1058,13 +1203,28 @@ class _JoinNode(DiffNode):
         #   never present:  +dK           (fresh)
         # NB gained uses K_old, not K_new — same-batch dK rows under an
         # appeared key never had padding emitted, so nothing to retract.
-        gained = pad(keep_old.join(self._small(appeared), on=on,
-                                   how="left_semi"), -1)
-        lost = pad(keep_old.join(self._small(vanished), on=on,
-                                 how="left_semi"), +1)
-        fresh = pad(d_keep.drop(TIME).join(p_new_keep, on=on,
-                                           how="left_anti"), +1)
-        return gained.unionByName(lost).unionByName(fresh.select(*gained.columns))
+        # Structural sparsity: no probe delta → presence cannot flip
+        # (gained/lost vanish); no keep delta → no fresh rows.
+        legs = []
+        if not d_probe_empty:
+            pk = d_probe.select(*on).distinct()   # where flips can happen
+            p_old = presence(probe_old, pk)
+            p_new = presence(probe_new, pk)
+            appeared = p_new.join(p_old, on=on, how="left_anti")  # 0 → >0
+            vanished = p_old.join(p_new, on=on, how="left_anti")  # >0 → 0
+            legs.append(pad(keep_old.join(self._small(appeared), on=on,
+                                          how="left_semi"), -1))
+            legs.append(pad(keep_old.join(self._small(vanished), on=on,
+                                          how="left_semi"), +1))
+        if not d_keep_empty:
+            kk = d_keep.select(*on).distinct()    # gate for fresh rows
+            p_new_keep = presence(probe_new, kk)
+            legs.append(pad(d_keep.drop(TIME).join(p_new_keep, on=on,
+                                                   how="left_anti"), +1))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg.select(*out.columns))
+        return out
 
 
 def _c(c) -> Column:
@@ -1199,7 +1359,10 @@ class _ReduceNode(DiffNode):
         d_parts = delta.groupBy(*self.keys).agg(*self._part_aggs())
         acc_state = self._acc.get()
         if self.keys:
-            keys = delta.select(*self.keys).distinct()
+            # no .distinct(): the keys frame only ever feeds broadcast
+            # semi-joins, whose hash relation dedups — skipping the
+            # distinct saves a shuffle per batch
+            keys = delta.select(*self.keys)
             acc_slice = consolidate(acc_state.join(
                 self._small(keys), on=self.keys, how="left_semi"))
         else:
@@ -1266,26 +1429,40 @@ class _ReduceNode(DiffNode):
         if self._state is None:
             self._state = self.graph._make_store(delta)
         state = self._state.get()
+        # the chunked state may carry uncompacted +x/-x pairs, which
+        # corrupt order statistics AND float sums (a +1e16/-1e16
+        # pair straddling a small value cancels catastrophically,
+        # not just by ULPs) — so the affected-key slice consolidates
+        # BEFORE aggregation... unless the store is structurally
+        # PAIR-FREE (insert-only lineage, or freshly compacted): then
+        # the slice ∪ delta multiset is well-formed as-is and the
+        # consolidate shuffle is skipped entirely (one shuffle per
+        # batch — the aggregate itself — instead of three).
+        pair_free = self._state._pair_free and self.inputs[0]._insert_only()
         if not self.keys:
             # global reduce: every batch touches THE one group — the
             # affected-key rule degenerates to a full recompute (state
             # stays chunk-bounded; the consolidate is the same shuffle
             # a compaction pays)
-            old_in = consolidate(state)
+            keys = None
+            sl = state
         else:
-            keys = delta.select(*self.keys).distinct()
-            # the chunked state may carry uncompacted +x/-x pairs, which
-            # corrupt order statistics AND float sums (a +1e16/-1e16
-            # pair straddling a small value cancels catastrophically,
-            # not just by ULPs) — so consolidate ONLY the affected-key
-            # slice: the semi-join prunes each chunk scan to |affected|
-            # rows pre-shuffle.  The no-consolidate fast path lives in
-            # the integral accumulator strategy, never here.
-            old_in = consolidate(
-                state.join(self._small(keys), on=self.keys,
-                           how="left_semi"))
-        new_in = consolidate(old_in.unionByName(
-            delta.select(*_data_cols(old_in), DIFF)))
+            # no .distinct(): only feeds broadcast semi-joins (hash
+            # relation dedups) — saves a shuffle per batch
+            keys = delta.select(*self.keys)
+            # the semi-join prunes each chunk scan to |affected| rows
+            # pre-shuffle
+            sl = state.join(self._small(keys), on=self.keys,
+                            how="left_semi")
+        new_in = sl.unionByName(delta.select(*_data_cols(sl), DIFF))
+        if not pair_free:
+            # one fused consolidate of slice ∪ delta (consolidate is
+            # associative, so separately consolidating the slice first
+            # was a wasted second shuffle)
+            new_in = consolidate(new_in)
+        # _aggregate is pair-free-safe as-is: weight-aware sums fold
+        # weights, order statistics ignore them, and _expand replicates
+        # by (all-positive) multiplicity
         new_out = self._aggregate(new_in, t)
         if self._out_state is None:
             self._out_state = self.graph._make_store(new_out.drop(TIME))
@@ -1297,7 +1474,8 @@ class _ReduceNode(DiffNode):
         old_out = (consolidate(otrace)
                    .withColumn(DIFF, -F.col(DIFF))
                    .withColumn(TIME, F.lit(t)))
-        self._state.update(delta, wide=self.graph._wide_batch)
+        self._state.update(delta, wide=self.graph._wide_batch,
+                           positive=self.inputs[0]._insert_only())
         # identical old/new rows cancel here, so steady keys emit nothing
         out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
@@ -1350,11 +1528,23 @@ class DifferentialGraph:
     >>> out = g.run(totals, batches=[batch1, batch2])  # list of deltas
     """
 
+    # session confs tuned for STEADY-STATE micro-batches: the plans are
+    # delta-sized, so AQE's per-query-stage jobs and 32-partition
+    # shuffles are pure scheduler overhead (measured ~25% of the
+    # per-batch floor).  Applied by step() on non-wide batches, restored
+    # on wide batches and by restore_session_confs().
+    _STEADY_CONFS = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "4",
+    }
+
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
-                 state_dir: str | None = None):
+                 state_dir: str | None = None, tune_steady_confs: bool = True):
         self.spark = spark
         self.checkpoint_every = checkpoint_every
         self.state_dir = state_dir
+        self._tune_steady = tune_steady_confs
+        self._saved_confs: dict[str, str | None] | None = None
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
         # True only while evaluating the INITIAL batch (the one wide
@@ -1387,6 +1577,27 @@ class DifferentialGraph:
                          phase=idx)
         self._stores.append(st)
         return st
+
+    def _apply_steady_confs(self) -> None:
+        if self._saved_confs is None:
+            self._saved_confs = {
+                k: self.spark.conf.get(k, None)
+                for k in self._STEADY_CONFS}
+        for k, v in self._STEADY_CONFS.items():
+            self.spark.conf.set(k, v)
+
+    def restore_session_confs(self) -> None:
+        """Undo the steady-state conf tuning (called automatically on
+        wide batches; call manually when interleaving other Spark work
+        on the same session after streaming stops)."""
+        if self._saved_confs is None:
+            return
+        for k, v in self._saved_confs.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        self._saved_confs = None
 
     def _meta_path(self) -> str:
         return f"{self.state_dir}/_meta.json"
@@ -1455,6 +1666,15 @@ class DifferentialGraph:
             raise KeyError(f"unknown sources: {sorted(unknown)}")
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t)
+        # tuned confs stay applied across steps (the caller's action on
+        # the returned delta runs right after, outside this frame); a
+        # wide batch restores them so the initial load keeps AQE + full
+        # shuffle parallelism
+        if self._tune_steady:
+            if self._wide_batch:
+                self.restore_session_confs()
+            else:
+                self._apply_steady_confs()
         nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
         # only nodes handed to the caller need CONSOLIDATED deltas;
         # internal consumers are weight-aware, so interior joins skip

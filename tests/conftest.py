@@ -22,6 +22,20 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _reset_steady_confs(request):
+    """DifferentialGraph.step tunes session confs for steady micro-
+    batches (AQE off, tiny shuffle partitions) and leaves them applied
+    for the caller's action — reset after each test so unrelated tests
+    see the session defaults."""
+    yield
+    if "spark" in request.fixturenames:
+        s = request.getfixturevalue("spark")
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.shuffle.partitions",
+                   os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

@@ -122,9 +122,15 @@ class _StateStore:
     append as small files, compaction rewrites the base — swap in
     Delta/Iceberg for transactional state by overriding `flush`."""
 
+    # durable layout: hash buckets per key — enough parallelism for a
+    # big restore, small enough that a 1-key probe reads 1/64 of state
+    N_BUCKETS = 64
+
     def __init__(self, spark: SparkSession, template: DataFrame,
                  checkpoint_every: int = 8, path: str | None = None,
-                 restore_version: int | None = None, phase: int = 0):
+                 restore_version: int | None = None, phase: int = 0,
+                 key_cols: list[str] | None = None):
+        self._key_cols = list(key_cols) if key_cols else None
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
@@ -177,15 +183,40 @@ class _StateStore:
                 f"state dir {self._path} lacks committed version "
                 f"v{want:08d} (found {vers}); cannot resume safely")
         self._ver = want
-        self._chunks = [self._spark.read.parquet(
-            f"{self._path}/v{self._ver:08d}").select(*self._cols)]
+        base = self._spark.read.parquet(f"{self._path}/v{self._ver:08d}")
+        # bucket-partitioned versions keep __pw_bucket on the base chunk
+        # so probe pruning can filter it; get() projects it away
+        keep = self._cols + (["__pw_bucket"]
+                             if "__pw_bucket" in base.columns else [])
+        self._chunks = [base.select(*keep)]
 
-    def get(self) -> DataFrame:
+    def _bucket(self, df: DataFrame, cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                      F.lit(self.N_BUCKETS))
+
+    def get(self, probe: DataFrame | None = None,
+            on: list[str] | None = None) -> DataFrame:
         """Union of all live chunks (multiset-correct, possibly
-        unconsolidated between compactions)."""
-        acc = self._chunks[0]
+        unconsolidated between compactions).
+
+        `probe` (a small delta-derived key frame) prunes a DISK-
+        resident bucket-partitioned base to only the file groups the
+        probe's keys can live in: the probe's distinct bucket ids are
+        collected (tiny — probe is micro-batch-bounded) and pushed as a
+        STATIC partition filter into the parquet scan.  In-memory bases
+        skip the collect entirely — pruning only pays its one tiny job
+        when state actually lives on disk, where it turns a full-state
+        scan into an O(|touched buckets|) read."""
+        base = self._chunks[0]
+        if (probe is not None and self._key_cols
+                and "__pw_bucket" in base.columns):
+            cols = on or self._key_cols
+            ids = [r[0] for r in probe.select(
+                self._bucket(probe, cols).alias("b")).distinct().collect()]
+            base = base.filter(F.col("__pw_bucket").isin(ids))
+        acc = base.select(*self._cols)
         for c in self._chunks[1:]:
-            acc = acc.unionByName(c)
+            acc = acc.unionByName(c.select(*self._cols))
         return acc
 
     def update(self, delta: DataFrame, *, wide: bool = False,
@@ -195,7 +226,7 @@ class _StateStore:
         # probed from data
         if not positive:
             self._pair_free = False
-        d = delta.select(*_data_cols(self._chunks[0]),
+        d = delta.select(*[c for c in self._cols if c != DIFF],
                          F.col(DIFF).cast("long"))
         # keep each chunk's partition contribution bounded: without
         # this every chunk adds its parent's partition count to all
@@ -241,9 +272,19 @@ class _StateStore:
         import shutil
         self._ver += 1
         dest = f"{self._path}/v{self._ver:08d}"
-        full.write.mode("overwrite").parquet(dest)
-        self._chunks = [self._spark.read.parquet(dest)
-                            .select(*self._cols)]
+        if self._key_cols:
+            # hash-bucketed layout: probes after restore prune to the
+            # touched buckets instead of scanning every file
+            (full.withColumn("__pw_bucket",
+                             self._bucket(full, self._key_cols))
+                 .write.mode("overwrite").partitionBy("__pw_bucket")
+                 .parquet(dest))
+            self._chunks = [self._spark.read.parquet(dest)
+                                .select(*self._cols, "__pw_bucket")]
+        else:
+            full.write.mode("overwrite").parquet(dest)
+            self._chunks = [self._spark.read.parquet(dest)
+                                .select(*self._cols)]
         self._pair_free = True
         for v in self._versions()[:-2]:   # keep latest two versions
             shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
@@ -701,9 +742,10 @@ def _trace_old(node, new: DataFrame, keys: list[str], touched: DataFrame,
     if set(keys) <= set(new.columns):
         if node._out_state is None:
             node._out_state = node.graph._make_store(
-                new.withColumn(DIFF, F.lit(1).cast("long")))
-        sl = node._out_state.get().join(node._small(touched), on=keys,
-                                        how="left_semi")
+                new.withColumn(DIFF, F.lit(1).cast("long")),
+                key_cols=keys)
+        sl = node._out_state.get(probe=touched, on=keys) \
+            .join(node._small(touched), on=keys, how="left_semi")
         return consolidate(sl).withColumn(DIFF, -F.col(DIFF))
     return recompute_old().withColumn(DIFF, F.lit(-1).cast("long"))
 
@@ -744,17 +786,19 @@ class _KeyedRecomputeNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
         if self._sa is None:
-            self._sa = self.graph._make_store(da)
-            self._sb = self.graph._make_store(db)
-        a_old, b_old = self._sa.get(), self._sb.get()
-        touched = (da.select(*[F.col(k) for k in self._lkeys])
+            self._sa = self.graph._make_store(da, key_cols=self._lkeys)
+            self._sb = self.graph._make_store(db, key_cols=self._rkeys)
+        touched0 = (da.select(*[F.col(k) for k in self._lkeys])
                      .unionByName(db.select(
                          *[F.col(rk).alias(lk) for lk, rk
                            in zip(self._lkeys, self._rkeys)]))
                      .distinct())
+        touched = touched0
         touched_r = touched.select(
             *[F.col(lk).alias(rk) for lk, rk
               in zip(self._lkeys, self._rkeys)])
+        a_old = self._sa.get(probe=touched, on=self._lkeys)
+        b_old = self._sb.get(probe=touched_r, on=self._rkeys)
         # pair-free stores (insert-only lineage / fresh compaction) skip
         # the slice consolidates — _expand is multiplicity-correct over
         # a pair-free multiset (see _ReduceNode)
@@ -808,9 +852,10 @@ class _KeyedRecomputeUnaryNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._state is None:
-            self._state = self.graph._make_store(delta)
-        state = self._state.get()
+            self._state = self.graph._make_store(
+                delta, key_cols=self._keys)
         touched = delta.select(*self._keys).distinct()
+        state = self._state.get(probe=touched, on=self._keys)
         pair_free = (self._state._pair_free
                      and self.inputs[0]._insert_only())
         old_in = state.join(self._small(touched), on=self._keys,
@@ -1101,8 +1146,8 @@ class _JoinNode(DiffNode):
 
     def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
         if self._sa is None:
-            self._sa = self.graph._make_store(da)
-            self._sb = self.graph._make_store(db)
+            self._sa = self.graph._make_store(da, key_cols=self.on)
+            self._sb = self.graph._make_store(db, key_cols=self.on)
 
     @staticmethod
     def _weighted(a: DataFrame, b: DataFrame, on: list[str],
@@ -1124,7 +1169,15 @@ class _JoinNode(DiffNode):
         da_e = self.inputs[0]._empty_at(t) and self._sa is not None
         db_e = self.inputs[1]._empty_at(t) and self._sb is not None
         self._ensure_state(da, db)
-        a_old, b_old = self._sa.get(), self._sb.get()
+        # every leg of the bilinear rule + outer padding only touches
+        # state rows under THIS batch's delta keys (either side), so a
+        # disk-resident bucketed base prunes to those buckets
+        pieces = ([] if da_e else [da.select(*self.on)]) + \
+                 ([] if db_e else [db.select(*self.on)])
+        probe = pieces[0] if len(pieces) == 1 else (
+            pieces[0].unionByName(pieces[1]) if pieces else None)
+        a_old = self._sa.get(probe=probe, on=self.on)
+        b_old = self._sb.get(probe=probe, on=self.on)
         lcols = [c for c in _data_cols(da) if c not in self.on]
         rcols = [c for c in _data_cols(db) if c not in self.on]
         # joins are LINEAR in each input, so the possibly-unconsolidated
@@ -1355,19 +1408,20 @@ class _ReduceNode(DiffNode):
             tpl = (delta.filter(F.lit(False))
                    .groupBy(*self.keys).agg(*self._part_aggs()))
             self._acc = self.graph._make_store(
-                tpl.withColumn(DIFF, F.lit(1).cast("long")))
+                tpl.withColumn(DIFF, F.lit(1).cast("long")),
+                key_cols=self.keys or None)
         d_parts = delta.groupBy(*self.keys).agg(*self._part_aggs())
-        acc_state = self._acc.get()
         if self.keys:
             # no .distinct(): the keys frame only ever feeds broadcast
             # semi-joins, whose hash relation dedups — skipping the
             # distinct saves a shuffle per batch
             keys = delta.select(*self.keys)
+            acc_state = self._acc.get(probe=keys, on=self.keys)
             acc_slice = consolidate(acc_state.join(
                 self._small(keys), on=self.keys, how="left_semi"))
         else:
             keys = None
-            acc_slice = consolidate(acc_state)
+            acc_slice = consolidate(self._acc.get())
         merged = (acc_slice.select(*self.keys, *parts)
                   .unionByName(d_parts.select(*self.keys, *parts)))
         comb = merged.groupBy(*self.keys).agg(
@@ -1380,8 +1434,9 @@ class _ReduceNode(DiffNode):
                    .withColumn(DIFF, F.lit(1).cast("long"))
                    .withColumn(TIME, F.lit(t)))
         if self._out_state is None:
-            self._out_state = self.graph._make_store(new_out.drop(TIME))
-        otrace = self._out_state.get()
+            self._out_state = self.graph._make_store(
+                new_out.drop(TIME), key_cols=self.keys or None)
+        otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if keys is not None:
             otrace = otrace.join(self._small(keys), on=self.keys,
                                  how="left_semi")
@@ -1427,8 +1482,8 @@ class _ReduceNode(DiffNode):
         if self._strategy == "acc":
             return self._advance_acc(delta, t)
         if self._state is None:
-            self._state = self.graph._make_store(delta)
-        state = self._state.get()
+            self._state = self.graph._make_store(
+                delta, key_cols=self.keys or None)
         # the chunked state may carry uncompacted +x/-x pairs, which
         # corrupt order statistics AND float sums (a +1e16/-1e16
         # pair straddling a small value cancels catastrophically,
@@ -1445,13 +1500,14 @@ class _ReduceNode(DiffNode):
             # stays chunk-bounded; the consolidate is the same shuffle
             # a compaction pays)
             keys = None
-            sl = state
+            sl = self._state.get()
         else:
             # no .distinct(): only feeds broadcast semi-joins (hash
             # relation dedups) — saves a shuffle per batch
             keys = delta.select(*self.keys)
-            # the semi-join prunes each chunk scan to |affected| rows
-            # pre-shuffle
+            # bucket-pruned after a restore; the semi-join then prunes
+            # each chunk scan to |affected| rows pre-shuffle
+            state = self._state.get(probe=keys, on=self.keys)
             sl = state.join(self._small(keys), on=self.keys,
                             how="left_semi")
         new_in = sl.unionByName(delta.select(*_data_cols(sl), DIFF))
@@ -1465,8 +1521,9 @@ class _ReduceNode(DiffNode):
         # by (all-positive) multiplicity
         new_out = self._aggregate(new_in, t)
         if self._out_state is None:
-            self._out_state = self.graph._make_store(new_out.drop(TIME))
-        otrace = self._out_state.get()
+            self._out_state = self.graph._make_store(
+                new_out.drop(TIME), key_cols=self.keys or None)
+        otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if self.keys:
             otrace = otrace.join(self._small(keys), on=self.keys,
                                  how="left_semi")
@@ -1498,10 +1555,11 @@ class _DistinctNode(DiffNode):
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._state is None:
-            self._state = self.graph._make_store(delta)
-        state = self._state.get()
-        cols = _data_cols(state)
+            self._state = self.graph._make_store(
+                delta, key_cols=_data_cols(delta))
+        cols = [c for c in self._state._cols if c != DIFF]
         touched = delta.select(*cols).distinct()
+        state = self._state.get(probe=touched, on=cols)
         def present(ms: DataFrame) -> DataFrame:
             return (ms.join(self._small(touched), on=cols, how="left_semi")
                       .groupBy(*cols).agg(F.sum(DIFF).alias("__w"))
@@ -1565,16 +1623,21 @@ class DifferentialGraph:
     def _wide_batch(self) -> bool:
         return not self._stepped or self._batch_wide
 
-    def _make_store(self, template: DataFrame) -> _StateStore:
+    def _make_store(self, template: DataFrame,
+                    key_cols: list[str] | None = None) -> _StateStore:
         """Stores are numbered in creation order, which is deterministic
         for a fixed graph topology and step sequence — rebuild the same
-        pipeline and `restore` finds each store's directory again."""
+        pipeline and `restore` finds each store's directory again.
+        `key_cols` (the store's probe key) enables bucket-partitioned
+        durable versions: flush() lays the state out hash-bucketed by
+        key, so delta probes after a restore prune file groups instead
+        of scanning full state (the 100 TB path)."""
         idx = len(self._stores)
         path = (f"{self.state_dir}/store_{idx:04d}"
                 if self.state_dir is not None else None)
         st = _StateStore(self.spark, template, self.checkpoint_every, path,
                          restore_version=self._restore_vers.get(str(idx)),
-                         phase=idx)
+                         phase=idx, key_cols=key_cols)
         self._stores.append(st)
         return st
 

@@ -123,3 +123,60 @@ def test_cross_process_commit_restore(tmp_path, spark):
     got = [[tuple(x) for x in batch] for batch in first + second]
     want = [[tuple(x) for x in batch] for batch in want]
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_bucketed_state_probe_prunes_file_groups(spark, tmp_path):
+    """Keyed stores flush as hash-bucketed parquet; after a restore, a
+    delta probe pushes the touched buckets as a STATIC partition filter
+    into the scan, so per-batch state reads are O(touched buckets) of
+    the on-disk files, never full state (the 100 TB probe path)."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    sd = str(tmp_path / "state")
+    tpl = spark.createDataFrame([], "k long, v long")
+
+    def build(g):
+        return g.source("t", tpl).reduce(
+            ["k"], mx=("max", "v"), n=("count",))
+
+    g = DifferentialGraph(spark, state_dir=sd)
+    out = build(g)
+    rows = [(i % 200, i) for i in range(20_000)]
+    (d0,) = g.step(out, t=spark.createDataFrame(rows, tpl.schema))
+    d0.localCheckpoint(eager=True).count()
+    g.commit()
+
+    # the input store's durable version must be bucket-partitioned
+    store_files = glob.glob(f"{sd}/store_*/v*/__pw_bucket=*/*.parquet")
+    assert store_files, "expected hash-bucketed parquet layout"
+    n_total = len({f.rsplit("/", 2)[1] for f in store_files})
+    assert n_total > 4, f"need multiple buckets, got {n_total}"
+
+    # fresh graph restores from the state dir (meta loaded in __init__)
+    g2 = DifferentialGraph(spark, state_dir=sd)
+    out2 = build(g2)
+    # the restored input store prunes a 1-key probe to its bucket
+    store = g2._stores[0] if g2._stores else None
+    # stores are created lazily on the first step — run it (this also
+    # checks end-to-end correctness below), then probe directly
+    (d1,) = g2.step(out2, t=spark.createDataFrame([(7, 10**9)], tpl.schema))
+    rows1 = {(r["k"], r["mx"], r["_pw_diff"]) for r in d1.collect()}
+    # key 7's max jumps to 10^9 over the RESTORED on-disk state
+    assert (7, 10**9, 1) in rows1, rows1
+    store = g2._stores[0]
+    probe = spark.createDataFrame([(7,)], "k long")
+    pruned = store.get(probe=probe, on=["k"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the probe's bucket lands as a STATIC PartitionFilter on the scan
+    # (inputFiles() ignores filters, so assert on the physical plan) —
+    # one bucket read out of n_total on-disk buckets
+    assert "PartitionFilters" in plan and "__pw_bucket" in plan, plan
+    import re
+    flt = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert re.search(r"__pw_bucket#\d+ = \d+", flt) or \
+        re.search(r"__pw_bucket#\d+ IN? ?\(", flt), flt
+    # the probe's key count bounds buckets read far below the total
+    assert n_total > 4

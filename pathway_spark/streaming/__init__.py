@@ -319,6 +319,7 @@ from .incremental_graph import (  # noqa: E402,F401
     incremental_connected_components,
     incremental_pagerank,
 )
+from .iterate_diff import iterate_differential  # noqa: E402,F401
 
 
 def subscribe_differential_multi(streams, build, on_change, *,

@@ -62,6 +62,7 @@ driver.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1605,6 +1606,18 @@ class DifferentialGraph:
         self._saved_confs: dict[str, str | None] | None = None
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
+        # store-key namespace: nodes whose stores are created at
+        # DATA-DEPENDENT times (iterate levels appear when the
+        # fixed-point depth grows) set this so their store keys are
+        # derived from the node's own deterministic naming instead of
+        # the global creation index — a restored process then finds the
+        # right directory no matter when other nodes created theirs
+        self._store_ns: str | None = None
+        self._ns_counter: dict[str, int] = {}
+        # small durable per-node scalars (e.g. an iterate node's level
+        # count) persisted with commit() and visible after restore
+        self._node_meta: dict[str, int] = {}
+        self._iter_count = 0
         # True only while evaluating the INITIAL batch (the one wide
         # load): stores keep that delta's parallelism; every later
         # delta chunk coalesces to one partition (see _StateStore.update)
@@ -1633,13 +1646,31 @@ class DifferentialGraph:
         key, so delta probes after a restore prune file groups instead
         of scanning full state (the 100 TB path)."""
         idx = len(self._stores)
-        path = (f"{self.state_dir}/store_{idx:04d}"
-                if self.state_dir is not None else None)
+        if self._store_ns is not None:
+            k = self._ns_counter.get(self._store_ns, 0)
+            self._ns_counter[self._store_ns] = k + 1
+            key = f"{self._store_ns}_{k:02d}"
+            path = (f"{self.state_dir}/store_{key}"
+                    if self.state_dir is not None else None)
+        else:
+            key = str(idx)
+            path = (f"{self.state_dir}/store_{idx:04d}"
+                    if self.state_dir is not None else None)
         st = _StateStore(self.spark, template, self.checkpoint_every, path,
-                         restore_version=self._restore_vers.get(str(idx)),
+                         restore_version=self._restore_vers.get(key),
                          phase=idx, key_cols=key_cols)
+        st._meta_key = key
         self._stores.append(st)
         return st
+
+    @contextmanager
+    def _store_namespace(self, ns: str):
+        prev = self._store_ns
+        self._store_ns = ns
+        try:
+            yield
+        finally:
+            self._store_ns = prev
 
     def _apply_steady_confs(self) -> None:
         if self._saved_confs is None:
@@ -1674,6 +1705,7 @@ class DifferentialGraph:
             # versions recorded AT commit: stores load exactly these,
             # never a newer uncommitted flush (crash-window safety)
             self._restore_vers = dict(meta.get("vers", {}))
+            self._node_meta = dict(meta.get("node_meta", {}))
 
     def commit(self) -> None:
         """Durably persist all state + the logical clock; a new process
@@ -1685,10 +1717,11 @@ class DifferentialGraph:
         vers: dict[str, int] = {}
         for i, st in enumerate(self._stores):
             st.flush()
-            vers[str(i)] = st._ver
+            vers[getattr(st, "_meta_key", str(i))] = st._ver
         os.makedirs(self.state_dir, exist_ok=True)
         with open(self._meta_path(), "w") as f:
-            json.dump({"t": self._t, "vers": vers}, f)
+            json.dump({"t": self._t, "vers": vers,
+                       "node_meta": self._node_meta}, f)
 
     def source(self, name: str, template: DataFrame) -> SourceNode:
         node = SourceNode(self, name, template)

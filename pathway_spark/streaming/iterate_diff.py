@@ -1,0 +1,274 @@
+"""Generic incremental `iterate` over the differential engine.
+
+The reference runs arbitrary `pw.iterate` fixed points *inside* the
+dataflow (`python/pathway/internals/common.py:39-91` builds an iterate
+scope; engine `src/engine/graph.rs:931` — differential dataflow's
+`iterate` with product timestamps `(outer time, iteration)`), so any
+user-written loop body updates incrementally when its inputs change.
+
+Spark translation — the **level cascade**: the inner (iteration)
+timestamp is realized as a persistent *iteration trace*.  Level `i` is
+an independent incremental instance of the body — its own DiffNode
+subgraph with its own operator state — computing
+
+    V(i) = body(V(i-1), I)
+
+where `V(i-1)` arrives as level `i-1`'s consolidated output delta and
+the loop-invariant inputs `I` are ingested at EVERY level (differential
+iterate's `ingress`).  Because every operator in the engine is exactly
+incremental, level `i`'s accumulated output always equals the batch
+iterate's `i`-th iterate — for ARBITRARY bodies, monotone or not (this
+is what seeded warm-start recomputation gets wrong: after a retraction,
+min-style bodies are fixed points of stale answers; the cascade
+re-derives every iterate from the seed, incrementally in outer time).
+
+Per outer batch the cascade feeds each level the previous level's
+delta, so cost is Σ_levels incremental-body(δ) — proportional to the
+circulating deltas, not to the data.  Depth grows (a new level is
+built and seeded with the full current value — the only full-width
+work, amortized like DD's initial iteration) exactly when the deepest
+two levels diverge; once `V(N) = V(N-1)` every deeper iterate is equal,
+so the deepest level IS the fixed point.  With `iteration_limit=n` the
+depth is capped at `n` and the output is the `n`-th iterate — the
+reference's `iteration_limit` semantics, exactly.
+
+Scale notes: each level's body instance keeps its own operator state
+(DD shares arrangements across iterations; sharing them across level
+instances is the documented follow-up).  Memory is O(depth · |V|),
+per-batch cost O(depth · δ) — the differential-dataflow iterate cost
+model.  Durable restore persists the depth in the graph's node_meta
+and keys level stores by (iterate-index, level) namespaces, so store
+directories align no matter when depth grew.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .differential import (DIFF, TIME, DiffNode, SourceNode, _data_cols,
+                           consolidate)
+
+
+def _ms_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Weighted-multiset equality in one action: union with negated
+    weights, residual check.  Weight-aware, so both sides may be
+    unconsolidated."""
+    cols = _data_cols(a)
+    tagged = a.select(*cols, F.col(DIFF)).unionByName(
+        b.select(*cols, (-F.col(DIFF)).alias(DIFF)))
+    return (tagged.groupBy(*cols).agg(F.sum(DIFF).alias("__s"))
+                  .filter(F.col("__s") != 0).isEmpty())
+
+
+class _IterateNode(DiffNode):
+    """Fixed-point of `body(v, **inputs)` maintained incrementally.
+
+    `body` must be a pure builder: called once per level with fresh
+    source nodes, it returns the DiffNode for one application of the
+    loop body.  The loop variable seeds from the `var` input stream
+    (the reference iterates the tables passed to `pw.iterate`)."""
+
+    _CKPT_OUT = True
+
+    def __init__(self, graph, var: DiffNode,
+                 inputs: Mapping[str, DiffNode],
+                 body: Callable[..., DiffNode],
+                 iteration_limit: int | None = None,
+                 max_depth: int = 64):
+        self._input_names = list(inputs)
+        super().__init__(graph, [var] + [inputs[k] for k in self._input_names])
+        self._body = body
+        self._limit = iteration_limit
+        self._max_depth = (max_depth if iteration_limit is None
+                           else min(max_depth, iteration_limit))
+        self._nidx = graph._iter_count
+        graph._iter_count += 1
+        self._levels: list[dict] = []     # {vsrc, isrcs, out}
+        self._istores = None              # accumulated loop-invariant inputs
+        self._trace = None                # emitted output value (exact bytes)
+        self._ensured = False
+
+    # -- level machinery -------------------------------------------------
+
+    def _meta_key(self) -> str:
+        return f"it{self._nidx}_depth"
+
+    def _build_level(self, v_tpl: DataFrame,
+                     i_tpls: dict[str, DataFrame]) -> dict:
+        lvl = len(self._levels) + 1
+        ns = f"it{self._nidx}L{lvl}"
+        with self.graph._store_namespace(ns):
+            vsrc = SourceNode(self.graph, f"__{ns}_v", v_tpl)
+            isrcs = {k: SourceNode(self.graph, f"__{ns}_{k}", i_tpls[k])
+                     for k in self._input_names}
+            out = self._body(vsrc, **isrcs)
+        level = {"ns": ns, "vsrc": vsrc, "isrcs": isrcs, "out": out}
+        self._levels.append(level)
+        self.graph._node_meta[self._meta_key()] = len(self._levels)
+        return level
+
+    def _ensure(self, dv: DataFrame, dis: dict[str, DataFrame]) -> None:
+        """First advance: create the input accumulators + output trace,
+        and rebuild any levels a committed predecessor process had (the
+        restored depth comes from node_meta; level stores then restore
+        their committed state by namespace key on first pull)."""
+        if self._ensured:
+            return
+        self._ensured = True
+        ns = f"it{self._nidx}"
+        with self.graph._store_namespace(ns):
+            # accumulator/trace templates must NOT carry TIME: state
+            # rows from different batches have to cancel by value
+            self._istores = {
+                k: self.graph._make_store(
+                    dis[k].drop(TIME).filter(F.lit(False)))
+                for k in self._input_names}
+            self._trace = None   # created when the first level exists
+            self._v_tpl = dv.drop(TIME).filter(F.lit(False))
+        depth = self.graph._node_meta.get(self._meta_key(), 0)
+        i_tpls = {k: dis[k].drop(TIME).filter(F.lit(False))
+                  for k in self._input_names}
+        for _ in range(depth):
+            self._build_level(self._v_tpl, i_tpls)
+        if depth and self._trace is None:
+            self._make_trace()
+
+    def _make_trace(self) -> None:
+        # the body output schema equals the loop-variable schema (the
+        # output feeds back as the next level's variable), so the trace
+        # template is the variable template + DIFF
+        tpl = self._v_tpl.withColumn(DIFF, F.lit(1).cast("long"))
+        with self.graph._store_namespace(f"it{self._nidx}"):
+            self._trace = self.graph._make_store(tpl)
+
+    def _pull(self, level: dict, t: int) -> DataFrame:
+        """Advance one level under its store namespace (its body's
+        operators create their state stores on first pull)."""
+        with self.graph._store_namespace(level["ns"]):
+            d = level["out"].delta(t)
+        return consolidate(d).withColumn(TIME, F.lit(t)) \
+            .localCheckpoint(eager=False)
+
+    # -- evaluation ------------------------------------------------------
+
+    def _advance(self, t: int) -> DataFrame:
+        g = self.graph
+        var, ins = self.inputs[0], dict(zip(self._input_names,
+                                            self.inputs[1:]))
+        dv = var.delta(t)
+        dis = {k: n.delta(t) for k, n in ins.items()}
+        self._ensure(dv, dis)
+
+        # accumulate loop-invariant inputs FIRST so a level built this
+        # batch seeds from a value that includes this batch's delta
+        fed_i = {}
+        for k, n in ins.items():
+            if not n._empty_at(t):
+                self._istores[k].update(dis[k], wide=g._wide_batch)
+                fed_i[k] = dis[k]
+
+        # cascade through the existing levels
+        d_prev = consolidate(dv).withColumn(TIME, F.lit(t)) \
+            .localCheckpoint(eager=False) if not var._empty_at(t) else None
+        deltas = [d_prev]            # deltas[i] = δV(i); index 0 = seed
+        for level in self._levels:
+            if d_prev is not None:
+                level["vsrc"]._feed(d_prev.drop(TIME), t)
+            for k, d in fed_i.items():
+                level["isrcs"][k]._feed(d.drop(TIME), t)
+            d_prev = self._pull(level, t)
+            deltas.append(d_prev)
+
+        depth0 = len(self._levels)
+        if self._limit is not None and depth0 >= self._limit:
+            converged = True          # capped: output IS the n-th iterate
+        elif depth0 == 0:
+            converged = False         # body never applied yet
+        else:
+            converged = _ms_equal(deltas[-1], deltas[-2]
+                                  if deltas[-2] is not None
+                                  else deltas[-1].filter(F.lit(False)))
+
+        if converged:
+            out = deltas[-1] if deltas[-1] is not None else \
+                self._v_tpl.withColumn(DIFF, F.lit(1).cast("long")) \
+                           .withColumn(TIME, F.lit(t))
+            if self._trace is not None:
+                self._trace.update(out.drop(TIME), wide=g._wide_batch)
+            return out
+
+        # -- depth growth: full-width seeding of new levels ------------
+        # rare (initial convergence, or the fixed point deepened);
+        # restore full session confs so the wide seeds keep AQE + real
+        # shuffle parallelism, and skip broadcast hints for the batch
+        if g._tune_steady:
+            g.restore_session_confs()
+        g._batch_wide = True
+        if depth0 == 0:
+            cur_full = deltas[0]      # first batch: V(0) = δv alone
+            if cur_full is None:
+                cur_full = self._v_tpl.withColumn(
+                    DIFF, F.lit(1).cast("long")).withColumn(TIME, F.lit(t))
+        else:
+            base = self._trace.get()
+            cur_full = consolidate(
+                base.select(*_data_cols(base), DIFF).unionByName(
+                    deltas[-1].select(*_data_cols(base), DIFF))) \
+                .localCheckpoint(eager=False)
+        i_tpls = {k: dis[k].filter(F.lit(False))
+                  for k in self._input_names}
+        i_fulls = {k: consolidate(self._istores[k].get())
+                   .localCheckpoint(eager=False)
+                   for k in self._input_names}
+        while True:
+            if len(self._levels) >= self._max_depth:
+                raise RuntimeError(
+                    f"iterate did not converge within {self._max_depth} "
+                    f"levels; pass iteration_limit= or raise max_depth=")
+            level = self._build_level(self._v_tpl, i_tpls)
+            if self._trace is None:
+                self._make_trace()
+            level["vsrc"]._feed(cur_full.drop(TIME), t)
+            for k in self._input_names:
+                level["isrcs"][k]._feed(i_fulls[k].drop(TIME), t)
+            new_full = self._pull(level, t)
+            if _ms_equal(new_full, cur_full):
+                break
+            cur_full = new_full
+            if (self._limit is not None
+                    and len(self._levels) >= self._limit):
+                break
+
+        # emitted delta = exact-bytes diff of the new fixed point vs the
+        # previously emitted value (float-safe cancellation, the same
+        # output-trace rule _ReduceNode uses)
+        trace = self._trace.get()
+        old = trace.select(*_data_cols(trace),
+                           (-F.col(DIFF)).alias(DIFF))
+        out = consolidate(
+            old.unionByName(cur_full.select(*old.columns))) \
+            .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
+        self._trace.update(out.drop(TIME), wide=True)
+        return out
+
+
+def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
+                         inputs: Mapping[str, DiffNode] | None = None,
+                         *, iteration_limit: int | None = None,
+                         max_depth: int = 64) -> DiffNode:
+    """Incrementally-maintained `pw.iterate` (reference
+    `internals/common.py:39-91`, engine `graph.rs:931`).
+
+    `body(v, **inputs) -> DiffNode` builds ONE application of the loop
+    body from the given source-like nodes using the standard DiffNode
+    builder API; `var` is the iterated stream (its accumulated value
+    seeds the loop), `inputs` are loop-invariant streams visible to
+    every iteration.  Returns a node whose delta stream maintains the
+    fixed point under arbitrary insertions AND retractions of any
+    input — prefix-equal to recomputing `iterate` from scratch."""
+    return _IterateNode(var.graph, var, dict(inputs or {}), body,
+                        iteration_limit=iteration_limit,
+                        max_depth=max_depth)

@@ -1,0 +1,202 @@
+"""Generic incremental iterate (level cascade) vs batch recompute.
+
+The bodies below are USER-written fixed points — not the shipped
+incremental graph algorithms — built from the DiffNode operator API.
+Invariant: after every batch of insertions/retractions, integrating
+the iterate node's changelog equals recomputing the fixed point from
+scratch on the accumulated inputs (prefix equality).
+
+Reachability is the discriminating case: the stale reachable set
+REMAINS a fixed point of `v ∪ hop(v)` after an edge retraction, so any
+warm-seeded recomputation returns the stale answer — only re-deriving
+every iterate from the seed (what the level cascade maintains
+incrementally) shrinks the set correctly.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathway_spark.streaming.differential import (
+    DIFF, DifferentialGraph,
+)
+from pathway_spark.streaming.iterate_diff import iterate_differential
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _reach_body(v, edges):
+    """One application of: reachable = reachable ∪ successors."""
+    hop = (v.select(F.col("x").alias("u"))
+            .join(edges, ["u"])
+            .select(F.col("v").alias("x")))
+    return v.union(hop).distinct()
+
+
+def _bfs(seeds, edges):
+    """Python oracle: nodes reachable from seeds over directed edges."""
+    adj = {}
+    for u, w in edges:
+        adj.setdefault(u, set()).add(w)
+    seen, frontier = set(seeds), list(seeds)
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen.add(m)
+                    nxt.append(m)
+        frontier = nxt
+    return seen
+
+
+def _feed(spark, g, node, seeds_d=None, edges_d=None):
+    kw = {}
+    if seeds_d:
+        df = spark.createDataFrame([(x,) for x, _ in seeds_d], "x long")
+        kw["seeds"] = df.withColumn(
+            DIFF, F.lit(seeds_d[0][1])) if seeds_d[0][1] != 1 else df
+    if edges_d:
+        df = spark.createDataFrame([(u, v) for u, v, _ in edges_d],
+                                   "u long, v long")
+        kw["edges"] = df.withColumn(
+            DIFF, F.lit(edges_d[0][2])) if edges_d[0][2] != 1 else df
+    return g.step(node, **kw)
+
+
+def test_reachability_insert_only_converges(spark):
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges})
+
+    (d1,) = _feed(spark, g, reach, seeds_d=[(1, 1)],
+                  edges_d=[(1, 2, 1), (2, 3, 1), (5, 6, 1)])
+    assert _rows(DifferentialGraph.integrate(d1), "x") == [(1,), (2,), (3,)]
+
+    # connect the far component: only the newly-reachable nodes emit
+    (d2,) = _feed(spark, g, reach, edges_d=[(3, 5, 1)])
+    assert _rows(d2, "x", DIFF) == [(5, 1), (6, 1)]
+
+
+def test_reachability_retraction_shrinks_stale_fixed_point(spark):
+    """Cutting the bridge edge must retract the downstream nodes even
+    though the stale set is still a fixed point of the body."""
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges})
+
+    _feed(spark, g, reach, seeds_d=[(1, 1)],
+          edges_d=[(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    (d2,) = _feed(spark, g, reach, edges_d=[(2, 3, -1)])
+    assert _rows(d2, "x", DIFF) == [(3, -1), (4, -1)]
+
+
+def test_randomized_prefix_equality_vs_batch_recompute(spark):
+    rng = random.Random(7)
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges})
+
+    cur_seeds, cur_edges = set(), set()
+    log = []
+    for step in range(6):
+        add_e = {(rng.randrange(12), rng.randrange(12))
+                 for _ in range(rng.randrange(1, 4))} - cur_edges
+        del_e = (set(rng.sample(sorted(cur_edges),
+                                k=min(len(cur_edges), rng.randrange(0, 3))))
+                 if cur_edges else set())
+        add_s = ({rng.randrange(12)} - cur_seeds
+                 if rng.random() < 0.5 or not cur_seeds else set())
+        cur_edges = (cur_edges | add_e) - del_e
+        cur_seeds |= add_s
+        kw = {}
+        if add_s:
+            kw["seeds"] = spark.createDataFrame(
+                [(x,) for x in add_s], "x long")
+        ed = ([(u, v, 1) for u, v in add_e]
+              + [(u, v, -1) for u, v in del_e])
+        if ed:
+            kw["edges"] = spark.createDataFrame(
+                ed, "u long, v long, _pw_diff long")
+        if not kw:
+            kw["seeds"] = spark.createDataFrame([(0,)], "x long")
+            cur_seeds |= {0}
+        (d,) = g.step(reach, **kw)
+        log.append(d.localCheckpoint(eager=True))
+        acc = log[0]
+        for piece in log[1:]:
+            acc = acc.unionByName(piece)
+        got = {r["x"] for r in
+               DifferentialGraph.integrate(acc).collect()}
+        want = _bfs(cur_seeds, cur_edges)
+        assert got == want, f"step {step}: {sorted(got)} != {sorted(want)}"
+
+
+def test_iteration_limit_matches_capped_batch_iterate(spark):
+    """body: keep adding x+1 below 100 — with iteration_limit=3 the
+    output is the 3rd iterate (seed + up to 3 hops), exactly the
+    reference's iteration_limit semantics."""
+    g = DifferentialGraph(spark)
+    start = g.source("start", spark.createDataFrame([], "x long"))
+
+    def body(v):
+        nxt = (v.filter(F.col("x") < 100)
+                .select((F.col("x") + 10).alias("x")))
+        return v.union(nxt).distinct()
+
+    capped = iterate_differential(body, start, iteration_limit=3)
+    (d1,) = g.step(capped, start=spark.createDataFrame([(0,)], "x long"))
+    assert _rows(DifferentialGraph.integrate(d1), "x") == [
+        (0,), (10,), (20,), (30,)]
+    # a later seed flows through the same 3 capped levels
+    (d2,) = g.step(capped, start=spark.createDataFrame([(500,)], "x long"))
+    assert _rows(d2, "x", DIFF) == [(500, 1)]
+
+
+def test_depth_grows_on_later_batches(spark):
+    """A chain that lengthens after convergence forces new levels —
+    the grown trace still emits exact deltas."""
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges})
+
+    _feed(spark, g, reach, seeds_d=[(0, 1)], edges_d=[(0, 1, 1)])
+    depth0 = len(reach._levels)
+    # extend the chain far beyond the current depth
+    (d2,) = _feed(spark, g, reach,
+                  edges_d=[(i, i + 1, 1) for i in range(1, 8)])
+    assert len(reach._levels) > depth0
+    assert _rows(d2, "x", DIFF) == [(i, 1) for i in range(2, 9)]
+    # steady batch after growth stays incremental and exact
+    (d3,) = _feed(spark, g, reach, edges_d=[(0, 1, -1)])
+    assert _rows(d3, "x", DIFF) == [(i, -1) for i in range(1, 9)]
+
+
+def test_durable_commit_restore_continues(spark, tmp_path):
+    sd = str(tmp_path / "state")
+
+    def build(g):
+        seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+        edges = g.source("edges",
+                         spark.createDataFrame([], "u long, v long"))
+        return iterate_differential(_reach_body, seeds, {"edges": edges})
+
+    g = DifferentialGraph(spark, state_dir=sd)
+    reach = build(g)
+    _feed(spark, g, reach, seeds_d=[(1, 1)],
+          edges_d=[(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    g.commit()
+    depth = len(reach._levels)
+
+    g2 = DifferentialGraph(spark, state_dir=sd)
+    reach2 = build(g2)
+    (d,) = _feed(spark, g2, reach2, edges_d=[(2, 3, -1)])
+    assert len(reach2._levels) >= depth   # depth restored from node_meta
+    assert _rows(d, "x", DIFF) == [(3, -1), (4, -1)]

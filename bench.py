@@ -133,6 +133,43 @@ def main() -> None:
         d.localCheckpoint(eager=True)
     timings["diff_join_reduce_5x1k"] = round(time.perf_counter() - t0, 3)
 
+    # incremental CC on a power-law graph with ONE giant component:
+    # 4 steady batches of intra-component inserts + non-bridge deletes.
+    # The spanning-forest state makes these O(delta) — per-delta cost
+    # must not be proportional to the giant component's size
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_connected_components)
+
+    import random as _random
+    rng = _random.Random(42)
+    n = 20_000
+    pl_edges = [(i, max(0, min(i - 1, int(rng.paretovariate(1.2)))))
+                for i in range(1, n)]          # preferential-ish chain
+    extra = [(rng.randrange(n), rng.randrange(n)) for _ in range(5000)]
+    gcc = DifferentialGraph(spark)
+    src_e = gcc.source("e", spark.createDataFrame([], "u long, v long"))
+    cc_out = incremental_connected_components(src_e)
+    (c0,) = gcc.step(cc_out, e=spark.createDataFrame(
+        pl_edges + extra, "u long, v long"))
+    c0.localCheckpoint(eager=True)              # priming solve, not timed
+    # intra-component inserts never enter the forest — deleting them
+    # later is guaranteed non-bridge
+    cyc = [(rng.randrange(n), rng.randrange(n)) for _ in range(400)]
+    (c1,) = gcc.step(cc_out, e=spark.createDataFrame(
+        cyc, "u long, v long"))
+    c1.localCheckpoint(eager=True)              # warm-up batch, not timed
+    t0 = time.perf_counter()
+    for i in range(4):
+        ins = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
+        dels = cyc[i * 100:(i + 1) * 100]
+        delta = (spark.createDataFrame(ins, "u long, v long")
+                 .withColumn("_pw_diff", SF.lit(1))
+                 .unionByName(spark.createDataFrame(dels, "u long, v long")
+                              .withColumn("_pw_diff", SF.lit(-1))))
+        (d,) = gcc.step(cc_out, e=delta)
+        d.localCheckpoint(eager=True)
+    timings["diff_cc_forest_4x200"] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

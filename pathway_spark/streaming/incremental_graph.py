@@ -145,11 +145,328 @@ def _cc_labels(e: DataFrame) -> DataFrame:
     return connected_components(Table(e.select("u", "v")))._df.drop(ID)
 
 
-def incremental_connected_components(edges: DiffNode) -> DiffNode:
+def _cc_labels_forest(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Min-label propagation that also extracts a spanning forest:
+    `parent(w)` is the neighbor that delivered w's FINAL label when it
+    first arrived (struct-min tie-break), so parent chains strictly
+    decrease in adoption round — acyclic, and every non-root adopted
+    its label from someone, so the parent edges span each component.
+    Returns (labels (w, label), forest (a, b) with a < b normalized).
+
+    Same recurrence as `connected_components` (labels are bit-identical
+    to the batch operator); the extra `via` column rides along the
+    min-struct."""
+    from ..operators.iterate import _dfs_equal
+
+    e2 = e.select("u", "v")
+    sym = e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (sym.select(F.col("u").alias("w")).distinct()
+                 .select("w", F.col("w").alias("label"),
+                         F.col("w").alias("parent")))
+    while True:
+        cand = (sym.join(labels.select(F.col("w").alias("v"),
+                                       F.col("label").alias("nl")), "v")
+                   .select(F.col("u").alias("w"), "nl",
+                           F.col("v").alias("via")))
+        best = cand.groupBy("w").agg(
+            F.min(F.struct("nl", "via")).alias("m"))
+        new = (labels.join(best, "w", "left")
+               .select("w",
+                       F.when(F.col("m.nl") < F.col("label"),
+                              F.col("m.nl")).otherwise(
+                                  F.col("label")).alias("label"),
+                       F.when(F.col("m.nl") < F.col("label"),
+                              F.col("m.via")).otherwise(
+                                  F.col("parent")).alias("parent"))
+               ).localCheckpoint(eager=True)
+        if _dfs_equal(new.select("w", "label"),
+                      labels.select("w", "label")):
+            labels = new
+            break
+        labels = new
+    forest = (labels.filter(F.col("parent") != F.col("w"))
+              .select(F.least("w", "parent").alias("a"),
+                      F.greatest("w", "parent").alias("b")).distinct())
+    return labels.select("w", "label"), forest
+
+
+class _ForestCCNode(DiffNode):
+    """Connected components with spanning-forest state — the
+    giant-component mitigation.
+
+    The affected-component rule re-solves the WHOLE touched component
+    per delta; on real graphs (one giant component) that degenerates to
+    full recompute.  This node keeps a spanning forest so that most
+    deltas never run the fixed point at all:
+
+    - insert inside a component (endpoint labels equal): no-op;
+    - insert joining two components: a driver-side union-find over the
+      batch's (micro-batch-bounded) label pairs plus ONE label-keyed
+      trace flip — rows of the losing components retract and re-emit
+      with the group-min label; the uniting edge joins the forest.  No
+      edge-state scan, no fixed-point loop;
+    - delete a NON-forest edge: no-op (connectivity unchanged);
+    - delete a forest edge (or a node's last self-loop): only then the
+      affected components re-solve via `_cc_labels_forest`, which also
+      rebuilds their forests.
+
+    Per-delta cost is therefore proportional to the OUTPUT change
+    (label flips) except for genuine bridge cuts — the differential-
+    dataflow cost profile for CC.  The driver collect is bounded by the
+    batch size (label pairs of delta edges), the same contract as the
+    engine's distinct-event-time collect.  The output trace is
+    bucket-keyed by `label`, so flip/re-solve probes prune durable
+    state by component."""
+
+    def __init__(self, graph, edges: DiffNode):
+        super().__init__(graph, [edges])
+        self._estate = None
+        self._forest = None
+        self._trace = None
+        self._primed = False
+
+    def _ensure(self, dE: DataFrame) -> None:
+        if self._estate is not None:
+            return
+        self._estate = self.graph._make_store(dE)
+        empty = dE.filter(F.lit(False))
+        ftpl = (empty.select(F.least("u", "v").alias("a"),
+                             F.greatest("u", "v").alias("b"))
+                .withColumn(DIFF, F.lit(1).cast("long")))
+        self._forest = self.graph._make_store(ftpl)
+        ttpl = (empty.select(F.col("u").alias("w"),
+                             F.col("u").alias("label"))
+                .withColumn(DIFF, F.lit(1).cast("long")))
+        self._trace = self.graph._make_store(ttpl, key_cols=["label"])
+        self._primed = (self._trace._ver > 0 or self._estate._ver > 0)
+        self._ltype = dict(dE.dtypes)["u"]
+
+    def _prime(self, dE: DataFrame, t: int) -> DataFrame:
+        e_new = _expand(consolidate(
+            self._estate.get().unionByName(
+                dE.select("u", "v", DIFF))))
+        labels, forest = _cc_labels_forest(e_new)
+        out = (labels.withColumn(DIFF, F.lit(1).cast("long"))
+               .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False))
+        wide = self.graph._wide_batch
+        self._trace.update(out, wide=wide)
+        self._forest.update(
+            forest.withColumn(DIFF, F.lit(1).cast("long")), wide=wide)
+        self._estate.update(dE, wide=wide)
+        return out
+
+    def _advance(self, t: int) -> DataFrame:
+        dE = self.inputs[0].delta(t)
+        self._ensure(dE)
+        if not self._primed:
+            self._primed = True
+            return self._prime(dE, t)
+        g, spark = self.graph, self.graph.spark
+        wide = g._wide_batch
+
+        dnet = consolidate(dE).localCheckpoint(eager=False)
+        pairs = dnet.select("u", "v")
+        old_w = (self._estate.get(probe=pairs, on=["u", "v"])
+                 .join(self._small(pairs), on=["u", "v"], how="left_semi")
+                 .groupBy("u", "v").agg(F.sum(DIFF).alias("__old")))
+        chg = (dnet.join(old_w, ["u", "v"], "left")
+               .select("u", "v",
+                       F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
+                       (F.coalesce(F.col("__old"), F.lit(0))
+                        + F.col(DIFF)).alias("__new"))
+               .localCheckpoint(eager=False))
+        true_ins = chg.filter((F.col("__old") <= 0) & (F.col("__new") > 0))
+        true_del = chg.filter((F.col("__old") > 0) & (F.col("__new") <= 0))
+
+        # forest rows cut by true deletions (normalized orientation)
+        del_n = true_del.select(F.least("u", "v").alias("a"),
+                                F.greatest("u", "v").alias("b"))
+        cuts = (self._forest.get()
+                .join(self._small(del_n), on=["a", "b"], how="left_semi"))
+
+        # labels of every node the decision logic touches
+        nodes = (true_ins.select(F.col("u").alias("w"))
+                 .unionByName(true_ins.select(F.col("v").alias("w")))
+                 .unionByName(true_del.filter(F.col("u") == F.col("v"))
+                              .select(F.col("u").alias("w")))
+                 .unionByName(cuts.select(F.col("a").alias("w")))
+                 .unionByName(cuts.select(F.col("b").alias("w")))
+                 .distinct())
+        tr_slice = consolidate(
+            self._trace.get().join(self._small(nodes), on="w",
+                                   how="left_semi"))
+        labs = (nodes.join(tr_slice.select("w", "label"), "w", "left")
+                .select("w", F.coalesce("label", "w").alias("label"),
+                        F.col("label").isNotNull().alias("seen")))
+        lab_u = labs.select(F.col("w").alias("u"),
+                            F.col("label").alias("lu"),
+                            F.col("seen").alias("su"))
+        lab_v = labs.select(F.col("w").alias("v"),
+                            F.col("label").alias("lv"),
+                            F.col("seen").alias("sv"))
+        ins_info = (true_ins.join(F.broadcast(lab_u), "u")
+                    .join(F.broadcast(lab_v), "v")
+                    .filter((F.col("lu") != F.col("lv"))
+                            | ~F.col("su") | ~F.col("sv"))
+                    .select("u", "v", "lu", "lv", "su", "sv",
+                            F.lit(False).alias("cut")))
+        cut_info = (cuts.select(F.col("a").alias("u"),
+                                F.col("b").alias("v"))
+                    .unionByName(true_del
+                                 .filter(F.col("u") == F.col("v"))
+                                 .select("u", "v"))
+                    .join(F.broadcast(lab_u), "u")
+                    .select("u", "v", "lu", F.col("lu").alias("lv"),
+                            F.lit(True).alias("su"),
+                            F.lit(True).alias("sv"),
+                            F.lit(True).alias("cut")))
+        rows = ins_info.unionByName(cut_info).collect()   # O(|batch|)
+
+        # -- driver union-find over the touched labels ------------------
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        tree_edges, cutset, singles_unseen = [], set(), {}
+        for r in sorted((r for r in rows if not r["cut"]),
+                        key=lambda r: (r["lu"], r["lv"], r["u"], r["v"])):
+            lu, lv = find(r["lu"]), find(r["lv"])
+            parent.setdefault(r["lu"], r["lu"])
+            parent.setdefault(r["lv"], r["lv"])
+            if not r["su"]:
+                singles_unseen[r["u"]] = True
+            if not r["sv"]:
+                singles_unseen[r["v"]] = True
+            if lu != lv:
+                parent[max(lu, lv)] = min(lu, lv)
+                tree_edges.append((r["u"], r["v"], r["lu"]))
+        for r in rows:
+            if r["cut"]:
+                cutset.add(r["lu"])
+                cutset.add(r["lv"])
+        groups: dict = {}
+        for l in parent:
+            groups.setdefault(find(l), set()).add(l)
+        resolve_labels = set()
+        for l in cutset:
+            resolve_labels |= groups.get(find(l), {l}) if l in parent \
+                else {l}
+        resolve_roots = {find(l) for l in cutset if l in parent} | cutset
+        mapping, singles_out = {}, []
+        for root, members in groups.items():
+            if members & resolve_labels:
+                continue
+            m = min(members)
+            for l in members:
+                if l != m:
+                    mapping[l] = m
+        for w in singles_unseen:
+            lw = find(w) if w in parent else w
+            if w in resolve_labels or lw in resolve_roots \
+                    or (w in parent and groups.get(find(w), set())
+                        & resolve_labels):
+                continue          # the re-solve emits these
+            singles_out.append((w, mapping.get(w, min(groups[find(w)])
+                                               if w in parent else w)))
+        flip_tree = [(u, v) for (u, v, lu) in tree_edges
+                     if not (groups.get(find(lu), {lu}) & resolve_labels)]
+
+        lt = self._ltype
+        pieces, f_pieces = [], []
+
+        # -- flip path: label rewrite, no fixed point -------------------
+        if mapping:
+            map_df = spark.createDataFrame(
+                sorted(mapping.items()), f"label {lt}, __nl {lt}")
+            members = consolidate(
+                self._trace.get(probe=map_df, on=["label"])
+                    .join(F.broadcast(map_df), "label"))
+            pieces.append(members.select(
+                "w", "label", (-F.col(DIFF)).alias(DIFF)))
+            pieces.append(members.select(
+                "w", F.col("__nl").alias("label"), F.col(DIFF)))
+        if singles_out:
+            pieces.append(spark.createDataFrame(
+                sorted(singles_out), f"w {lt}, label {lt}")
+                .withColumn(DIFF, F.lit(1).cast("long")))
+        if flip_tree:
+            f_pieces.append(spark.createDataFrame(
+                sorted(flip_tree), f"u {lt}, v {lt}")
+                .select(F.least("u", "v").alias("a"),
+                        F.greatest("u", "v").alias("b"))
+                .withColumn(DIFF, F.lit(1).cast("long")))
+
+        # -- resolve path: bridge cuts re-solve their components --------
+        if resolve_labels:
+            res_lab = spark.createDataFrame(
+                sorted((l,) for l in resolve_labels), f"label {lt}")
+            old_rows = consolidate(
+                self._trace.get(probe=res_lab, on=["label"])
+                    .join(F.broadcast(res_lab), "label", "left_semi"))
+            res_nodes = old_rows.select("w")
+            extra = [w for w in singles_unseen
+                     if w in resolve_labels
+                     or (w in parent and groups.get(find(w), set())
+                         & resolve_labels)]
+            if extra:
+                res_nodes = res_nodes.unionByName(spark.createDataFrame(
+                    sorted((w,) for w in extra), f"w {lt}"))
+            sn_u = res_nodes.withColumnRenamed("w", "u")
+            dE_slice = dnet.join(F.broadcast(sn_u), "u", "left_semi")
+            e_slice = _expand(consolidate(
+                self._estate.get().join(sn_u, "u", "left_semi")
+                    .select("u", "v", DIFF)
+                    .unionByName(dE_slice.select("u", "v", DIFF))))
+            labels_new, forest_new = _cc_labels_forest(
+                e_slice.localCheckpoint(eager=False))
+            pieces.append(old_rows.select(
+                "w", "label", (-F.col(DIFF)).alias(DIFF)))
+            pieces.append(labels_new.withColumn(
+                DIFF, F.lit(1).cast("long")))
+            f_old = (self._forest.get()
+                     .join(sn_u.withColumnRenamed("u", "a"), "a",
+                           "left_semi"))
+            f_pieces.append(f_old.select(
+                "a", "b", (-F.col(DIFF)).alias(DIFF)))
+            f_pieces.append(forest_new.withColumn(
+                DIFF, F.lit(1).cast("long")))
+
+        ttpl = (self._trace.get().filter(F.lit(False))
+                .select("w", "label", DIFF))
+        out = ttpl
+        for p in pieces:
+            out = out.unionByName(p.select("w", "label", DIFF))
+        out = (consolidate(out).withColumn(TIME, F.lit(t))
+               .localCheckpoint(eager=False))
+        self._trace.update(out, wide=wide)
+        if f_pieces:
+            fd = f_pieces[0]
+            for p in f_pieces[1:]:
+                fd = fd.unionByName(p.select(*fd.columns))
+            self._forest.update(consolidate(fd), wide=wide)
+        self._estate.update(dnet.withColumn(TIME, F.lit(t)), wide=wide)
+        return out
+
+
+def incremental_connected_components(edges: DiffNode,
+                                     strategy: str = "forest") -> DiffNode:
     """Differential connected components: emits (w, label) insertions
-    and retractions as edges come and go.  The label doubles as the
-    component key, so affected-component slicing needs no extra
-    column."""
+    and retractions as edges come and go.
+
+    `strategy="forest"` (default) keeps spanning-forest state so that
+    intra-component inserts and non-bridge deletes cost O(delta) — only
+    bridge cuts re-solve their component.  `strategy="component"` is
+    the plain affected-component recompute (re-solves every touched
+    component per batch)."""
+    if strategy == "forest":
+        return _ForestCCNode(edges.graph, edges)
+
     def tpl(e):
         return e.select(F.col("u").alias("w"), F.col("u").alias("label"))
 

@@ -450,6 +450,7 @@ from .connectors import (  # noqa: E402,F401
     qdrant, questdb, rabbitmq, s3, s3_csv, sharepoint, slack, weaviate,
 )
 from .connectors import duckdb_ns as duckdb  # noqa: E402,F401
+from .changelog import changelog  # noqa: E402,F401  (retraction envelopes)
 
 
 @_dc.dataclass

@@ -320,6 +320,10 @@ from .incremental_graph import (  # noqa: E402,F401
     incremental_pagerank,
 )
 from .iterate_diff import iterate_differential  # noqa: E402,F401
+from .sync_group import (  # noqa: E402,F401
+    DifferentialSyncGroup,
+    register_differential_synchronization_group,
+)
 
 
 def subscribe_differential_multi(streams, build, on_change, *,

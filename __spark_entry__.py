@@ -829,7 +829,13 @@ def q39_graduations(spark, sf):
       every step (60-bit md5 hash, distinct, k-th smallest by integer
       order, one IEEE division) is engine-exact, so DuckDB reproduces
       the ESTIMATE bit-for-bit (native HLLs differ across engines by
-      design; x39 keeps exercising Spark's HLL++)."""
+      design; x39 keeps exercising Spark's HLL++).
+    - part='cdf' (round 6): retraction-envelope round trip — a weighted
+      changelog (net 0/1/2 per (event_type, user_id)) through the
+      Delta-CDF envelope (`io/changelog.py`: |weight| replicates to
+      insert/delete rows, from_envelope restores signed diffs) and the
+      reader-side merge_streams_to_table compaction; num per
+      event_type = rows after expansion = Σ net."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -850,7 +856,27 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("approx_users").cast("double").alias("num"),
     )
-    return keep.unionByName(kmv)
+    from pathway_spark.io.changelog import (
+        from_envelope, merge_streams_to_table, to_envelope)
+    from pathway_spark.streaming.differential import DIFF, TIME
+
+    pairs = e.to_df().groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max((F.col("value") > 150).cast("int")).alias("bad"))
+    chg = (pairs.select(
+        "event_type", "user_id",
+        (F.lit(1) + (F.col("c") >= 3).cast("long")
+         - F.col("bad").cast("long")).alias(DIFF))
+        .filter(F.col(DIFF) != 0).withColumn(TIME, F.lit(0)))
+    snap = merge_streams_to_table(
+        from_envelope(to_envelope(chg, "cdf"), "cdf"))._df
+    cdf = (snap.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.lit("cdf").alias("part"),
+                   F.col("event_type").alias("key"),
+                   F.lit(None).cast("string").alias("txt"),
+                   F.col("n").cast("double").alias("num")))
+    return keep.unionByName(kmv).unionByName(cdf)
 
 
 def q40_iterate(spark, sf):
@@ -1665,6 +1691,17 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["PORTABLE_KMV_ORACLE"]).PORTABLE_KMV_ORACLE.format(
             group_cols="event_type", value_col="user_id",
             table="events", out_name="approx_users") + """) k
+            UNION ALL
+            SELECT 'cdf' AS part, event_type AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(SUM(net) AS DOUBLE) AS num
+            FROM (
+                SELECT event_type,
+                       1 + CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END
+                         - MAX(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+                           AS net
+                FROM events GROUP BY event_type, user_id) p
+            GROUP BY event_type
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

@@ -157,7 +157,24 @@ def merge_streams_to_table(changelog: DataFrame) -> Table:
     return Table(_expand(consolidate(d)).drop(DIFF))
 
 
+def subscribe_write(stream, build, path, *, format: str = "parquet",
+                    envelope: str = "pathway", **subscribe_kw):
+    """End-to-end retraction pipeline to a sink: feed a live stream
+    through a differential graph (`build(source_node)`), append each
+    emitted delta to `path` in the chosen envelope.  The sink is a
+    valid changelog at every prefix; `read` + `merge_streams_to_table`
+    recover the snapshot.  Returns the StreamingQuery."""
+    from ..streaming import FrameSink, subscribe_differential
+
+    return subscribe_differential(
+        stream, build,
+        FrameSink(lambda d, t: write(d, path, format=format,
+                                     envelope=envelope)),
+        **subscribe_kw)
+
+
 changelog = SimpleNamespace(
     write=write, read=read, to_envelope=to_envelope,
     from_envelope=from_envelope,
-    merge_streams_to_table=merge_streams_to_table)
+    merge_streams_to_table=merge_streams_to_table,
+    subscribe_write=subscribe_write)

@@ -161,6 +161,18 @@ class _SubscribedQuery:
         return getattr(self._q, name)
 
 
+class FrameSink:
+    """Marker wrapper for `subscribe_differential`'s change callback:
+    `FrameSink(fn)` receives the WHOLE delta DataFrame per logical step
+    (`fn(delta_df, time)`) instead of driver-side row callbacks — the
+    connector/sink path (e.g. `pw.io.changelog.subscribe_write` appends
+    each delta to a retraction-envelope sink executor-side; no rows
+    cross the driver)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
 def _emit_delta(delta, on_change, on_time_end, batch_time):
     """Drive the reference subscribe callbacks for one output delta:
     every row change first, then one atomic `on_time_end(time)` —
@@ -168,6 +180,11 @@ def _emit_delta(delta, on_change, on_time_end, batch_time):
     on_time_end: 'all changes for a time have been delivered')."""
     from .differential import DIFF, TIME
 
+    if isinstance(on_change, FrameSink):
+        on_change.fn(delta, batch_time)
+        if on_time_end is not None:
+            on_time_end(batch_time)
+        return
     for row in delta.toLocalIterator():
         d = row.asDict()
         t, w = d.pop(TIME), d.pop(DIFF)

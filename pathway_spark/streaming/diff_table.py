@@ -302,6 +302,33 @@ class DiffTable:
         nothing (matching differential reduce, not SQL's phantom row)."""
         return DiffGrouped(self, []).reduce(**kwargs)
 
+    def iterate(self, body, inputs: dict[str, "DiffTable"] | None = None,
+                *, iteration_limit: int | None = None,
+                max_depth: int = 64) -> "DiffTable":
+        """Incrementally-maintained `pw.iterate` in the Table idiom
+        (reference `internals/common.py:39-91`; engine `graph.rs:931`
+        iterate scope).  `body(v, **inputs) -> DiffTable` builds one
+        application of the loop body from DiffTables; this table's
+        stream seeds the loop variable, `inputs` are loop-invariant
+        streams.  The fixed point stays correct under arbitrary
+        insertions and retractions — see
+        `streaming/iterate_diff.py` (level cascade)."""
+        from .iterate_diff import iterate_differential
+
+        inputs = dict(inputs or {})
+        vt = self._template
+        its = {k: t._template for k, t in inputs.items()}
+
+        def node_body(v, **ins):
+            out = body(DiffTable(v, vt),
+                       **{k: DiffTable(n, its[k]) for k, n in ins.items()})
+            return out.node if isinstance(out, DiffTable) else out
+
+        node = iterate_differential(
+            node_body, self.node, {k: t.node for k, t in inputs.items()},
+            iteration_limit=iteration_limit, max_depth=max_depth)
+        return DiffTable(node, vt)
+
     # -- generic extension point -----------------------------------------
     def keyed_recompute(self, keys, op_fn) -> "DiffTable":
         """Make ANY keyed batch operator incrementally maintainable.

@@ -79,3 +79,36 @@ def test_debezium_envelope_parses_with_existing_parser(spark):
     ops = sorted(r["op"] for r in parsed.collect())
     assert ops == ["c", "c"]
     assert all(r[DIFF] == 1 for r in parsed.collect())
+
+
+def test_subscribe_write_end_to_end(spark, tmp_path):
+    """Live stream -> differential graph -> envelope sink appends ->
+    re-read + merge == the batch answer (no rows cross the driver)."""
+    import pathway_spark as pw
+    import pathway_spark.streaming  # noqa: F401  (FrameSink wiring)
+    from pathway_spark.io.changelog import subscribe_write
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "f1.csv").write_text("k,v\na,2\nb,6\na,3\n")
+    sink = str(tmp_path / "sink")
+    schema = pw.schema_from_types(k=str, v=int)
+    t = pw.demo.replay_csv(str(src), schema=schema, mode="streaming",
+                           spark=spark)
+    q = subscribe_write(
+        t,
+        lambda s: s.reduce(["k"], total=("sum", "v"), n=("count",)),
+        sink, format="parquet", envelope="pathway")
+    q.processAllAvailable()
+    # second file triggers an update: the sink must carry the
+    # retraction of a's old aggregate
+    (src / "f2.csv").write_text("k,v\na,5\n")
+    q.processAllAvailable()
+    q.stop()
+
+    back = read(sink, format="parquet", envelope="pathway", spark=spark)
+    snap = sorted(tuple(r) for r in merge_streams_to_table(back)._df
+                  .select("k", "total", "n").collect())
+    assert snap == [("a", 10, 3), ("b", 6, 1)]
+    # the envelope really carries a retraction row for a's old value
+    assert back.filter((F.col("k") == "a") & (F.col(DIFF) < 0)).count() >= 1

@@ -200,3 +200,35 @@ def test_durable_commit_restore_continues(spark, tmp_path):
     (d,) = _feed(spark, g2, reach2, edges_d=[(2, 3, -1)])
     assert len(reach2._levels) >= depth   # depth restored from node_meta
     assert _rows(d, "x", DIFF) == [(3, -1), (4, -1)]
+
+
+def test_table_syntax_iterate(spark):
+    """DiffTable.iterate: the Table-idiom bridge over the level
+    cascade — user writes this/left/right expressions."""
+    import pathway_spark as pw
+    from pathway_spark import this, left, right
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    g = DifferentialTableGraph(spark)
+    seeds = g.input("seeds", spark.createDataFrame([], "x long"))
+    edges = g.input("edges", spark.createDataFrame([], "u long, v long"))
+
+    def body(v, edges):
+        hop = (v.select(u=this.x)
+                .join(edges, this.u)
+                .select(x=this.v))
+        return v.concat(hop).distinct()
+
+    reach = seeds.iterate(body, {"edges": edges})
+    (d1,) = g.step(reach.node,
+                   seeds=spark.createDataFrame([(1,)], "x long"),
+                   edges=spark.createDataFrame([(1, 2), (2, 3), (8, 9)],
+                                               "u long, v long"))
+    got = sorted(r["x"] for r in
+                 DifferentialGraph.integrate(d1).collect())
+    assert got == [1, 2, 3]
+    (d2,) = g.step(reach.node,
+                   edges=spark.createDataFrame(
+                       [(2, 3)], "u long, v long").withColumn(
+                       DIFF, F.lit(-1)))
+    assert sorted((r["x"], r[DIFF]) for r in d2.collect()) == [(3, -1)]

@@ -52,6 +52,7 @@ class DifferentialSyncGroup:
         self.gran = time_granularity
         self._buf: dict[str, DataFrame | None] = {s: None for s in columns}
         self._frontier: dict[str, int | None] = {s: None for s in columns}
+        self._feeds: dict[str, int] = {s: 0 for s in columns}
 
     def _sync_col(self, src: str, df: DataFrame):
         c = F.col(self.cols[src])
@@ -72,9 +73,15 @@ class DifferentialSyncGroup:
                 f = self._frontier[s]
                 self._frontier[s] = mx if f is None else max(f, mx)
             buf = self._buf[s]
+            # lazy checkpoints only truncate lineage once an action runs;
+            # a long-blocked source (its releases gated on a slow peer)
+            # would otherwise accumulate an unbounded union/filter chain —
+            # eagerly materialize every 16th feed to bound the plan
+            self._feeds[s] += 1
+            eager = self._feeds[s] % 16 == 0
             self._buf[s] = (tagged if buf is None
                             else buf.unionByName(tagged)) \
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=eager)
         if any(f is None for f in self._frontier.values()):
             return []    # a source that has produced nothing blocks
         thr = min(self._frontier.values()) + self.maxd

@@ -334,6 +334,7 @@ from .diff_table import DifferentialTableGraph  # noqa: E402,F401
 from .incremental_graph import (  # noqa: E402,F401
     incremental_bellman_ford,
     incremental_connected_components,
+    incremental_louvain,
     incremental_pagerank,
 )
 from .iterate_diff import iterate_differential  # noqa: E402,F401

@@ -37,8 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .differential import (DIFF, TIME, DiffNode, _data_cols, _expand,
-                           consolidate)
+from .differential import (DIFF, TIME, DiffNode, _LinearNode, _data_cols,
+                           _expand, consolidate)
 
 
 class _ComponentRecomputeNode(DiffNode):
@@ -472,6 +472,56 @@ def incremental_connected_components(edges: DiffNode,
 
     return _ComponentRecomputeNode(edges.graph, edges, _cc_labels, tpl,
                                    node_col="w", comp_cols=["label"])
+
+
+def incremental_louvain(edges: DiffNode, *,
+                        max_iterations: int = 10) -> DiffNode:
+    """Incremental community detection (reference
+    `stdlib/graphs/louvain_communities/impl.py`, here the same
+    weighted-LPA approximation as the batch operator): (n, label)
+    deltas as weighted edges come and go.
+
+    Built ON the generic level cascade (`iterate_diff.py`) — one LPA
+    round is expressed with DiffNode join/reduce/argmin operators and
+    iterated with `iteration_limit=max_iterations`, so the incremental
+    answer is EXACTLY the batch operator's `max_iterations`-th iterate
+    (including non-converged/oscillating graphs).  Integer edge weights
+    keep the weighted sums engine-exact; float weights may differ from
+    a batch recompute by summation-order ULPs on near-ties (same
+    caveat as the batch operator's own determinism note)."""
+    # symmetrize with a weight column (default 1)
+    def w_col(df):
+        return (F.col("weight") if "weight" in df.columns
+                else F.lit(1).cast("long")).alias("w")
+
+    sym = _LinearNode(
+        edges.graph, edges,
+        lambda df: df.select(F.col("u"), F.col("v"), w_col(df), DIFF, TIME)
+        .unionByName(df.select(F.col("v").alias("u"),
+                               F.col("u").alias("v"), w_col(df),
+                               DIFF, TIME)))
+    seed = sym.select(F.col("u").alias("n"),
+                      F.col("u").alias("label")).distinct()
+
+    def lpa_round(v, sym):
+        incident = sym.select(F.col("u"), F.col("v").alias("x"),
+                              F.col("w"))
+        neigh = (v.select(F.col("n").alias("x"), F.col("label"))
+                 .join(incident, on=["x"])
+                 .reduce(["u", "label"], lw=("sum", "w")))
+        best = neigh.reduce(
+            ["u"],
+            new_label=("argmin", "label",
+                       F.struct((-F.col("lw")).alias("a"),
+                                F.col("label").alias("b"))))
+        return (v.join(best.select(F.col("u").alias("n"), "new_label"),
+                       on=["n"], how="left")
+                .select(F.col("n"),
+                        F.coalesce("new_label", "label").alias("label")))
+
+    from .iterate_diff import iterate_differential
+    return iterate_differential(lpa_round, seed, {"sym": sym},
+                                iteration_limit=max_iterations)
 
 
 def incremental_pagerank(edges: DiffNode, steps: int = 5,

@@ -7,8 +7,10 @@ Reference: `pw.iterate` (`internals/common.py:39-91`, engine graph.rs:931),
 Spark mapping (SURVEY §2.10): driver-side loop over DataFrames with
 `localCheckpoint()` per iteration (truncates the lineage so plans don't
 grow exponentially) and a single-job symmetric-difference convergence
-test (±1-weighted union + residual check). Batch-only, as documented in
-SURVEY §4 "custom Spark work" item 4.
+test (±1-weighted union + residual check). This module is the BATCH
+path; arbitrary iterate bodies also update incrementally under deltas
+via the level cascade (`streaming/iterate_diff.py`, reference
+`graph.rs:931` iterate scope).
 """
 
 from __future__ import annotations

@@ -300,10 +300,22 @@ class DiffNode:
     `delta(t)` returns this node's output delta for batch `t`
     (memoized so diamond-shaped graphs evaluate each node once)."""
 
+    # set on operators allowed to consume an ArrangedInput (its shared
+    # state is only coherent under the plain bilinear join rule)
+    _JOINS_ARRANGED = False
+
     def __init__(self, graph: "DifferentialGraph",
                  inputs: Sequence["DiffNode"]):
         self.graph = graph
         self.inputs = list(inputs)
+        for i in self.inputs:
+            if (getattr(i, "shared_store", None) is not None
+                    and not type(self)._JOINS_ARRANGED):
+                raise TypeError(
+                    "an arranged input may only be JOINED directly "
+                    "(its accumulated state is shared across consumers; "
+                    f"{type(self).__name__} would need its own copy) — "
+                    "drop it from arranged= to transform it")
         self._memo_t: int | None = None
         self._memo: DataFrame | None = None
         self._empty_tpl: DataFrame | None = None  # set after 1st advance
@@ -550,6 +562,26 @@ class SourceNode(DiffNode):
 
     def _advance(self, t: int) -> DataFrame:
         return self._pending if self._pending is not None else self._template
+
+
+class ArrangedInput(SourceNode):
+    """A source whose accumulated multiset is ARRANGED once and shared
+    by every direct join against it — differential dataflow's
+    arrangement sharing (`arrange`/`Arranged` in DD; the reference
+    shares one arrangement across an iterate scope's iterations).
+
+    The OWNER (e.g. `_IterateNode`) updates `shared_store` exactly once
+    per batch AFTER all consumers pulled, so each consuming join sees
+    B_old from the shared store plus its own `db` delta leg — state is
+    held once, not once per consumer.  Build-time contract (enforced in
+    `DiffNode.__init__`): only plain joins may consume an arranged
+    input; any other operator would need a private copy of the
+    accumulated state that the delta-only feeds no longer provide."""
+
+    def __init__(self, graph: "DifferentialGraph", name: str,
+                 template: DataFrame, store: _StateStore):
+        super().__init__(graph, name, template)
+        self.shared_store = store
 
 
 class _LinearNode(DiffNode):
@@ -1126,6 +1158,7 @@ class _AsofNowNode(DiffNode):
 class _JoinNode(DiffNode):
     """Bilinear delta join; outer variants add presence-tracked padding."""
     _CKPT_OUT = True
+    _JOINS_ARRANGED = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
                  on: list[str], how: str):
@@ -1138,6 +1171,8 @@ class _JoinNode(DiffNode):
         self.how = how
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
+        self._sa_shared = False
+        self._sb_shared = False
 
     def _insert_only(self) -> bool:
         # inner: products of positive weights stay positive; outer
@@ -1147,8 +1182,15 @@ class _JoinNode(DiffNode):
 
     def _ensure_state(self, da: DataFrame, db: DataFrame) -> None:
         if self._sa is None:
-            self._sa = self.graph._make_store(da, key_cols=self.on)
-            self._sb = self.graph._make_store(db, key_cols=self.on)
+            # an ArrangedInput side reuses the shared arrangement (the
+            # owner appends its deltas once per batch, after all pulls);
+            # only unshared sides get a private store
+            sh_a = getattr(self.inputs[0], "shared_store", None)
+            sh_b = getattr(self.inputs[1], "shared_store", None)
+            self._sa = sh_a or self.graph._make_store(da, key_cols=self.on)
+            self._sb = sh_b or self.graph._make_store(db, key_cols=self.on)
+            self._sa_shared = sh_a is not None
+            self._sb_shared = sh_b is not None
 
     @staticmethod
     def _weighted(a: DataFrame, b: DataFrame, on: list[str],
@@ -1216,10 +1258,10 @@ class _JoinNode(DiffNode):
                               d_keep_empty=db_e, d_probe_empty=da_e)
                     .select(*inner.columns))
         wide = self.graph._wide_batch
-        if not da_e:
+        if not da_e and not self._sa_shared:
             self._sa.update(da, wide=wide,
                             positive=self.inputs[0]._insert_only())
-        if not db_e:
+        if not db_e and not self._sb_shared:
             self._sb.update(db, wide=wide,
                             positive=self.inputs[1]._insert_only())
         if self._requested:

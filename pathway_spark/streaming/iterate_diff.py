@@ -48,8 +48,8 @@ from typing import Callable, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .differential import (DIFF, TIME, DiffNode, SourceNode, _data_cols,
-                           consolidate)
+from .differential import (DIFF, TIME, ArrangedInput, DiffNode, SourceNode,
+                           _data_cols, consolidate)
 
 
 def _ms_equal(a: DataFrame, b: DataFrame) -> bool:
@@ -77,8 +77,13 @@ class _IterateNode(DiffNode):
                  inputs: Mapping[str, DiffNode],
                  body: Callable[..., DiffNode],
                  iteration_limit: int | None = None,
-                 max_depth: int = 64):
+                 max_depth: int = 64,
+                 arranged: tuple = ()):
         self._input_names = list(inputs)
+        self._arranged = set(arranged)
+        bad = self._arranged - set(self._input_names)
+        if bad:
+            raise KeyError(f"arranged= names not in inputs: {sorted(bad)}")
         super().__init__(graph, [var] + [inputs[k] for k in self._input_names])
         self._body = body
         self._limit = iteration_limit
@@ -102,8 +107,12 @@ class _IterateNode(DiffNode):
         ns = f"it{self._nidx}L{lvl}"
         with self.graph._store_namespace(ns):
             vsrc = SourceNode(self.graph, f"__{ns}_v", v_tpl)
-            isrcs = {k: SourceNode(self.graph, f"__{ns}_{k}", i_tpls[k])
-                     for k in self._input_names}
+            isrcs = {
+                k: (ArrangedInput(self.graph, f"__{ns}_{k}", i_tpls[k],
+                                  self._istores[k])
+                    if k in self._arranged
+                    else SourceNode(self.graph, f"__{ns}_{k}", i_tpls[k]))
+                for k in self._input_names}
             out = self._body(vsrc, **isrcs)
         level = {"ns": ns, "vsrc": vsrc, "isrcs": isrcs, "out": out}
         self._levels.append(level)
@@ -162,13 +171,22 @@ class _IterateNode(DiffNode):
         dis = {k: n.delta(t) for k, n in ins.items()}
         self._ensure(dv, dis)
 
-        # accumulate loop-invariant inputs FIRST so a level built this
-        # batch seeds from a value that includes this batch's delta
+        # non-arranged accumulators update FIRST so a level built this
+        # batch seeds from a value that includes this batch's delta;
+        # ARRANGED stores update LAST (after every consumer pulled) so
+        # the shared arrangement still shows B_old during the cascade
         fed_i = {}
         for k, n in ins.items():
             if not n._empty_at(t):
-                self._istores[k].update(dis[k], wide=g._wide_batch)
+                if k not in self._arranged:
+                    self._istores[k].update(dis[k], wide=g._wide_batch)
                 fed_i[k] = dis[k]
+
+        def finish(out: DataFrame) -> DataFrame:
+            for k in self._arranged:
+                if k in fed_i:
+                    self._istores[k].update(fed_i[k], wide=g._wide_batch)
+            return out
 
         # cascade through the existing levels
         d_prev = consolidate(dv).withColumn(TIME, F.lit(t)) \
@@ -198,7 +216,7 @@ class _IterateNode(DiffNode):
                            .withColumn(TIME, F.lit(t))
             if self._trace is not None:
                 self._trace.update(out.drop(TIME), wide=g._wide_batch)
-            return out
+            return finish(out)
 
         # -- depth growth: full-width seeding of new levels ------------
         # rare (initial convergence, or the fixed point deepened);
@@ -220,9 +238,13 @@ class _IterateNode(DiffNode):
                 .localCheckpoint(eager=False)
         i_tpls = {k: dis[k].filter(F.lit(False))
                   for k in self._input_names}
+        # non-arranged inputs seed new levels with their FULL value;
+        # arranged inputs only get this batch's delta — the shared
+        # arrangement already holds the backlog (B_old), so the new
+        # level's join sees B_old + delta without re-ingesting I
         i_fulls = {k: consolidate(self._istores[k].get())
                    .localCheckpoint(eager=False)
-                   for k in self._input_names}
+                   for k in self._input_names if k not in self._arranged}
         while True:
             if len(self._levels) >= self._max_depth:
                 raise RuntimeError(
@@ -233,7 +255,13 @@ class _IterateNode(DiffNode):
                 self._make_trace()
             level["vsrc"]._feed(cur_full.drop(TIME), t)
             for k in self._input_names:
-                level["isrcs"][k]._feed(i_fulls[k].drop(TIME), t)
+                if k in self._arranged:
+                    if k in fed_i:
+                        level["isrcs"][k]._feed(fed_i[k].drop(TIME)
+                                                if TIME in fed_i[k].columns
+                                                else fed_i[k], t)
+                else:
+                    level["isrcs"][k]._feed(i_fulls[k].drop(TIME), t)
             new_full = self._pull(level, t)
             if _ms_equal(new_full, cur_full):
                 break
@@ -252,13 +280,14 @@ class _IterateNode(DiffNode):
             old.unionByName(cur_full.select(*old.columns))) \
             .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
         self._trace.update(out.drop(TIME), wide=True)
-        return out
+        return finish(out)
 
 
 def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
                          inputs: Mapping[str, DiffNode] | None = None,
                          *, iteration_limit: int | None = None,
-                         max_depth: int = 64) -> DiffNode:
+                         max_depth: int = 64,
+                         arranged: tuple = ()) -> DiffNode:
     """Incrementally-maintained `pw.iterate` (reference
     `internals/common.py:39-91`, engine `graph.rs:931`).
 
@@ -268,7 +297,14 @@ def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
     seeds the loop), `inputs` are loop-invariant streams visible to
     every iteration.  Returns a node whose delta stream maintains the
     fixed point under arbitrary insertions AND retractions of any
-    input — prefix-equal to recomputing `iterate` from scratch."""
+    input — prefix-equal to recomputing `iterate` from scratch.
+
+    `arranged` names inputs whose state should be held ONCE and shared
+    by every level (DD arrangement sharing: memory O(|I|) instead of
+    O(depth·|I|)).  Contract: an arranged input may only be JOINED
+    directly inside the body (enforced at build time) — its levels are
+    fed deltas only, so any other operator would silently miss the
+    backlog a new level needs."""
     return _IterateNode(var.graph, var, dict(inputs or {}), body,
                         iteration_limit=iteration_limit,
-                        max_depth=max_depth)
+                        max_depth=max_depth, arranged=tuple(arranged))

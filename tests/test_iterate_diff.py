@@ -232,3 +232,107 @@ def test_table_syntax_iterate(spark):
                        [(2, 3)], "u long, v long").withColumn(
                        DIFF, F.lit(-1)))
     assert sorted((r["x"], r[DIFF]) for r in d2.collect()) == [(3, -1)]
+
+
+def test_arranged_input_shares_one_store_across_levels(spark):
+    """DD arrangement sharing: every level's join against an
+    arranged input references THE shared store (memory O(|I|), not
+    O(depth*|I|)), and results stay prefix-equal through growth and
+    retraction."""
+    from pathway_spark.streaming.differential import _JoinNode
+
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges},
+                                 arranged=("edges",))
+
+    _feed(spark, g, reach, seeds_d=[(0, 1)], edges_d=[(0, 1, 1)])
+    # growth beyond the current depth exercises the delta-only seeding
+    (d2,) = _feed(spark, g, reach,
+                  edges_d=[(i, i + 1, 1) for i in range(1, 8)])
+    assert _rows(d2, "x", DIFF) == [(i, 1) for i in range(2, 9)]
+    (d3,) = _feed(spark, g, reach, edges_d=[(3, 4, -1)])
+    assert _rows(d3, "x", DIFF) == [(i, -1) for i in range(4, 9)]
+
+    joins = [n for n in g._nodes if isinstance(n, _JoinNode)
+             and n._sb_shared]
+    assert len(joins) == len(reach._levels) >= 3
+    assert len({id(n._sb) for n in joins}) == 1   # ONE arrangement
+
+
+def test_arranged_randomized_prefix_equality(spark):
+    rng = random.Random(21)
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(_reach_body, seeds, {"edges": edges},
+                                 arranged=("edges",))
+    cur_seeds, cur_edges, log = set(), set(), []
+    for step in range(5):
+        add_e = {(rng.randrange(10), rng.randrange(10))
+                 for _ in range(rng.randrange(1, 4))} - cur_edges
+        del_e = (set(rng.sample(sorted(cur_edges),
+                                k=min(len(cur_edges), rng.randrange(0, 2))))
+                 if cur_edges else set())
+        add_s = {rng.randrange(10)} - cur_seeds if step % 2 == 0 else set()
+        cur_edges = (cur_edges | add_e) - del_e
+        cur_seeds |= add_s
+        kw = {}
+        if add_s:
+            kw["seeds"] = spark.createDataFrame(
+                [(x,) for x in add_s], "x long")
+        ed = ([(u, v, 1) for u, v in add_e]
+              + [(u, v, -1) for u, v in del_e])
+        if ed:
+            kw["edges"] = spark.createDataFrame(
+                ed, "u long, v long, _pw_diff long")
+        if not kw:
+            continue
+        (d,) = g.step(reach, **kw)
+        log.append(d.localCheckpoint(eager=True))
+        acc = log[0]
+        for piece in log[1:]:
+            acc = acc.unionByName(piece)
+        got = {r["x"] for r in DifferentialGraph.integrate(acc).collect()}
+        assert got == _bfs(cur_seeds, cur_edges), f"step {step}"
+
+
+def test_arranged_input_rejects_non_join_consumers(spark):
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+
+    def bad_body(v, edges):
+        filtered = edges.filter(F.col("u") > 0)   # transform: needs a copy
+        return v.union(v.select(F.col("x").alias("u"))
+                       .join(filtered, ["u"])
+                       .select(F.col("v").alias("x"))).distinct()
+
+    node = iterate_differential(bad_body, seeds, {"edges": edges},
+                                arranged=("edges",))
+    with pytest.raises(TypeError, match="arranged input"):
+        g.step(node, seeds=spark.createDataFrame([(1,)], "x long"),
+               edges=spark.createDataFrame([(1, 2)], "u long, v long"))
+
+
+def test_arranged_durable_commit_restore(spark, tmp_path):
+    sd = str(tmp_path / "state")
+
+    def build(g):
+        seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+        edges = g.source("edges",
+                         spark.createDataFrame([], "u long, v long"))
+        return iterate_differential(_reach_body, seeds, {"edges": edges},
+                                    arranged=("edges",))
+
+    g = DifferentialGraph(spark, state_dir=sd)
+    reach = build(g)
+    _feed(spark, g, reach, seeds_d=[(1, 1)],
+          edges_d=[(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+    g.commit()
+
+    g2 = DifferentialGraph(spark, state_dir=sd)
+    reach2 = build(g2)
+    (d,) = _feed(spark, g2, reach2, edges_d=[(2, 3, -1)])
+    assert _rows(d, "x", DIFF) == [(3, -1), (4, -1)]

@@ -32,13 +32,16 @@ so the deepest level IS the fixed point.  With `iteration_limit=n` the
 depth is capped at `n` and the output is the `n`-th iterate — the
 reference's `iteration_limit` semantics, exactly.
 
-Scale notes: each level's body instance keeps its own operator state
-(DD shares arrangements across iterations; sharing them across level
-instances is the documented follow-up).  Memory is O(depth · |V|),
-per-batch cost O(depth · δ) — the differential-dataflow iterate cost
-model.  Durable restore persists the depth in the graph's node_meta
-and keys level stores by (iterate-index, level) namespaces, so store
-directories align no matter when depth grew.
+Scale notes: loop-invariant inputs named in `arranged=` are held ONCE
+in a shared arrangement that every level's direct join reuses (DD's
+arrangement sharing — memory O(|I|) instead of O(depth·|I|); the owner
+appends each batch's delta after all level pulls so consumers see
+B_old).  Unarranged inputs and the per-level V-side state stay
+per-instance: memory O(depth · |V|), per-batch cost O(depth · δ) —
+the differential-dataflow iterate cost model.  Durable restore
+persists the depth in the graph's node_meta and keys level stores by
+(iterate-index, level) namespaces, so store directories align no
+matter when depth grew.
 """
 
 from __future__ import annotations

@@ -494,18 +494,20 @@ def incremental_louvain(edges: DiffNode, *,
         return (F.col("weight") if "weight" in df.columns
                 else F.lit(1).cast("long")).alias("w")
 
+    # pre-shaped OUTSIDE the loop (u, x=v, w) so the body joins the
+    # invariant edge stream DIRECTLY — one shared arrangement serves
+    # all max_iterations levels instead of one edge-state copy each
     sym = _LinearNode(
         edges.graph, edges,
-        lambda df: df.select(F.col("u"), F.col("v"), w_col(df), DIFF, TIME)
+        lambda df: df.select(F.col("u"), F.col("v").alias("x"),
+                             w_col(df), DIFF, TIME)
         .unionByName(df.select(F.col("v").alias("u"),
-                               F.col("u").alias("v"), w_col(df),
+                               F.col("u").alias("x"), w_col(df),
                                DIFF, TIME)))
     seed = sym.select(F.col("u").alias("n"),
                       F.col("u").alias("label")).distinct()
 
-    def lpa_round(v, sym):
-        incident = sym.select(F.col("u"), F.col("v").alias("x"),
-                              F.col("w"))
+    def lpa_round(v, incident):
         neigh = (v.select(F.col("n").alias("x"), F.col("label"))
                  .join(incident, on=["x"])
                  .reduce(["u", "label"], lw=("sum", "w")))
@@ -520,8 +522,9 @@ def incremental_louvain(edges: DiffNode, *,
                         F.coalesce("new_label", "label").alias("label")))
 
     from .iterate_diff import iterate_differential
-    return iterate_differential(lpa_round, seed, {"sym": sym},
-                                iteration_limit=max_iterations)
+    return iterate_differential(lpa_round, seed, {"incident": sym},
+                                iteration_limit=max_iterations,
+                                arranged=("incident",))
 
 
 def incremental_pagerank(edges: DiffNode, steps: int = 5,

@@ -556,6 +556,57 @@ def incremental_pagerank(edges: DiffNode, steps: int = 5,
                                    node_col="w", comp_cols=["comp"])
 
 
+def incremental_pagerank_cascade(edges: DiffNode, steps: int = 5,
+                                 damping_pct: int = 85) -> DiffNode:
+    """PageRank on the generic level cascade — the giant-component-safe
+    variant: per-delta cost is O(edges within `steps` hops of the
+    delta), never O(component), because each level propagates only the
+    circulating rank deltas (the affected-component rule re-solves the
+    whole touched component, which on real graphs IS the graph).
+
+    Exactly `pagerank_exact`'s 10^-9 fixed-point integer recurrence
+    (engine-exact: every retraction cancels its insertion
+    bit-for-bit), with `iteration_limit=steps` — the batch operator
+    runs exactly `steps` rounds, so parity is structural.  Emits
+    (w, rank) deltas.  The invariant streams (edges, out-degrees,
+    vertices) are shared arrangements across all levels."""
+    from ..operators.iterate import PAGERANK_SCALE
+    from .iterate_diff import iterate_differential
+
+    def idiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    e = _LinearNode(edges.graph, edges,
+                    lambda df: df.select("u", "v", DIFF, TIME))
+    verts = _LinearNode(
+        edges.graph, edges,
+        lambda df: df.select(F.col("u").alias("w"), DIFF, TIME)
+        .unionByName(df.select(F.col("v").alias("w"), DIFF, TIME))) \
+        .distinct()
+    outdeg = e.reduce(["u"], deg=("count",))
+    seed = verts.select(
+        "w", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+
+    def pr_round(r, e, outdeg, verts):
+        contrib = (r.select(F.col("w").alias("u"), "rank")
+                   .join(outdeg, on=["u"])
+                   .join(e, on=["u"])
+                   .select(F.col("v").alias("w"),
+                           idiv(F.col("rank"), F.col("deg")).alias("c"))
+                   .reduce(["w"], in_rank=("sum", "c")))
+        return (verts.join(contrib.select("w", "in_rank"),
+                           on=["w"], how="left")
+                .select("w", (F.lit(base) + idiv(
+                    F.lit(damping_pct)
+                    * F.coalesce("in_rank", F.lit(0)), F.lit(100)))
+                    .alias("rank")))
+
+    return iterate_differential(
+        pr_round, seed, {"e": e, "outdeg": outdeg, "verts": verts},
+        iteration_limit=steps, arranged=("e", "outdeg", "verts"))
+
+
 def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
     """Differential single-source shortest paths (reference
     `stdlib/graphs/bellman_ford`): (w, d, comp) deltas over a live

@@ -333,9 +333,11 @@ from .differential import DifferentialGraph  # noqa: E402,F401
 from .diff_table import DifferentialTableGraph  # noqa: E402,F401
 from .incremental_graph import (  # noqa: E402,F401
     incremental_bellman_ford,
+    incremental_bellman_ford_cascade,
     incremental_connected_components,
     incremental_louvain,
     incremental_pagerank,
+    incremental_pagerank_cascade,
 )
 from .iterate_diff import iterate_differential  # noqa: E402,F401
 from .sync_group import (  # noqa: E402,F401

@@ -607,6 +607,44 @@ def incremental_pagerank_cascade(edges: DiffNode, steps: int = 5,
         iteration_limit=steps, arranged=("e", "outdeg", "verts"))
 
 
+def incremental_bellman_ford_cascade(edges: DiffNode,
+                                     start_vertex,
+                                     max_depth: int = 64) -> DiffNode:
+    """Single-source shortest paths on the level cascade — per-delta
+    cost O(edges within hop-radius of the delta), never O(component)
+    (see `incremental_pagerank_cascade`).  The body is the batch
+    operator's relaxation round bit-for-bit (float ADDITION along a
+    path is deterministic per row; only MIN selection aggregates, so
+    no summation-order drift), iterated to the fixed point; depth
+    equals the shortest-path hop radius.  `max_depth` bounds runaway
+    relaxation (negative-weight cycles raise, like the batch |V|-pass
+    guard).  Emits (w, d) deltas; unreachable nodes carry d = NULL."""
+    from .iterate_diff import iterate_differential
+
+    e = _LinearNode(edges.graph, edges,
+                    lambda df: df.select("u", "v", "dist", DIFF, TIME))
+    verts = _LinearNode(
+        edges.graph, edges,
+        lambda df: df.select(F.col("u").alias("w"), DIFF, TIME)
+        .unionByName(df.select(F.col("v").alias("w"), DIFF, TIME))) \
+        .distinct()
+    seed = verts.select(
+        "w", F.when(F.col("w") == F.lit(start_vertex),
+                    F.lit(0.0)).alias("d"))
+
+    def bf_round(dists, e):
+        relaxed = (dists.select(F.col("w").alias("u"), "d")
+                   .join(e, on=["u"])
+                   .select(F.col("v").alias("w"),
+                           (F.col("d") + F.col("dist")).alias("nd"))
+                   .reduce(["w"], nd=("min", "nd")))
+        return (dists.join(relaxed, on=["w"], how="left")
+                .select("w", F.least("d", "nd").alias("d")))
+
+    return iterate_differential(bf_round, seed, {"e": e},
+                                arranged=("e",), max_depth=max_depth)
+
+
 def incremental_bellman_ford(edges: DiffNode, start_vertex) -> DiffNode:
     """Differential single-source shortest paths (reference
     `stdlib/graphs/bellman_ford`): (w, d, comp) deltas over a live

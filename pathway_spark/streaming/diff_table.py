@@ -435,18 +435,31 @@ class DiffTable:
         return self.node.select(F.col(un).alias("u"), F.col(vn).alias("v"))
 
     def pagerank(self, u=None, v=None, *, steps: int = 5,
-                 damping_pct: int = 85) -> "DiffTable":
+                 damping_pct: int = 85,
+                 strategy: str = "component") -> "DiffTable":
         """Incremental PageRank over a live edge stream (reference
-        `stdlib/graphs/pagerank` inside an iterate scope): emits
-        (w, rank, comp) deltas as edges come and go — an edge
-        retraction re-solves only the affected component
-        (streaming/incremental_graph.py affected-component rule).
-        Ranks are 10^-9 fixed-point integers (engine-exact)."""
+        `stdlib/graphs/pagerank` inside an iterate scope).  Ranks are
+        10^-9 fixed-point integers (engine-exact).
+
+        `strategy="component"` (default): (w, rank, comp) deltas; an
+        edge delta re-solves the affected component.
+        `strategy="cascade"`: (w, rank) deltas on the level cascade —
+        per-delta cost O(k-hop of the delta), the right choice when the
+        graph has one giant component."""
+        un = u._name if u is not None else "u"
+        if strategy == "cascade":
+            from .incremental_graph import incremental_pagerank_cascade
+
+            node = incremental_pagerank_cascade(
+                self._edge_node(u, v), steps=steps,
+                damping_pct=damping_pct)
+            tpl = (self._template.select(F.col(un).alias("w")).limit(0)
+                   .withColumn("rank", F.lit(0).cast("long")))
+            return DiffTable(node, tpl)
         from .incremental_graph import incremental_pagerank
 
         node = incremental_pagerank(self._edge_node(u, v), steps=steps,
                                     damping_pct=damping_pct)
-        un = u._name if u is not None else "u"
         tpl = (self._template
                .select(F.col(un).alias("w"), F.col(un).alias("comp"))
                .limit(0)

@@ -349,7 +349,10 @@ from .sync_group import (  # noqa: E402,F401
 def subscribe_differential_multi(streams, build, on_change, *,
                                  on_time_end=None,
                                  checkpoint_every: int = 8,
-                                 table_syntax: bool = False):
+                                 table_syntax: bool = False,
+                                 sync_columns: dict | None = None,
+                                 max_difference: int = 0,
+                                 time_granularity: int | None = None):
     """Differential subscribe over SEVERAL live streams — e.g. a join
     of two file-watch sources emitting exact -1/+1 deltas as either
     side changes.
@@ -362,7 +365,19 @@ def subscribe_differential_multi(streams, build, on_change, *,
     `on_change(row, time, is_addition)` fires per output delta row,
     then `on_time_end(time)` closes the batch atomically.
     Returns the list of StreamingQuery handles (stop/processAllAvailable
-    each)."""
+    each).
+
+    `sync_columns` ({source_name: event_time_column}) places the
+    sources in an input synchronization group (the reference's
+    `register_input_synchronization_group` on the differential
+    engine): rows are released into the graph in GLOBAL event-time
+    order once every source's frontier is within `max_difference` —
+    a fast source waits for slow ones.  Returns `(queries, group)`
+    in this mode; call `group.flush()` after the streams drain to
+    release rows still held behind a silent source.  Redelivery
+    granularity is per micro-batch (a crash between buffering and the
+    mark may re-buffer one batch — the unsynchronized path's per-sub-
+    step resume does not apply here)."""
     import threading
 
     from .differential import DifferentialGraph
@@ -390,6 +405,13 @@ def subscribe_differential_multi(streams, build, on_change, *,
 
     lock = threading.Lock()
     seen: dict[str, int] = {n: -1 for n in frames}
+    group = None
+    if sync_columns is not None:
+        from .sync_group import DifferentialSyncGroup
+
+        group = DifferentialSyncGroup(
+            graph, out, sync_columns, max_difference=max_difference,
+            time_granularity=time_granularity)
 
     def make_batch_fn(name):
         def batch_fn(bdf: DataFrame, batch_id: int):
@@ -398,13 +420,18 @@ def subscribe_differential_multi(streams, build, on_change, *,
                 # graph clock/state already absorbed this batch_id
                 if batch_id <= seen[name]:
                     return
-                (delta,) = graph.step(out, **{name: bdf})
-                _emit_delta(delta, on_change, on_time_end, graph._t)
+                if group is not None:
+                    for eff, delta in group.feed(**{name: bdf}):
+                        _emit_delta(delta, on_change, on_time_end, eff)
+                else:
+                    (delta,) = graph.step(out, **{name: bdf})
+                    _emit_delta(delta, on_change, on_time_end, graph._t)
                 # mark AFTER success: a mid-batch failure must be
                 # re-appliable on redelivery
                 seen[name] = batch_id
         return batch_fn
 
-    return [f.writeStream.outputMode("append")
-             .foreachBatch(make_batch_fn(n)).start()
-            for n, f in frames.items()]
+    queries = [f.writeStream.outputMode("append")
+                .foreachBatch(make_batch_fn(n)).start()
+               for n, f in frames.items()]
+    return (queries, group) if group is not None else queries

@@ -100,3 +100,54 @@ def test_max_difference_allows_bounded_skew(spark):
     steps = grp.feed(b=_df(spark, [(2, 8, 2)], B_SCHEMA))
     # frontier b=2 -> threshold 4: a's buffered row now releases too
     assert [t for t, _ in steps] == [2, 4]
+
+
+def test_live_streams_synchronized(spark, tmp_path):
+    """subscribe_differential_multi(sync_columns=): two live file
+    streams with skewed event times emit the globally time-ordered
+    trace."""
+    import pathway_spark.streaming as st
+
+    fast = tmp_path / "fast"
+    slow = tmp_path / "slow"
+    fast.mkdir()
+    slow.mkdir()
+    # fast source publishes ts 1..4 immediately; slow only ts 1
+    (fast / "f1.csv").write_text("k,v,ts\n1,10,1\n1,11,2\n2,20,3\n2,21,4\n")
+    (slow / "s1.csv").write_text("k,w,ts\n1,5,1\n")
+
+    def mk(path, schema):
+        return (spark.readStream.schema(schema)
+                .option("header", True)
+                .option("maxFilesPerTrigger", 1).csv(str(path)))
+
+    events = []
+    queries, grp = st.subscribe_differential_multi(
+        {"a": mk(fast, "k long, v long, ts long"),
+         "b": mk(slow, "k long, w long, ts long")},
+        lambda s: s["a"].select("k", "v").join(
+            s["b"].select("k", "w"), on=["k"]).reduce(
+            ["k"], n=("count",)),
+        lambda row, time, is_addition: events.append(
+            (time, row["k"], row["n"], is_addition)),
+        sync_columns={"a": "ts", "b": "ts"})
+    for q in queries:
+        q.processAllAvailable()
+    n_before = len(events)
+    # only global time 1 may have been released (slow frontier = 1)
+    assert all(t <= 1 for t, *_ in events)
+    # slow source catches up to ts 4: the withheld fast rows release
+    (slow / "s2.csv").write_text("k,w,ts\n2,6,4\n")
+    for q in queries:
+        q.processAllAvailable()
+    for q in queries:
+        q.stop()
+    assert len(events) > n_before
+    # final state: k=1 has 2 pairs (v 10,11 x w 5), k=2 has 2 pairs
+    state = {}
+    for t, k, n, add in events:
+        if add:
+            state[k] = n
+        elif state.get(k) == n:
+            del state[k]
+    assert state == {1: 2, 2: 2}

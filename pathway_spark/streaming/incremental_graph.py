@@ -563,6 +563,12 @@ def incremental_pagerank_cascade(edges: DiffNode, steps: int = 5,
     delta), never O(component), because each level propagates only the
     circulating rank deltas (the affected-component rule re-solves the
     whole touched component, which on real graphs IS the graph).
+    The k-hop bound is data-dependent: on small-diameter graphs the
+    steps-hop neighborhood approaches the whole graph and most ranks
+    legitimately change — no exact incremental scheme can emit less
+    than that true output delta; prefer this variant on graphs with
+    locality or where component slicing degenerates (COVERAGE.md
+    cascade cost note).
 
     Exactly `pagerank_exact`'s 10^-9 fixed-point integer recurrence
     (engine-exact: every retraction cancels its insertion

@@ -1,0 +1,180 @@
+"""Incremental near-duplicate detection on the differential engine.
+
+The streaming face of `operators/dedup.py`: the same MinHash-LSH /
+SimHash candidate algebra, re-expressed as a composition of DiffNode
+operators so a GROWING corpus maintains its duplicate-pair set at
+O(delta) per batch — new documents hash and probe the accumulated band
+state; retracted documents withdraw their pairs.  This is the shape a
+100 TB training-data pipeline actually needs: the corpus arrives over
+weeks, and re-running batch LSH over the full corpus per increment is
+O(corpus) per batch instead of O(new docs).
+
+Reference scope note: the reference's streaming engine would express
+this as ordinary dataflow over its incremental join/reduce
+(`src/engine/dataflow.rs`); its stdlib ships the fuzzy-join pieces
+(`python/pathway/stdlib/ml/smart_table_ops/_fuzzy_join.py`).  The
+operators here mirror OUR batch dedup family exactly (same shingling,
+same hash family, same banding), so prefix-equality against the batch
+result is testable — and tested.
+
+Design choices, per operator:
+
+- **Signatures are per-row maps, not reduces.**  A document's MinHash
+  signature / SimHash depends only on its own text, so both compute as
+  pure Column expressions (`F.array_min` over transformed shingle
+  hashes; `simhash64`).  The differential graph therefore keeps NO
+  signature state at all — signatures exist only inside each batch's
+  delta.  (The batch path explodes + groupBy-min instead because
+  codegen beats interpreted array HOFs at full-corpus scale; a delta of
+  ~1k docs/batch is far below where that matters.)
+- **Banding is a linear explode**, candidate generation one bilinear
+  self-join on `(band, band_hash)` — the join's two state stores ARE
+  the persistent LSH index, maintained automatically.
+- **Verification state = the `(doc, shingle-hash)` arrangement.**
+  Exact-Jaccard verify joins candidates back to both docs' shingle
+  sets and re-derives `common`/`sizes` via weight-aware count reduces,
+  so a changed document's Jaccard rows retract and re-emit exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import simhash64, word_ngrams
+from .differential import DiffNode
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def _minhash_sig_cols(text, *, n: int, num_hashes: int) -> list:
+    """`num_hashes` per-row minhash Columns over word n-gram shingles —
+    value-identical to the batch path's explode → groupBy-min
+    (`operators/dedup.py:minhash_lsh_pairs`): gram hash `xxhash64(g)`,
+    seed hash `xxhash64(hg, j)`, min over the doc's distinct grams.
+    One traversal of the gram array (accumulator = array of running
+    mins)."""
+    hgs = F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g))
+    init = F.array(*[F.lit(_MAX_LONG).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        hgs, init,
+        lambda acc, hg: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(hg, F.lit(j)) for j in range(num_hashes)]),
+            lambda m, h: F.least(m, h)),
+    )
+    return [sig[j].alias(f"h{j}") for j in range(num_hashes)]
+
+
+def incremental_minhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
+                              n: int = 3, num_hashes: int = 64,
+                              bands: int = 16, threshold: float = 0.5,
+                              verify: bool = True) -> DiffNode:
+    """Incrementally-maintained MinHash-LSH near-duplicate pairs.
+
+    Output deltas accumulate to exactly
+    `operators/dedup.py:minhash_lsh_pairs` (xxhash64 family) over the
+    corpus accumulated so far: `(id_a, id_b, jaccard)` with
+    `id_a < id_b`, verified `jaccard >= threshold` (or the unverified
+    candidate set with `verify=False`).
+
+    Cost per batch: O(|delta| shingling) + band-state probes keyed by
+    the delta's band hashes + Jaccard verification of NEW candidate
+    pairs only.  State: the banded self-join's two arrangements
+    (`bands` rows per doc) and, when verifying, the `(doc, hg)`
+    shingle arrangement + per-doc size reduce — all bucket-pruned on
+    probe like every differential join."""
+    r = num_hashes // bands
+    if r * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")) \
+            .filter(F.size(word_ngrams(F.col("t"), n)) > 0)
+    sig = d.select(F.col("doc"), *_minhash_sig_cols(F.col("t"),
+                                                    n=n,
+                                                    num_hashes=num_hashes))
+    banded = sig.select(
+        F.col("doc"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)])
+                 .alias("bh"),
+            ) for bi in range(bands)
+        ])).alias("bb"),
+    ).select(F.col("doc"), F.col("bb.band").alias("band"),
+             F.col("bb.bh").alias("bh"))
+    ca = banded.select(F.col("doc").alias("a"), F.col("band"), F.col("bh"))
+    cb = banded.select(F.col("doc").alias("b"), F.col("band"), F.col("bh"))
+    cand = (ca.join(cb, on=["band", "bh"])
+              .filter(F.col("a") < F.col("b"))
+              .select(F.col("a"), F.col("b"))
+              .distinct())
+    if not verify:
+        return cand.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+
+    # exact-Jaccard verification over the (doc, hg) shingle arrangement
+    sh = d.select(
+        F.col("doc"),
+        F.explode(F.array_distinct(
+            F.transform(word_ngrams(F.col("t"), n),
+                        lambda g: F.xxhash64(g)))).alias("hg"))
+    sizes = sh.reduce(["doc"], sz=("count",))
+    sh_a = sh.select(F.col("doc").alias("a"), F.col("hg"))
+    sh_b = sh.select(F.col("doc").alias("b"), F.col("hg"))
+    common = (cand.join(sh_a, on=["a"])
+                  .join(sh_b, on=["b", "hg"])
+                  .reduce(["a", "b"], common=("count",)))
+    sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    out = (common.join(sz_a, on=["a"])
+                 .join(sz_b, on=["b"])
+                 .with_columns(jaccard=F.col("common")
+                               / (F.col("sza") + F.col("szb")
+                                  - F.col("common")))
+                 .filter(F.col("jaccard") >= F.lit(threshold))
+                 .select(F.col("a").alias("id_a"),
+                         F.col("b").alias("id_b"),
+                         F.col("jaccard")))
+    return out
+
+
+def incremental_simhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
+                              n: int = 2, max_hamming: int = 3) -> DiffNode:
+    """Incrementally-maintained SimHash near-duplicate pairs — deltas
+    accumulate to `operators/dedup.py:simhash_pairs` (xxhash64 family):
+    `(id_a, id_b, hamming)`, `id_a < id_b`,
+    `hamming(simhash_a, simhash_b) <= max_hamming`.
+
+    The 64-bit simhash is a per-row Column (`simhash64`); pigeonhole
+    chunk blocking is a linear explode; the chunk self-join's
+    arrangements are the persistent index.  Verification (exact
+    hamming via `bit_count(xor)`) needs no extra state — both hashes
+    ride the candidate row."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    df = docs.select(F.col(id_col).alias("doc"),
+                     simhash64(F.col(text_col), n=n).alias("sh"))
+    parts = df.select(
+        F.col("doc"), F.col("sh"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("sh"), i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("ck"),
+            ) for i in range(chunks)
+        ])).alias("p"),
+    ).select(F.col("doc"), F.col("sh"), F.col("p.chunk").alias("chunk"),
+             F.col("p.ck").alias("ck"))
+    a = parts.select(F.col("doc").alias("a"), F.col("sh").alias("sha"),
+                     F.col("chunk"), F.col("ck"))
+    b = parts.select(F.col("doc").alias("b"), F.col("sh").alias("shb"),
+                     F.col("chunk"), F.col("ck"))
+    out = (a.join(b, on=["chunk", "ck"])
+            .filter(F.col("a") < F.col("b"))
+            .select(F.col("a"), F.col("b"), F.col("sha"), F.col("shb"))
+            .distinct()
+            .with_columns(hamming=F.bit_count(
+                F.col("sha").bitwiseXOR(F.col("shb"))))
+            .filter(F.col("hamming") <= F.lit(max_hamming))
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+                    F.col("hamming")))
+    return out

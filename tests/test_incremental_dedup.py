@@ -1,0 +1,131 @@
+"""Incremental MinHash-LSH / SimHash dedup vs batch recompute — prefix
+equality after document inserts AND retractions.
+
+Same done-criterion as the incremental graph suite: at every batch
+prefix, the integrated changelog equals the batch dedup operator run
+on the live corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pathway_spark.streaming.differential import DifferentialGraph
+from pathway_spark.streaming.incremental_dedup import (
+    incremental_minhash_pairs, incremental_simhash_pairs)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _snap(df, cols, nd=9):
+    out = []
+    for r in df.collect():
+        t = tuple(round(r[c], nd) if isinstance(r[c], float) else r[c]
+                  for c in cols)
+        out.append(t)
+    return sorted(out)
+
+
+# near-dup clusters: 1/2/5 share most bigrams; 3/4 distinct; 6 is a
+# late near-dup of 3; retractions remove a cluster member and a loner
+_T1 = "the quick brown fox jumps over the lazy dog today"
+_T2 = "the quick brown fox jumps over the lazy cat today"
+_T3 = "incremental view maintenance keeps derived state consistent"
+_T4 = "completely unrelated text about parquet file compaction"
+_T5 = "the quick brown fox leaps over the lazy dog today"
+_T6 = "incremental view maintenance keeps derived results consistent"
+
+BATCHES = [
+    ([(1, _T1), (2, _T2), (3, _T3)], []),
+    ([(4, _T4), (5, _T5)], []),
+    ([(6, _T6)], []),
+    ([], [(2, _T2), (4, _T4)]),          # retract a cluster member + loner
+    ([(7, _T2)], []),                     # same text, new id
+]
+
+_KW = dict(n=2, num_hashes=8, bands=4, threshold=0.3)
+
+
+def _run_prefix_check(spark, make_node, batch_fn, cols):
+    g = DifferentialGraph(spark)
+    src = g.source("docs", _docs(spark, [(0, "x")]).filter(F.lit(False)))
+    out = make_node(src)
+
+    live: list[tuple] = []
+    changelog = None
+    for ins, dels in BATCHES:
+        parts = []
+        if ins:
+            parts.append(_docs(spark, ins).withColumn("_pw_diff", F.lit(1)))
+        if dels:
+            parts.append(_docs(spark, dels).withColumn("_pw_diff",
+                                                       F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out, docs=delta)
+        d = d.localCheckpoint(eager=True)
+        changelog = d if changelog is None else changelog.unionByName(d)
+        live.extend(ins)
+        for r in dels:
+            live.remove(r)
+        got = _snap(DifferentialGraph.integrate(changelog), cols)
+        want = _snap(batch_fn(live), cols)
+        assert got == want, f"after batch ins={ins} dels={dels}"
+
+
+def test_incremental_minhash_verified_prefix_equals_batch(spark):
+    from pathway_spark.operators.dedup import minhash_lsh_pairs
+    from pathway_spark.table import ID, Table
+
+    def batch(live):
+        return minhash_lsh_pairs(
+            Table(_docs(spark, live)), "text", "doc_id", **_KW)._df.drop(ID)
+
+    _run_prefix_check(
+        spark,
+        lambda src: incremental_minhash_pairs(src, "text", "doc_id", **_KW),
+        batch, ["id_a", "id_b", "jaccard"])
+
+
+def test_incremental_minhash_candidates_prefix_equals_batch(spark):
+    from pathway_spark.operators.dedup import minhash_lsh_pairs
+    from pathway_spark.table import ID, Table
+
+    def batch(live):
+        return minhash_lsh_pairs(
+            Table(_docs(spark, live)), "text", "doc_id",
+            verify=False, **_KW)._df.drop(ID)
+
+    _run_prefix_check(
+        spark,
+        lambda src: incremental_minhash_pairs(src, "text", "doc_id",
+                                              verify=False, **_KW),
+        batch, ["id_a", "id_b"])
+
+
+def test_incremental_simhash_prefix_equals_batch(spark):
+    from pathway_spark.operators.dedup import simhash_pairs
+    from pathway_spark.table import ID, Table
+
+    def batch(live):
+        return simhash_pairs(Table(_docs(spark, live)), "text", "doc_id",
+                             n=2, max_hamming=16)._df.drop(ID)
+
+    _run_prefix_check(
+        spark,
+        lambda src: incremental_simhash_pairs(src, "text", "doc_id",
+                                              n=2, max_hamming=16),
+        batch, ["id_a", "id_b", "hamming"])
+
+
+def test_incremental_minhash_empty_delta_is_empty(spark):
+    g = DifferentialGraph(spark)
+    src = g.source("docs", _docs(spark, [(0, "x")]).filter(F.lit(False)))
+    out = incremental_minhash_pairs(src, "text", "doc_id", **_KW)
+    (d0,) = g.step(out, docs=_docs(spark, [(1, _T1), (2, _T2)]))
+    assert DifferentialGraph.integrate(
+        d0.localCheckpoint(eager=True)).count() > 0
+    (d1,) = g.step(out)          # nothing changed
+    assert d1.isEmpty()

@@ -339,6 +339,10 @@ from .incremental_graph import (  # noqa: E402,F401
     incremental_pagerank,
     incremental_pagerank_cascade,
 )
+from .incremental_dedup import (  # noqa: E402,F401
+    incremental_minhash_pairs,
+    incremental_simhash_pairs,
+)
 from .iterate_diff import iterate_differential  # noqa: E402,F401
 from .sync_group import (  # noqa: E402,F401
     DifferentialSyncGroup,

@@ -481,6 +481,49 @@ class DiffTable:
                .limit(0))
         return DiffTable(node, tpl)
 
+    # -- incremental near-duplicate detection ----------------------------
+    def minhash_dedup_pairs(self, text: ColumnReference,
+                            id_ref: ColumnReference, *,
+                            n: int = 3, num_hashes: int = 64,
+                            bands: int = 16, threshold: float = 0.5,
+                            verify: bool = True) -> "DiffTable":
+        """Incrementally-maintained MinHash-LSH near-duplicate pairs
+        over a live document stream — the streaming face of
+        `operators/dedup.py:minhash_lsh_pairs` (same hash family, same
+        banding), maintained at O(delta) per batch.  Emits
+        `(id_a, id_b, jaccard)` deltas (`(id_a, id_b)` with
+        verify=False)."""
+        from .incremental_dedup import incremental_minhash_pairs
+
+        node = incremental_minhash_pairs(
+            self.node, text._name, id_ref._name, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            verify=verify)
+        idc = F.col(id_ref._name)
+        tpl = self._template.select(idc.alias("id_a"), idc.alias("id_b"))
+        if verify:
+            tpl = tpl.withColumn("jaccard", F.lit(0.0))
+        return DiffTable(node, tpl.limit(0))
+
+    def simhash_dedup_pairs(self, text: ColumnReference,
+                            id_ref: ColumnReference, *,
+                            n: int = 2,
+                            max_hamming: int = 3) -> "DiffTable":
+        """Incrementally-maintained SimHash near-duplicate pairs over a
+        live document stream — streaming face of
+        `operators/dedup.py:simhash_pairs`.  Emits
+        `(id_a, id_b, hamming)` deltas."""
+        from .incremental_dedup import incremental_simhash_pairs
+
+        node = incremental_simhash_pairs(
+            self.node, text._name, id_ref._name, n=n,
+            max_hamming=max_hamming)
+        idc = F.col(id_ref._name)
+        tpl = (self._template
+               .select(idc.alias("id_a"), idc.alias("id_b"))
+               .withColumn("hamming", F.lit(0).cast("long")))
+        return DiffTable(node, tpl.limit(0))
+
     # -- trivial row-op parity -------------------------------------------
     def without(self, *refs: ColumnReference) -> "DiffTable":
         drop = {r._name for r in refs}

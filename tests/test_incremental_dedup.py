@@ -120,6 +120,48 @@ def test_incremental_simhash_prefix_equals_batch(spark):
         batch, ["id_a", "id_b", "hamming"])
 
 
+def test_diff_table_dedup_surface(spark):
+    """Pathway-syntax bridge: DiffTable.minhash_dedup_pairs /
+    simhash_dedup_pairs over a live document stream with a
+    retraction."""
+    from pathway_spark import this
+    from pathway_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark.table import ID, Table
+
+    tpl = spark.createDataFrame([], "doc_id long, text string")
+    g = DifferentialTableGraph(spark)
+    docs = g.input("d", tpl)
+    mh = docs.minhash_dedup_pairs(this.text, this.doc_id, **_KW)
+    sh = docs.simhash_dedup_pairs(this.text, this.doc_id,
+                                  n=2, max_hamming=16)
+
+    b1 = spark.createDataFrame(
+        [(1, _T1), (2, _T2), (3, _T3), (5, _T5)], tpl.schema)
+    b2 = (spark.createDataFrame([(2, _T2)], tpl.schema)
+          .withColumn("_pw_diff", F.lit(-1)))
+    d1m, d1s = (d.localCheckpoint(eager=True)
+                for d in g.step([mh.node, sh.node], d=b1))
+    d2m, d2s = (d.localCheckpoint(eager=True)
+                for d in g.step([mh.node, sh.node], d=b2))
+
+    live = _docs(spark, [(1, _T1), (3, _T3), (5, _T5)])
+    want_mh = _snap(minhash_lsh_pairs(Table(live), "text", "doc_id",
+                                      **_KW)._df.drop(ID),
+                    ["id_a", "id_b", "jaccard"])
+    got_mh = _snap(DifferentialGraph.integrate(d1m.unionByName(d2m)),
+                   ["id_a", "id_b", "jaccard"])
+    assert got_mh == want_mh
+    assert mh.column_names == ["id_a", "id_b", "jaccard"]
+
+    want_sh = _snap(simhash_pairs(Table(live), "text", "doc_id",
+                                  n=2, max_hamming=16)._df.drop(ID),
+                    ["id_a", "id_b", "hamming"])
+    got_sh = _snap(DifferentialGraph.integrate(d1s.unionByName(d2s)),
+                   ["id_a", "id_b", "hamming"])
+    assert got_sh == want_sh
+
+
 def test_incremental_minhash_empty_delta_is_empty(spark):
     g = DifferentialGraph(spark)
     src = g.source("docs", _docs(spark, [(0, "x")]).filter(F.lit(False)))

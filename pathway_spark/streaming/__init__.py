@@ -343,6 +343,10 @@ from .incremental_dedup import (  # noqa: E402,F401
     incremental_minhash_pairs,
     incremental_simhash_pairs,
 )
+from .incremental_topk import (  # noqa: E402,F401
+    incremental_knn_topk,
+    incremental_topk_join,
+)
 from .iterate_diff import iterate_differential  # noqa: E402,F401
 from .sync_group import (  # noqa: E402,F401
     DifferentialSyncGroup,

@@ -524,6 +524,27 @@ class DiffTable:
                .withColumn("hamming", F.lit(0).cast("long")))
         return DiffTable(node, tpl.limit(0))
 
+    def knn_topk(self, queries: "DiffTable", vec: ColumnReference,
+                 id_ref: ColumnReference, *, k: int = 3,
+                 metric: str = "cosine") -> "DiffTable":
+        """Live exact-KNN index (reference `KNNIndex` / `DataIndex`
+        plain-query semantics, `stdlib/indexing/nearest_neighbors.py`):
+        self is the corpus, `queries` the query stream; every query's
+        top-k updates as either side changes.  Emits
+        `(query_id, neighbor_id, rank, score)` deltas.  For
+        freeze-at-arrival answers use `asof_now_join` pipelines."""
+        from .incremental_topk import incremental_knn_topk
+
+        node = incremental_knn_topk(
+            queries.node, self.node, vec_col=vec._name,
+            id_col=id_ref._name, k=k, metric=metric)
+        idc = F.col(id_ref._name)
+        tpl = (self._template
+               .select(idc.alias("query_id"), idc.alias("neighbor_id"))
+               .withColumn("rank", F.lit(0))
+               .withColumn("score", F.lit(0.0)))
+        return DiffTable(node, tpl.limit(0))
+
     # -- trivial row-op parity -------------------------------------------
     def without(self, *refs: ColumnReference) -> "DiffTable":
         drop = {r._name for r in refs}

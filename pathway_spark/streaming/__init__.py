@@ -343,6 +343,7 @@ from .incremental_dedup import (  # noqa: E402,F401
     incremental_minhash_pairs,
     incremental_simhash_pairs,
 )
+from .incremental_bm25 import incremental_bm25_topk  # noqa: E402,F401
 from .incremental_topk import (  # noqa: E402,F401
     incremental_knn_topk,
     incremental_topk_join,

@@ -545,6 +545,29 @@ class DiffTable:
                .withColumn("score", F.lit(0.0)))
         return DiffTable(node, tpl.limit(0))
 
+    def bm25_topk(self, queries: "DiffTable", text: ColumnReference,
+                  id_ref: ColumnReference, *,
+                  query_col: str = "query", k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> "DiffTable":
+        """Live BM25 index with freeze-at-arrival query answers
+        (reference `DocumentStore` retrieval / `TantivyBM25`,
+        `stdlib/indexing/bm25.py` + `query_as_of_now` semantics): self
+        is the document stream, `queries` the query stream (must carry
+        `query_id` and `query_col`).  Emits
+        `(query_id, <id_col>, rank, score)` deltas — each query scored
+        against the corpus as of its arrival tick, never revised."""
+        from .incremental_bm25 import incremental_bm25_topk
+
+        node = incremental_bm25_topk(
+            self.node, queries.node, text_col=text._name,
+            id_col=id_ref._name, query_col=query_col, k=k, k1=k1, b=b)
+        idc = F.col(id_ref._name)
+        tpl = (self._template
+               .select(idc.alias("query_id"), idc.alias(id_ref._name))
+               .withColumn("rank", F.lit(0))
+               .withColumn("score", F.lit(0.0)))
+        return DiffTable(node, tpl.limit(0))
+
     # -- trivial row-op parity -------------------------------------------
     def without(self, *refs: ColumnReference) -> "DiffTable":
         drop = {r._name for r in refs}

@@ -1114,31 +1114,49 @@ class _AsofNowNode(DiffNode):
         pos = da_net.filter(F.col(DIFF) > 0)
         neg = da_net.filter(F.col(DIFF) < 0)
         wa, wb = f"{DIFF}__a", f"{DIFF}__b"
-        a = self._small(pos.withColumnRenamed(DIFF, wa).drop(TIME)) \
-            .alias("l")
-        b = r_now.withColumnRenamed(DIFF, wb).alias("r")
+        # rename BOTH sides to disjoint names and join/select by plain
+        # name, never through subquery aliases or dataframe-attribute
+        # refs: "l.`c`" lookups die in the optimizer ("key not found:
+        # <attr>") when the left lineage contains an explode, and
+        # attr refs (a[c]) trip the ambiguous-self-join check when the
+        # two sides share lineage (e.g. chained asof_now stages built
+        # over the same upstream reduce) — unique names sidestep both
+        a = self._small(pos.withColumnRenamed(DIFF, wa).drop(TIME))
+        b = r_now.withColumnRenamed(DIFF, wb)
+        a2 = a.select(*[a[c].alias(f"__l_{c}") for c in a.columns])
+        b2 = b.select(*[b[c].alias(f"__r_{c}") for c in b.columns])
         cond = None
         for lk, rk in zip(self._lk, self._rk):
-            c = F.col(f"l.`{lk}`") == F.col(f"r.`{rk}`")
+            c = F.col(f"__l_{lk}") == F.col(f"__r_{rk}")
             cond = c if cond is None else (cond & c)
-        frozen = (a.join(b, on=cond, how="inner")
-                  .select(*[F.col(f"l.`{c}`") for c in self._lcols],
-                          *[F.col(f"r.`{c}`") for c in self._rcols],
-                          (F.col(wa) * F.col(wb)).alias(DIFF)))
+        frozen = (a2.join(b2, on=cond, how="inner")
+                  .select(*[F.col(f"__l_{c}").alias(c)
+                            for c in self._lcols],
+                          *[F.col(f"__r_{c}").alias(c)
+                            for c in self._rcols],
+                          (F.col(f"__l_{wa}") * F.col(f"__r_{wb}"))
+                          .alias(DIFF)))
         if self._trace is None:
+            # fresh empty frame, NOT frozen.filter(False): checkpointing
+            # a template that still carries the l/r-aliased join plan
+            # trips a Catalyst AttributeMap bug ("key not found: <attr>")
+            # when the left lineage contains an explode — the rebuilt
+            # frame has the same schema and no join lineage
             self._trace = self.graph._make_store(
-                frozen.filter(F.lit(False)))
+                self.graph.spark.createDataFrame([], frozen.schema))
         # left retraction: drop that left row's frozen outputs, exact
         # bytes from the trace.  NULL-SAFE equality on every left
         # column — plain left_semi `on=` uses EqualTo, under which a
         # retraction of ('a', NULL) matches nothing and the frozen row
         # survives forever (consolidate() itself groups NULLs equal,
         # so the rest of the engine already treats them as matching)
-        tr = self._trace.get().alias("tr")
-        ng = self._small(neg.select(*self._lcols).distinct()).alias("ng")
+        tr = self._trace.get()
+        ng0 = self._small(neg.select(*self._lcols).distinct())
+        ng = ng0.select(*[ng0[c].alias(f"__n_{c}")
+                          for c in self._lcols])
         null_safe = None
         for c in self._lcols:
-            e = F.col(f"tr.`{c}`").eqNullSafe(F.col(f"ng.`{c}`"))
+            e = F.col(f"`{c}`").eqNullSafe(F.col(f"__n_{c}"))
             null_safe = e if null_safe is None else (null_safe & e)
         gone = consolidate(
             tr.join(ng, on=null_safe, how="left_semi")) \

@@ -1,0 +1,96 @@
+"""Live full-text retrieval: incrementally-maintained BM25 index with
+freeze-at-arrival query scoring.
+
+The streaming face of `indexing/__init__.py:tfidf_score` and the
+reference's live `DocumentStore` / `TantivyBM25` retrieval
+(`python/pathway/stdlib/indexing/bm25.py`, `xpacks/llm/document_store.py`):
+documents stream in (and out) over time and the INDEX — postings,
+document lengths, term document-frequencies, corpus stats — is
+maintained at O(delta) per batch by ordinary differential reduces.
+Queries score against the index AS OF THEIR ARRIVAL TICK via asof_now
+joins (the reference's `query_as_of_now` semantics): answers are
+frozen — later corpus growth never retracts an already-served result,
+the property a serving path needs.  Retracting a query withdraws its
+frozen answers exactly (asof_now output traces).
+
+Index maintenance is pure composition — no new node classes:
+
+    tf   = tokens.reduce([doc, term], count)     # the inverted index
+    dl   = tokens.reduce([doc], count)
+    df   = tf.reduce([term], count)              # net-zero on tf churn
+    stats = n_docs ⋈ (Σdl, #dl)                  # 1-row abelian sums
+
+so a 100 TB corpus holds |postings| + |docs| + |terms| + 2 rows of
+state, all bucket-keyed.  A query batch probes by its own terms — the
+classic inverted-index lookup — never scanning the corpus.
+
+Exact-match discipline: the scoring chain reproduces the batch BM25
+formula term by term (same idf, same k1/b normalization, same
+round(score, 6), same (score desc, doc) tie-break), so a query posed
+against a quiescent corpus returns byte-identical rows to
+`tfidf_score` — and the tests assert exactly that at every prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _tokens
+from .differential import DiffNode, _AsofNowNode
+
+
+def incremental_bm25_topk(docs: DiffNode, queries: DiffNode, *,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          query_col: str = "query",
+                          k: int = 10, k1: float = 1.2,
+                          b: float = 0.75) -> DiffNode:
+    """Frozen-at-arrival BM25 top-k: each query's
+    `(query_id, <id_col>, rank, score)` rows equal
+    `indexing.tfidf_score` evaluated on the corpus as of the query's
+    arrival tick, and never change afterwards (except query
+    retraction, which withdraws them)."""
+    g = docs.graph
+    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    toks = (d.with_columns(__toks=_tokens(F.col("t")))
+            .select(F.col("doc"), F.col("__toks"))
+            .flatten("__toks", "term"))
+    tf = toks.reduce(["doc", "term"], tf=("count",))
+    dl = toks.reduce(["doc"], dl=("count",))
+    df_ = tf.reduce(["term"], df=("count",))
+    n_docs = (d.reduce([], n_docs=("count",))
+              .with_columns(__k=F.lit(1)))
+    dl_stats = (dl.reduce([], __dlsum=("sum", "dl"), __dln=("count",))
+                .with_columns(__k=F.lit(1)))
+    stats = n_docs.join(dl_stats, on=["__k"])
+
+    qt = (queries.with_columns(__qtoks=_tokens(F.col(query_col)))
+          .select(F.col("query_id"), F.col("__qtoks"))
+          .flatten("__qtoks", "term")
+          .distinct())
+    j1 = _AsofNowNode(g, qt, tf, ["term"], ["term"])
+    j2 = _AsofNowNode(g, j1, df_, ["term"], ["term"])
+    j3 = _AsofNowNode(g, j2.with_columns(__k=F.lit(1)), stats,
+                      ["__k"], ["__k"])
+    j4 = _AsofNowNode(g, j3, dl, ["doc"], ["doc"])
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("__dlsum") / F.col("__dln")
+    s = (idf * (F.col("tf") * (k1 + 1))
+         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    contrib = j4.select(F.col("query_id"), F.col("doc"), s.alias("__s"))
+    scored = contrib.reduce(["query_id", "doc"], score=("sum", "__s"))
+
+    def topk(plain: DataFrame) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                              F.col("doc"))
+        return (plain.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", F.col("doc").alias(id_col), "rank",
+                        F.round("score", 6).alias("score")))
+
+    from .differential import _KeyedRecomputeUnaryNode
+
+    return _KeyedRecomputeUnaryNode(g, scored, ["query_id"], topk)

@@ -42,8 +42,13 @@ def _data_cols(df: DataFrame) -> list[str]:
 
 
 def _replicate(df: DataFrame) -> DataFrame:
-    """One row per unit of |weight| (keeps the sign in `__sgn`)."""
-    return (df.withColumn("__sgn", F.signum(DIFF).cast("long"))
+    """One row per unit of |weight| (keeps the sign in `__sgn`).
+    Weight-0 rows are dropped FIRST: `F.sequence(1, 0)` is the
+    descending [1, 0] — not empty — so an unconsolidated changelog
+    carrying a net-zero row would otherwise emit two 'insert'
+    envelope rows (net weight +2) for a row whose true weight is 0."""
+    return (df.filter(F.col(DIFF) != 0)
+              .withColumn("__sgn", F.signum(DIFF).cast("long"))
               .withColumn("__n", F.abs(F.col(DIFF)))
               .withColumn("__i", F.explode(F.sequence(
                   F.lit(1), F.col("__n"))))

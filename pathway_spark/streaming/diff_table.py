@@ -704,8 +704,10 @@ class DiffTable:
 
         Divergences from the reference, both key-multiplicity guards:
         the reference RAISES on duplicate patch ids; a stream cannot,
-        so the patch is reduced to one row per key first (deterministic
-        min per patched column) — without this, a net-weight-2 patch
+        so the patch is reduced to ONE WHOLE ROW per key first (the
+        struct-min row over all patched columns — never an independent
+        per-column min, which would fabricate a patch row mixing values
+        from different patch rows) — without this, a net-weight-2 patch
         key would double the joined leg while the anti-join removes the
         base row only once, leaving net weight >1.  Patch keys absent
         from the base are ignored (the reference raises on a universe
@@ -725,8 +727,9 @@ class DiffTable:
         base = self.node.select(
             *[F.col(c) for c in cols if c not in ocols])
         patch = other.node.select(
-            *[F.col(c) for c in (*knames, *ocols)]).reduce(
-            knames, {c: ("any", c) for c in ocols})
+            *[F.col(c) for c in (*knames, *ocols)],
+            __row=F.struct(*[F.col(c) for c in ocols])).reduce(
+            knames, {c: ("argmin", c, "__row") for c in ocols})
         patched = base.join(patch, on=knames).select(
             *[F.col(c) for c in cols])
         node = patched.union(kept)

@@ -1656,6 +1656,13 @@ class DifferentialGraph:
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "4",
     }
+    # the pre-tuning conf snapshot lives ON THE SESSION, not on the
+    # graph: several graphs may share one SparkSession (bench suites,
+    # notebooks), and a per-graph snapshot taken while another graph's
+    # tuning is still applied would capture the TUNED values as the
+    # "originals" — after which wide batches and manual restores
+    # re-apply aqe=false/partitions=4 forever
+    _SAVED_CONF_ATTR = "_pw_steady_saved_confs"
 
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
                  state_dir: str | None = None, tune_steady_confs: bool = True):
@@ -1663,7 +1670,6 @@ class DifferentialGraph:
         self.checkpoint_every = checkpoint_every
         self.state_dir = state_dir
         self._tune_steady = tune_steady_confs
-        self._saved_confs: dict[str, str | None] | None = None
         self._nodes: list[DiffNode] = []
         self._sources: dict[str, SourceNode] = {}
         # store-key namespace: nodes whose stores are created at
@@ -1733,25 +1739,28 @@ class DifferentialGraph:
             self._store_ns = prev
 
     def _apply_steady_confs(self) -> None:
-        if self._saved_confs is None:
-            self._saved_confs = {
+        if getattr(self.spark, self._SAVED_CONF_ATTR, None) is None:
+            setattr(self.spark, self._SAVED_CONF_ATTR, {
                 k: self.spark.conf.get(k, None)
-                for k in self._STEADY_CONFS}
+                for k in self._STEADY_CONFS})
         for k, v in self._STEADY_CONFS.items():
             self.spark.conf.set(k, v)
 
     def restore_session_confs(self) -> None:
         """Undo the steady-state conf tuning (called automatically on
         wide batches; call manually when interleaving other Spark work
-        on the same session after streaming stops)."""
-        if self._saved_confs is None:
+        on the same session after streaming stops).  Session-scoped:
+        restores even when a DIFFERENT graph on the same session
+        applied the tuning."""
+        saved = getattr(self.spark, self._SAVED_CONF_ATTR, None)
+        if saved is None:
             return
-        for k, v in self._saved_confs.items():
+        for k, v in saved.items():
             if v is None:
                 self.spark.conf.unset(k)
             else:
                 self.spark.conf.set(k, v)
-        self._saved_confs = None
+        setattr(self.spark, self._SAVED_CONF_ATTR, None)
 
     def _meta_path(self) -> str:
         return f"{self.state_dir}/_meta.json"

@@ -228,7 +228,11 @@ class _ForestCCNode(DiffNode):
     def _ensure(self, dE: DataFrame) -> None:
         if self._estate is not None:
             return
-        self._estate = self.graph._make_store(dE)
+        # bucket the edge state by u so both the per-batch old-weight
+        # probe and the resolve-path component slice prune durable
+        # state to the touched buckets (the trace below gets the same
+        # treatment keyed by label)
+        self._estate = self.graph._make_store(dE, key_cols=["u"])
         empty = dE.filter(F.lit(False))
         ftpl = (empty.select(F.least("u", "v").alias("a"),
                              F.greatest("u", "v").alias("b"))
@@ -266,7 +270,7 @@ class _ForestCCNode(DiffNode):
 
         dnet = consolidate(dE).localCheckpoint(eager=False)
         pairs = dnet.select("u", "v")
-        old_w = (self._estate.get(probe=pairs, on=["u", "v"])
+        old_w = (self._estate.get(probe=pairs, on=["u"])
                  .join(self._small(pairs), on=["u", "v"], how="left_semi")
                  .groupBy("u", "v").agg(F.sum(DIFF).alias("__old")))
         chg = (dnet.join(old_w, ["u", "v"], "left")
@@ -321,6 +325,40 @@ class _ForestCCNode(DiffNode):
                             F.lit(True).alias("sv"),
                             F.lit(True).alias("cut")))
         rows = ins_info.unionByName(cut_info).collect()   # O(|batch|)
+
+        # a deleted SELF-LOOP is a cut only when it was the node's LAST
+        # live edge (self-loops are never forest edges and never carry
+        # connectivity between distinct nodes; their one effect is node
+        # existence).  Deciding needs an incident-edge probe, so it runs
+        # as a second tiny job ONLY on batches that deleted self-loops —
+        # treating every self-loop delete as a cut would re-solve the
+        # node's whole (possibly giant) component for a delete that
+        # changes no labels
+        sl_nodes = sorted({r["u"] for r in rows
+                           if r["cut"] and r["u"] == r["v"]})
+        sl_alive: set = set()
+        if sl_nodes:
+            lt0 = self._ltype
+            slw = spark.createDataFrame([(w,) for w in sl_nodes],
+                                        f"w {lt0}")
+            inc = (self._estate.get().select("u", "v", DIFF)
+                   .unionByName(dnet.select("u", "v", DIFF))
+                   .filter(F.col("u") != F.col("v")))
+            touch = (inc.join(F.broadcast(slw.withColumnRenamed("w", "u")),
+                              "u", "left_semi")
+                     .unionByName(inc.join(
+                         F.broadcast(slw.withColumnRenamed("w", "v")),
+                         "v", "left_semi")))
+            nets = (touch.groupBy("u", "v").agg(F.sum(DIFF).alias("__n"))
+                    .filter(F.col("__n") > 0))
+            sl_alive = {r["w"] for r in
+                        nets.select(F.col("u").alias("w"))
+                            .unionByName(nets.select(F.col("v").alias("w")))
+                            .join(F.broadcast(slw), "w", "left_semi")
+                            .distinct().collect()}
+        rows = [r for r in rows
+                if not (r["cut"] and r["u"] == r["v"]
+                        and r["u"] in sl_alive)]
 
         # -- driver union-find over the touched labels ------------------
         parent: dict = {}
@@ -420,7 +458,8 @@ class _ForestCCNode(DiffNode):
             sn_u = res_nodes.withColumnRenamed("w", "u")
             dE_slice = dnet.join(F.broadcast(sn_u), "u", "left_semi")
             e_slice = _expand(consolidate(
-                self._estate.get().join(sn_u, "u", "left_semi")
+                self._estate.get(probe=sn_u, on=["u"])
+                    .join(sn_u, "u", "left_semi")
                     .select("u", "v", DIFF)
                     .unionByName(dE_slice.select("u", "v", DIFF))))
             labels_new, forest_new = _cc_labels_forest(

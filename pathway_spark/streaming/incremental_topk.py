@@ -76,12 +76,21 @@ class _TopKJoinNode(DiffNode):
         # the micro-batch size, so downstream must not blind-broadcast
         return False
 
+    def _small(self, df, src=None):
+        # _trace_old probes the output trace with the touched-id frame
+        # through this hook; honor the measured per-batch gate so a
+        # giant touched set is never blind-broadcast (see _advance)
+        if not getattr(self, "_bc_ok", True):
+            return df
+        return super()._small(df, src)
+
     def _present(self, ms: DataFrame) -> DataFrame:
         """Multiset → present-row set (ids are unique per contract, so
         weight clamps to presence, mirroring the batch Table input)."""
         return consolidate(ms).filter(F.col(DIFF) > 0).drop(DIFF)
 
     def _advance(self, t: int) -> DataFrame:
+        self._bc_ok = True      # per-batch; re-decided after tk count
         dq = self.inputs[0].delta(t)
         dd = self.inputs[1].delta(t)
         if self._sq is None:
@@ -123,16 +132,29 @@ class _TopKJoinNode(DiffNode):
         tk = touched[0]
         for p in touched[1:]:
             tk = tk.unionByName(p)
-        tk = tk.distinct().localCheckpoint(eager=False)
+        # the touched set is NOT micro-batch-bounded (a doc insert that
+        # beats every k-th score touches all |Q| queries — the reason
+        # _delta_bounded() is False), so the broadcast fast path is
+        # gated on a MEASURED count, never the blind delta hint:
+        # materialize tk (consumed 3× anyway), count it, and hint only
+        # below thresholds — id frame generously, the payload slice
+        # (embedding vectors, ~KBs/row) conservatively
+        tk = tk.distinct().localCheckpoint(eager=True)
+        n_tk = tk.count()
+        self._bc_ok = n_tk <= 1_000_000
+        bc_ids = (F.broadcast if (not self.graph._wide_batch
+                                  and n_tk <= 1_000_000) else (lambda x: x))
+        bc_payload = (F.broadcast if (not self.graph._wide_batch
+                                      and n_tk <= 50_000) else (lambda x: x))
 
         # re-rank the touched queries against the full current corpus
         q_all = self._sq.get(probe=tk, on=["query_id"]) \
                         .unionByName(dq.drop(TIME))
         q_slice = self._present(
-            q_all.join(self._small(tk), on=["query_id"], how="left_semi"))
+            q_all.join(bc_ids(tk), on=["query_id"], how="left_semi"))
         d_all = self._present(
             self._sd.get().unionByName(dd.drop(TIME)))
-        pairs = d_all.crossJoin(self._small(q_slice))
+        pairs = d_all.crossJoin(bc_payload(q_slice))
         scored = pairs.withColumn("score", self._score(pairs))
         w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                               F.col("neighbor_id"))

@@ -67,16 +67,26 @@ class DifferentialSyncGroup:
         if unknown:
             raise KeyError(f"sources not in group: {sorted(unknown)}")
         for s, df in deltas.items():
-            tagged = df.withColumn("__pw_sync", self._sync_col(s, df))
+            # materialize the fed frame EAGERLY, before anything else
+            # references it: in foreachBatch the incoming DataFrame is
+            # only guaranteed replayable during its own micro-batch
+            # (input files may be compacted, broker offsets retired) —
+            # a buffer of lazy plans over old batch frames would
+            # re-read the source when a release finally fires, failing
+            # or silently reading different rows.  The eager checkpoint
+            # doubles as the action the frontier max needs, so the max
+            # below runs over materialized blocks (no extra source scan)
+            tagged = (df.withColumn("__pw_sync", self._sync_col(s, df))
+                      .localCheckpoint(eager=True))
             mx = tagged.agg(F.max("__pw_sync")).collect()[0][0]
             if mx is not None:
                 f = self._frontier[s]
                 self._frontier[s] = mx if f is None else max(f, mx)
             buf = self._buf[s]
-            # lazy checkpoints only truncate lineage once an action runs;
-            # a long-blocked source (its releases gated on a slow peer)
-            # would otherwise accumulate an unbounded union/filter chain —
-            # eagerly materialize every 16th feed to bound the plan
+            # the buffer itself is a lazy union over eager-checkpointed
+            # frames (never the raw sources); compact the union/filter
+            # chain every 16th feed to bound plan depth for a source
+            # long-blocked on a slow peer
             self._feeds[s] += 1
             eager = self._feeds[s] % 16 == 0
             self._buf[s] = (tagged if buf is None

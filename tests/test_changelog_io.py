@@ -112,3 +112,20 @@ def test_subscribe_write_end_to_end(spark, tmp_path):
     assert snap == [("a", 10, 3), ("b", 6, 1)]
     # the envelope really carries a retraction row for a's old value
     assert back.filter((F.col("k") == "a") & (F.col(DIFF) < 0)).count() >= 1
+
+
+def test_envelopes_drop_weight_zero_rows(spark):
+    """A net-zero changelog row must emit NOTHING: F.sequence(1, 0) is
+    the descending [1, 0], so an unguarded replicate would turn a
+    weight-0 row into TWO 'insert' rows (net +2) — silent corruption
+    for any unconsolidated user-supplied changelog."""
+    chg = spark.createDataFrame(
+        [(1, "dead", 0, 7), (2, "live", 1, 7)],
+        f"id long, s string, {DIFF} long, {TIME} long")
+    for envelope in ("cdf", "debezium"):
+        env = to_envelope(chg, envelope)
+        assert env.count() == 1, envelope
+    # and the cdf round trip integrates to exactly the live row
+    back = from_envelope(to_envelope(chg, "cdf"), "cdf")
+    assert [(r["id"], r["s"], r[DIFF]) for r in back.collect()] \
+        == [(2, "live", 1)]

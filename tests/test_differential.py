@@ -1470,3 +1470,65 @@ def test_diff_table_update_cells_duplicate_patch_keys_net_weight_one(spark):
     rows = sorted((r["k"], r["a"], r["b"]) for r in
                   DifferentialGraph.integrate(cl).collect())
     assert rows == [("x", 1, 99), ("y", 2, 20)], rows
+
+
+def test_steady_conf_snapshot_session_scoped_across_graphs(spark):
+    """The pre-tuning conf snapshot lives on the SESSION: graph B on
+    the same SparkSession must (a) run its wide initial load with the
+    ORIGINAL confs even when graph A left its steady tuning applied,
+    and (b) never snapshot A's tuned values as the 'originals'."""
+    keys = list(DifferentialGraph._STEADY_CONFS)
+    orig = {k: spark.conf.get(k, None) for k in keys}
+    b = spark.createDataFrame([("a", 1)], "k string, v long")
+    try:
+        gA = DifferentialGraph(spark)
+        tA = gA.source("t", spark.createDataFrame([], "k string, v long"))
+        outA = tA.reduce(["k"], n=("count",))
+        gA.step(outA, t=b)                     # wide (initial)
+        gA.step(outA, t=b)                     # steady -> tuning applied
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+
+        gB = DifferentialGraph(spark)
+        tB = gB.source("t", spark.createDataFrame([], "k string, v long"))
+        outB = tB.reduce(["k"], n=("count",))
+        gB.step(outB, t=b)                     # wide: must restore FIRST
+        for k in keys:
+            assert spark.conf.get(k, None) == orig[k], \
+                f"wide batch of a second graph ran tuned: {k}"
+        gB.step(outB, t=b)                     # steady again
+        gB.restore_session_confs()
+        for k in keys:
+            assert spark.conf.get(k, None) == orig[k], \
+                f"snapshot poisoned by another graph's tuning: {k}"
+    finally:
+        for k, v in orig.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        setattr(spark, DifferentialGraph._SAVED_CONF_ATTR, None)
+
+
+def test_diff_table_update_cells_duplicate_keys_no_cross_row_mixing(spark):
+    """Duplicate patch keys resolve to ONE WHOLE patch row (struct-min
+    over all patched columns) — never an independent per-column min,
+    which would fabricate a row combining values from different patch
+    rows."""
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    btpl = spark.createDataFrame([], "k string, a long, b long")
+    ptpl = spark.createDataFrame([], "k string, a long, b long")
+    g = DifferentialTableGraph(spark)
+    base, patch = g.input("base", btpl), g.input("patch", ptpl)
+    out = base.update_cells(patch, this.k)
+
+    (d0,) = g.step(out.node,
+                   base=spark.createDataFrame([("x", 7, 70)], btpl.schema),
+                   patch=spark.createDataFrame(
+                       [("x", 2, 3), ("x", 1, 9)], ptpl.schema))
+    rows = sorted((r["k"], r["a"], r["b"]) for r in
+                  DifferentialGraph.integrate(
+                      d0.localCheckpoint(eager=True)).collect())
+    # struct-min row is (1, 9); per-column min would fabricate (1, 3)
+    assert rows == [("x", 1, 9)], rows

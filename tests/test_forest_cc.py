@@ -162,3 +162,38 @@ def test_forest_cc_durable_restore(spark, tmp_path):
     (d,) = g2.step(out2, e=_edges(spark, [(2, 3)], diff=-1))
     assert sorted((r["w"], r["label"], r[DIFF]) for r in d.collect()) == [
         (3, 1, -1), (3, 3, 1), (4, 1, -1), (4, 3, 1)]
+
+
+def test_self_loop_delete_keeps_other_edges_no_resolve(spark, graph,
+                                                       monkeypatch):
+    """Deleting a self-loop on a node that keeps other live edges is a
+    connectivity no-op — it must NOT re-solve the node's (possibly
+    giant) component; only a node's LAST edge being a self-loop
+    withdraws the node, and that resolve is singleton-sized."""
+    g, src, out = graph
+    calls = _count_solves(monkeypatch)
+    (d0,) = g.step(out, e=_edges(spark, [(1, 2), (2, 3), (2, 2)]))
+    assert calls["n"] == 1                       # priming solve only
+    assert _snap(d0) == [(1, 1), (2, 1), (3, 1)]
+
+    # self-loop gone, node 2 keeps (1,2)/(2,3): no solve, no delta
+    (d1,) = g.step(out, e=_edges(spark, [(2, 2)], diff=-1))
+    assert calls["n"] == 1
+    assert d1.count() == 0
+
+    # a self-loop that IS the node's last edge: retraction, but the
+    # resolve is over the singleton component, never component 1's
+    (d2,) = g.step(out, e=_edges(spark, [(9, 9)]))
+    assert _snap(d2) == [(9, 9)]
+    (d3,) = g.step(out, e=_edges(spark, [(9, 9)], diff=-1))
+    assert sorted((r["w"], r["label"], r[DIFF]) for r in d3.collect()) \
+        == [(9, 9, -1)]
+
+    # same-batch mix: insert an edge AND delete a kept-alive self-loop
+    (d4,) = g.step(out, e=_edges(spark, [(3, 3)]))
+    assert d4.count() == 0                       # 3 already labeled
+    delta = (_edges(spark, [(3, 4)]).withColumn(DIFF, F.lit(1))
+             .unionByName(_edges(spark, [(3, 3)], diff=-1)))
+    (d5,) = g.step(out, e=delta)
+    assert sorted((r["w"], r["label"], r[DIFF]) for r in d5.collect()) \
+        == [(4, 1, 1)]

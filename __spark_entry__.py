@@ -835,7 +835,15 @@ def q39_graduations(spark, sf):
       Delta-CDF envelope (`io/changelog.py`: |weight| replicates to
       insert/delete rows, from_envelope restores signed diffs) and the
       reader-side merge_streams_to_table compaction; num per
-      event_type = rows after expansion = Σ net."""
+      event_type = rows after expansion = Σ net.
+    - part='bm25_live' (round 6): the DIFFERENTIAL engine's live BM25
+      index (`streaming/incremental_bm25.py`) driven for two ticks —
+      corpus split by doc_id parity, both queries arriving at tick 2 —
+      then integrated.  Freeze-at-arrival equals batch retrieval when
+      queries arrive last, so the integrated trace must hash-match the
+      q46 BM25 SQL: the first driver-oracled behavior computed BY the
+      incremental engine (index state maintained across batches, not a
+      one-shot plan)."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -876,7 +884,29 @@ def q39_graduations(spark, sf):
                    F.col("event_type").alias("key"),
                    F.lit(None).cast("string").alias("txt"),
                    F.col("n").cast("double").alias("num")))
-    return keep.unionByName(kmv).unionByName(cdf)
+
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    ddf = d.to_df().select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(1, "spark table join"), (2, "data stream window")],
+        "query_id long, query string")
+    g = DifferentialTableGraph(spark)
+    dt, qt = g.input("d", ddf), g.input("q", qdf)
+    live = dt.bm25_topk(qt, this.text, this.doc_id, k=10)
+    (s1,) = g.step(live.node, d=ddf.filter(F.col("doc_id") % 2 == 0))
+    (s2,) = g.step(live.node, d=ddf.filter(F.col("doc_id") % 2 == 1),
+                   q=qdf)
+    g.restore_session_confs()   # q39 shares the driver's session
+    trace = (s1.localCheckpoint(eager=True)
+             .unionByName(s2.localCheckpoint(eager=True)))
+    bm = DifferentialGraph.integrate(trace).select(
+        F.lit("bm25_live").alias("part"),
+        F.concat_ws(":", F.col("query_id"), F.col("doc_id")).alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("rank").cast("double").alias("num"))
+    return keep.unionByName(kmv).unionByName(cdf).unionByName(bm)
 
 
 def q40_iterate(spark, sf):
@@ -1702,6 +1732,51 @@ def oracle_sql() -> dict[str, str]:
                            AS net
                 FROM events GROUP BY event_type, user_id) p
             GROUP BY event_type
+            UNION ALL
+            SELECT 'bm25_live' AS part,
+                   CAST(query_id AS VARCHAR) || ':'
+                       || CAST(doc_id AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(rank AS DOUBLE) AS num
+            FROM (
+                WITH toks AS (
+                    SELECT doc_id, t.t AS term
+                    FROM documents,
+                         UNNEST(regexp_split_to_array(LOWER(TRIM(text)),
+                                                      '\\s+')) AS t(t)
+                ), tf AS (
+                    SELECT doc_id, term, COUNT(*) AS tf
+                    FROM toks GROUP BY doc_id, term
+                ), dl AS (
+                    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+                ), stats AS (
+                    SELECT (SELECT COUNT(*) FROM documents) AS n,
+                           (SELECT AVG(dl) FROM dl) AS avgdl
+                ), dfreq AS (
+                    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+                ), idf AS (
+                    SELECT term, LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                    FROM dfreq, stats
+                ), q AS (
+                    SELECT * FROM (VALUES (1, 'spark'), (1, 'table'),
+                                          (1, 'join'), (2, 'data'),
+                                          (2, 'stream'), (2, 'window'))
+                         AS v(query_id, term)
+                ), scored AS (
+                    SELECT q.query_id, tf.doc_id,
+                           SUM(idf.idf * (tf.tf * 2.2)
+                               / (tf.tf + 1.2 * (1 - 0.75
+                                                 + 0.75 * dl.dl / stats.avgdl)))
+                               AS score
+                    FROM q JOIN tf USING (term) JOIN idf USING (term)
+                    JOIN dl ON dl.doc_id = tf.doc_id, stats
+                    GROUP BY q.query_id, tf.doc_id
+                )
+                SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM scored QUALIFY rank <= 10
+            ) b
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

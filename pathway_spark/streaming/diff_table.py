@@ -524,6 +524,26 @@ class DiffTable:
                .withColumn("hamming", F.lit(0).cast("long")))
         return DiffTable(node, tpl.limit(0))
 
+    def embedding_dup_pairs(self, vec: ColumnReference,
+                            id_ref: ColumnReference, *,
+                            threshold: float = 0.95,
+                            num_planes: int = 64,
+                            bands: int = 4) -> "DiffTable":
+        """Incrementally-maintained embedding near-duplicate pairs —
+        streaming face of `operators/dedup.py:embedding_neardup_pairs
+        (cross_engine=True)` (the q52 integer-exact hyperplane-LSH
+        plan).  Emits `(id_a, id_b)` deltas, `id_a < id_b`, verified
+        on the quantized integers; prefix-equal to the batch operator
+        bit-for-bit (integer sums commute exactly)."""
+        from .incremental_dedup import incremental_embedding_pairs
+
+        node = incremental_embedding_pairs(
+            self.node, vec._name, id_ref._name, threshold=threshold,
+            num_planes=num_planes, bands=bands)
+        idc = F.col(id_ref._name)
+        tpl = self._template.select(idc.alias("id_a"), idc.alias("id_b"))
+        return DiffTable(node, tpl.limit(0))
+
     def knn_topk(self, queries: "DiffTable", vec: ColumnReference,
                  id_ref: ColumnReference, *, k: int = 3,
                  metric: str = "cosine") -> "DiffTable":

@@ -178,3 +178,88 @@ def incremental_simhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
             .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
                     F.col("hamming")))
     return out
+
+
+def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
+                                threshold: float = 0.95,
+                                num_planes: int = 64,
+                                bands: int = 4) -> DiffNode:
+    """Incrementally-maintained embedding near-duplicate pairs — the
+    streaming face of `operators/dedup.py:embedding_neardup_pairs
+    (cross_engine=True)`, the INTEGER-EXACT hyperplane-LSH plan (the
+    q52 driver-gate semantics): floor(x*1e6) quantization, md5-derived
+    plane components, integer projections/dots/norms.  Integer
+    addition commutes exactly, so the per-row sequential folds here
+    equal the batch path's explode+SUM bit-for-bit — output deltas
+    accumulate to the batch operator's rows at every prefix, with no
+    float-ordering caveat.
+
+    Emits `(id_a, id_b)` deltas, `id_a < id_b`, verified
+    `cosine >= threshold` on the quantized integers (dot > 0 and
+    dot² ≥ t²·|a|²·|b|², the same fixed multiply sequence as batch).
+
+    Cost per batch: O(|delta| · num_planes · dim) signature hashing +
+    band-state probes keyed by the delta's bucket keys + integer-dot
+    verification of NEW candidates only.  State: the banded
+    self-join's arrangements (`bands` rows per doc) and one quantized
+    (vid, xi[], n2) arrangement per verify leg — all bucket-pruned on
+    probe like every differential join."""
+    from ..operators.dedup import plane_component_cross
+
+    per_band = num_planes // bands
+    if per_band * bands != num_planes:
+        raise ValueError("num_planes must be divisible by bands")
+
+    xi = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long"))
+    d = docs.select(F.col(id_col).alias("vid"), xi.alias("xi"))
+    zero = F.lit(0).cast("long")
+    projs = [
+        F.aggregate(
+            F.transform(F.col("xi"),
+                        lambda x, i: x * plane_component_cross(p, i)),
+            zero, lambda acc, t: acc + t).alias(f"p{p}")
+        for p in range(num_planes)
+    ]
+    sig = d.select(F.col("vid"), *projs)
+    band_keys = [
+        sum([F.when(F.col(f"p{bi * per_band + j}") > 0, F.lit(1 << j))
+             .otherwise(F.lit(0)) for j in range(per_band)],
+            F.lit(0))
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col("vid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), band_keys[bi].alias("bh"))
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select(F.col("vid"), F.col("bb.band").alias("band"),
+             F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("vid").alias("a"), F.col("band"), F.col("bh"))
+    b = banded.select(F.col("vid").alias("b"), F.col("band"), F.col("bh"))
+    cand = (a.join(b, on=["band", "bh"])
+              .filter(F.col("a") < F.col("b"))
+              .select(F.col("a"), F.col("b"))
+              .distinct())
+
+    n2 = F.aggregate(F.col("xi"), zero, lambda acc, x: acc + x * x)
+    vecs = d.select(F.col("vid"), F.col("xi"), n2.alias("n2"))
+    va = vecs.select(F.col("vid").alias("a"), F.col("xi").alias("xa"),
+                     F.col("n2").alias("na2"))
+    vb = vecs.select(F.col("vid").alias("b"), F.col("xi").alias("xb"),
+                     F.col("n2").alias("nb2"))
+    dot = F.aggregate(F.zip_with(F.col("xa"), F.col("xb"),
+                                 lambda x, y: x * y),
+                      zero, lambda acc, t: acc + t)
+    t2 = float(threshold) * float(threshold)
+    dot_d = F.col("dot").cast("double")
+    cond = (F.col("dot") > 0) & (
+        dot_d * dot_d
+        >= (F.lit(t2) * F.col("na2").cast("double"))
+        * F.col("nb2").cast("double"))
+    return (cand.join(va, on=["a"])
+                .join(vb, on=["b"])
+                .with_columns(dot=dot)
+                .filter(cond)
+                .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))

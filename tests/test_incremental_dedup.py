@@ -171,3 +171,89 @@ def test_incremental_minhash_empty_delta_is_empty(spark):
         d0.localCheckpoint(eager=True)).count() > 0
     (d1,) = g.step(out)          # nothing changed
     assert d1.isEmpty()
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# three near-dup clusters in 4-d: (1,2,6) along e1-ish, (3,5) along
+# e2-ish, 4 alone; retraction removes a cluster member
+_V = {
+    1: [1.0, 0.02, 0.0, 0.0],
+    2: [0.98, 0.05, 0.01, 0.0],
+    3: [0.0, 1.0, 0.03, 0.0],
+    4: [0.5, 0.5, 0.5, 0.5],
+    5: [0.01, 0.97, 0.05, 0.0],
+    6: [0.99, 0.0, 0.02, 0.01],
+    7: [0.98, 0.05, 0.01, 0.0],     # same vector as 2, new id
+}
+
+_VBATCHES = [
+    ([1, 2, 3], []),
+    ([4, 5], []),
+    ([6], []),
+    ([], [2, 4]),
+    ([7], []),
+]
+
+_VKW = dict(threshold=0.9, num_planes=16, bands=4)
+
+
+def test_incremental_embedding_prefix_equals_batch_bit_exact(spark):
+    """Integer-exact hyperplane LSH: the incremental per-row folds
+    equal the batch explode+SUM bit-for-bit (integer addition
+    commutes), so prefix equality holds with NO float caveat."""
+    from pathway_spark.operators.dedup import embedding_neardup_pairs
+    from pathway_spark.streaming.incremental_dedup import (
+        incremental_embedding_pairs)
+    from pathway_spark.table import ID, Table
+
+    def batch(live_ids):
+        t = Table(_vecs(spark, [(i, _V[i]) for i in live_ids]))
+        return embedding_neardup_pairs(
+            t, "embedding", "vec_id", cross_engine=True,
+            **_VKW)._df.drop(ID)
+
+    g = DifferentialGraph(spark)
+    src = g.source("docs", _vecs(spark, []).filter(F.lit(False)))
+    out = incremental_embedding_pairs(src, "embedding", "vec_id", **_VKW)
+
+    live: list[int] = []
+    changelog = None
+    for ins, dels in _VBATCHES:
+        parts = []
+        if ins:
+            parts.append(_vecs(spark, [(i, _V[i]) for i in ins])
+                         .withColumn("_pw_diff", F.lit(1)))
+        if dels:
+            parts.append(_vecs(spark, [(i, _V[i]) for i in dels])
+                         .withColumn("_pw_diff", F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out, docs=delta)
+        d = d.localCheckpoint(eager=True)
+        changelog = d if changelog is None else changelog.unionByName(d)
+        live.extend(ins)
+        for i in dels:
+            live.remove(i)
+        got = _snap(DifferentialGraph.integrate(changelog),
+                    ["id_a", "id_b"])
+        want = _snap(batch(live), ["id_a", "id_b"])
+        assert got == want, f"after ins={ins} dels={dels}: {got} != {want}"
+    assert got, "fixture must end with at least one verified pair"
+
+
+def test_diff_table_embedding_surface(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    g = DifferentialTableGraph(spark)
+    t = g.input("docs", _vecs(spark, []))
+    out = t.embedding_dup_pairs(this.embedding, this.vec_id, **_VKW)
+    (d0,) = g.step(out.node, docs=_vecs(
+        spark, [(i, _V[i]) for i in (1, 2, 3, 5)]))
+    rows = _snap(DifferentialGraph.integrate(
+        d0.localCheckpoint(eager=True)), ["id_a", "id_b"])
+    assert (1, 2) in rows and (3, 5) in rows

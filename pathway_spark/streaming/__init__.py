@@ -340,6 +340,7 @@ from .incremental_graph import (  # noqa: E402,F401
     incremental_pagerank_cascade,
 )
 from .incremental_dedup import (  # noqa: E402,F401
+    incremental_dedup_clusters,
     incremental_embedding_pairs,
     incremental_minhash_pairs,
     incremental_simhash_pairs,

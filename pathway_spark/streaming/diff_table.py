@@ -544,6 +544,23 @@ class DiffTable:
         tpl = self._template.select(idc.alias("id_a"), idc.alias("id_b"))
         return DiffTable(node, tpl.limit(0))
 
+    def dedup_clusters(self, text: ColumnReference,
+                       id_ref: ColumnReference, *,
+                       method: str = "minhash", **kw) -> "DiffTable":
+        """Live near-dup cluster canonicalization: every document maps
+        to its cluster's MIN member id (the batch `deduplicate(keep=)`
+        survivor rule), maintained incrementally — dup pairs (by
+        `method`) + per-doc self-loops through spanning-forest CC.
+        Emits `(<id_col>, canonical)` deltas."""
+        from .incremental_dedup import incremental_dedup_clusters
+
+        node = incremental_dedup_clusters(
+            self.node, text._name, id_ref._name, method=method, **kw)
+        idc = F.col(id_ref._name)
+        tpl = self._template.select(idc.alias(id_ref._name),
+                                    idc.alias("canonical"))
+        return DiffTable(node, tpl.limit(0))
+
     def knn_topk(self, queries: "DiffTable", vec: ColumnReference,
                  id_ref: ColumnReference, *, k: int = 3,
                  metric: str = "cosine") -> "DiffTable":

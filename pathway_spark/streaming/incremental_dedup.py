@@ -263,3 +263,41 @@ def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
                 .with_columns(dot=dot)
                 .filter(cond)
                 .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
+
+
+def incremental_dedup_clusters(docs: DiffNode, text_col: str, id_col: str, *,
+                               method: str = "minhash", **kw) -> DiffNode:
+    """Live near-duplicate CLUSTER canonicalization — the end-to-end
+    dedup operation a training-data pipeline actually runs: every
+    document maps to the canonical representative of its near-dup
+    cluster, maintained incrementally as documents come and go.
+
+    Composition (no new node classes): dup pairs from the chosen
+    `method` ("minhash" | "simhash" | "embedding" — the three
+    incremental pair operators above, kwargs pass through) become
+    edges, every live document contributes a self-loop (so singletons
+    and fully-retracted documents appear/withdraw correctly), and
+    `incremental_connected_components` (spanning-forest state,
+    O(delta) for non-bridge churn) labels each cluster with its MIN
+    member id — which IS the deterministic survivor rule of the batch
+    `Table.deduplicate(keep=)` / q39 `dedup_keep` gate.
+
+    Emits `(<id_col>, canonical)` deltas: `canonical == id` for
+    cluster survivors, the kept doc's id for near-duplicates.  A doc
+    retraction withdraws its pairs and self-loop; forest CC then
+    re-elects survivors only in the touched clusters."""
+    from .incremental_graph import incremental_connected_components
+
+    if method == "minhash":
+        pairs = incremental_minhash_pairs(docs, text_col, id_col, **kw)
+    elif method == "simhash":
+        pairs = incremental_simhash_pairs(docs, text_col, id_col, **kw)
+    elif method == "embedding":
+        pairs = incremental_embedding_pairs(docs, text_col, id_col, **kw)
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    loops = docs.select(F.col(id_col).alias("u"), F.col(id_col).alias("v"))
+    cc = incremental_connected_components(edges.union(loops))
+    return cc.select(F.col("w").alias(id_col),
+                     F.col("label").alias("canonical"))

@@ -257,3 +257,70 @@ def test_diff_table_embedding_surface(spark):
     rows = _snap(DifferentialGraph.integrate(
         d0.localCheckpoint(eager=True)), ["id_a", "id_b"])
     assert (1, 2) in rows and (3, 5) in rows
+
+
+def test_incremental_dedup_clusters_prefix_equals_batch(spark):
+    """End-to-end live dedup: (doc -> canonical min-id of its near-dup
+    cluster) prefix-equal to batch pairs + batch CC at every step,
+    through inserts, a cluster-member retraction, and re-insertion."""
+    from pathway_spark.operators.dedup import minhash_lsh_pairs
+    from pathway_spark.operators.iterate import connected_components
+    from pathway_spark.streaming.incremental_dedup import (
+        incremental_dedup_clusters)
+    from pathway_spark.table import ID, Table
+
+    def batch(live):
+        docs = _docs(spark, live)
+        pairs = minhash_lsh_pairs(
+            Table(docs), "text", "doc_id", **_KW)._df.drop(ID)
+        edges = (pairs.select(F.col("id_a").alias("u"),
+                              F.col("id_b").alias("v"))
+                 .unionByName(docs.select(F.col("doc_id").alias("u"),
+                                          F.col("doc_id").alias("v"))))
+        return (connected_components(Table(edges))._df.drop(ID)
+                .select(F.col("w").alias("doc_id"),
+                        F.col("label").alias("canonical")))
+
+    g = DifferentialGraph(spark)
+    src = g.source("docs", _docs(spark, [(0, "x")]).filter(F.lit(False)))
+    out = incremental_dedup_clusters(src, "text", "doc_id", **_KW)
+
+    live: list[tuple] = []
+    changelog = None
+    for ins, dels in BATCHES:
+        parts = []
+        if ins:
+            parts.append(_docs(spark, ins).withColumn("_pw_diff", F.lit(1)))
+        if dels:
+            parts.append(_docs(spark, dels).withColumn("_pw_diff",
+                                                       F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out, docs=delta)
+        d = d.localCheckpoint(eager=True)
+        changelog = d if changelog is None else changelog.unionByName(d)
+        live.extend(ins)
+        for r in dels:
+            live.remove(r)
+        got = _snap(DifferentialGraph.integrate(changelog),
+                    ["doc_id", "canonical"])
+        want = _snap(batch(live), ["doc_id", "canonical"])
+        assert got == want, f"after ins={ins} dels={dels}: {got} != {want}"
+    # the final state must be non-trivial: survivors AND mapped dups
+    assert any(a != b for a, b in got) and any(a == b for a, b in got)
+
+
+def test_diff_table_dedup_clusters_surface(spark):
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    g = DifferentialTableGraph(spark)
+    t = g.input("docs", _docs(spark, []))
+    out = t.dedup_clusters(this.text, this.doc_id, method="minhash",
+                           **_KW)
+    (d0,) = g.step(out.node, docs=_docs(
+        spark, [(1, _T1), (2, _T2), (3, _T3)]))
+    rows = _snap(DifferentialGraph.integrate(
+        d0.localCheckpoint(eager=True)), ["doc_id", "canonical"])
+    assert (1, 1) in rows and (2, 1) in rows and (3, 3) in rows

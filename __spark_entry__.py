@@ -895,9 +895,12 @@ def q39_graduations(spark, sf):
     g = DifferentialTableGraph(spark)
     dt, qt = g.input("d", ddf), g.input("q", qdf)
     live = dt.bm25_topk(qt, this.text, this.doc_id, k=10)
-    (s1,) = g.step(live.node, d=ddf.filter(F.col("doc_id") % 2 == 0))
-    (s2,) = g.step(live.node, d=ddf.filter(F.col("doc_id") % 2 == 1),
-                   q=qdf)
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # doc_id would satisfy NEITHER `% 2 == 0` nor `% 2 == 1` and fall
+    # out of both ticks while the oracle's FROM documents keeps it
+    even = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    (s1,) = g.step(live.node, d=ddf.filter(even))
+    (s2,) = g.step(live.node, d=ddf.filter(~even), q=qdf)
     g.restore_session_confs()   # q39 shares the driver's session
     trace = (s1.localCheckpoint(eager=True)
              .unionByName(s2.localCheckpoint(eager=True)))
@@ -1686,6 +1689,47 @@ def _pagerank_oracle_sql(steps: int = 5) -> str:
     """
 
 
+# ONE ranked-BM25 oracle, interpolated into BOTH q46_bm25 and q39's
+# bm25_live leg — the live leg's contract is "hash-matches the q46
+# SQL", so the two gates must share one source of truth (tokenizer,
+# idf, k1/b, tie-break, k) rather than hand-synced copies.
+_BM25_RANKED_ORACLE = """
+            WITH toks AS (
+                SELECT doc_id, t.t AS term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS t(t)
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT AVG(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+                SELECT term, LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                FROM dfreq, stats
+            ), q AS (
+                SELECT * FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'join'),
+                                      (2, 'data'), (2, 'stream'), (2, 'window'))
+                     AS v(query_id, term)
+            ), scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+                           AS score
+                FROM q JOIN tf USING (term) JOIN idf USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id, stats
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored QUALIFY rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_filter_groupby": """
@@ -1738,45 +1782,7 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) AS key,
                    CAST(NULL AS VARCHAR) AS txt,
                    CAST(rank AS DOUBLE) AS num
-            FROM (
-                WITH toks AS (
-                    SELECT doc_id, t.t AS term
-                    FROM documents,
-                         UNNEST(regexp_split_to_array(LOWER(TRIM(text)),
-                                                      '\\s+')) AS t(t)
-                ), tf AS (
-                    SELECT doc_id, term, COUNT(*) AS tf
-                    FROM toks GROUP BY doc_id, term
-                ), dl AS (
-                    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-                ), stats AS (
-                    SELECT (SELECT COUNT(*) FROM documents) AS n,
-                           (SELECT AVG(dl) FROM dl) AS avgdl
-                ), dfreq AS (
-                    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-                ), idf AS (
-                    SELECT term, LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-                    FROM dfreq, stats
-                ), q AS (
-                    SELECT * FROM (VALUES (1, 'spark'), (1, 'table'),
-                                          (1, 'join'), (2, 'data'),
-                                          (2, 'stream'), (2, 'window'))
-                         AS v(query_id, term)
-                ), scored AS (
-                    SELECT q.query_id, tf.doc_id,
-                           SUM(idf.idf * (tf.tf * 2.2)
-                               / (tf.tf + 1.2 * (1 - 0.75
-                                                 + 0.75 * dl.dl / stats.avgdl)))
-                               AS score
-                    FROM q JOIN tf USING (term) JOIN idf USING (term)
-                    JOIN dl ON dl.doc_id = tf.doc_id, stats
-                    GROUP BY q.query_id, tf.doc_id
-                )
-                SELECT query_id, doc_id,
-                       ROW_NUMBER() OVER (PARTITION BY query_id
-                                          ORDER BY score DESC, doc_id) AS rank
-                FROM scored QUALIFY rank <= 10
-            ) b
+            FROM (""" + _BM25_RANKED_ORACLE + """) b
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,
@@ -2184,41 +2190,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN r ON r.doc_id = doc_b
             WHERE CAST(c AS DOUBLE) / (len(l.ts) + len(r.ts) - c) >= 0.6
         """,
-        "q46_bm25": """
-            WITH toks AS (
-                SELECT doc_id, t.t AS term
-                FROM documents,
-                     UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS t(t)
-            ), tf AS (
-                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-            ), dl AS (
-                SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-            ), stats AS (
-                SELECT (SELECT COUNT(*) FROM documents) AS n,
-                       (SELECT AVG(dl) FROM dl) AS avgdl
-            ), dfreq AS (
-                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-            ), idf AS (
-                SELECT term, LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-                FROM dfreq, stats
-            ), q AS (
-                SELECT * FROM (VALUES (1, 'spark'), (1, 'table'), (1, 'join'),
-                                      (2, 'data'), (2, 'stream'), (2, 'window'))
-                     AS v(query_id, term)
-            ), scored AS (
-                SELECT q.query_id, tf.doc_id,
-                       SUM(idf.idf * (tf.tf * 2.2)
-                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
-                           AS score
-                FROM q JOIN tf USING (term) JOIN idf USING (term)
-                JOIN dl ON dl.doc_id = tf.doc_id, stats
-                GROUP BY q.query_id, tf.doc_id
-            )
-            SELECT query_id, doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY score DESC, doc_id) AS rank
-            FROM scored QUALIFY rank <= 10
-        """,
+        "q46_bm25": _BM25_RANKED_ORACLE,
         "q47_dt_components": """
             SELECT event_id,
                    CAST(HOUR(ts) AS BIGINT) AS hr,

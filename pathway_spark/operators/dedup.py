@@ -490,6 +490,35 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 EMB_QUANT = 1_000_000
 
 
+def hyperplane_band_keys(per_band: int, bands: int, proj) -> list[Column]:
+    """Band bucket keys: band bi packs the sign bits of its `per_band`
+    projections little-endian (`proj(p) -> Column` supplies projection
+    p).  ONE definition shared by the batch cross-engine plan and the
+    incremental operator — their bit-for-bit parity contract depends
+    on identical packing."""
+    return [
+        sum([F.when(proj(bi * per_band + j) > 0, F.lit(1 << j))
+             .otherwise(F.lit(0)) for j in range(per_band)],
+            F.lit(0))
+        for bi in range(bands)
+    ]
+
+
+def integer_cosine_gate(threshold: float, dot: Column,
+                        na2: Column, nb2: Column) -> Column:
+    """cos ≥ t over quantized integers: dot > 0 ∧ dot² ≥ t²·|a|²·|b|².
+    dot² overflows BIGINT so the comparison runs in doubles — every
+    input is an exact integer and the multiply SEQUENCE is fixed
+    ((t²·na2)·nb2), so IEEE 754 gives the identical result in any
+    engine.  Shared by the batch cross-engine plan, its DuckDB oracle
+    mirror, and the incremental operator."""
+    t2 = float(threshold) * float(threshold)
+    dot_d = dot.cast("double")
+    return (dot > 0) & (
+        dot_d * dot_d >= (F.lit(t2) * na2.cast("double"))
+        * nb2.cast("double"))
+
+
 def plane_component_cross(p: int, i_col: Column) -> Column:
     """Deterministic hyperplane component c(p, i) ∈ [-1000, 1000]:
     md5(p*10007 + i) → 60-bit int → mod 2001 − 1000. SQL mirror:
@@ -683,14 +712,8 @@ def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
           for p in range(num_planes)],
     ).persist(StorageLevel.MEMORY_AND_DISK)
     per_band = num_planes // bands
-    band_keys = [
-        sum(
-            [F.when(F.col(f"p{bi * per_band + j}") > 0, F.lit(1 << j))
-             .otherwise(F.lit(0)) for j in range(per_band)],
-            F.lit(0),
-        )
-        for bi in range(bands)
-    ]
+    band_keys = hyperplane_band_keys(per_band, bands,
+                                     lambda p: F.col(f"p{p}"))
     banded = per_vec.select(
         "vid",
         F.explode(F.array(*[
@@ -709,16 +732,8 @@ def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
         .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
     )
     n2 = per_vec.select("vid", "n2")
-    # cos ≥ t ⟺ dot > 0 ∧ dot² ≥ t²·|a|²·|b|². dot² overflows BIGINT so
-    # the comparison runs in doubles — but every input is an exact
-    # integer and the multiply sequence is fixed, so IEEE 754 gives the
-    # identical result in any engine (no SUM-order nondeterminism).
-    t2 = float(threshold) * float(threshold)
-    dot_d = F.col("dot").cast("double")
-    cond = (F.col("dot") > 0) & (
-        dot_d * dot_d
-        >= (F.lit(t2) * F.col("na2").cast("double")) * F.col("nb2").cast("double")
-    )
+    cond = integer_cosine_gate(threshold, F.col("dot"),
+                               F.col("na2"), F.col("nb2"))
     out = (
         dots.join(n2.select(F.col("vid").alias("a"), F.col("n2").alias("na2")), "a")
         .join(n2.select(F.col("vid").alias("b"), F.col("n2").alias("nb2")), "b")

@@ -204,7 +204,9 @@ def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
     self-join's arrangements (`bands` rows per doc) and one quantized
     (vid, xi[], n2) arrangement per verify leg — all bucket-pruned on
     probe like every differential join."""
-    from ..operators.dedup import plane_component_cross
+    from ..operators.dedup import (hyperplane_band_keys,
+                                   integer_cosine_gate,
+                                   plane_component_cross)
 
     per_band = num_planes // bands
     if per_band * bands != num_planes:
@@ -222,12 +224,8 @@ def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
         for p in range(num_planes)
     ]
     sig = d.select(F.col("vid"), *projs)
-    band_keys = [
-        sum([F.when(F.col(f"p{bi * per_band + j}") > 0, F.lit(1 << j))
-             .otherwise(F.lit(0)) for j in range(per_band)],
-            F.lit(0))
-        for bi in range(bands)
-    ]
+    band_keys = hyperplane_band_keys(per_band, bands,
+                                     lambda p: F.col(f"p{p}"))
     banded = sig.select(
         F.col("vid"),
         F.explode(F.array(*[
@@ -252,12 +250,8 @@ def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
     dot = F.aggregate(F.zip_with(F.col("xa"), F.col("xb"),
                                  lambda x, y: x * y),
                       zero, lambda acc, t: acc + t)
-    t2 = float(threshold) * float(threshold)
-    dot_d = F.col("dot").cast("double")
-    cond = (F.col("dot") > 0) & (
-        dot_d * dot_d
-        >= (F.lit(t2) * F.col("na2").cast("double"))
-        * F.col("nb2").cast("double"))
+    cond = integer_cosine_gate(threshold, F.col("dot"),
+                               F.col("na2"), F.col("nb2"))
     return (cand.join(va, on=["a"])
                 .join(vb, on=["b"])
                 .with_columns(dot=dot)

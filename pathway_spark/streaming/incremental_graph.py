@@ -234,6 +234,17 @@ class _ForestCCNode(DiffNode):
         # treatment keyed by label)
         self._estate = self.graph._make_store(dE, key_cols=["u"])
         empty = dE.filter(F.lit(False))
+        # per-node NON-SELF edge degree as multiset weight — O(|V|)
+        # rows, O(delta) upkeep.  Soundness: pair nets in a well-formed
+        # stream are >= 0, so weight > 0 ⟹ some live incident pair
+        # (never marks a dead node alive); a pathological mixed-sign
+        # multiset can only UNDERcount, which costs an exact component
+        # re-solve, never a wrong label.  Exists so the self-loop
+        # aliveness check below is a bucket-pruned O(|sl|) probe, not a
+        # full edge-state scan
+        dtpl = (empty.select(F.col("u").alias("w"))
+                .withColumn(DIFF, F.lit(1).cast("long")))
+        self._deg = self.graph._make_store(dtpl, key_cols=["w"])
         ftpl = (empty.select(F.least("u", "v").alias("a"),
                              F.greatest("u", "v").alias("b"))
                 .withColumn(DIFF, F.lit(1).cast("long")))
@@ -244,6 +255,11 @@ class _ForestCCNode(DiffNode):
         self._trace = self.graph._make_store(ttpl, key_cols=["label"])
         self._primed = (self._trace._ver > 0 or self._estate._ver > 0)
         self._ltype = dict(dE.dtypes)["u"]
+
+    def _deg_delta(self, dE: DataFrame) -> DataFrame:
+        e = dE.filter(F.col("u") != F.col("v")).select("u", "v", DIFF)
+        return (e.select(F.col("u").alias("w"), DIFF)
+                .unionByName(e.select(F.col("v").alias("w"), DIFF)))
 
     def _prime(self, dE: DataFrame, t: int) -> DataFrame:
         e_new = _expand(consolidate(
@@ -256,6 +272,8 @@ class _ForestCCNode(DiffNode):
         self._trace.update(out, wide=wide)
         self._forest.update(
             forest.withColumn(DIFF, F.lit(1).cast("long")), wide=wide)
+        self._deg.update(self._deg_delta(dE.select("u", "v", DIFF)),
+                         wide=wide)
         self._estate.update(dE, wide=wide)
         return out
 
@@ -341,21 +359,14 @@ class _ForestCCNode(DiffNode):
             lt0 = self._ltype
             slw = spark.createDataFrame([(w,) for w in sl_nodes],
                                         f"w {lt0}")
-            inc = (self._estate.get().select("u", "v", DIFF)
-                   .unionByName(dnet.select("u", "v", DIFF))
-                   .filter(F.col("u") != F.col("v")))
-            touch = (inc.join(F.broadcast(slw.withColumnRenamed("w", "u")),
-                              "u", "left_semi")
-                     .unionByName(inc.join(
-                         F.broadcast(slw.withColumnRenamed("w", "v")),
-                         "v", "left_semi")))
-            nets = (touch.groupBy("u", "v").agg(F.sum(DIFF).alias("__n"))
-                    .filter(F.col("__n") > 0))
-            sl_alive = {r["w"] for r in
-                        nets.select(F.col("u").alias("w"))
-                            .unionByName(nets.select(F.col("v").alias("w")))
-                            .join(F.broadcast(slw), "w", "left_semi")
-                            .distinct().collect()}
+            # bucket-pruned O(|sl|) probe of the degree store (+ this
+            # batch's own deg delta), NOT an edge-state scan
+            deg = (self._deg.get(probe=slw, on=["w"])
+                   .unionByName(self._deg_delta(dnet))
+                   .join(F.broadcast(slw), "w", "left_semi")
+                   .groupBy("w").agg(F.sum(DIFF).alias("__d"))
+                   .filter(F.col("__d") > 0))
+            sl_alive = {r["w"] for r in deg.select("w").collect()}
         rows = [r for r in rows
                 if not (r["cut"] and r["u"] == r["v"]
                         and r["u"] in sl_alive)]
@@ -489,6 +500,7 @@ class _ForestCCNode(DiffNode):
             for p in f_pieces[1:]:
                 fd = fd.unionByName(p.select(*fd.columns))
             self._forest.update(consolidate(fd), wide=wide)
+        self._deg.update(self._deg_delta(dnet), wide=wide)
         self._estate.update(dnet.withColumn(TIME, F.lit(t)), wide=wide)
         return out
 

@@ -843,7 +843,16 @@ def q39_graduations(spark, sf):
       queries arrive last, so the integrated trace must hash-match the
       q46 BM25 SQL: the first driver-oracled behavior computed BY the
       incremental engine (index state maintained across batches, not a
-      one-shot plan)."""
+      one-shot plan).
+    - part='cc_live' (round 6): spanning-forest incremental connected
+      components (`streaming/incremental_graph.py`) driven
+      insert/insert/RETRACT over nation→region-hub star edges — tick 1
+      even nations, tick 2 odd (component merges), tick 3 retracts
+      region 0's edges (bridge cuts + node withdrawal).  The
+      integrated (node, label) trace must equal a DuckDB recursive-CTE
+      reachability closure over the LIVE edge set — incremental graph
+      state under the driver's hash gate, including the retraction
+      path."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -909,7 +918,33 @@ def q39_graduations(spark, sf):
         F.concat_ws(":", F.col("query_id"), F.col("doc_id")).alias("key"),
         F.lit(None).cast("string").alias("txt"),
         F.col("rank").cast("double").alias("num"))
-    return keep.unionByName(kmv).unionByName(cdf).unionByName(bm)
+
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_connected_components)
+
+    nat = _t(spark, sf, "nation").to_df().select(
+        F.col("n_nationkey").cast("long").alias("u"),
+        (F.lit(100) + F.col("n_regionkey")).cast("long").alias("v"),
+        F.col("n_regionkey").alias("r"))
+    g2 = DifferentialGraph(spark)
+    esrc = g2.source("e", nat.select("u", "v").limit(0))
+    cc = incremental_connected_components(esrc)
+    ev = F.pmod(F.col("u"), F.lit(2)) == 0
+    (c1,) = g2.step(cc, e=nat.filter(ev).select("u", "v"))
+    (c2,) = g2.step(cc, e=nat.filter(~ev).select("u", "v"))
+    (c3,) = g2.step(cc, e=nat.filter(F.col("r") == 0).select("u", "v")
+                    .withColumn("_pw_diff", F.lit(-1)))
+    g2.restore_session_confs()
+    cc_trace = (c1.localCheckpoint(eager=True)
+                .unionByName(c2.localCheckpoint(eager=True))
+                .unionByName(c3.localCheckpoint(eager=True)))
+    ccl = DifferentialGraph.integrate(cc_trace).select(
+        F.lit("cc_live").alias("part"),
+        F.col("w").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("label").cast("double").alias("num"))
+    return (keep.unionByName(kmv).unionByName(cdf)
+            .unionByName(bm).unionByName(ccl))
 
 
 def q40_iterate(spark, sf):
@@ -1783,6 +1818,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS txt,
                    CAST(rank AS DOUBLE) AS num
             FROM (""" + _BM25_RANKED_ORACLE + """) b
+            UNION ALL
+            SELECT 'cc_live' AS part, CAST(v AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(comp AS DOUBLE) AS num
+            FROM (
+                WITH RECURSIVE ed AS (
+                    SELECT CAST(n_nationkey AS BIGINT) AS u,
+                           CAST(100 + n_regionkey AS BIGINT) AS v
+                    FROM nation WHERE n_regionkey <> 0
+                ), sym AS (
+                    SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed
+                ), reach AS (
+                    SELECT u AS v, u AS r FROM sym
+                    UNION
+                    SELECT s.v, reach.r FROM reach JOIN sym s ON reach.v = s.u
+                )
+                SELECT v, MIN(r) AS comp FROM reach GROUP BY v
+            ) c
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

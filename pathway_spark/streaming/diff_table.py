@@ -544,6 +544,78 @@ class DiffTable:
         tpl = self._template.select(idc.alias("id_a"), idc.alias("id_b"))
         return DiffTable(node, tpl.limit(0))
 
+    def sort(self, key: ColumnReference, id_ref: ColumnReference, *,
+             instance: ColumnReference | None = None) -> "DiffTable":
+        """Live sort — prev/next neighbor pointers maintained under
+        inserts AND retractions (reference `table.sort`,
+        `src/engine/dataflow/operators/prev_next.rs` keeps a doubly-
+        linked order inside the dataflow).  Streams carry no universe
+        ids, so the pointers are `id_ref` VALUES (NULL at the ends);
+        order is (key, id) per instance.
+
+        Affected-instance recompute: a delta re-sorts only the
+        instances it touches (the reference's arranged BTree updates
+        neighbors in O(log n); the per-instance slice recompute is the
+        Spark-shaped equivalent) — pass `instance=` to bound the slice,
+        a global sort re-sorts everything per touched batch."""
+        from pyspark.sql import Window as W
+
+        from .differential import _KeyedRecomputeUnaryNode
+
+        kname, idn = key._name, id_ref._name
+        inst = instance._name if instance is not None else "__pw_inst"
+        node = (self.node if instance is not None
+                else self.node.with_columns(__pw_inst=F.lit(0)))
+
+        def op(plain: DataFrame) -> DataFrame:
+            w = (W.partitionBy(inst)
+                 .orderBy(F.col(kname), F.col(idn)))
+            return (plain.withColumn("prev", F.lag(idn).over(w))
+                         .withColumn("next", F.lead(idn).over(w)))
+
+        knode = _KeyedRecomputeUnaryNode(self.node.graph, node, [inst], op)
+        cols = [c for c in _data_cols(self._template)]
+        out = knode.select(*[F.col(c) for c in cols],
+                           F.col("prev"), F.col("next"))
+        idc = F.col(idn)
+        tpl = (self._template.select(*cols)
+               .withColumn("prev", idc).withColumn("next", idc))
+        return DiffTable(out, tpl.limit(0))
+
+    def diff_by(self, timestamp: ColumnReference,
+                id_ref: ColumnReference, *values: ColumnReference,
+                instance: ColumnReference | None = None) -> "DiffTable":
+        """Live `Table.diff`: value − previous value in (timestamp, id)
+        order per instance, as `diff_<name>` columns, maintained under
+        inserts and retractions by the same affected-instance
+        recompute as :meth:`sort`."""
+        from pyspark.sql import Window as W
+
+        from .differential import _KeyedRecomputeUnaryNode
+
+        tname, idn = timestamp._name, id_ref._name
+        inst = instance._name if instance is not None else "__pw_inst"
+        node = (self.node if instance is not None
+                else self.node.with_columns(__pw_inst=F.lit(0)))
+        vnames = [v._name for v in values]
+
+        def op(plain: DataFrame) -> DataFrame:
+            w = (W.partitionBy(inst)
+                 .orderBy(F.col(tname), F.col(idn)))
+            for v in vnames:
+                plain = plain.withColumn(
+                    f"diff_{v}", F.col(v) - F.lag(v).over(w))
+            return plain
+
+        knode = _KeyedRecomputeUnaryNode(self.node.graph, node, [inst], op)
+        cols = [c for c in _data_cols(self._template)]
+        out = knode.select(*[F.col(c) for c in cols],
+                           *[F.col(f"diff_{v}") for v in vnames])
+        tpl = self._template.select(*cols)
+        for v in vnames:
+            tpl = tpl.withColumn(f"diff_{v}", F.col(v))
+        return DiffTable(out, tpl.limit(0))
+
     def dedup_clusters(self, text: ColumnReference,
                        id_ref: ColumnReference, *,
                        method: str = "minhash", **kw) -> "DiffTable":

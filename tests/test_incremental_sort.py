@@ -88,3 +88,49 @@ def test_live_diff_prefix_equals_window_recompute(spark):
                                   F.col("x") - F.lag("x").over(w))
                       .collect())
         assert got == want, f"live={live}"
+
+
+def _irows(spark, rows):
+    return spark.createDataFrame(rows, "rid long, g string, ts long, v double")
+
+
+def test_live_interpolate_refills_on_neighbor_change(spark):
+    """A NULL gap fills from its neighbors; inserting a new non-null
+    point INSIDE the gap (or retracting a boundary) changes the fill —
+    prefix-equal to batch Table.interpolate on the live rows."""
+    from pathway_spark.operators.sort import interpolate as batch_interp
+    from pathway_spark.table import ID, Table
+
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", _irows(spark, []))
+    out = t.interpolate(this.ts, this.v, instance=this.g)
+
+    batches = [
+        ([(1, "a", 0, 0.0), (2, "a", 10, None), (3, "a", 20, 20.0)], []),
+        ([(4, "a", 15, 30.0)], []),           # new point inside the gap
+        ([], [(1, "a", 0, 0.0)]),             # retract the left boundary
+        ([(5, "b", 0, None)], []),            # all-null instance
+    ]
+    live, log = [], None
+    for ins, dels in batches:
+        parts = []
+        if ins:
+            parts.append(_irows(spark, ins).withColumn("_pw_diff", F.lit(1)))
+        if dels:
+            parts.append(_irows(spark, dels).withColumn("_pw_diff",
+                                                        F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out.node, t=delta)
+        d = d.localCheckpoint(eager=True)
+        log = d if log is None else log.unionByName(d)
+        live.extend(ins)
+        for r in dels:
+            live.remove(r)
+        got = sorted(tuple(r) for r in
+                     DifferentialGraph.integrate(log).collect())
+        want_df = batch_interp(Table(_irows(spark, live)), this.ts,
+                               this.v, instance=this.g)._df
+        want = sorted(tuple(r) for r in want_df.drop(ID).collect())
+        assert got == want, f"after ins={ins} dels={dels}"

@@ -577,18 +577,25 @@ class DiffTable:
         cols = [c for c in _data_cols(self._template)]
         out = knode.select(*[F.col(c) for c in cols],
                            F.col("prev"), F.col("next"))
-        idc = F.col(idn)
-        tpl = (self._template.select(*cols)
-               .withColumn("prev", idc).withColumn("next", idc))
+        # derive the template THROUGH op so prev/next carry the id
+        # column's true runtime dtype
+        tpl0 = (self._template if instance is not None
+                else self._template.withColumn("__pw_inst", F.lit(0)))
+        tpl = op(tpl0).select(*cols, "prev", "next")
         return DiffTable(out, tpl.limit(0))
 
     def diff_by(self, timestamp: ColumnReference,
                 id_ref: ColumnReference, *values: ColumnReference,
                 instance: ColumnReference | None = None) -> "DiffTable":
-        """Live `Table.diff`: value − previous value in (timestamp, id)
-        order per instance, as `diff_<name>` columns, maintained under
-        inserts and retractions by the same affected-instance
-        recompute as :meth:`sort`."""
+        """Live `Table.diff` with a DETERMINISTIC tie-break: value −
+        previous value in (timestamp, caller-id) order per instance,
+        as `diff_<name>` columns, maintained by the same
+        affected-instance recompute as :meth:`sort`.
+
+        Contrast :meth:`sort_diff`, which wraps the batch operator
+        verbatim (internal-ID tie-break on equal timestamps —
+        nondeterministic across recomputes); here equal timestamps
+        order by `id_ref`, so integrated deltas are reproducible."""
         from pyspark.sql import Window as W
 
         from .differential import _KeyedRecomputeUnaryNode
@@ -611,59 +618,12 @@ class DiffTable:
         cols = [c for c in _data_cols(self._template)]
         out = knode.select(*[F.col(c) for c in cols],
                            *[F.col(f"diff_{v}") for v in vnames])
-        tpl = self._template.select(*cols)
-        for v in vnames:
-            tpl = tpl.withColumn(f"diff_{v}", F.col(v))
+        # template THROUGH op: `c - lag(c)` changes dtype for
+        # timestamp/date/decimal values (e.g. timestamp -> interval)
+        tpl0 = (self._template if instance is not None
+                else self._template.withColumn("__pw_inst", F.lit(0)))
+        tpl = op(tpl0).select(*cols, *[f"diff_{v}" for v in vnames])
         return DiffTable(out, tpl.limit(0))
-
-    def interpolate(self, timestamp: ColumnReference,
-                    *values: ColumnReference,
-                    instance: ColumnReference | None = None) -> "DiffTable":
-        """Live linear interpolation of NULL gaps (reference
-        `Table.interpolate`, `stdlib/statistical/_interpolate.py:56`):
-        each NULL fills from its prev/next non-null neighbors in
-        timestamp order per instance — and REFILLS when an insert or
-        retraction changes a gap's neighbors, by the same
-        affected-instance recompute as :meth:`sort`.  Column
-        expressions match the batch operator exactly, so integrated
-        deltas equal `Table.interpolate` at every prefix."""
-        from pyspark.sql import Window as W
-
-        from .differential import _KeyedRecomputeUnaryNode
-
-        tname = timestamp._name
-        inst = instance._name if instance is not None else "__pw_inst"
-        node = (self.node if instance is not None
-                else self.node.with_columns(__pw_inst=F.lit(0)))
-        vnames = [v._name for v in values]
-
-        def op(plain: DataFrame) -> DataFrame:
-            t = F.col(tname)
-            wb = (W.partitionBy(inst).orderBy(t)
-                  .rowsBetween(W.unboundedPreceding, 0))
-            wf = (W.partitionBy(inst).orderBy(t)
-                  .rowsBetween(0, W.unboundedFollowing))
-            df = plain.withColumn("__pw_t", t.cast("double"))
-            for v in vnames:
-                c = F.col(v)
-                pv = F.last(c, ignorenulls=True).over(wb)
-                pt = F.last(F.when(c.isNotNull(), F.col("__pw_t")),
-                            ignorenulls=True).over(wb)
-                nv = F.first(c, ignorenulls=True).over(wf)
-                nt = F.first(F.when(c.isNotNull(), F.col("__pw_t")),
-                             ignorenulls=True).over(wf)
-                interp = F.when(c.isNotNull(), c).otherwise(
-                    F.when(pv.isNull(), nv).otherwise(
-                        F.when(nv.isNull(), pv).otherwise(
-                            pv + (nv - pv) * (F.col("__pw_t") - pt)
-                            / F.nullif(nt - pt, F.lit(0)))))
-                df = df.withColumn(v, interp)
-            return df.drop("__pw_t")
-
-        knode = _KeyedRecomputeUnaryNode(self.node.graph, node, [inst], op)
-        cols = [c for c in _data_cols(self._template)]
-        out = knode.select(*[F.col(c) for c in cols])
-        return DiffTable(out, self._template.select(*cols).limit(0))
 
     def dedup_clusters(self, text: ColumnReference,
                        id_ref: ColumnReference, *,

@@ -234,17 +234,6 @@ class _ForestCCNode(DiffNode):
         # treatment keyed by label)
         self._estate = self.graph._make_store(dE, key_cols=["u"])
         empty = dE.filter(F.lit(False))
-        # per-node NON-SELF edge degree as multiset weight — O(|V|)
-        # rows, O(delta) upkeep.  Soundness: pair nets in a well-formed
-        # stream are >= 0, so weight > 0 ⟹ some live incident pair
-        # (never marks a dead node alive); a pathological mixed-sign
-        # multiset can only UNDERcount, which costs an exact component
-        # re-solve, never a wrong label.  Exists so the self-loop
-        # aliveness check below is a bucket-pruned O(|sl|) probe, not a
-        # full edge-state scan
-        dtpl = (empty.select(F.col("u").alias("w"))
-                .withColumn(DIFF, F.lit(1).cast("long")))
-        self._deg = self.graph._make_store(dtpl, key_cols=["w"])
         ftpl = (empty.select(F.least("u", "v").alias("a"),
                              F.greatest("u", "v").alias("b"))
                 .withColumn(DIFF, F.lit(1).cast("long")))
@@ -253,6 +242,19 @@ class _ForestCCNode(DiffNode):
                              F.col("u").alias("label"))
                 .withColumn(DIFF, F.lit(1).cast("long")))
         self._trace = self.graph._make_store(ttpl, key_cols=["label"])
+        # per-node NON-SELF edge degree as multiset weight — O(|V|)
+        # rows, O(delta) upkeep.  Soundness: pair nets in a well-formed
+        # stream are >= 0, so weight > 0 ⟹ some live incident pair
+        # (never marks a dead node alive); a pathological mixed-sign
+        # multiset can only UNDERcount, which costs an exact component
+        # re-solve, never a wrong label.  Exists so the self-loop
+        # aliveness check in _advance is a bucket-pruned O(|sl|) probe,
+        # not a full edge-state scan.  Created LAST: stores restore by
+        # creation index, so appending (not inserting) keeps state dirs
+        # committed by earlier builds loadable
+        dtpl = (empty.select(F.col("u").alias("w"))
+                .withColumn(DIFF, F.lit(1).cast("long")))
+        self._deg = self.graph._make_store(dtpl, key_cols=["w"])
         self._primed = (self._trace._ver > 0 or self._estate._ver > 0)
         self._ltype = dict(dE.dtypes)["u"]
 

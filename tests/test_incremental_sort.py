@@ -128,9 +128,11 @@ def test_live_interpolate_refills_on_neighbor_change(spark):
         live.extend(ins)
         for r in dels:
             live.remove(r)
-        got = sorted(tuple(r) for r in
+        cols = ["rid", "g", "ts", "v"]
+        got = sorted(tuple(r[c] for c in cols) for r in
                      DifferentialGraph.integrate(log).collect())
         want_df = batch_interp(Table(_irows(spark, live)), this.ts,
                                this.v, instance=this.g)._df
-        want = sorted(tuple(r) for r in want_df.drop(ID).collect())
+        want = sorted(tuple(r[c] for c in cols)
+                      for r in want_df.drop(ID).collect())
         assert got == want, f"after ins={ins} dels={dels}"

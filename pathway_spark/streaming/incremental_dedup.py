@@ -203,7 +203,16 @@ def incremental_embedding_pairs(docs: DiffNode, vec_col: str, id_col: str, *,
     verification of NEW candidates only.  State: the banded
     self-join's arrangements (`bands` rows per doc) and one quantized
     (vid, xi[], n2) arrangement per verify leg — all bucket-pruned on
-    probe like every differential join."""
+    probe like every differential join.
+
+    Scale note: signatures are per-row array-HOF folds, which Spark
+    INTERPRETS (no codegen for higher-order functions) — measured
+    ~16 s for a 500-row × 32-plane × 64-dim batch.  Fine for
+    steady micro-batch deltas (the design point); for a WIDE initial
+    corpus load, run the batch operator
+    (`embedding_neardup_pairs(cross_engine=True)`, explode+codegen)
+    once and feed only the increments through this node — the two are
+    bit-identical, so the handoff is seamless."""
     from ..operators.dedup import (hyperplane_band_keys,
                                    integer_cosine_gate,
                                    plane_component_cross)

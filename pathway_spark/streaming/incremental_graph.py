@@ -435,9 +435,15 @@ class _ForestCCNode(DiffNode):
         if mapping:
             map_df = spark.createDataFrame(
                 sorted(mapping.items()), f"label {lt}, __nl {lt}")
-            members = consolidate(
-                self._trace.get(probe=map_df, on=["label"])
-                    .join(F.broadcast(map_df), "label"))
+            # NO inner consolidate: the output union is consolidated
+            # below, and an unconsolidated trace slice's +x/−x pairs
+            # map to symmetric ± legs that cancel in the same final
+            # (w, label) groups — one shuffle per batch saved.  (The
+            # label-LOOKUP slice tr_slice above must stay consolidated:
+            # duplicate lookup rows would duplicate ins_info rows and
+            # double forest-edge weights in the driver union-find.)
+            members = (self._trace.get(probe=map_df, on=["label"])
+                       .join(F.broadcast(map_df), "label"))
             pieces.append(members.select(
                 "w", "label", (-F.col(DIFF)).alias(DIFF)))
             pieces.append(members.select(
@@ -457,9 +463,12 @@ class _ForestCCNode(DiffNode):
         if resolve_labels:
             res_lab = spark.createDataFrame(
                 sorted((l,) for l in resolve_labels), f"label {lt}")
-            old_rows = consolidate(
-                self._trace.get(probe=res_lab, on=["label"])
-                    .join(F.broadcast(res_lab), "label", "left_semi"))
+            # unconsolidated is safe here too: the retraction leg's
+            # pairs cancel in the final consolidate, and a phantom w
+            # (net-zero rows) in res_nodes pulls no live edges into
+            # e_slice, so the re-solve ignores it
+            old_rows = (self._trace.get(probe=res_lab, on=["label"])
+                        .join(F.broadcast(res_lab), "label", "left_semi"))
             res_nodes = old_rows.select("w")
             extra = [w for w in singles_unseen
                      if w in resolve_labels

@@ -136,3 +136,42 @@ def test_live_interpolate_refills_on_neighbor_change(spark):
         want = sorted(tuple(r[c] for c in cols)
                       for r in want_df.drop(ID).collect())
         assert got == want, f"after ins={ins} dels={dels}"
+
+
+def test_live_sort_randomized_prefix_equality(spark):
+    """Randomized inserts + retractions over three instances: the live
+    sort's integrated pointers equal a window recompute at EVERY
+    prefix (mirrors the forest-CC randomized done-criterion)."""
+    import random
+
+    rng = random.Random(29)
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", _rows(spark, []))
+    out = t.sort(this.x, this.rid, instance=this.g)
+
+    live, log, next_id = [], None, 0
+    for step in range(6):
+        ins = []
+        for _ in range(rng.randrange(1, 4)):
+            ins.append((next_id, rng.choice("abc"), rng.randrange(8)))
+            next_id += 1
+        k = min(len(live), rng.randrange(0, 3))
+        dels = rng.sample(live, k=k) if k else []
+        for r in dels:
+            live.remove(r)
+        live += ins
+        delta = _rows(spark, ins).withColumn("_pw_diff", F.lit(1))
+        if dels:
+            delta = delta.unionByName(
+                _rows(spark, dels).withColumn("_pw_diff", F.lit(-1)))
+        (d,) = g.step(out.node, t=delta)
+        d = d.localCheckpoint(eager=True)
+        log = d if log is None else log.unionByName(d)
+        got = sorted((r["rid"], r["g"], r["x"], r["prev"], r["next"])
+                     for r in DifferentialGraph.integrate(log).collect())
+        w = W.partitionBy("g").orderBy("x", "rid")
+        want = sorted((r["rid"], r["g"], r["x"], r["prev"], r["next"])
+                      for r in _rows(spark, live)
+                      .withColumn("prev", F.lag("rid").over(w))
+                      .withColumn("next", F.lead("rid").over(w)).collect())
+        assert got == want, f"step {step}: live={live}"

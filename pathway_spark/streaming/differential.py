@@ -280,8 +280,17 @@ class _StateStore:
                              self._bucket(full, self._key_cols))
                  .write.mode("overwrite").partitionBy("__pw_bucket")
                  .parquet(dest))
-            self._chunks = [self._spark.read.parquet(dest)
-                                .select(*self._cols, "__pw_bucket")]
+            import glob
+            if not glob.glob(f"{dest}/__pw_bucket=*"):
+                # EMPTY state: partitionBy wrote no data directories at
+                # all, so a later read cannot infer the schema — rewrite
+                # plain (get() already tolerates a bucketless base)
+                full.write.mode("overwrite").parquet(dest)
+                self._chunks = [self._spark.read.parquet(dest)
+                                    .select(*self._cols)]
+            else:
+                self._chunks = [self._spark.read.parquet(dest)
+                                    .select(*self._cols, "__pw_bucket")]
         else:
             full.write.mode("overwrite").parquet(dest)
             self._chunks = [self._spark.read.parquet(dest)

@@ -21,6 +21,7 @@ from . import (
 )
 from ...ml import document_store
 from ...ml.document_store import DocumentStore
+from .live_store import LiveDocumentStore
 
 # reference `xpacks/llm/_typing.py`
 Doc: TypeAlias = dict[str, "str | dict"]
@@ -34,4 +35,5 @@ __all__ = [
     "embedders", "llms", "parsers", "prompts", "question_answering",
     "rerankers", "servers", "splitters", "vector_store", "DocumentStore",
     "document_store", "Doc", "DocTransformer", "DocTransformerCallable",
+    "LiveDocumentStore", "live_store",
 ]

@@ -72,6 +72,45 @@ DIFF = "_pw_diff"
 TIME = "_pw_time"
 _META = (DIFF, TIME)
 
+# -- hot-path expression cache -------------------------------------------
+# Column objects are immutable and freely reusable across DataFrames,
+# but every F.col/F.lit/expression constructor is a py4j roundtrip; a
+# differential tick builds a few hundred of them, and at ~0.2-1 ms per
+# roundtrip that chatter is a measured slice of the per-tick driver
+# floor.  Cache the handful of expressions every node builds each tick,
+# keyed on the live SparkContext (a restarted JVM invalidates the
+# JavaObject handles, so the cache resets with it).
+_EXPR_CACHE: tuple | None = None
+
+
+def _expr_cached(key: str, build) -> Column:
+    global _EXPR_CACHE
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    if _EXPR_CACHE is None or _EXPR_CACHE[0] is not sc:
+        _EXPR_CACHE = (sc, {})
+    d = _EXPR_CACHE[1]
+    c = d.get(key)
+    if c is None:
+        c = build()
+        d[key] = c
+    return c
+
+
+def _cc(name: str) -> Column:
+    """Cached `F.col(name)` for per-tick hot paths."""
+    return _expr_cached(f"col:{name}", lambda: F.col(name))
+
+
+def _ccs(names) -> list[Column]:
+    """Cached Columns for a list of names (hot-path selects/groupBys:
+    each raw string→Column conversion is a py4j roundtrip)."""
+    return [_cc(n) for n in names]
+
+
+def _one_l() -> Column:
+    return _expr_cached("lit1l", lambda: F.lit(1).cast("long"))
+
 
 def _data_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in _META]
@@ -83,18 +122,23 @@ def consolidate(df: DataFrame) -> DataFrame:
     The differential-dataflow `consolidate` — map-side combinable, one
     shuffle on the row content."""
     cols = _data_cols(df)
-    return (df.groupBy(*cols).agg(F.sum(DIFF).alias(DIFF))
-              .filter(F.col(DIFF) != 0))
+    return (df.groupBy(*_ccs(cols))
+              .agg(_expr_cached("sumdiff",
+                                lambda: F.sum(DIFF).alias(DIFF)))
+              .filter(_expr_cached("diffne0",
+                                   lambda: F.col(DIFF) != 0)))
 
 
 def as_delta(df: DataFrame, *, diff: int = 1, time: int = 0) -> DataFrame:
-    """Lift a plain DataFrame into a delta (all rows share one diff)."""
-    out = df
-    if DIFF not in out.columns:
-        out = out.withColumn(DIFF, F.lit(diff))
-    if TIME not in out.columns:
-        out = out.withColumn(TIME, F.lit(time))
-    return out
+    """Lift a plain DataFrame into a delta (all rows share one diff).
+
+    One fused select: every Dataset transformation runs the full
+    Catalyst analyzer over its subtree, so chained withColumns are a
+    measured per-tick driver cost, not a style choice."""
+    cols = df.columns
+    add = ([] if DIFF in cols else [F.lit(diff).alias(DIFF)]) + \
+          ([] if TIME in cols else [F.lit(time).alias(TIME)])
+    return df.select("*", *add) if add else df
 
 
 class _StateStore:
@@ -215,20 +259,29 @@ class _StateStore:
             ids = [r[0] for r in probe.select(
                 self._bucket(probe, cols).alias("b")).distinct().collect()]
             base = base.filter(F.col("__pw_bucket").isin(ids))
-        acc = base.select(*self._cols)
+        # chunks are stored pre-normalized to self._cols (update()
+        # selects that order; compaction/restore preserve it), so the
+        # per-chunk reorder select is skipped unless a bucket column or
+        # a legacy layout makes it necessary — each skipped select is a
+        # full analyzer pass per chunk per scan
+        acc = base if base.columns == self._cols else base.select(*self._cols)
         for c in self._chunks[1:]:
-            acc = acc.unionByName(c.select(*self._cols))
+            if c.columns != self._cols:
+                c = c.select(*self._cols)
+            acc = acc.unionByName(c)
         return acc
 
     def update(self, delta: DataFrame, *, wide: bool = False,
-               positive: bool = False) -> None:
+               positive: bool = False, cut: bool = True) -> None:
         # `positive` is the CALLER's structural guarantee (insert-only
         # lineage) that this delta has no negative weights — never
         # probed from data
         if not positive:
             self._pair_free = False
-        d = delta.select(*[c for c in self._cols if c != DIFF],
-                         F.col(DIFF).cast("long"))
+        d = delta.select(*_ccs(c for c in self._cols if c != DIFF),
+                         _expr_cached("diff_long",
+                                      lambda: F.col(DIFF).cast("long")
+                                      .alias(DIFF)))
         # keep each chunk's partition contribution bounded: without
         # this every chunk adds its parent's partition count to all
         # later scans of the union and per-batch task counts grow.
@@ -243,8 +296,18 @@ class _StateStore:
             d = d.coalesce(1)
         # lineage cut for ONLY the delta chunk — O(|delta|); lazy, so
         # the materialization fuses into this batch's output action
-        # instead of costing a separate job
-        self._chunks.append(d.localCheckpoint(eager=False))
+        # instead of costing a separate job.  `cut=False` is the
+        # caller's guarantee that `delta` is ALREADY byte-stable and
+        # cheap to rescan — an output the node just localCheckpointed,
+        # or a narrow transform over checkpointed frames (node input
+        # deltas: sources checkpoint in _feed, stateful nodes
+        # checkpoint their outs).  Skipping the redundant checkpoint
+        # matters because every lazy localCheckpoint forces a full
+        # analyze+physical-plan pass at build time (~80 ms) — the
+        # dominant term of the per-tick driver floor.
+        if cut:
+            d = d.localCheckpoint(eager=False)
+        self._chunks.append(d)
         self._ticks += 1
         if (self._ticks + self._phase) % self._every == 0:
             self.compact(eager=False)
@@ -559,10 +622,11 @@ class SourceNode(DiffNode):
                     self.graph._batch_wide = True
             except Exception:
                 pass
-            d = as_delta(delta, time=t)
-            d = d.select(
+            d = delta.select(
                 *_data_cols(self._template),
-                F.col(DIFF).cast("long"), F.lit(t).alias(TIME))
+                (F.col(DIFF) if DIFF in delta.columns
+                 else F.lit(1)).cast("long").alias(DIFF),
+                F.lit(t).alias(TIME))
             # one shared lineage cut per batch: every consumer (output
             # action, state chunks) reuses the same materialized blocks,
             # so a nondeterministic source plan (sample/limit) cannot
@@ -664,7 +728,7 @@ class _ThetaJoinNode(DiffNode):
         self._ensure_state(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
         b_new = b_old if db_e else b_old.unionByName(
-            db.select(*_data_cols(b_old), DIFF))
+            db.select(*_ccs(_data_cols(b_old)), _cc(DIFF)))
         parts = []
         if not da_e:
             parts.append(self._weighted(
@@ -677,10 +741,10 @@ class _ThetaJoinNode(DiffNode):
             out = out.unionByName(p.select(*out.columns))
         wide = self.graph._wide_batch
         if not da_e:
-            self._sa.update(da, wide=wide,
+            self._sa.update(da, wide=wide, cut=False,
                             positive=self.inputs[0]._insert_only())
         if not db_e:
-            self._sb.update(db, wide=wide,
+            self._sb.update(db, wide=wide, cut=False,
                             positive=self.inputs[1]._insert_only())
         return consolidate(out).withColumn(TIME, F.lit(t))
 
@@ -725,7 +789,7 @@ class _SemiAntiNode(DiffNode):
                       .select(*[F.col(r).alias(l) for l, r in zip(lk, rk)]))
 
         b_new = b_old if db_e else b_old.unionByName(
-            db.select(*_data_cols(b_old), DIFF))
+            db.select(*_ccs(_data_cols(b_old)), _cc(DIFF)))
 
         def rows(src: DataFrame, keys: DataFrame, sign: int) -> DataFrame:
             return src.join(self._small(keys), on=lk,
@@ -752,10 +816,10 @@ class _SemiAntiNode(DiffNode):
                   .select(*_data_cols(a_old), DIFF))
         wide = self.graph._wide_batch
         if not da_e:
-            self._sa.update(da, wide=wide,
+            self._sa.update(da, wide=wide, cut=False,
                             positive=self.inputs[0]._insert_only())
         if not db_e:
-            self._sb.update(db, wide=wide,
+            self._sb.update(db, wide=wide, cut=False,
                             positive=self.inputs[1]._insert_only())
         out = legs[0]
         for leg in legs[1:]:
@@ -800,7 +864,7 @@ def _emit_traced(node, old: DataFrame, new: DataFrame, t: int) -> DataFrame:
         .withColumn(TIME, F.lit(t))
     if node._out_state is not None:
         out = out.localCheckpoint(eager=False)
-        node._out_state.update(out, wide=node.graph._wide_batch)
+        node._out_state.update(out, wide=node.graph._wide_batch, cut=False)
     return out
 
 
@@ -870,9 +934,9 @@ class _KeyedRecomputeNode(DiffNode):
         old = _trace_old(self, new, self._lkeys, touched,
                          lambda: self._op(_expand(ao), _expand(bo)))
         wide = self.graph._wide_batch
-        self._sa.update(da, wide=wide,
+        self._sa.update(da, wide=wide, cut=False,
                         positive=self.inputs[0]._insert_only())
-        self._sb.update(db, wide=wide,
+        self._sb.update(db, wide=wide, cut=False,
                         positive=self.inputs[1]._insert_only())
         return _emit_traced(self, old, new, t)
 
@@ -896,7 +960,7 @@ class _KeyedRecomputeUnaryNode(DiffNode):
         if self._state is None:
             self._state = self.graph._make_store(
                 delta, key_cols=self._keys)
-        touched = delta.select(*self._keys).distinct()
+        touched = delta.select(*_ccs(self._keys)).distinct()
         state = self._state.get(probe=touched, on=self._keys)
         pair_free = (self._state._pair_free
                      and self.inputs[0]._insert_only())
@@ -905,14 +969,14 @@ class _KeyedRecomputeUnaryNode(DiffNode):
         if not pair_free:
             old_in = consolidate(old_in)
         new_in = old_in.unionByName(
-            delta.select(*_data_cols(old_in), DIFF))
+            delta.select(*_ccs(_data_cols(old_in)), _cc(DIFF)))
         if not pair_free:
             new_in = consolidate(new_in)
         new = self._op(_expand(new_in)) \
             .withColumn(DIFF, F.lit(1).cast("long"))
         old = _trace_old(self, new, self._keys, touched,
                          lambda: self._op(_expand(old_in)))
-        self._state.update(delta, wide=self.graph._wide_batch,
+        self._state.update(delta, wide=self.graph._wide_batch, cut=False,
                            positive=self.inputs[0]._insert_only())
         return _emit_traced(self, old, new, t)
 
@@ -961,7 +1025,7 @@ class _WatermarkedNode(DiffNode):
             old_mx.withColumn(DIFF, F.lit(-1).cast("long"))
                   .unionByName(new_mx.withColumn(DIFF,
                                                  F.lit(1).cast("long"))),
-            wide=False)
+            wide=False, cut=False)
         return old_cut, cut
 
 
@@ -1019,7 +1083,7 @@ class _ForgetNode(_WatermarkedNode):
                .unionByName(expired.select(*_data_cols(d_pass), DIFF))
                .withColumn(TIME, F.lit(t)))
         out = out.localCheckpoint(eager=False)
-        self._rows.update(out, wide=self.graph._wide_batch)
+        self._rows.update(out, wide=self.graph._wide_batch, cut=False)
         return out
 
 
@@ -1081,7 +1145,7 @@ class _BufferNode(_WatermarkedNode):
         upd = (d.drop(TIME)
                .unionByName(released.withColumn(DIFF, -F.col(DIFF))
                             .select(*_data_cols(d.drop(TIME)), DIFF)))
-        self._pending.update(upd, wide=self.graph._wide_batch)
+        self._pending.update(upd, wide=self.graph._wide_batch, cut=False)
         return released.withColumn(TIME, F.lit(t))
 
 
@@ -1176,8 +1240,8 @@ class _AsofNowNode(DiffNode):
             .withColumn(TIME, F.lit(t))
         out = out.localCheckpoint(eager=False)
         wide = self.graph._wide_batch
-        self._trace.update(out, wide=wide)
-        self._sb.update(db, wide=wide,
+        self._trace.update(out, wide=wide, cut=False)
+        self._sb.update(db, wide=wide, cut=False,
                         positive=self.inputs[1]._insert_only())
         return out
 
@@ -1222,13 +1286,18 @@ class _JoinNode(DiffNode):
     @staticmethod
     def _weighted(a: DataFrame, b: DataFrame, on: list[str],
                   rcols: list[str], t: int) -> DataFrame:
-        """inner join two multisets; weight = product of weights."""
+        """inner join two multisets; weight = product of weights.
+        `a`/`b` may or may not carry TIME — it is dropped; the caller
+        stamps the batch time once on the final union.  Four analyzer
+        passes total (two projections, the join, the weight select)."""
         wa, wb = f"{DIFF}__a", f"{DIFF}__b"
-        a = a.withColumnRenamed(DIFF, wa).drop(TIME)
-        b = b.select(*on, *rcols, F.col(DIFF).alias(wb))
+        lcols = [c for c in a.columns if c not in (DIFF, TIME)]
+        a = a.select(*_ccs(lcols), _cc(DIFF).alias(wa))
+        b = b.select(*_ccs(on), *_ccs(rcols), _cc(DIFF).alias(wb))
         out = a.join(b, on=on, how="inner")
-        return out.withColumn(DIFF, F.col(wa) * F.col(wb)) \
-                  .drop(wa, wb).withColumn(TIME, F.lit(t))
+        return out.select(*_ccs(lcols), *_ccs(rcols),
+                          _expr_cached("wa*wb", lambda: (
+                              F.col(wa) * F.col(wb)).alias(DIFF)))
 
     def _advance(self, t: int) -> DataFrame:
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
@@ -1242,8 +1311,8 @@ class _JoinNode(DiffNode):
         # every leg of the bilinear rule + outer padding only touches
         # state rows under THIS batch's delta keys (either side), so a
         # disk-resident bucketed base prunes to those buckets
-        pieces = ([] if da_e else [da.select(*self.on)]) + \
-                 ([] if db_e else [db.select(*self.on)])
+        pieces = ([] if da_e else [da.select(*_ccs(self.on))]) + \
+                 ([] if db_e else [db.select(*_ccs(self.on))])
         probe = pieces[0] if len(pieces) == 1 else (
             pieces[0].unionByName(pieces[1]) if pieces else None)
         a_old = self._sa.get(probe=probe, on=self.on)
@@ -1255,18 +1324,18 @@ class _JoinNode(DiffNode):
         # full-state consolidate per batch; spurious +x/-x pairs from
         # not-yet-compacted retractions cancel in the output consolidate
         b_new = b_old if db_e else b_old.unionByName(
-            db.select(*_data_cols(b_old), DIFF))
+            db.select(*_ccs(_data_cols(b_old)), _cc(DIFF)))
         # dA ⋈ B_new ∪ A_old ⋈ dB  ==  dA⋈B + A⋈dB + dA⋈dB
         # the DELTA side broadcasts (see _small): state stays in place,
         # per-batch join cost is a state scan, not a state shuffle
         parts = []
         if not da_e:
             parts.append(self._weighted(
-                self._small(da, self.inputs[0]), as_delta(b_new, time=t),
+                self._small(da, self.inputs[0]), b_new,
                 self.on, rcols, t))
         if not db_e:
             parts.append(self._weighted(
-                as_delta(a_old, time=t), self._small(db, self.inputs[1]),
+                a_old, self._small(db, self.inputs[1]),
                 self.on, rcols, t))
         inner = parts[0]
         for p in parts[1:]:
@@ -1279,17 +1348,17 @@ class _JoinNode(DiffNode):
                     .select(*inner.columns))
         if self.how in ("right", "outer"):
             a_new = a_old if da_e else a_old.unionByName(
-                da.select(*_data_cols(a_old), DIFF))
+                da.select(*_ccs(_data_cols(a_old)), _cc(DIFF)))
             out = out.unionByName(
                 self._padding(db, b_old, a_old, a_new, da, lcols, t,
                               d_keep_empty=db_e, d_probe_empty=da_e)
                     .select(*inner.columns))
         wide = self.graph._wide_batch
         if not da_e and not self._sa_shared:
-            self._sa.update(da, wide=wide,
+            self._sa.update(da, wide=wide, cut=False,
                             positive=self.inputs[0]._insert_only())
         if not db_e and not self._sb_shared:
-            self._sb.update(db, wide=wide,
+            self._sb.update(db, wide=wide, cut=False,
                             positive=self.inputs[1]._insert_only())
         if self._requested:
             out = consolidate(out)
@@ -1312,13 +1381,19 @@ class _JoinNode(DiffNode):
         on = self.on
         def presence(state: DataFrame, keys: DataFrame) -> DataFrame:
             return (state.join(self._small(keys), on=on, how="left_semi")
-                         .groupBy(*on).agg(F.sum(DIFF).alias("__w"))
-                         .filter(F.col("__w") > 0).select(*on))
+                         .groupBy(*_ccs(on))
+                         .agg(_expr_cached(
+                             "sumw", lambda: F.sum(DIFF).alias("__w")))
+                         .filter(_expr_cached(
+                             "wgt0", lambda: F.col("__w") > 0))
+                         .select(*_ccs(on)))
         nulls = [F.lit(None).alias(c) for c in null_cols]
         def pad(rows: DataFrame, sign: int) -> DataFrame:
+            # no TIME stamp: the caller aligns columns to the bilinear
+            # legs (TIME-less) and stamps the batch time once at the end
             return rows.select(
-                *_data_cols(rows), (F.col(DIFF) * sign).alias(DIFF),
-            ).select("*", *nulls).withColumn(TIME, F.lit(t))
+                *_ccs(_data_cols(rows)), *nulls,
+                (_cc(DIFF) * sign).alias(DIFF))
         # case algebra per key (p0/p1 = old/new presence), against
         # d pad = K_new·[!p1] − K_old·[!p0]:
         #   appeared (0→1): −K_old        (fresh excludes p_new keys)
@@ -1330,7 +1405,7 @@ class _JoinNode(DiffNode):
         # (gained/lost vanish); no keep delta → no fresh rows.
         legs = []
         if not d_probe_empty:
-            pk = d_probe.select(*on).distinct()   # where flips can happen
+            pk = d_probe.select(*_ccs(on)).distinct()
             p_old = presence(probe_old, pk)
             p_new = presence(probe_new, pk)
             appeared = p_new.join(p_old, on=on, how="left_anti")  # 0 → >0
@@ -1340,7 +1415,7 @@ class _JoinNode(DiffNode):
             legs.append(pad(keep_old.join(self._small(vanished), on=on,
                                           how="left_semi"), +1))
         if not d_keep_empty:
-            kk = d_keep.select(*on).distinct()    # gate for fresh rows
+            kk = d_keep.select(*_ccs(on)).distinct()
             p_new_keep = presence(probe_new, kk)
             legs.append(pad(d_keep.drop(TIME).join(p_new_keep, on=on,
                                                    how="left_anti"), +1))
@@ -1485,49 +1560,50 @@ class _ReduceNode(DiffNode):
             # no .distinct(): the keys frame only ever feeds broadcast
             # semi-joins, whose hash relation dedups — skipping the
             # distinct saves a shuffle per batch
-            keys = delta.select(*self.keys)
+            keys = delta.select(*_ccs(self.keys))
             acc_state = self._acc.get(probe=keys, on=self.keys)
             acc_slice = consolidate(acc_state.join(
                 self._small(keys), on=self.keys, how="left_semi"))
         else:
             keys = None
             acc_slice = consolidate(self._acc.get())
-        merged = (acc_slice.select(*self.keys, *parts)
-                  .unionByName(d_parts.select(*self.keys, *parts)))
+        merged = (acc_slice.select(*_ccs(self.keys), *_ccs(parts))
+                  .unionByName(
+                      d_parts.select(*_ccs(self.keys), *_ccs(parts))))
         comb = merged.groupBy(*self.keys).agg(
             *[F.sum(c).cast("long").alias(c) for c in parts])
         # one shared cut: the acc chunk and the emitted finals must see
         # the same combined bytes
         comb = comb.localCheckpoint(eager=False)
         new_acc = comb.filter(F.col("__pw_n") != 0)
-        new_out = (new_acc.select(*self.keys, *self._finals())
-                   .withColumn(DIFF, F.lit(1).cast("long"))
-                   .withColumn(TIME, F.lit(t)))
+        new_out = new_acc.select(*_ccs(self.keys), *self._finals(),
+                                 _one_l().alias(DIFF))
         if self._out_state is None:
             self._out_state = self.graph._make_store(
-                new_out.drop(TIME), key_cols=self.keys or None)
+                new_out, key_cols=self.keys or None)
         otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if keys is not None:
             otrace = otrace.join(self._small(keys), on=self.keys,
                                  how="left_semi")
-        old_out = (consolidate(otrace)
-                   .withColumn(DIFF, -F.col(DIFF))
-                   .withColumn(TIME, F.lit(t)))
+        old_out = consolidate(otrace).withColumn(DIFF, -_cc(DIFF))
         wide = self.graph._wide_batch
-        acc_delta = (acc_slice.select(*self.keys, *parts)
-                     .withColumn(DIFF, F.lit(-1).cast("long"))
-                     .unionByName(new_acc.withColumn(
-                         DIFF, F.lit(1).cast("long"))))
+        acc_delta = (acc_slice.select(
+                         *_ccs(self.keys), *_ccs(parts),
+                         _expr_cached("litm1l", lambda: F.lit(-1)
+                                      .cast("long").alias(DIFF)))
+                     .unionByName(new_acc.select(
+                         *_ccs(self.keys), *_ccs(parts),
+                         _one_l().alias(DIFF))))
         self._acc.update(acc_delta, wide=wide)
         out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
         out = out.localCheckpoint(eager=False)
-        self._out_state.update(out, wide=wide)
+        self._out_state.update(out, wide=wide, cut=False)
         return out
 
     _EXPAND_KINDS = ("sorted_tuple",)   # need per-row multiplicity
 
-    def _aggregate(self, multiset: DataFrame, t: int) -> DataFrame:
+    def _aggregate(self, multiset: DataFrame) -> DataFrame:
         if any(k in self._EXPAND_KINDS for k, _ in self.specs.values()):
             # replicate rows by weight so collection reducers see the
             # true multiset, then re-attach unit weights
@@ -1538,12 +1614,15 @@ class _ReduceNode(DiffNode):
         # __n suppresses the phantom row a GLOBAL (keyless) aggregate
         # emits over an empty multiset — differential reduce outputs
         # nothing for an empty group, keyed or not
-        grouped = multiset.groupBy(*self.keys).agg(
-            *aggs, F.sum(DIFF).alias("__n"))
-        return (grouped.filter(F.col("__n").isNotNull()
-                               & (F.col("__n") != 0)).drop("__n")
-                .withColumn(DIFF, F.lit(1).cast("long"))
-                .withColumn(TIME, F.lit(t)))
+        grouped = multiset.groupBy(*_ccs(self.keys)).agg(
+            *aggs, _expr_cached("sumn", lambda: F.sum(DIFF).alias("__n")))
+        # no TIME stamp: callers consolidate (which drops TIME) and
+        # stamp the batch time once on the final output
+        return (grouped.filter(_expr_cached(
+                    "nok", lambda: F.col("__n").isNotNull()
+                    & (F.col("__n") != 0)))
+                .select(*_ccs(self.keys), *_ccs(self.specs),
+                        _one_l().alias(DIFF)))
 
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
@@ -1574,13 +1653,14 @@ class _ReduceNode(DiffNode):
         else:
             # no .distinct(): only feeds broadcast semi-joins (hash
             # relation dedups) — saves a shuffle per batch
-            keys = delta.select(*self.keys)
+            keys = delta.select(*_ccs(self.keys))
             # bucket-pruned after a restore; the semi-join then prunes
             # each chunk scan to |affected| rows pre-shuffle
             state = self._state.get(probe=keys, on=self.keys)
             sl = state.join(self._small(keys), on=self.keys,
                             how="left_semi")
-        new_in = sl.unionByName(delta.select(*_data_cols(sl), DIFF))
+        new_in = sl.unionByName(
+            delta.select(*_ccs(_data_cols(sl)), _cc(DIFF)))
         if not pair_free:
             # one fused consolidate of slice ∪ delta (consolidate is
             # associative, so separately consolidating the slice first
@@ -1589,19 +1669,17 @@ class _ReduceNode(DiffNode):
         # _aggregate is pair-free-safe as-is: weight-aware sums fold
         # weights, order statistics ignore them, and _expand replicates
         # by (all-positive) multiplicity
-        new_out = self._aggregate(new_in, t)
+        new_out = self._aggregate(new_in)
         if self._out_state is None:
             self._out_state = self.graph._make_store(
-                new_out.drop(TIME), key_cols=self.keys or None)
+                new_out, key_cols=self.keys or None)
         otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if self.keys:
             otrace = otrace.join(self._small(keys), on=self.keys,
                                  how="left_semi")
         # exact bytes previously emitted, negated — guaranteed to cancel
-        old_out = (consolidate(otrace)
-                   .withColumn(DIFF, -F.col(DIFF))
-                   .withColumn(TIME, F.lit(t)))
-        self._state.update(delta, wide=self.graph._wide_batch,
+        old_out = consolidate(otrace).withColumn(DIFF, -_cc(DIFF))
+        self._state.update(delta, wide=self.graph._wide_batch, cut=False,
                            positive=self.inputs[0]._insert_only())
         # identical old/new rows cancel here, so steady keys emit nothing
         out = consolidate(old_out.unionByName(new_out)) \
@@ -1610,7 +1688,7 @@ class _ReduceNode(DiffNode):
         # chunk must be the SAME bytes (a second evaluation could differ
         # by a ULP again, re-opening the hole this trace closes)
         out = out.localCheckpoint(eager=False)
-        self._out_state.update(out, wide=self.graph._wide_batch)
+        self._out_state.update(out, wide=self.graph._wide_batch, cut=False)
         return out
 
 
@@ -1628,21 +1706,25 @@ class _DistinctNode(DiffNode):
             self._state = self.graph._make_store(
                 delta, key_cols=_data_cols(delta))
         cols = [c for c in self._state._cols if c != DIFF]
-        touched = delta.select(*cols).distinct()
+        touched = delta.select(*_ccs(cols)).distinct()
         state = self._state.get(probe=touched, on=cols)
         def present(ms: DataFrame) -> DataFrame:
             return (ms.join(self._small(touched), on=cols, how="left_semi")
-                      .groupBy(*cols).agg(F.sum(DIFF).alias("__w"))
-                      .filter(F.col("__w") > 0).drop("__w"))
+                      .groupBy(*_ccs(cols))
+                      .agg(_expr_cached(
+                          "sumw", lambda: F.sum(DIFF).alias("__w")))
+                      .filter(_expr_cached(
+                          "wgt0", lambda: F.col("__w") > 0)).drop("__w"))
         old_p = present(state)
         # no intermediate consolidate: present() already sums weights
         # over the touched slice, so the plain union is enough
-        new_p = present(state.unionByName(delta.select(*cols, DIFF)))
+        new_p = present(state.unionByName(
+            delta.select(*_ccs(cols), _cc(DIFF))))
         ins = new_p.join(old_p, on=cols, how="left_anti") \
                    .withColumn(DIFF, F.lit(1).cast("long"))
         outs = old_p.join(new_p, on=cols, how="left_anti") \
                     .withColumn(DIFF, F.lit(-1).cast("long"))
-        self._state.update(delta, wide=self.graph._wide_batch)
+        self._state.update(delta, wide=self.graph._wide_batch, cut=False)
         return ins.unionByName(outs).withColumn(TIME, F.lit(t))
 
 
@@ -1664,6 +1746,13 @@ class DifferentialGraph:
     _STEADY_CONFS = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "4",
+        # steady deltas are micro-batch-sized: wholestage codegen would
+        # RECOMPILE every tick (the logical-time literal lands in the
+        # generated source, so the codegen cache never hits) for plans
+        # that process a few thousand rows — compilation costs more
+        # than interpreted execution saves.  Wide batches restore the
+        # session default, so the initial load still codegens.
+        "spark.sql.codegen.wholeStage": "false",
     }
     # the pre-tuning conf snapshot lives ON THE SESSION, not on the
     # graph: several graphs may share one SparkSession (bench suites,

@@ -34,6 +34,11 @@ def _reset_steady_confs(request):
         s.conf.set("spark.sql.adaptive.enabled", "true")
         s.conf.set("spark.sql.shuffle.partitions",
                    os.environ.get("SPARK_GRAFT_CPUS", "8"))
+        s.conf.unset("spark.sql.codegen.wholeStage")
+        # drop any saved pre-tuning snapshot so the next graph
+        # re-snapshots the (now restored) session defaults
+        from pathway_spark.streaming.differential import DifferentialGraph
+        setattr(s, DifferentialGraph._SAVED_CONF_ATTR, None)
 
 
 @pytest.fixture(scope="session")

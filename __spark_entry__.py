@@ -852,7 +852,21 @@ def q39_graduations(spark, sf):
       integrated (node, label) trace must equal a DuckDB recursive-CTE
       reachability closure over the LIVE edge set — incremental graph
       state under the driver's hash gate, including the retraction
-      path."""
+      path.
+    - part='topk_live' (round 7): the LIVE top-k similarity index
+      (`streaming/incremental_topk.py`) driven insert/insert+queries/
+      RETRACT over the embeddings corpus — unlike bm25_live's
+      freeze-at-arrival, answers REVISE: tick 3's retraction of
+      vec_id%5==2 docs pulls replacement neighbors into already-served
+      top-k sets, so the integrated trace must equal brute-force
+      cosine top-5 over the LIVE corpus (q34's oracle shape with the
+      live-set filter) — the revision path itself under the hash gate.
+    - part='dedup_live' (round 7): incremental MinHash-LSH pairs
+      (`streaming/incremental_dedup.py`, hash_fn="cross") driven
+      insert/insert/RETRACT over documents — tick 3 retracts
+      doc_id%7==3, withdrawing their pairs.  Integrated trace must
+      equal the full banding mirror (q32's oracle) over the live doc
+      set: band-state probes and pair retraction both checked."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -943,8 +957,64 @@ def q39_graduations(spark, sf):
         F.col("w").cast("string").alias("key"),
         F.lit(None).cast("string").alias("txt"),
         F.col("label").cast("double").alias("num"))
+
+    # ---- topk_live: LIVE revising top-k over a changing corpus ------
+    from pathway_spark.streaming.incremental_topk import (
+        incremental_knn_topk)
+
+    emb = _t(spark, sf, "embeddings").to_df().select("vec_id", "embedding")
+    qv = (emb.filter(F.col("vec_id") < 10)
+          .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                  "embedding"))
+    g3 = DifferentialGraph(spark)
+    qsrc = g3.source("q", qv.limit(0))
+    dsrc = g3.source("d", emb.limit(0))
+    knn = incremental_knn_topk(qsrc, dsrc, vec_col="embedding",
+                               id_col="vec_id", k=5)
+    ev3 = F.pmod(F.col("vec_id"), F.lit(2)) == 0
+    (k1,) = g3.step(knn, d=emb.filter(ev3))
+    (k2,) = g3.step(knn, d=emb.filter(~ev3), q=qv)
+    (k3,) = g3.step(knn, d=emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 2)
+                    .withColumn("_pw_diff", F.lit(-1)))
+    g3.restore_session_confs()
+    knn_trace = (k1.localCheckpoint(eager=True)
+                 .unionByName(k2.localCheckpoint(eager=True))
+                 .unionByName(k3.localCheckpoint(eager=True)))
+    tkl = DifferentialGraph.integrate(knn_trace).select(
+        F.lit("topk_live").alias("part"),
+        F.concat_ws(":", F.col("query_id"), F.col("neighbor_id"))
+        .alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("rank").cast("double").alias("num"))
+
+    # ---- dedup_live: incremental MinHash-LSH pairs with retraction --
+    from pathway_spark.streaming.incremental_dedup import (
+        incremental_minhash_pairs)
+
+    g4 = DifferentialGraph(spark)
+    dd = g4.source("d", ddf.limit(0))
+    pairs_live = incremental_minhash_pairs(
+        dd, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.5, hash_fn="cross")
+    ev4 = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    (p1,) = g4.step(pairs_live, d=ddf.filter(ev4))
+    (p2,) = g4.step(pairs_live, d=ddf.filter(~ev4))
+    (p3,) = g4.step(pairs_live,
+                    d=ddf.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+                    .withColumn("_pw_diff", F.lit(-1)))
+    g4.restore_session_confs()
+    pr_trace = (p1.localCheckpoint(eager=True)
+                .unionByName(p2.localCheckpoint(eager=True))
+                .unionByName(p3.localCheckpoint(eager=True)))
+    ddl = DifferentialGraph.integrate(pr_trace).select(
+        F.lit("dedup_live").alias("part"),
+        F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("jaccard").cast("double").alias("num"))
+
     return (keep.unionByName(kmv).unionByName(cdf)
-            .unionByName(bm).unionByName(ccl))
+            .unionByName(bm).unionByName(ccl)
+            .unionByName(tkl).unionByName(ddl))
 
 
 def q40_iterate(spark, sf):
@@ -1529,7 +1599,8 @@ def _simhash_oracle_sql(*, n: int = 2, nbits: int = 60,
 
 
 def _minhash_oracle_sql(*, n: int = 3, num_hashes: int = 64,
-                        bands: int = 16, threshold: float = 0.5) -> str:
+                        bands: int = 16, threshold: float = 0.5,
+                        where: str = "") -> str:
     """Full banding mirror of minhash_lsh_pairs(hash_fn="cross"): same
     md5 gram hashes, same (A·x+B) mod P minhash family (constants from
     minhash_cross_constants — shared code, not copied numbers), same
@@ -1554,7 +1625,7 @@ def _minhash_oracle_sql(*, n: int = 3, num_hashes: int = 64,
     return f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ts
-        FROM documents
+        FROM documents {where}
     ), grams AS (
         SELECT doc_id,
                CASE WHEN len(ts) >= {n} THEN
@@ -1836,6 +1907,38 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT v, MIN(r) AS comp FROM reach GROUP BY v
             ) c
+            UNION ALL
+            SELECT 'topk_live' AS part,
+                   CAST(query_id AS VARCHAR) || ':'
+                       || CAST(neighbor_id AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(rank AS DOUBLE) AS num
+            FROM (
+                WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding
+                           FROM embeddings WHERE vec_id < 10),
+                live AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id % 5 <> 2),
+                scored AS (
+                    SELECT q.query_id, c.vec_id AS neighbor_id,
+                           list_cosine_similarity(c.embedding, q.embedding)
+                               AS score
+                    FROM live c CROSS JOIN q
+                )
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC,
+                                                   neighbor_id) AS rank
+                FROM scored
+                QUALIFY rank <= 5
+            ) tk
+            UNION ALL
+            SELECT 'dedup_live' AS part,
+                   CAST(id_a AS VARCHAR) || ':'
+                       || CAST(id_b AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   jaccard AS num
+            FROM (""" + _minhash_oracle_sql(
+            where="WHERE doc_id % 7 <> 3") + """) dl
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

@@ -69,13 +69,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # two passes per query, report the faster: the first run of a query
-    # pays JVM JIT compilation of its generated code (seconds for wide
-    # aggregates), which amortizes to nothing in any real workload
+    # warm + N timed passes per query, report the fastest: the first
+    # run of a query pays JVM JIT + codegen compilation of its own code
+    # paths (seconds for wide aggregates and the text-heavy queries),
+    # which amortizes to nothing in any real workload.  The warm pass
+    # is UNTIMED (round-6 verdict: a cold first-timed-pass made driver
+    # numbers noisy enough to fake ±2x regressions on q46/q52); the
+    # heavy text queries then take best-of-3 to squeeze GC jitter.
+    BEST_OF_3 = {"q46_bm25", "q33_simhash", "q52_embedding_lsh",
+                 "q32_minhash_lsh", "q29_dedup_exact"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()                      # warm, untimed
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in BEST_OF_3 else 2):
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
@@ -169,6 +177,40 @@ def main() -> None:
         (d,) = gcc.step(cc_out, e=delta)
         d.localCheckpoint(eager=True)
     timings["diff_cc_forest_4x200"] = round(time.perf_counter() - t0, 3)
+
+    # streaming end-to-end latency, mirroring the reference's wordcount
+    # benchmark (integration_tests/wordcount/base.py: fixed-rate input,
+    # per-row entry->exit latency percentiles).  Here: 20 fixed-size
+    # micro-batches through the differential wordcount (flatten+count);
+    # per-batch latency = batch handoff -> output delta materialized,
+    # which IS each row's end-to-end latency under synchronous
+    # micro-batching.  Reported as p50/p99 seconds.
+    docs_txt = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text"))
+    gwc = DifferentialGraph(spark)
+    src_w = gwc.source("docs", docs_txt.limit(0))
+    wc_out = (src_w
+              .with_columns(__ws=SF.split(SF.col("text"), r"\s+"))
+              .select(SF.col("doc_id"), SF.col("__ws"))
+              .flatten("__ws", "w")
+              .reduce(["w"], n=("count",)))
+    batch_rows = 500
+    all_rows = docs_txt.limit(21 * batch_rows).localCheckpoint(eager=True)
+    (w0,) = gwc.step(wc_out, docs=all_rows.filter(
+        SF.col("doc_id") % 21 == 0))          # priming batch, untimed
+    w0.localCheckpoint(eager=True)
+    lats = []
+    for i in range(1, 21):
+        b = all_rows.filter(SF.col("doc_id") % 21 == i) \
+            .localCheckpoint(eager=True)      # batch ready BEFORE t0
+        t0 = time.perf_counter()
+        (d,) = gwc.step(wc_out, docs=b)
+        d.localCheckpoint(eager=True)
+        lats.append(time.perf_counter() - t0)
+    gwc.restore_session_confs()
+    lats.sort()
+    timings["stream_latency_p50"] = round(lats[len(lats) // 2], 3)
+    timings["stream_latency_p99"] = round(lats[-1], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

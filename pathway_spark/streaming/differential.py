@@ -229,11 +229,20 @@ class _StateStore:
                 f"v{want:08d} (found {vers}); cannot resume safely")
         self._ver = want
         base = self._spark.read.parquet(f"{self._path}/v{self._ver:08d}")
-        # bucket-partitioned versions keep __pw_bucket on the base chunk
-        # so probe pruning can filter it; get() projects it away
-        keep = self._cols + (["__pw_bucket"]
-                             if "__pw_bucket" in base.columns else [])
-        self._chunks = [base.select(*keep)]
+        if "__pw_bucket" in base.columns:
+            # bucket-partitioned (large) versions keep __pw_bucket on
+            # the base chunk so probe pruning can filter the scan
+            self._chunks = [base.select(*self._cols, "__pw_bucket")]
+        else:
+            # small plain base: swap the FileSourceScan for a
+            # lineage-cut in-memory frame (materializes with the first
+            # tick's action).  A restored serving graph re-plans every
+            # store's base in several per-tick planning passes; ~25
+            # parquet relations per pass made the restored
+            # LiveDocumentStore 3-5x slower than a fresh one — a
+            # LogicalRDD leaf plans in microseconds
+            self._chunks = [base.select(*self._cols)
+                            .localCheckpoint(eager=False)]
 
     def _bucket(self, df: DataFrame, cols: list[str]):
         return F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
@@ -325,39 +334,49 @@ class _StateStore:
         self._chunks = [full.localCheckpoint(eager=eager)]
         self._pair_free = True   # consolidated: no cancellation pairs
 
+    # states below this row count are flushed PLAIN (single-file, no
+    # bucket column): the bucketed layout's probe pruning costs one
+    # tiny driver job (collect of the probe's bucket ids) per get() —
+    # worth it when it prunes a big scan, pure per-tick overhead when
+    # the whole state is a few thousand rows.  A serving pipeline with
+    # ~20 small stores would otherwise pay ~20 extra jobs per tick
+    # after its first commit, each force-evaluating the tick's upstream
+    # plan (the round-6 advisor's restored-LiveDocumentStore blowup).
+    SMALL_STATE_ROWS = 100_000
+
     def flush(self) -> None:
         """Write a durable parquet version of the current state (called
         by `DifferentialGraph.commit`, which records the version per
-        store in its meta — restore loads exactly those)."""
+        store in its meta — restore loads exactly those).
+
+        Layout is decided engine-side from the consolidated row count
+        (never from a driver-local directory glob, which breaks on
+        URI-schemed state dirs): small/empty states write one plain
+        coalesced file; large states write the hash-bucketed layout so
+        restored probes prune file groups (the 100 TB path)."""
         if self._path is None:
             self.compact()
             return
-        full = consolidate(self.get())
+        full = consolidate(self.get()).localCheckpoint(eager=True)
+        cnt = full.count()   # one job per store per COMMIT (rare)
         import shutil
         self._ver += 1
         dest = f"{self._path}/v{self._ver:08d}"
-        if self._key_cols:
+        if self._key_cols and cnt > self.SMALL_STATE_ROWS:
             # hash-bucketed layout: probes after restore prune to the
             # touched buckets instead of scanning every file
             (full.withColumn("__pw_bucket",
                              self._bucket(full, self._key_cols))
                  .write.mode("overwrite").partitionBy("__pw_bucket")
                  .parquet(dest))
-            import glob
-            if not glob.glob(f"{dest}/__pw_bucket=*"):
-                # EMPTY state: partitionBy wrote no data directories at
-                # all, so a later read cannot infer the schema — rewrite
-                # plain (get() already tolerates a bucketless base)
-                full.write.mode("overwrite").parquet(dest)
-                self._chunks = [self._spark.read.parquet(dest)
-                                    .select(*self._cols)]
-            else:
-                self._chunks = [self._spark.read.parquet(dest)
-                                    .select(*self._cols, "__pw_bucket")]
-        else:
-            full.write.mode("overwrite").parquet(dest)
             self._chunks = [self._spark.read.parquet(dest)
-                                .select(*self._cols)]
+                                .select(*self._cols, "__pw_bucket")]
+        else:
+            full.coalesce(1).write.mode("overwrite").parquet(dest)
+            # keep serving from the already-materialized checkpoint —
+            # lineage-free like the parquet re-read, but a LogicalRDD
+            # leaf that later planning passes traverse in microseconds
+            self._chunks = [full]
         self._pair_free = True
         for v in self._versions()[:-2]:   # keep latest two versions
             shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
@@ -1166,8 +1185,23 @@ class _AsofNowNode(DiffNode):
         self._trace: _StateStore | None = None
         self._lcols: list[str] | None = None
         self._rcols: list[str] | None = None
+        self._out_tpl: DataFrame | None = None
 
     def _advance(self, t: int) -> DataFrame:
+        # one-sided frontier sparsity (same as _JoinNode): a query-only
+        # tick appends no empty right-state chunk, and a right-only
+        # tick emits nothing without building the join/trace plans at
+        # all (frozen output only changes when the LEFT side changes) —
+        # in a serving graph this is every tick for one side or the
+        # other, and the skipped chunks keep every later scan narrow
+        da_e = self.inputs[0]._empty_at(t) and self._out_tpl is not None
+        db_e = self.inputs[1]._empty_at(t) and self._sb is not None
+        if da_e:
+            if not db_e:
+                self._sb.update(self.inputs[1].delta(t),
+                                wide=self.graph._wide_batch, cut=False,
+                                positive=self.inputs[1]._insert_only())
+            return self._out_tpl
         da, db = self.inputs[0].delta(t), self.inputs[1].delta(t)
         if self._sb is None:
             self._sb = self.graph._make_store(db)
@@ -1241,8 +1275,12 @@ class _AsofNowNode(DiffNode):
         out = out.localCheckpoint(eager=False)
         wide = self.graph._wide_batch
         self._trace.update(out, wide=wide, cut=False)
-        self._sb.update(db, wide=wide, cut=False,
-                        positive=self.inputs[1]._insert_only())
+        if not db_e:
+            self._sb.update(db, wide=wide, cut=False,
+                            positive=self.inputs[1]._insert_only())
+        if self._out_tpl is None:
+            self._out_tpl = self.graph.spark.createDataFrame(
+                [], out.schema)
         return out
 
 
@@ -1763,8 +1801,30 @@ class DifferentialGraph:
     _SAVED_CONF_ATTR = "_pw_steady_saved_confs"
 
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
-                 state_dir: str | None = None, tune_steady_confs: bool = True):
+                 state_dir: str | None = None, tune_steady_confs: bool = True,
+                 truncate_every: int = 1):
         self.spark = spark
+        # how often (in steps) jobs run with all-marked-ancestor
+        # truncation: 1 = every step (default — wide serving graphs
+        # grow plan/lineage steeply inside any window; measured: the
+        # 25-store BM25 serving graph went 21->79 s/tick inside an
+        # 8-step window, vs stable 8-27 s always-on).  Narrow graphs
+        # that profile truncation as their bottleneck may raise it;
+        # lineage then stays bounded by the chosen window.
+        self.truncate_every = max(1, truncate_every)
+        # THE lineage-boundedness switch: lazy localCheckpoints mark
+        # RDDs, but RDD.doCheckpoint truncates only the TOPMOST marked
+        # RDD of each job unless this (thread-local) property is set —
+        # interior per-tick checkpoints (node outs, state chunks) then
+        # never truncate, every tick's plan carries the whole history,
+        # and task/broadcast serialization over that growing graph
+        # turns quadratic (the round-6 restored-LiveDocumentStore OOM:
+        # a restored graph never runs the eager wide-batch compaction
+        # that incidentally truncated a fresh graph's bases).  Local
+        # properties are captured per job submission, so setting it on
+        # the driver thread covers broadcast-exchange pool jobs too.
+        spark.sparkContext.setLocalProperty(
+            "spark.checkpoint.checkpointAllMarkedAncestors", "true")
         self.checkpoint_every = checkpoint_every
         self.state_dir = state_dir
         self._tune_steady = tune_steady_confs
@@ -1788,8 +1848,19 @@ class DifferentialGraph:
         self._stores: list[_StateStore] = []
         self._restore_vers: dict[str, int] = {}
         self._t = -1
+        self._steps_seen = 0
         self._batch_wide = False   # set per batch by wide source feeds
         if state_dir is not None:
+            if "://" in state_dir:
+                # meta/version bookkeeping uses driver-local file IO;
+                # a URI-schemed dir would silently misbehave.  Remote
+                # durable state is the Delta/Iceberg backend swap
+                # (_StateStore.flush documents the override point).
+                raise ValueError(
+                    f"state_dir must be a driver-local path, got "
+                    f"{state_dir!r}; for object-store/remote state use "
+                    "a transactional table backend (see _StateStore."
+                    "flush) or mount the store locally")
             self._load_meta()
         # first-ever step folds the (usually wide) initial load into the
         # stores' bases; tracked separately from the clock because the
@@ -1881,6 +1952,9 @@ class DifferentialGraph:
         import json, os
         if self.state_dir is None:
             raise ValueError("commit() requires a graph built with state_dir=")
+        # fully truncate carried lineage under the flush jobs
+        self.spark.sparkContext.setLocalProperty(
+            "spark.checkpoint.checkpointAllMarkedAncestors", "true")
         vers: dict[str, int] = {}
         for i, st in enumerate(self._stores):
             st.flush()
@@ -1924,6 +1998,23 @@ class DifferentialGraph:
                 f"logical time must be strictly increasing: got {t} after "
                 f"{self._t} (fold late rows into the current batch instead)")
         self._t = t
+        # PERIODIC all-ancestor lineage truncation: thread-local in the
+        # JVM, so it is (re)set on whichever thread runs this step and
+        # the caller's follow-up action.  Truncating every tick costs a
+        # measured ~0.5 s/batch (doCheckpoint force-completes every
+        # marked ancestor's remaining partitions per job); truncating
+        # every `checkpoint_every`-th tick bounds the carried lineage at
+        # one compaction window while amortizing that cost to noise.
+        # Without ANY truncation, interior lazy checkpoints never cut
+        # (Spark truncates only the topmost marked RDD of a job) and
+        # long-running graphs stack every tick's plan — the round-6
+        # restored-LiveDocumentStore OOM.
+        trunc = (not self._stepped
+                 or self._steps_seen % max(1, self.truncate_every) == 0)
+        self._steps_seen += 1
+        self.spark.sparkContext.setLocalProperty(
+            "spark.checkpoint.checkpointAllMarkedAncestors",
+            "true" if trunc else None)
         unknown = set(deltas) - set(self._sources)
         if unknown:
             raise KeyError(f"unknown sources: {sorted(unknown)}")

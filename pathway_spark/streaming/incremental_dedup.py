@@ -40,27 +40,44 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.dedup import simhash64, word_ngrams
+from ..operators.dedup import (MINHASH_P, hash64_cross,
+                               minhash_cross_constants, simhash64,
+                               word_ngrams)
 from .differential import DiffNode
 
 _MAX_LONG = (1 << 63) - 1
 
 
-def _minhash_sig_cols(text, *, n: int, num_hashes: int) -> list:
+def _minhash_sig_cols(text, *, n: int, num_hashes: int,
+                      hash_fn: str = "xxhash64") -> list:
     """`num_hashes` per-row minhash Columns over word n-gram shingles —
     value-identical to the batch path's explode → groupBy-min
-    (`operators/dedup.py:minhash_lsh_pairs`): gram hash `xxhash64(g)`,
-    seed hash `xxhash64(hg, j)`, min over the doc's distinct grams.
-    One traversal of the gram array (accumulator = array of running
-    mins)."""
-    hgs = F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g))
+    (`operators/dedup.py:minhash_lsh_pairs`) for the same `hash_fn`:
+    default gram hash `xxhash64(g)`, seed hash `xxhash64(hg, j)`;
+    `hash_fn="cross"` uses the 60-bit md5 gram hash and the
+    (A·x+B) mod P universal family (`minhash_cross_constants`) so an
+    external SQL oracle reproduces every value.  Min over the doc's
+    distinct grams, one traversal of the gram array (accumulator =
+    array of running mins)."""
+    if hash_fn == "cross":
+        consts = minhash_cross_constants(num_hashes)
+        hgs = F.transform(word_ngrams(text, n), lambda g: hash64_cross(g))
+
+        def seeded(hg):
+            xm = hg % F.lit(MINHASH_P)
+            return F.array(*[(F.lit(a) * xm + F.lit(b)) % F.lit(MINHASH_P)
+                             for a, b in consts])
+    else:
+        hgs = F.transform(word_ngrams(text, n), lambda g: F.xxhash64(g))
+
+        def seeded(hg):
+            return F.array(*[F.xxhash64(hg, F.lit(j))
+                             for j in range(num_hashes)])
     init = F.array(*[F.lit(_MAX_LONG).cast("long")] * num_hashes)
     sig = F.aggregate(
         hgs, init,
-        lambda acc, hg: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(hg, F.lit(j)) for j in range(num_hashes)]),
-            lambda m, h: F.least(m, h)),
+        lambda acc, hg: F.zip_with(acc, seeded(hg),
+                                   lambda m, h: F.least(m, h)),
     )
     return [sig[j].alias(f"h{j}") for j in range(num_hashes)]
 
@@ -68,7 +85,8 @@ def _minhash_sig_cols(text, *, n: int, num_hashes: int) -> list:
 def incremental_minhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
                               n: int = 3, num_hashes: int = 64,
                               bands: int = 16, threshold: float = 0.5,
-                              verify: bool = True) -> DiffNode:
+                              verify: bool = True,
+                              hash_fn: str = "xxhash64") -> DiffNode:
     """Incrementally-maintained MinHash-LSH near-duplicate pairs.
 
     Output deltas accumulate to exactly
@@ -86,11 +104,14 @@ def incremental_minhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
     r = num_hashes // bands
     if r * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    gram_hash = (F.xxhash64 if hash_fn == "xxhash64"
+                 else hash64_cross)
     d = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")) \
             .filter(F.size(word_ngrams(F.col("t"), n)) > 0)
     sig = d.select(F.col("doc"), *_minhash_sig_cols(F.col("t"),
                                                     n=n,
-                                                    num_hashes=num_hashes))
+                                                    num_hashes=num_hashes,
+                                                    hash_fn=hash_fn))
     banded = sig.select(
         F.col("doc"),
         F.explode(F.array(*[
@@ -116,7 +137,7 @@ def incremental_minhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
         F.col("doc"),
         F.explode(F.array_distinct(
             F.transform(word_ngrams(F.col("t"), n),
-                        lambda g: F.xxhash64(g)))).alias("hg"))
+                        lambda g: gram_hash(g)))).alias("hg"))
     sizes = sh.reduce(["doc"], sz=("count",))
     sh_a = sh.select(F.col("doc").alias("a"), F.col("hg"))
     sh_b = sh.select(F.col("doc").alias("b"), F.col("hg"))

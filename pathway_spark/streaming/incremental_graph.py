@@ -619,7 +619,10 @@ def incremental_pagerank(edges: DiffNode, steps: int = 5,
 
 
 def incremental_pagerank_cascade(edges: DiffNode, steps: int = 5,
-                                 damping_pct: int = 85) -> DiffNode:
+                                 damping_pct: int = 85,
+                                 dense_delta_guard: float | None = None,
+                                 dense_guard_min_rows: int = 10_000
+                                 ) -> DiffNode:
     """PageRank on the generic level cascade — the giant-component-safe
     variant: per-delta cost is O(edges within `steps` hops of the
     delta), never O(component), because each level propagates only the
@@ -672,7 +675,9 @@ def incremental_pagerank_cascade(edges: DiffNode, steps: int = 5,
 
     return iterate_differential(
         pr_round, seed, {"e": e, "outdeg": outdeg, "verts": verts},
-        iteration_limit=steps, arranged=("e", "outdeg", "verts"))
+        iteration_limit=steps, arranged=("e", "outdeg", "verts"),
+        dense_delta_guard=dense_delta_guard,
+        dense_guard_min_rows=dense_guard_min_rows)
 
 
 def incremental_bellman_ford_cascade(edges: DiffNode,

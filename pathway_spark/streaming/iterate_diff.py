@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .differential import (DIFF, TIME, ArrangedInput, DiffNode, SourceNode,
-                           _data_cols, consolidate)
+                           _cc, _data_cols, consolidate)
 
 
 def _ms_equal(a: DataFrame, b: DataFrame) -> bool:
@@ -81,7 +81,9 @@ class _IterateNode(DiffNode):
                  body: Callable[..., DiffNode],
                  iteration_limit: int | None = None,
                  max_depth: int = 64,
-                 arranged: tuple = ()):
+                 arranged: tuple = (),
+                 dense_delta_guard: float | None = None,
+                 dense_guard_min_rows: int = 10_000):
         self._input_names = list(inputs)
         self._arranged = set(arranged)
         bad = self._arranged - set(self._input_names)
@@ -98,6 +100,24 @@ class _IterateNode(DiffNode):
         self._istores = None              # accumulated loop-invariant inputs
         self._trace = None                # emitted output value (exact bytes)
         self._ensured = False
+        # -- dense-delta cost guard (COVERAGE's cascade cost cliff) ----
+        # The cascade's per-level work is proportional to the level's
+        # circulating delta; on small-diameter graphs under dense
+        # deltas that width approaches the fixed point's size EVERY
+        # level, and level-by-level maintenance costs MORE than one
+        # batch recompute.  With `dense_delta_guard=f`, any level delta
+        # wider than max(dense_guard_min_rows, f x |fixed point|) trips
+        # a STICKY switch: this batch still completes through the
+        # cascade (level state stays coherent), every later batch
+        # recomputes the fixed point from the accumulated inputs and
+        # emits the exact-bytes diff against the output trace.  The
+        # integrated output is identical either way; the decision is
+        # logged once.  None = off (no per-level count jobs).
+        self._guard = dense_delta_guard
+        self._guard_min = dense_guard_min_rows
+        self._dense = False
+        self._fp_rows: int | None = None
+        self._vstore = None               # accumulated var (recompute seed)
 
     # -- level machinery -------------------------------------------------
 
@@ -140,6 +160,12 @@ class _IterateNode(DiffNode):
                 for k in self._input_names}
             self._trace = None   # created when the first level exists
             self._v_tpl = dv.drop(TIME).filter(F.lit(False))
+            if self._guard is not None:
+                # recompute needs the variable's FULL value — only
+                # accumulated when the guard may switch modes
+                self._vstore = self.graph._make_store(self._v_tpl)
+        self._dense = bool(self.graph._node_meta.get(
+            f"it{self._nidx}_dense", 0))
         depth = self.graph._node_meta.get(self._meta_key(), 0)
         i_tpls = {k: dis[k].drop(TIME).filter(F.lit(False))
                   for k in self._input_names}
@@ -173,6 +199,10 @@ class _IterateNode(DiffNode):
         dv = var.delta(t)
         dis = {k: n.delta(t) for k, n in ins.items()}
         self._ensure(dv, dis)
+        if self._vstore is not None and not var._empty_at(t):
+            self._vstore.update(dv, wide=g._wide_batch)
+        if self._dense:
+            return self._advance_dense(t, var, ins)
 
         # non-arranged accumulators update FIRST so a level built this
         # batch seeds from a value that includes this batch's delta;
@@ -202,6 +232,23 @@ class _IterateNode(DiffNode):
                 level["isrcs"][k]._feed(d.drop(TIME), t)
             d_prev = self._pull(level, t)
             deltas.append(d_prev)
+            if self._guard is not None and not self._dense:
+                width = d_prev.count()
+                cap = max(self._guard_min,
+                          int(self._guard * (self._fp_rows or 0))
+                          if self._fp_rows else self._guard_min)
+                if width > cap:
+                    # sticky: finish THIS batch through the cascade so
+                    # level state stays coherent, recompute from the
+                    # next batch on
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "iterate dense-delta guard tripped: level delta "
+                        "width %d > %d (%.2f x fixed-point %s rows); "
+                        "switching to per-batch recompute",
+                        width, cap, self._guard, self._fp_rows)
+                    self._dense = True
+                    self.graph._node_meta[f"it{self._nidx}_dense"] = 1
 
         depth0 = len(self._levels)
         if self._limit is not None and depth0 >= self._limit:
@@ -272,6 +319,8 @@ class _IterateNode(DiffNode):
             if (self._limit is not None
                     and len(self._levels) >= self._limit):
                 break
+        if self._guard is not None:
+            self._fp_rows = cur_full.count()
 
         # emitted delta = exact-bytes diff of the new fixed point vs the
         # previously emitted value (float-safe cancellation, the same
@@ -285,12 +334,52 @@ class _IterateNode(DiffNode):
         self._trace.update(out.drop(TIME), wide=True)
         return finish(out)
 
+    # -- dense mode: per-batch recompute against the output trace -----
+    def _advance_dense(self, t: int, var, ins: dict) -> DataFrame:
+        """Once the guard trips, each batch recomputes the fixed point
+        from the ACCUMULATED inputs on a scratch graph (one wide batch
+        through a fresh _IterateNode — the same machinery the seeding
+        path uses) and emits the exact-bytes diff against this node's
+        output trace.  Integrated output is identical to the cascade's;
+        per-batch cost is one batch recompute, which on dense-delta /
+        small-diameter graphs beats output-sized per-level work."""
+        from .differential import DifferentialGraph
+
+        g = self.graph
+        for k, n in ins.items():
+            if not n._empty_at(t):
+                self._istores[k].update(n.delta(t), wide=g._wide_batch)
+        v_full = consolidate(self._vstore.get()) \
+            .localCheckpoint(eager=False)
+        i_fulls = {k: consolidate(st.get()).localCheckpoint(eager=False)
+                   for k, st in self._istores.items()}
+        scratch = DifferentialGraph(g.spark, tune_steady_confs=False)
+        vsrc = scratch.source("__v", self._v_tpl)
+        isrcs = {k: scratch.source(f"__i_{k}",
+                                   i_fulls[k].filter(F.lit(False)))
+                 for k in self._input_names}
+        it = _IterateNode(scratch, vsrc, isrcs, self._body,
+                          iteration_limit=self._limit,
+                          max_depth=self._max_depth)
+        feeds = {"__v": v_full}
+        feeds.update({f"__i_{k}": i_fulls[k] for k in self._input_names})
+        (res,) = scratch.step(it, **feeds)
+        new_full = consolidate(res.drop(TIME)).localCheckpoint(eager=False)
+        trace = self._trace.get()
+        old = trace.select(*_data_cols(trace), (-_cc(DIFF)).alias(DIFF))
+        out = consolidate(old.unionByName(new_full.select(*old.columns))) \
+            .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
+        self._trace.update(out.drop(TIME), wide=True)
+        return out
+
 
 def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
                          inputs: Mapping[str, DiffNode] | None = None,
                          *, iteration_limit: int | None = None,
                          max_depth: int = 64,
-                         arranged: tuple = ()) -> DiffNode:
+                         arranged: tuple = (),
+                         dense_delta_guard: float | None = None,
+                         dense_guard_min_rows: int = 10_000) -> DiffNode:
     """Incrementally-maintained `pw.iterate` (reference
     `internals/common.py:39-91`, engine `graph.rs:931`).
 
@@ -307,7 +396,17 @@ def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
     O(depth·|I|)).  Contract: an arranged input may only be JOINED
     directly inside the body (enforced at build time) — its levels are
     fed deltas only, so any other operator would silently miss the
-    backlog a new level needs."""
+    backlog a new level needs.
+
+    `dense_delta_guard=f` arms the measured cost guard: a cascade
+    level whose delta is wider than max(dense_guard_min_rows,
+    f x |fixed point|) switches the node (stickily, logged, durable
+    via node_meta) to per-batch recompute — same integrated output,
+    bounded per-batch cost on dense-delta/small-diameter graphs where
+    circulating deltas approach the fixed point's size every level.
+    None (default) adds no per-level count jobs."""
     return _IterateNode(var.graph, var, dict(inputs or {}), body,
                         iteration_limit=iteration_limit,
-                        max_depth=max_depth, arranged=tuple(arranged))
+                        max_depth=max_depth, arranged=tuple(arranged),
+                        dense_delta_guard=dense_delta_guard,
+                        dense_guard_min_rows=dense_guard_min_rows)

@@ -55,7 +55,15 @@ class LiveDocumentStore:
         self._out = incremental_bm25_topk(
             self._dsrc, self._qsrc, text_col=text_col, id_col=id_col,
             k=k, k1=k1, b=b)
-        self._next_qid = 0
+        # the query-id counter is part of the durable state: a restored
+        # process reusing old ids would collide with persisted
+        # query-keyed state (the distinct() arrangement suppresses
+        # already-seen (query_id, term) pairs and the per-(query, doc)
+        # score reduce would merge old and new contributions — silently
+        # wrong answers).  commit() persists it via the graph's
+        # node_meta; a never-committed graph starts at 0.
+        self._next_qid = int(self._g._node_meta.get(
+            "live_store_next_qid", 0))
 
     # -- corpus maintenance ------------------------------------------------
     def add_documents(self, docs: DataFrame) -> None:
@@ -81,6 +89,9 @@ class LiveDocumentStore:
             return []
         base = self._next_qid
         self._next_qid += len(queries)
+        # recorded in graph meta so commit() persists it and a restored
+        # process continues the id space instead of re-issuing old ids
+        self._g._node_meta["live_store_next_qid"] = self._next_qid
         qdf = self._spark.createDataFrame(
             [(base + i, s) for i, s in enumerate(queries)],
             "query_id long, query string")
@@ -89,8 +100,11 @@ class LiveDocumentStore:
         kk = min(k, self._k) if k is not None else self._k
         out: list[list[dict]] = [[] for _ in queries]
         for r in rows:
-            if r["rank"] <= kk:
-                out[r["query_id"] - base].append(
+            idx = r["query_id"] - base
+            # ids outside this call's window would be stray deltas from
+            # a colliding id space — never attribute them to a caller
+            if 0 <= idx < len(queries) and r["rank"] <= kk:
+                out[idx].append(
                     {self._id_col: r[self._id_col],
                      "rank": r["rank"], "score": r["score"]})
         for lst in out:
@@ -101,9 +115,10 @@ class LiveDocumentStore:
     def commit(self) -> None:
         """Durably persist the index (requires `state_dir=`).  Restore
         is automatic: constructing a LiveDocumentStore over the same
-        `state_dir` resumes serving from the last commit — including
-        the query-id counter's uniqueness (restored graphs continue
-        the logical clock; pick fresh query ids per process)."""
+        `state_dir` resumes serving from the last commit — the logical
+        clock AND the query-id counter persist, so a restored process
+        issues fresh ids that never collide with persisted
+        query-keyed state."""
         self._g.commit()
 
     def close(self) -> None:

@@ -133,7 +133,16 @@ def test_bucketed_state_probe_prunes_file_groups(spark, tmp_path):
     import glob
 
     from pyspark.sql import functions as F
-    from pathway_spark.streaming.differential import DifferentialGraph
+    from pathway_spark.streaming.differential import (
+        DifferentialGraph, _StateStore)
+
+    # the bucketed layout is reserved for LARGE states (small ones
+    # flush plain so serving pipelines don't pay a probe-collect job
+    # per store per tick) — pin the threshold below this test's 20k
+    # rows so it exercises the large-state path
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(_StateStore, "SMALL_STATE_ROWS", 1_000)
 
     sd = str(tmp_path / "state")
     tpl = spark.createDataFrame([], "k long, v long")
@@ -180,3 +189,49 @@ def test_bucketed_state_probe_prunes_file_groups(spark, tmp_path):
         re.search(r"__pw_bucket#\d+ IN? ?\(", flt), flt
     # the probe's key count bounds buckets read far below the total
     assert n_total > 4
+    mp.undo()
+
+
+def test_small_state_flushes_plain_and_get_runs_no_probe_job(spark, tmp_path):
+    """Small states flush as ONE plain parquet file (no __pw_bucket):
+    after a restore, get(probe=...) must run ZERO driver jobs — the
+    bucketed layout's probe-id collect, paid per store per tick, was
+    the round-6 advisor's restored-serving blowup (with ~20 stores it
+    force-evaluated the tick's upstream plan ~20 extra times)."""
+    import glob
+
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    sd = str(tmp_path / "state")
+    tpl = spark.createDataFrame([], "k long, v long")
+
+    def build(g):
+        return g.source("t", tpl).reduce(
+            ["k"], mx=("max", "v"), n=("count",))
+
+    g = DifferentialGraph(spark, state_dir=sd)
+    out = build(g)
+    (d0,) = g.step(out, t=spark.createDataFrame(
+        [(i % 20, i) for i in range(500)], tpl.schema))
+    d0.localCheckpoint(eager=True).count()
+    g.commit()
+    g.restore_session_confs()
+    assert not glob.glob(f"{sd}/store_*/v*/__pw_bucket=*"), \
+        "small state must flush plain"
+
+    g2 = DifferentialGraph(spark, state_dir=sd)
+    out2 = build(g2)
+    (d1,) = g2.step(out2, t=spark.createDataFrame([(7, 10**9)], tpl.schema))
+    # plan-construction must not run probe-collect jobs: get(probe)
+    # over a plain base is collect-free
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    store = g2._stores[0]
+    probe = spark.createDataFrame([(7,)], "k long")
+    store.get(probe=probe, on=["k"])
+    after = set(spark.sparkContext.statusTracker()
+                .getJobIdsForGroup(None) or [])
+    assert after == before, "get(probe) ran a driver job on small state"
+    rows1 = {(r["k"], r["mx"], r["_pw_diff"]) for r in d1.collect()}
+    assert (7, 10**9, 1) in rows1, rows1
+    g2.restore_session_confs()

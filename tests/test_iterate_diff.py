@@ -336,3 +336,80 @@ def test_arranged_durable_commit_restore(spark, tmp_path):
     reach2 = build(g2)
     (d,) = _feed(spark, g2, reach2, edges_d=[(2, 3, -1)])
     assert _rows(d, "x", DIFF) == [(3, -1), (4, -1)]
+
+def test_dense_delta_guard_falls_back_to_recompute(spark):
+    """Round-7 cost guard: on a dense, small-diameter graph a seed
+    relabel makes every cascade level's circulating delta fixed-point
+    wide — the guard must trip (stickily, durably), switch the node to
+    per-batch recompute, and keep integrated results EXACTLY equal to
+    the Python BFS oracle through further inserts AND retractions."""
+    rng = random.Random(7)
+    n = 60
+    # dense random digraph: diameter ~2
+    edges0 = sorted({(rng.randrange(n), rng.randrange(n))
+                     for _ in range(n * 6)})
+
+    def labeled_reach(v, edges):
+        # seed-LABELED reachability: (x, s) rows — a label flip changes
+        # every row, so circulating deltas are fixed-point wide
+        hop = (v.select(F.col("x").alias("u"), F.col("s"))
+                .join(edges, ["u"])
+                .select(F.col("v").alias("x"), F.col("s")))
+        return v.union(hop).distinct()
+
+    g = DifferentialGraph(spark)
+    seeds = g.source("seeds", spark.createDataFrame([], "x long, s long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(
+        labeled_reach, seeds, {"edges": edges},
+        dense_delta_guard=0.5, dense_guard_min_rows=10)
+
+    live = list(edges0)
+    (d0,) = g.step(reach,
+                   seeds=spark.createDataFrame([(0, 0)], "x long, s long"),
+                   edges=spark.createDataFrame(edges0, "u long, v long"))
+    log = d0.localCheckpoint(eager=True)
+    # initial seeding is full-width by design — not a guard concern
+    assert not reach._dense
+
+    # flip the seed's LABEL: every level retracts (x, 0) and inserts
+    # (x, 1) for the whole reach set — the guard must trip here,
+    # finish THIS batch through the cascade, and switch
+    seed_flip = (spark.createDataFrame([(0, 1)], "x long, s long")
+                 .withColumn(DIFF, F.lit(1))
+                 .unionByName(spark.createDataFrame([(0, 0)],
+                                                    "x long, s long")
+                              .withColumn(DIFF, F.lit(-1))))
+    (d1,) = g.step(reach, seeds=seed_flip)
+    log = log.unionByName(d1.localCheckpoint(eager=True))
+    assert reach._dense, "guard must trip on the dense seed flip"
+    assert g._node_meta.get("it0_dense") == 1, "switch must be durable"
+
+    def want_rows(live_edges):
+        return sorted((x, 1) for x in _bfs([0], live_edges))
+
+    got = _rows(DifferentialGraph.integrate(log), "x", "s")
+    assert got == want_rows(live), "switch batch itself must stay exact"
+
+    batches = [
+        ([(n + 1, n + 2), (0, n + 1)], []),            # grow outward
+        ([], [(0, n + 1)]),                            # retract the bridge
+        ([(rng.randrange(n), rng.randrange(n))
+          for _ in range(5)], [edges0[3], edges0[10]]),
+    ]
+    for ins, dels in batches:
+        for e in dels:
+            live.remove(e)
+        live += ins
+        df = None
+        if ins:
+            df = (spark.createDataFrame(ins, "u long, v long")
+                  .withColumn(DIFF, F.lit(1)))
+        if dels:
+            dd = (spark.createDataFrame(dels, "u long, v long")
+                  .withColumn(DIFF, F.lit(-1)))
+            df = dd if df is None else df.unionByName(dd)
+        (d,) = g.step(reach, edges=df)
+        log = log.unionByName(d.localCheckpoint(eager=True))
+        got = _rows(DifferentialGraph.integrate(log), "x", "s")
+        assert got == want_rows(live), f"after ins={ins} dels={dels}"

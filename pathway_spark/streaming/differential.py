@@ -357,29 +357,116 @@ class _StateStore:
         if self._path is None:
             self.compact()
             return
+        import os
+        import uuid
+
         full = consolidate(self.get()).localCheckpoint(eager=True)
         cnt = full.count()   # one job per store per COMMIT (rare)
-        import shutil
-        self._ver += 1
-        dest = f"{self._path}/v{self._ver:08d}"
-        if self._key_cols and cnt > self.SMALL_STATE_ROWS:
+        # ACID publication protocol (the transactional backend the
+        # 100 TB design doc reserves for Delta/Iceberg, realized here
+        # over plain parquet + POSIX rename):
+        #   1. the version's data is fully written to a hidden staging
+        #      directory nobody reads (readers only follow v* names);
+        #   2. one atomic directory RENAME publishes it — a crash
+        #      leaves either no v-dir or a complete one, never a torn
+        #      write;
+        #   3. the version NUMBER is claimed by the rename itself: if a
+        #      concurrent writer/compactor already published it, the
+        #      rename fails and this writer retries with the next
+        #      number (optimistic concurrency, Delta-style);
+        #   4. a version only becomes THE committed one when the
+        #      graph's meta (also swapped atomically) references it —
+        #      readers load exactly the referenced version, so stray
+        #      uncommitted versions are harmless garbage.
+        bucketed = bool(self._key_cols) and cnt > self.SMALL_STATE_ROWS
+        stage = f"{self._path}/.staging-{uuid.uuid4().hex}"
+        if bucketed:
             # hash-bucketed layout: probes after restore prune to the
             # touched buckets instead of scanning every file
             (full.withColumn("__pw_bucket",
                              self._bucket(full, self._key_cols))
                  .write.mode("overwrite").partitionBy("__pw_bucket")
-                 .parquet(dest))
+                 .parquet(stage))
+        else:
+            full.coalesce(1).write.mode("overwrite").parquet(stage)
+        want = self._ver + 1
+        while True:
+            dest = f"{self._path}/v{want:08d}"
+            try:
+                os.rename(stage, dest)
+                break
+            except OSError:
+                if not os.path.isdir(dest):
+                    raise     # not a version collision — real IO error
+                want += 1     # another writer claimed it: take the next
+        self._ver = want
+        if bucketed:
             self._chunks = [self._spark.read.parquet(dest)
                                 .select(*self._cols, "__pw_bucket")]
         else:
-            full.coalesce(1).write.mode("overwrite").parquet(dest)
             # keep serving from the already-materialized checkpoint —
             # lineage-free like the parquet re-read, but a LogicalRDD
             # leaf that later planning passes traverse in microseconds
             self._chunks = [full]
         self._pair_free = True
-        for v in self._versions()[:-2]:   # keep latest two versions
-            shutil.rmtree(f"{self._path}/v{v:08d}", ignore_errors=True)
+
+    def vacuum(self, *, below: int) -> None:
+        """Drop published versions strictly below `below` — called by
+        `DifferentialGraph.commit` AFTER the atomic meta swap with the
+        newly committed version number, so the committed version (and
+        anything a concurrent compactor published above it) always
+        survives; a crash between flush and meta swap leaves the
+        previously committed version untouched.  Removal races with a
+        concurrent maintenance process are benign (rmtree ignores
+        already-gone trees; readers resolve versions through the
+        committed meta, never by directory listing)."""
+        import shutil
+        for v in self._versions():
+            if v < below:
+                shutil.rmtree(f"{self._path}/v{v:08d}",
+                              ignore_errors=True)
+
+    def compact_versions(self, *, attempts: int = 3) -> None:
+        """Maintenance-side compaction: republish the NEWEST version's
+        data as a fresh version (e.g. to merge small files after many
+        commits) using the same atomic claim protocol — a concurrent
+        committer and this compactor can interleave freely; whichever
+        rename lands first owns its number and the other retries.  The
+        committed meta keeps pointing at its own version either way.
+        Best-effort by design: a version VANISHING mid-read (the
+        committer's post-commit vacuum reclaimed it) re-resolves the
+        newest version and retries, giving up quietly after
+        `attempts` — maintenance must never wedge the pipeline."""
+        import os
+        import uuid
+
+        for _ in range(max(1, attempts)):
+            vers = self._versions()
+            if not vers:
+                return
+            src = f"{self._path}/v{vers[-1]:08d}"
+            stage = f"{self._path}/.staging-{uuid.uuid4().hex}"
+            try:
+                df = self._spark.read.parquet(src)
+                if "__pw_bucket" in df.columns:
+                    (df.write.mode("overwrite")
+                       .partitionBy("__pw_bucket").parquet(stage))
+                else:
+                    df.coalesce(1).write.mode("overwrite").parquet(stage)
+            except Exception:
+                if os.path.isdir(src):
+                    raise             # real IO error, not a vacuum race
+                continue              # version vanished: retry newest
+            want = vers[-1] + 1
+            while True:
+                dest = f"{self._path}/v{want:08d}"
+                try:
+                    os.rename(stage, dest)
+                    return
+                except OSError:
+                    if not os.path.isdir(dest):
+                        raise
+                    want += 1
 
     def close(self) -> None:
         self._chunks = []
@@ -1960,9 +2047,17 @@ class DifferentialGraph:
             st.flush()
             vers[getattr(st, "_meta_key", str(i))] = st._ver
         os.makedirs(self.state_dir, exist_ok=True)
-        with open(self._meta_path(), "w") as f:
+        # atomic meta swap: the commit POINT is this rename — a crash
+        # anywhere earlier leaves the previous meta (and its referenced
+        # versions, retained by flush) fully intact
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"t": self._t, "vers": vers,
                        "node_meta": self._node_meta}, f)
+        os.replace(tmp, self._meta_path())
+        # only now are pre-commit versions unreachable — reclaim them
+        for i, st in enumerate(self._stores):
+            st.vacuum(below=vers[getattr(st, "_meta_key", str(i))])
 
     def source(self, name: str, template: DataFrame) -> SourceNode:
         node = SourceNode(self, name, template)
@@ -1998,23 +2093,25 @@ class DifferentialGraph:
                 f"logical time must be strictly increasing: got {t} after "
                 f"{self._t} (fold late rows into the current batch instead)")
         self._t = t
-        # PERIODIC all-ancestor lineage truncation: thread-local in the
-        # JVM, so it is (re)set on whichever thread runs this step and
-        # the caller's follow-up action.  Truncating every tick costs a
-        # measured ~0.5 s/batch (doCheckpoint force-completes every
-        # marked ancestor's remaining partitions per job); truncating
-        # every `checkpoint_every`-th tick bounds the carried lineage at
-        # one compaction window while amortizing that cost to noise.
-        # Without ANY truncation, interior lazy checkpoints never cut
-        # (Spark truncates only the topmost marked RDD of a job) and
-        # long-running graphs stack every tick's plan — the round-6
-        # restored-LiveDocumentStore OOM.
+        # All-ancestor lineage truncation is scoped to the CALLER's
+        # post-step action: during step-internal jobs (driver collects,
+        # broadcast subtrees) the property is OFF — truncating there
+        # force-completes every marked ancestor's partially-computed
+        # partitions as serial mini-jobs (~13 extra jobs/batch measured
+        # on forest CC).  It turns ON right before step returns, so the
+        # tick's final materialization — which computes every marked
+        # ancestor in its lineage anyway — truncates them all with zero
+        # extra jobs.  Without ANY truncation, interior lazy
+        # checkpoints never cut (Spark truncates only the topmost
+        # marked RDD per job) and long-running graphs stack every
+        # tick's plan — the round-6 restored-LiveDocumentStore OOM.
         trunc = (not self._stepped
                  or self._steps_seen % max(1, self.truncate_every) == 0)
         self._steps_seen += 1
-        self.spark.sparkContext.setLocalProperty(
-            "spark.checkpoint.checkpointAllMarkedAncestors",
-            "true" if trunc else None)
+        self._trunc_this_step = trunc
+        if not trunc or self._stepped:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.checkpoint.checkpointAllMarkedAncestors", None)
         unknown = set(deltas) - set(self._sources)
         if unknown:
             raise KeyError(f"unknown sources: {sorted(unknown)}")
@@ -2044,6 +2141,9 @@ class DifferentialGraph:
             if n._PASSTHROUGH:
                 stack.extend(n.inputs)
         out = [n.delta(t) for n in nodes]
+        if self._trunc_this_step:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.checkpoint.checkpointAllMarkedAncestors", "true")
         if not self._stepped:
             self._stepped = True
             # the initial load is usually the one WIDE batch: fold it

@@ -92,8 +92,9 @@ class _ComponentRecomputeNode(DiffNode):
                 e_state.unionByName(dE.select(*_data_cols(e_state), DIFF))))
             new = self._op(e_new).withColumn(DIFF, F.lit(1).cast("long"))
             out = new.withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
-            self._out_state.update(out, wide=self.graph._wide_batch)
-            self._estate.update(dE, wide=self.graph._wide_batch)
+            self._out_state.update(out, wide=self.graph._wide_batch,
+                                   cut=False)
+            self._estate.update(dE, wide=self.graph._wide_batch, cut=False)
             return out
 
         trace = self._out_state.get()
@@ -130,8 +131,8 @@ class _ComponentRecomputeNode(DiffNode):
         old = old_rows.withColumn(DIFF, -F.col(DIFF))
         out = consolidate(old.unionByName(new.select(*old.columns))) \
             .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False)
-        self._out_state.update(out, wide=self.graph._wide_batch)
-        self._estate.update(dE, wide=self.graph._wide_batch)
+        self._out_state.update(out, wide=self.graph._wide_batch, cut=False)
+        self._estate.update(dE, wide=self.graph._wide_batch, cut=False)
         return out
 
 
@@ -271,12 +272,12 @@ class _ForestCCNode(DiffNode):
         out = (labels.withColumn(DIFF, F.lit(1).cast("long"))
                .withColumn(TIME, F.lit(t)).localCheckpoint(eager=False))
         wide = self.graph._wide_batch
-        self._trace.update(out, wide=wide)
+        self._trace.update(out, wide=wide, cut=False)
         self._forest.update(
             forest.withColumn(DIFF, F.lit(1).cast("long")), wide=wide)
         self._deg.update(self._deg_delta(dE.select("u", "v", DIFF)),
-                         wide=wide)
-        self._estate.update(dE, wide=wide)
+                         wide=wide, cut=False)
+        self._estate.update(dE, wide=wide, cut=False)
         return out
 
     def _advance(self, t: int) -> DataFrame:
@@ -308,43 +309,55 @@ class _ForestCCNode(DiffNode):
         cuts = (self._forest.get()
                 .join(self._small(del_n), on=["a", "b"], how="left_semi"))
 
-        # labels of every node the decision logic touches
-        nodes = (true_ins.select(F.col("u").alias("w"))
-                 .unionByName(true_ins.select(F.col("v").alias("w")))
-                 .unionByName(true_del.filter(F.col("u") == F.col("v"))
-                              .select(F.col("u").alias("w")))
-                 .unionByName(cuts.select(F.col("a").alias("w")))
-                 .unionByName(cuts.select(F.col("b").alias("w")))
-                 .distinct())
-        tr_slice = consolidate(
-            self._trace.get().join(self._small(nodes), on="w",
-                                   how="left_semi"))
-        labs = (nodes.join(tr_slice.select("w", "label"), "w", "left")
-                .select("w", F.coalesce("label", "w").alias("label"),
-                        F.col("label").isNotNull().alias("seen")))
-        lab_u = labs.select(F.col("w").alias("u"),
-                            F.col("label").alias("lu"),
-                            F.col("seen").alias("su"))
-        lab_v = labs.select(F.col("w").alias("v"),
-                            F.col("label").alias("lv"),
-                            F.col("seen").alias("sv"))
-        ins_info = (true_ins.join(F.broadcast(lab_u), "u")
-                    .join(F.broadcast(lab_v), "v")
-                    .filter((F.col("lu") != F.col("lv"))
-                            | ~F.col("su") | ~F.col("sv"))
-                    .select("u", "v", "lu", "lv", "su", "sv",
-                            F.lit(False).alias("cut")))
-        cut_info = (cuts.select(F.col("a").alias("u"),
-                                F.col("b").alias("v"))
-                    .unionByName(true_del
-                                 .filter(F.col("u") == F.col("v"))
-                                 .select("u", "v"))
-                    .join(F.broadcast(lab_u), "u")
-                    .select("u", "v", "lu", F.col("lu").alias("lv"),
-                            F.lit(True).alias("su"),
-                            F.lit(True).alias("sv"),
-                            F.lit(True).alias("cut")))
-        rows = ins_info.unionByName(cut_info).collect()   # O(|batch|)
+        # ONE tagged delta-sized collect feeds the whole driver decision
+        # phase; the label lookup is a second delta-keyed probe collect.
+        # (The previous shape joined broadcast label frames into
+        # ins_info/cut_info plans — each distinct broadcast leg executes
+        # as its own driver job, ~13 sequential mini-jobs per batch, the
+        # dominant term of the CC per-batch floor.  The decision data is
+        # micro-batch-bounded either way; moving the lookup join to a
+        # Python dict trades those jobs for two collects.)
+        tagged = (true_ins.select(F.lit("i").alias("__k"), "u", "v")
+                  .unionByName(true_del.filter(F.col("u") == F.col("v"))
+                               .select(F.lit("s").alias("__k"), "u", "v"))
+                  .unionByName(cuts.select(F.lit("c").alias("__k"),
+                                           F.col("a").alias("u"),
+                                           F.col("b").alias("v"))))
+        base_rows = tagged.collect()                      # O(|batch|)
+        ins_pairs = [(r["u"], r["v"]) for r in base_rows if r["__k"] == "i"]
+        sl_del = sorted({r["u"] for r in base_rows if r["__k"] == "s"})
+        cut_pairs = [(r["u"], r["v"]) for r in base_rows if r["__k"] == "c"]
+        node_set = sorted({x for p in ins_pairs for x in p}
+                          | {x for p in cut_pairs for x in p}
+                          | set(sl_del))
+        lab: dict = {}
+        seen: set = set()
+        if node_set:
+            ndf = spark.createDataFrame([(w,) for w in node_set],
+                                        f"w {self._ltype}")
+            # must consolidate: an unconsolidated trace slice's +x/-x
+            # pair would record a stale label for a net-absent row
+            tr_slice = consolidate(
+                self._trace.get(probe=ndf, on=["w"])
+                .join(F.broadcast(ndf), on="w", how="left_semi"))
+            for r in tr_slice.select("w", "label").collect():
+                lab[r["w"]] = r["label"]
+                seen.add(r["w"])
+        rows = []
+        for u, v in ins_pairs:
+            lu, lv = lab.get(u, u), lab.get(v, v)
+            su, sv = u in seen, v in seen
+            if lu != lv or not su or not sv:
+                rows.append({"u": u, "v": v, "lu": lu, "lv": lv,
+                             "su": su, "sv": sv, "cut": False})
+        for a, b in cut_pairs:
+            la = lab.get(a, a)
+            rows.append({"u": a, "v": b, "lu": la, "lv": la,
+                         "su": True, "sv": True, "cut": True})
+        for w in sl_del:
+            lw = lab.get(w, w)
+            rows.append({"u": w, "v": w, "lu": lw, "lv": lw,
+                         "su": True, "sv": True, "cut": True})
 
         # a deleted SELF-LOOP is a cut only when it was the node's LAST
         # live edge (self-loops are never forest edges and never carry
@@ -505,14 +518,15 @@ class _ForestCCNode(DiffNode):
             out = out.unionByName(p.select("w", "label", DIFF))
         out = (consolidate(out).withColumn(TIME, F.lit(t))
                .localCheckpoint(eager=False))
-        self._trace.update(out, wide=wide)
+        self._trace.update(out, wide=wide, cut=False)
         if f_pieces:
             fd = f_pieces[0]
             for p in f_pieces[1:]:
                 fd = fd.unionByName(p.select(*fd.columns))
             self._forest.update(consolidate(fd), wide=wide)
-        self._deg.update(self._deg_delta(dnet), wide=wide)
-        self._estate.update(dnet.withColumn(TIME, F.lit(t)), wide=wide)
+        self._deg.update(self._deg_delta(dnet), wide=wide, cut=False)
+        self._estate.update(dnet.withColumn(TIME, F.lit(t)), wide=wide,
+                            cut=False)
         return out
 
 

@@ -44,6 +44,20 @@ class UsearchKnnFactory:
                          ef_construction=self.ef_construction,
                          ef_search=self.ef_search)
 
+    def query_distributed(self, corpus: Table, queries: Table, *,
+                          vec_col="embedding", id_col="vec_id", k=10,
+                          nlist: int = 16, nprobe: int = 4) -> Table:
+        """Both-sides-distributed variant (round 7): IVF coarse cells +
+        one executor-side HNSW graph per cell — for query sets too
+        large to broadcast.  See `operators/hnsw.py:ivf_hnsw_topk`."""
+        from ..operators.hnsw import ivf_hnsw_topk
+
+        return ivf_hnsw_topk(corpus, queries, vec_col=vec_col,
+                             id_col=id_col, k=k, metric=self.metric,
+                             nlist=nlist, nprobe=nprobe, m=self.m,
+                             ef_construction=self.ef_construction,
+                             ef_search=self.ef_search)
+
 
 class LshKnnFactory:
     """nearest_neighbors.py:262 — approximate KNN (IVF-style cells here:

@@ -199,10 +199,13 @@ def hnsw_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
     else:
         too_big = qsize > _QUERY_COLLECT_LIMIT_BYTES
     if too_big:
-        from .similarity import ivf_topk
-
-        return ivf_topk(corpus, queries, vec_col=vec_col, id_col=id_col,
-                        k=k, self_exclude=exclude_self)
+        # stay in the HNSW family: the both-sides-distributed IVF+HNSW
+        # composition (round 7) — queries never leave the executors
+        return ivf_hnsw_topk(corpus, queries, vec_col=vec_col,
+                             id_col=id_col, k=k, metric=metric, m=m,
+                             ef_construction=ef_construction,
+                             ef_search=ef_search,
+                             exclude_self=exclude_self)
     qpdf = qsel.toPandas()
     q_ids = qpdf["query_id"].to_numpy()
     q_mat = np.array([np.asarray(v, dtype=np.float32) for v in qpdf["qv"]])
@@ -242,4 +245,89 @@ def hnsw_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+    return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))
+
+
+def ivf_hnsw_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
+                  id_col: str = "vec_id", k: int = 10, metric: str = "cosine",
+                  nlist: int = 16, nprobe: int = 4, m: int = 16,
+                  ef_construction: int = 64, ef_search: int = 64,
+                  exclude_self: bool = True) -> Table:
+    """IVF-coarse + per-cell HNSW — the BOTH-SIDES-distributed scale
+    path (FAISS's IVF+HNSW composition; reference `UsearchKnnFactory`
+    wraps the same graph family).  Neither the corpus nor the query set
+    ever reaches the driver:
+
+    - a deterministic k-means-lite (shared with `ivf_topk`) assigns
+      every corpus vector to its closest of `nlist` cells and every
+      query to its `nprobe` closest cells;
+    - `cogroup(...).applyInPandas` builds one in-memory HNSW graph PER
+      CELL on the executors and beam-searches that cell's queries
+      against it — per-task memory is one cell's slice, never the
+      corpus;
+    - the per-cell local top-k lists (≤ nprobe·k rows per query) merge
+      with one window rank, exactly like `hnsw_topk`.
+
+    Output schema matches brute_force_topk: (query_id, neighbor_id,
+    rank, score).  Use `hnsw_topk` when the query set is small (its
+    broadcast design spares the coarse quantizer); use THIS when both
+    sides are large — recall is bounded by the IVF probe like
+    `ivf_topk`, refined inside each cell by the graph search."""
+    from .similarity import _assign_cells, _centroids_ex
+
+    cdf = corpus._df.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(vec_col).cast("array<float>").alias("v"))
+    qdf = queries._df.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(vec_col).cast("array<float>").alias("qv"))
+
+    cex = cdf.select(
+        F.col("nid").alias("vid"),
+        F.posexplode(F.col("v").cast("array<double>")).alias("i", "x"))
+    qex = qdf.select(
+        F.col("qid").alias("vid"),
+        F.posexplode(F.col("qv").cast("array<double>")).alias("i", "x"))
+    cents = _centroids_ex(cex, nlist)
+    c_cells = (_assign_cells(cex, cents, 1, "vid")
+               .withColumnRenamed("vid", "nid").join(cdf, "nid"))
+    q_cells = (_assign_cells(qex, cents, nprobe, "vid")
+               .withColumnRenamed("vid", "qid").join(qdf, "qid"))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def per_cell(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty or qpdf.empty:
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "score"])
+        ids = cpdf["nid"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float32) for v in cpdf["v"]])
+        index = HnswIndex(mat, ids, m=m, ef_construction=ef_construction,
+                          metric=metric)
+        rows: list[tuple[int, int, float]] = []
+        for qid, qv in zip(qpdf["qid"].to_numpy(), qpdf["qv"]):
+            qv = np.asarray(qv, dtype=np.float32)
+            for nid, score in index.search(qv, k + 1, ef_search=ef_search):
+                if exclude_self and nid == qid:
+                    continue
+                rows.append((int(qid), int(nid), float(score)))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local = (c_cells.groupby("cell")
+             .cogroup(q_cells.groupby("cell"))
+             .applyInPandas(lambda c, q: per_cell(c, q), out_schema))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("neighbor_id"))
+    out = (local
+           # a query probing several cells can see the same neighbor
+           # through... it cannot (corpus rows live in ONE cell), but a
+           # defensive distinct keeps the contract under future
+           # multi-assignment tuning
+           .groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "neighbor_id", "rank", "score"))
     return Table(out.withColumn(ID, F.xxhash64("query_id", "rank")))

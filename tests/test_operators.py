@@ -272,28 +272,29 @@ def test_hnsw_recall_vs_brute_force(spark):
 
 def test_hnsw_large_query_set_routes_to_ivf(spark, monkeypatch):
     """Scale guard: above the collect limit the query set must NOT be
-    collected to the driver — hnsw_topk transparently delegates to
-    ivf_topk (queries stay distributed)."""
+    collected to the driver — hnsw_topk transparently delegates to the
+    both-sides-distributed IVF+HNSW composition (round 7; previously
+    plain ivf_topk), so queries stay on the executors and the HNSW
+    graph family stays in play at scale."""
     import random
 
     import pathway_spark.operators.hnsw as hnsw_mod
-    import pathway_spark.operators.similarity as sim_mod
 
     rnd = random.Random(1)
     data = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
     corpus = T(spark, data, "vec_id long, embedding array<double>", ["vec_id"])
 
     calls = []
-    real_ivf = sim_mod.ivf_topk
+    real = hnsw_mod.ivf_hnsw_topk
 
     def spy(*a, **kw):
         calls.append(1)
-        return real_ivf(*a, **kw)
+        return real(*a, **kw)
 
-    monkeypatch.setattr(sim_mod, "ivf_topk", spy)
+    monkeypatch.setattr(hnsw_mod, "ivf_hnsw_topk", spy)
     monkeypatch.setattr(hnsw_mod, "_QUERY_COLLECT_LIMIT_ROWS", 50)
     out = hnsw_mod.hnsw_topk(corpus, corpus, k=3)
-    assert calls, "large query set did not fall back to ivf_topk"
+    assert calls, "large query set did not fall back to ivf_hnsw_topk"
     assert out._df.select("query_id").distinct().count() > 100
 
 
@@ -961,3 +962,38 @@ def test_hmm_reducer(spark):
     out2 = t.groupby(pw.this.key).reduce(
         key=pw.this.key, decoded=dec2(pw.this.ts, pw.this.obs))
     assert len(out2.to_df().collect()[0]["decoded"]) == 2
+
+
+def test_ivf_hnsw_recall_and_no_driver_collect(spark):
+    """Round-7 scale path: IVF-coarse + per-cell HNSW with BOTH sides
+    distributed — building the plan runs no query-side driver collect
+    (the centroid jobs are corpus-side k-means, bounded), and recall@10
+    vs brute force stays high on clustered data."""
+    import numpy as np
+
+    from pathway_spark.operators.hnsw import ivf_hnsw_topk
+    from pathway_spark.operators.similarity import brute_force_topk
+    from pathway_spark.table import ID, Table
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(800):
+        c = centers[i % 8]
+        rows.append((i, (c + 0.15 * rng.normal(size=16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = Table(emb)
+    queries = Table(emb.filter(F.col("vec_id") < 40))
+
+    approx = ivf_hnsw_topk(corpus, queries, k=10, nlist=8, nprobe=3,
+                           ef_construction=80, ef_search=96)._df
+    exact = brute_force_topk(corpus, queries, k=10)._df
+
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.drop(ID).collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.85, f"recall {recall:.3f}"
+    # per-query result discipline: exactly <= k ranked rows, rank dense
+    import collections
+    cnt = collections.Counter(q for q, _ in a)
+    assert max(cnt.values()) <= 10

@@ -194,6 +194,37 @@ def _emit_delta(delta, on_change, on_time_end, batch_time):
         on_time_end(batch_time)
 
 
+def _emit_delta_times(delta, on_change, on_time_end, effs):
+    """Fused-batch emission: one output delta carrying PER-ROW times.
+    Row callbacks fire in ascending time order with `on_time_end(t)` at
+    every boundary — byte-identical callback sequence to stepping each
+    time separately.  A FrameSink receives the whole fused frame once
+    (rows carry their own `_pw_time`), then every time-end marker."""
+    from .differential import DIFF, TIME
+
+    if isinstance(on_change, FrameSink):
+        on_change.fn(delta, effs[-1])
+        if on_time_end is not None:
+            for t in effs:
+                on_time_end(t)
+        return
+    it = iter(effs)
+    pending = next(it, None)
+    for row in delta.orderBy(TIME).toLocalIterator():
+        d = row.asDict()
+        t, w = d.pop(TIME), d.pop(DIFF)
+        while (pending is not None and on_time_end is not None
+               and pending < t):
+            on_time_end(pending)
+            pending = next(it, None)
+        for _ in range(abs(int(w))):
+            on_change(row=d, time=t, is_addition=w > 0)
+    if on_time_end is not None:
+        while pending is not None:
+            on_time_end(pending)
+            pending = next(it, None)
+
+
 # Above this many distinct event times per micro-batch (each = one full
 # sequential graph step), warn the user toward `time_granularity=`.
 _MAX_SUBSTEPS_WARN = 64
@@ -291,7 +322,8 @@ def subscribe_differential(stream_df, build, on_change, *,
         times = sorted(r[0] for r in
                        tagged.select("__pw_evt").distinct().collect()
                        if r[0] is not None)
-        if len(times) > _MAX_SUBSTEPS_WARN and not time_granularity:
+        if (len(times) > _MAX_SUBSTEPS_WARN and not time_granularity
+                and not graph.is_linear()):
             import warnings
             warnings.warn(
                 f"subscribe_differential: {len(times)} distinct event "
@@ -307,6 +339,36 @@ def subscribe_differential(stream_df, build, on_change, *,
             (delta,) = graph.step(out, src=tagged.drop("__pw_evt"))
             seen["last"] = batch_id
             _emit_delta(delta, on_change, on_time_end, graph._t)
+            return
+        if graph.is_linear() and batch_id != seen["sub_batch"]:
+            # TICK FUSION (round 7): on an all-linear graph, deltas of
+            # different logical times never interact through state, so
+            # the whole multi-time batch runs as ONE step with per-row
+            # times — a handful of Spark jobs instead of one full graph
+            # step per distinct event time, with an identical trace.
+            # Late/NULL event times fold forward to the processing
+            # time, exactly like the sub-step path.  (A batch that
+            # already applied sub-steps before a mid-batch failure
+            # replays through the sub-step path so the marks hold.)
+            prev = graph._t
+            # SEQUENTIAL late-fold, exactly as the sub-step path would
+            # have assigned clocks: each time folds to at least one
+            # past its predecessor's effective clock
+            effs, c = [], prev
+            for tv in times:
+                c = max(int(tv), c + 1)
+                effs.append(c)
+            from .differential import TIME as _T
+            mapping = F.create_map(
+                *[F.lit(x) for tv, e in zip(times, effs)
+                  for x in (int(tv), e)])
+            fused = tagged.withColumn(
+                _T, F.coalesce(mapping[F.col("__pw_evt").cast("long")],
+                               F.lit(effs[0]))).drop("__pw_evt")
+            (delta,) = graph.step(out, time=effs[-1], row_times=True,
+                                  src=fused)
+            seen["last"] = batch_id
+            _emit_delta_times(delta, on_change, on_time_end, effs)
             return
         for i, tv in enumerate(times):
             if batch_id == seen["sub_batch"] and i <= seen["sub"]:

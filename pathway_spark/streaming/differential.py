@@ -700,7 +700,8 @@ class SourceNode(DiffNode):
     def _insert_only(self) -> bool:
         return self._ins_only
 
-    def _feed(self, delta: DataFrame | None, t: int) -> None:
+    def _feed(self, delta: DataFrame | None, t: int,
+              row_times: bool = False) -> None:
         if delta is None:
             self._pending = self._template
         else:
@@ -728,11 +729,18 @@ class SourceNode(DiffNode):
                     self.graph._batch_wide = True
             except Exception:
                 pass
+            # row_times (fused multi-time batches over LINEAR graphs):
+            # keep the caller's per-row TIME column instead of stamping
+            # the batch clock — linear operators pass TIME through
+            # untouched, so the output trace equals per-time stepping
+            tcol = (F.col(TIME).cast("long")
+                    if row_times and TIME in delta.columns
+                    else F.lit(t).cast("long"))
             d = delta.select(
                 *_data_cols(self._template),
                 (F.col(DIFF) if DIFF in delta.columns
                  else F.lit(1)).cast("long").alias(DIFF),
-                F.lit(t).alias(TIME))
+                tcol.alias(TIME))
             # one shared lineage cut per batch: every consumer (output
             # action, state chunks) reuses the same materialized blocks,
             # so a nondeterministic source plan (sample/limit) cannot
@@ -2064,10 +2072,28 @@ class DifferentialGraph:
         self._sources[name] = node
         return node
 
+    def is_linear(self) -> bool:
+        """True when every node is stateless-linear (select / filter /
+        flatten / union over sources): each output row is a function of
+        ONE input row, so deltas of different logical times never
+        interact through state and a multi-time batch may be FUSED into
+        one step with per-row times (`step(row_times=True)`)."""
+        return all(type(n) in (SourceNode, _LinearNode, _UnionNode)
+                   for n in self._nodes)
+
     def step(self, outputs: Sequence[DiffNode] | DiffNode, *,
-             time: int | None = None, **deltas: DataFrame) -> list[DataFrame]:
+             time: int | None = None, row_times: bool = False,
+             **deltas: DataFrame) -> list[DataFrame]:
         """Advance the logical clock; feed `deltas` keyed by source name,
         return each requested output node's delta for this batch.
+
+        `row_times=True` (linear graphs only — enforced) fuses a
+        multi-time batch into ONE step: each fed delta keeps its own
+        `_pw_time` column (values must be > the previous clock and
+        <= `time`, which is required and advances the clock to the
+        batch maximum).  The emitted trace is identical to stepping
+        each distinct time separately, because linear operators carry
+        TIME through row-wise — one Spark job instead of one per time.
 
         `time` sets the batch's LOGICAL timestamp — the value stamped
         into every emitted delta's `_pw_time`, matching the reference's
@@ -2115,8 +2141,18 @@ class DifferentialGraph:
         unknown = set(deltas) - set(self._sources)
         if unknown:
             raise KeyError(f"unknown sources: {sorted(unknown)}")
+        if row_times:
+            if time is None:
+                raise ValueError(
+                    "row_times=True requires time= (the batch maximum)")
+            if not self.is_linear():
+                raise ValueError(
+                    "row_times=True is only sound on an all-linear "
+                    "graph (stateful operators need per-time barriers: "
+                    "a later sub-step must see earlier sub-steps' "
+                    "state) — step each distinct time instead")
         for name, src in self._sources.items():
-            src._feed(deltas.get(name), t)
+            src._feed(deltas.get(name), t, row_times=row_times)
         # tuned confs stay applied across steps (the caller's action on
         # the returned delta runs right after, outside this frame); a
         # wide batch restores them so the initial load keeps AQE + full

@@ -658,3 +658,52 @@ def test_subscribe_differential_substep_explosion_warns(
     assert not warns_g
     times_raw, warns_raw = run()
     assert len(warns_raw) >= 1, "6 distinct times over threshold 3 warn"
+
+
+def test_fused_multi_time_batch_linear_graph(spark, tmp_path):
+    """Round-7 tick fusion: a 100-distinct-timestamp micro-batch over an
+    ALL-LINEAR graph (filter+select) runs as ONE fused step — a handful
+    of Spark jobs instead of one graph step per distinct time — with a
+    callback trace identical to the per-time sub-step path."""
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    src = tmp_path / "fused"
+    src.mkdir()
+    (src / "seed.csv").write_text("k,v,ts\nz,0,1\n")
+    t = pw.demo.replay_csv(
+        str(src), schema=pw.schema_from_types(k=str, v=int, ts=int),
+        mode="streaming", spark=spark)
+
+    def build(s):
+        return (s.filter(F.col("v") % 3 != 0)
+                .select(F.col("k"), (F.col("v") * 2).alias("v2")))
+
+    events, ends = [], []
+    q = st.subscribe_differential(
+        t, build,
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["v2"], time, is_addition)),
+        on_time_end=ends.append, time_column="ts")
+    q.processAllAvailable()
+    events.clear(); ends.clear()
+
+    rows = [(f"k{i % 7}", i, 1000 + i) for i in range(100)]
+    bdf = spark.createDataFrame(rows, "k string, v long, ts long")
+    sc = spark.sparkContext
+    j0 = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    q._batch_fn(bdf, 1)
+    jobs = len(set(sc.statusTracker().getJobIdsForGroup(None) or []) - j0)
+    assert jobs <= 10, f"fused batch ran {jobs} jobs"
+    q.stop()
+
+    # reference: the UNFUSED sub-step trace over the same rows
+    want_events, want_ends = [], []
+    for k, v, ts in sorted(rows, key=lambda r: r[2]):
+        if v % 3 != 0:
+            want_events.append((k, v * 2, ts, True))
+    want_ends = sorted({ts for _, _, ts in rows})
+    assert sorted(events) == sorted(want_events)
+    assert ends == want_ends
+    # row callbacks arrive in ascending time with ends at boundaries
+    assert [e[2] for e in events] == sorted(e[2] for e in events)

@@ -2119,25 +2119,23 @@ class DifferentialGraph:
                 f"logical time must be strictly increasing: got {t} after "
                 f"{self._t} (fold late rows into the current batch instead)")
         self._t = t
-        # All-ancestor lineage truncation is scoped to the CALLER's
-        # post-step action: during step-internal jobs (driver collects,
-        # broadcast subtrees) the property is OFF — truncating there
-        # force-completes every marked ancestor's partially-computed
-        # partitions as serial mini-jobs (~13 extra jobs/batch measured
-        # on forest CC).  It turns ON right before step returns, so the
-        # tick's final materialization — which computes every marked
-        # ancestor in its lineage anyway — truncates them all with zero
-        # extra jobs.  Without ANY truncation, interior lazy
-        # checkpoints never cut (Spark truncates only the topmost
-        # marked RDD per job) and long-running graphs stack every
-        # tick's plan — the round-6 restored-LiveDocumentStore OOM.
+        # All-ancestor lineage truncation stays ON for every job of the
+        # step AND the caller's follow-up action (thread-local, so it is
+        # re-set on whichever thread runs this step).  Without it,
+        # interior lazy checkpoints never cut (Spark truncates only the
+        # topmost marked RDD per job) and long-running graphs stack
+        # every tick's plan — the round-6 restored-LiveDocumentStore
+        # OOM.  Scoping it to only the post-step action was tried and
+        # reverted: state chunks that only materialize inside
+        # step-internal jobs (e.g. the acc-reduce chunk) then never
+        # truncate and wide serving graphs compound again.
         trunc = (not self._stepped
                  or self._steps_seen % max(1, self.truncate_every) == 0)
         self._steps_seen += 1
         self._trunc_this_step = trunc
-        if not trunc or self._stepped:
-            self.spark.sparkContext.setLocalProperty(
-                "spark.checkpoint.checkpointAllMarkedAncestors", None)
+        self.spark.sparkContext.setLocalProperty(
+            "spark.checkpoint.checkpointAllMarkedAncestors",
+            "true" if trunc else None)
         unknown = set(deltas) - set(self._sources)
         if unknown:
             raise KeyError(f"unknown sources: {sorted(unknown)}")
@@ -2177,9 +2175,6 @@ class DifferentialGraph:
             if n._PASSTHROUGH:
                 stack.extend(n.inputs)
         out = [n.delta(t) for n in nodes]
-        if self._trunc_this_step:
-            self.spark.sparkContext.setLocalProperty(
-                "spark.checkpoint.checkpointAllMarkedAncestors", "true")
         if not self._stepped:
             self._stepped = True
             # the initial load is usually the one WIDE batch: fold it

@@ -90,10 +90,13 @@ def incremental_minhash_pairs(docs: DiffNode, text_col: str, id_col: str, *,
     """Incrementally-maintained MinHash-LSH near-duplicate pairs.
 
     Output deltas accumulate to exactly
-    `operators/dedup.py:minhash_lsh_pairs` (xxhash64 family) over the
+    `operators/dedup.py:minhash_lsh_pairs` (same `hash_fn`) over the
     corpus accumulated so far: `(id_a, id_b, jaccard)` with
     `id_a < id_b`, verified `jaccard >= threshold` (or the unverified
-    candidate set with `verify=False`).
+    candidate set with `verify=False`).  `hash_fn="cross"` switches to
+    the 60-bit md5 + universal-family hashes an external SQL oracle can
+    reproduce (the q39 `dedup_live` driver gate); default xxhash64 is
+    the fast path.
 
     Cost per batch: O(|delta| shingling) + band-state probes keyed by
     the delta's band hashes + Jaccard verification of NEW candidate

@@ -1281,6 +1281,7 @@ class _AsofNowNode(DiffNode):
         self._lcols: list[str] | None = None
         self._rcols: list[str] | None = None
         self._out_tpl: DataFrame | None = None
+        self._exprs: tuple | None = None   # per-node cached Columns
 
     def _advance(self, t: int) -> DataFrame:
         # one-sided frontier sparsity (same as _JoinNode): a query-only
@@ -1316,6 +1317,25 @@ class _AsofNowNode(DiffNode):
         pos = da_net.filter(F.col(DIFF) > 0)
         neg = da_net.filter(F.col(DIFF) < 0)
         wa, wb = f"{DIFF}__a", f"{DIFF}__b"
+        if self._exprs is None:
+            # the plain-name expression sets are schema-fixed per node:
+            # build each Column ONCE (every F.col/alias/eqNullSafe is a
+            # py4j roundtrip, and this method runs per tick per stage
+            # of a serving chain)
+            cond = None
+            for lk, rk in zip(self._lk, self._rk):
+                c = F.col(f"__l_{lk}") == F.col(f"__r_{rk}")
+                cond = c if cond is None else (cond & c)
+            fro_sel = ([F.col(f"__l_{c}").alias(c) for c in self._lcols]
+                       + [F.col(f"__r_{c}").alias(c) for c in self._rcols]
+                       + [(F.col(f"__l_{wa}") * F.col(f"__r_{wb}"))
+                          .alias(DIFF)])
+            null_safe = None
+            for c in self._lcols:
+                e = F.col(f"`{c}`").eqNullSafe(F.col(f"__n_{c}"))
+                null_safe = e if null_safe is None else (null_safe & e)
+            self._exprs = (cond, fro_sel, null_safe)
+        cond, fro_sel, null_safe = self._exprs
         # rename BOTH sides to disjoint names and join/select by plain
         # name, never through subquery aliases or dataframe-attribute
         # refs: "l.`c`" lookups die in the optimizer ("key not found:
@@ -1327,17 +1347,7 @@ class _AsofNowNode(DiffNode):
         b = r_now.withColumnRenamed(DIFF, wb)
         a2 = a.select(*[a[c].alias(f"__l_{c}") for c in a.columns])
         b2 = b.select(*[b[c].alias(f"__r_{c}") for c in b.columns])
-        cond = None
-        for lk, rk in zip(self._lk, self._rk):
-            c = F.col(f"__l_{lk}") == F.col(f"__r_{rk}")
-            cond = c if cond is None else (cond & c)
-        frozen = (a2.join(b2, on=cond, how="inner")
-                  .select(*[F.col(f"__l_{c}").alias(c)
-                            for c in self._lcols],
-                          *[F.col(f"__r_{c}").alias(c)
-                            for c in self._rcols],
-                          (F.col(f"__l_{wa}") * F.col(f"__r_{wb}"))
-                          .alias(DIFF)))
+        frozen = a2.join(b2, on=cond, how="inner").select(*fro_sel)
         if self._trace is None:
             # fresh empty frame, NOT frozen.filter(False): checkpointing
             # a template that still carries the l/r-aliased join plan
@@ -1353,16 +1363,12 @@ class _AsofNowNode(DiffNode):
         # survives forever (consolidate() itself groups NULLs equal,
         # so the rest of the engine already treats them as matching)
         tr = self._trace.get()
-        ng0 = self._small(neg.select(*self._lcols).distinct())
+        ng0 = self._small(neg.select(*_ccs(self._lcols)).distinct())
         ng = ng0.select(*[ng0[c].alias(f"__n_{c}")
                           for c in self._lcols])
-        null_safe = None
-        for c in self._lcols:
-            e = F.col(f"`{c}`").eqNullSafe(F.col(f"__n_{c}"))
-            null_safe = e if null_safe is None else (null_safe & e)
         gone = consolidate(
             tr.join(ng, on=null_safe, how="left_semi")) \
-            .withColumn(DIFF, -F.col(DIFF))
+            .withColumn(DIFF, -_cc(DIFF))
         # consolidate: the unconsolidated right-state chunks surface as
         # +x/-x row pairs inside `frozen`; net them before freezing
         out = consolidate(frozen.unionByName(gone.select(*frozen.columns))) \

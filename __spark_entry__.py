@@ -866,7 +866,15 @@ def q39_graduations(spark, sf):
       insert/insert/RETRACT over documents — tick 3 retracts
       doc_id%7==3, withdrawing their pairs.  Integrated trace must
       equal the full banding mirror (q32's oracle) over the live doc
-      set: band-state probes and pair retraction both checked."""
+      set: band-state probes and pair retraction both checked.
+    - part='iterate_live' (round 7): the GENERIC incremental
+      `pw.iterate` level cascade (`streaming/iterate_diff.py`) — a
+      user-written reachability body iterated to fixed point, driven
+      insert/insert/RETRACT over nation↔region-hub edges plus a
+      hub-chain whose 100↔101 link is retracted at tick 3.  The
+      stale fixed point ("everything reachable") must SHRINK through
+      the cascade's retraction path; integrated trace equals a DuckDB
+      recursive-CTE closure over the live edge set."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -1012,9 +1020,47 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("jaccard").cast("double").alias("num"))
 
+    # ---- iterate_live: generic incremental pw.iterate w/ retraction -
+    from pathway_spark.streaming.iterate_diff import iterate_differential
+
+    def reach_body(v, edges):
+        hop = (v.select(F.col("x").alias("u"))
+               .join(edges, ["u"])
+               .select(F.col("v").alias("x")))
+        return v.union(hop).distinct()
+
+    sym = (nat.select("u", "v", "r")
+           .unionByName(nat.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"), "r")))
+    chain = spark.createDataFrame(
+        [(100 + r, 101 + r) for r in range(4)]
+        + [(101 + r, 100 + r) for r in range(4)],
+        "u long, v long")
+    g5 = DifferentialGraph(spark)
+    s_seed = g5.source("seeds", spark.createDataFrame([], "x long"))
+    s_edge = g5.source("edges", spark.createDataFrame([], "u long, v long"))
+    reach = iterate_differential(reach_body, s_seed, {"edges": s_edge})
+    ev5 = F.pmod(F.col("u"), F.lit(2)) == 0
+    (r1,) = g5.step(reach, seeds=spark.createDataFrame([(1,)], "x long"),
+                    edges=sym.filter(ev5).select("u", "v"))
+    (r2,) = g5.step(reach, edges=sym.filter(~ev5).select("u", "v")
+                    .unionByName(chain))
+    (r3,) = g5.step(reach, edges=spark.createDataFrame(
+        [(100, 101), (101, 100)], "u long, v long")
+        .withColumn("_pw_diff", F.lit(-1)))
+    g5.restore_session_confs()
+    it_trace = (r1.localCheckpoint(eager=True)
+                .unionByName(r2.localCheckpoint(eager=True))
+                .unionByName(r3.localCheckpoint(eager=True)))
+    itl = DifferentialGraph.integrate(it_trace).select(
+        F.lit("iterate_live").alias("part"),
+        F.col("x").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("x").cast("double").alias("num"))
+
     return (keep.unionByName(kmv).unionByName(cdf)
             .unionByName(bm).unionByName(ccl)
-            .unionByName(tkl).unionByName(ddl))
+            .unionByName(tkl).unionByName(ddl).unionByName(itl))
 
 
 def q40_iterate(spark, sf):
@@ -1931,6 +1977,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
                 QUALIFY rank <= 5
             ) tk
+            UNION ALL
+            SELECT 'iterate_live' AS part, CAST(x AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt, CAST(x AS DOUBLE) AS num
+            FROM (
+                WITH RECURSIVE ed2 AS (
+                    SELECT CAST(n_nationkey AS BIGINT) AS u,
+                           CAST(100 + n_regionkey AS BIGINT) AS v
+                    FROM nation
+                    UNION ALL
+                    SELECT CAST(100 + n_regionkey AS BIGINT),
+                           CAST(n_nationkey AS BIGINT)
+                    FROM nation
+                    UNION ALL
+                    SELECT CAST(100 + r AS BIGINT), CAST(101 + r AS BIGINT)
+                    FROM range(4) t(r) WHERE r <> 0
+                    UNION ALL
+                    SELECT CAST(101 + r AS BIGINT), CAST(100 + r AS BIGINT)
+                    FROM range(4) t(r) WHERE r <> 0
+                ), reach2 AS (
+                    SELECT CAST(1 AS BIGINT) AS x
+                    UNION
+                    SELECT e.v FROM reach2 JOIN ed2 e ON reach2.x = e.u
+                )
+                SELECT x FROM reach2
+            ) il
             UNION ALL
             SELECT 'dedup_live' AS part,
                    CAST(id_a AS VARCHAR) || ':'

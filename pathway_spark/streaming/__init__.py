@@ -359,11 +359,18 @@ def subscribe_differential(stream_df, build, on_change, *,
                 c = max(int(tv), c + 1)
                 effs.append(c)
             from .differential import TIME as _T
+            # key the time→clock map on the RAW event values (collected
+            # from the column itself, so lookup equality is exact): an
+            # int(tv)-keyed map breaks on fractional (double) time
+            # columns — two distinct event times sharing an integer
+            # part collide into a DUPLICATED_MAP_KEY runtime error, and
+            # even without collision the cast('long') lookup silently
+            # merges distinct times the sub-step path kept apart
             mapping = F.create_map(
                 *[F.lit(x) for tv, e in zip(times, effs)
-                  for x in (int(tv), e)])
+                  for x in (tv, e)])
             fused = tagged.withColumn(
-                _T, F.coalesce(mapping[F.col("__pw_evt").cast("long")],
+                _T, F.coalesce(mapping[F.col("__pw_evt")].cast("long"),
                                F.lit(effs[0]))).drop("__pw_evt")
             (delta,) = graph.step(out, time=effs[-1], row_times=True,
                                   src=fused)

@@ -387,8 +387,13 @@ class _StateStore:
                              self._bucket(full, self._key_cols))
                  .write.mode("overwrite").partitionBy("__pw_bucket")
                  .parquet(stage))
-        else:
+        elif cnt <= self.SMALL_STATE_ROWS:
             full.coalesce(1).write.mode("overwrite").parquet(stage)
+        else:
+            # large KEYLESS state: no bucket column to prune by, but
+            # funneling it through one task per commit is slow and an
+            # executor-OOM risk — keep the write parallel
+            full.write.mode("overwrite").parquet(stage)
         want = self._ver + 1
         while True:
             dest = f"{self._path}/v{want:08d}"
@@ -771,6 +776,32 @@ class ArrangedInput(SourceNode):
         self.shared_store = store
 
 
+def _plan_deterministic(df: DataFrame) -> bool:
+    """True when every expression in the analyzed plan is deterministic.
+
+    Downstream stateful nodes append linear-node outputs to their state
+    WITHOUT a lineage cut (`update(cut=False)` trusts the delta to be
+    byte-stable under rescans).  A nondeterministic expression between
+    a source and a stateful node (F.rand(), shuffle(), sample, limit)
+    breaks that trust: each rescan re-draws, retractions stop canceling
+    and state silently corrupts.  Unknown/unreadable plans report False
+    (the safe side — the output gets its own checkpoint)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            n = stack.pop()
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 class _LinearNode(DiffNode):
     _PASSTHROUGH = True
     def __init__(self, graph, parent: DiffNode,
@@ -779,12 +810,23 @@ class _LinearNode(DiffNode):
         super().__init__(graph, [parent])
         self._fn = fn
         self._sign_preserving = sign_preserving
+        self._det_checked = False
 
     def _insert_only(self) -> bool:
         return self._sign_preserving and self.inputs[0]._insert_only()
 
     def _advance(self, t: int) -> DataFrame:
-        return self._fn(self.inputs[0].delta(t))
+        out = self._fn(self.inputs[0].delta(t))
+        if not self._det_checked:
+            # structural property of the fixed fn — decided once.  A
+            # nondeterministic transform (F.rand()...) flips this node
+            # to checkpoint-its-output mode so every consumer (join
+            # legs, state-chunk appends with cut=False) sees the SAME
+            # bytes instead of a fresh draw per rescan.
+            self._det_checked = True
+            if not _plan_deterministic(out):
+                self._CKPT_OUT = True   # instance attr shadows class
+        return out
 
 
 class _UnionNode(DiffNode):
@@ -1948,6 +1990,10 @@ class DifferentialGraph:
         # delta chunk coalesces to one partition (see _StateStore.update)
         self._stores: list[_StateStore] = []
         self._restore_vers: dict[str, int] = {}
+        # per-store version at the LAST commit (meta-referenced), kept
+        # through the next commit's vacuum so a concurrent reader still
+        # serving from it never has files reclaimed mid-scan
+        self._committed_vers: dict[str, int] = {}
         self._t = -1
         self._steps_seen = 0
         self._batch_wide = False   # set per batch by wide source feeds
@@ -2045,6 +2091,7 @@ class DifferentialGraph:
             # never a newer uncommitted flush (crash-window safety)
             self._restore_vers = dict(meta.get("vers", {}))
             self._node_meta = dict(meta.get("node_meta", {}))
+            self._committed_vers = dict(self._restore_vers)
 
     def commit(self) -> None:
         """Durably persist all state + the logical clock; a new process
@@ -2069,9 +2116,17 @@ class DifferentialGraph:
             json.dump({"t": self._t, "vers": vers,
                        "node_meta": self._node_meta}, f)
         os.replace(tmp, self._meta_path())
-        # only now are pre-commit versions unreachable — reclaim them
+        # reclaim only versions below the PREVIOUS commit's: a reader
+        # process still serving from that version (it resolved the
+        # meta before this swap) keeps its files until the commit
+        # after next — Delta-style retention of the last two committed
+        # versions, so vacuum never races an in-flight scan
         for i, st in enumerate(self._stores):
-            st.vacuum(below=vers[getattr(st, "_meta_key", str(i))])
+            key = getattr(st, "_meta_key", str(i))
+            prev = self._committed_vers.get(key, 0)
+            if prev:
+                st.vacuum(below=min(prev, vers[key]))
+        self._committed_vers = vers
 
     def source(self, name: str, template: DataFrame) -> SourceNode:
         node = SourceNode(self, name, template)

@@ -166,6 +166,16 @@ class _IterateNode(DiffNode):
                 self._vstore = self.graph._make_store(self._v_tpl)
         self._dense = bool(self.graph._node_meta.get(
             f"it{self._nidx}_dense", 0))
+        if self._dense and self._guard is None:
+            # the predecessor process committed in dense-recompute mode
+            # (its guard tripped); a rebuild that omits the guard has no
+            # _vstore to recompute from — continuing would crash later
+            # in _advance_dense or silently seed from an empty variable
+            raise RuntimeError(
+                "restored iterate node was committed in dense-recompute "
+                "mode but this build passes no dense_delta_guard=; "
+                "rebuild the graph with the same guard so the recompute "
+                "path has its accumulated variable state")
         depth = self.graph._node_meta.get(self._meta_key(), 0)
         i_tpls = {k: dis[k].drop(TIME).filter(F.lit(False))
                   for k in self._input_names}

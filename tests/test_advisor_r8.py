@@ -1,0 +1,217 @@
+"""Round-8 advisor regressions.
+
+Five findings from the round-7 advisory review, each pinned here:
+1. nondeterministic linear-node outputs must be lineage-cut before
+   they enter downstream state (update(cut=False) trusts byte-stable
+   deltas);
+2. tick fusion must key its time->clock map on RAW event values, so
+   fractional (double) time columns neither collide (DUPLICATED_MAP_KEY)
+   nor silently merge distinct times;
+3. flush() must not funnel a large KEYLESS state through one task;
+4. a restored iterate node whose meta says dense-recompute but whose
+   rebuild omits the guard must fail loudly, not crash later;
+5. commit()'s vacuum must retain the previous committed version for
+   concurrent readers (Delta-style retention of the last two).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathway_spark.streaming.differential import (
+    DIFF, DifferentialGraph, _StateStore,
+)
+
+
+def _rows(df, *cols):
+    return sorted((tuple(r) for r in df.select(*cols).collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_nondeterministic_linear_output_checkpoints_before_state(spark):
+    """A rand() column between a source and a join: the join consumes
+    the linear node's delta twice (emission leg + state append with
+    cut=False).  Without a shared lineage cut each rescan re-draws, so
+    the batch-3 retraction scan of left state sees DIFFERENT bytes than
+    the batch-2 insert scan and the outputs stop canceling."""
+    g = DifferentialGraph(spark)
+    left = g.source("l", spark.createDataFrame([], "k string, v long"))
+    right = g.source("r", spark.createDataFrame([], "k string, w long"))
+    noisy = left.with_columns(r=F.rand(seed=None))
+    j = noisy.join(right, on=["k"])
+
+    # batch 1 (wide initial load) seeds nothing noisy — compaction
+    # would stabilize it regardless; the at-risk chunk arrives later
+    g.step(j, l=spark.createDataFrame([("z", 0)], "k string, v long"))
+    (o1,) = g.step(j, l=spark.createDataFrame([("a", 1)],
+                                              "k string, v long"))
+    (o2,) = g.step(j, r=spark.createDataFrame([("a", 10)],
+                                              "k string, w long"))
+    (o3,) = g.step(j, r=spark.createDataFrame(
+        [("a", 10)], "k string, w long").withColumn(DIFF, F.lit(-1)))
+    assert noisy._CKPT_OUT is True, \
+        "nondeterministic linear node must flip to checkpointed output"
+    full = o2.unionByName(o3.select(*o2.columns))
+    snap = DifferentialGraph.integrate(full)
+    assert snap.count() == 0, \
+        "insert+retract through a rand() column must cancel exactly"
+
+
+def test_deterministic_linear_output_stays_cheap(spark):
+    """Plain selects keep the fast path: no output checkpoint."""
+    g = DifferentialGraph(spark)
+    src = g.source("s", spark.createDataFrame([], "k string, v long"))
+    node = src.select("k", doubled=F.col("v") * 2)
+    g.step(node, s=spark.createDataFrame([("a", 1)], "k string, v long"))
+    assert node._CKPT_OUT is False
+
+
+def test_fused_batch_fractional_double_times(spark, tmp_path):
+    """Two event times sharing an integer part (1000.25 / 1000.75) in
+    one fused micro-batch: the raw-value map must keep them distinct
+    (the int-keyed map raised DUPLICATED_MAP_KEY) and assign ascending
+    clocks exactly like the sub-step path."""
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    src = tmp_path / "frac"
+    src.mkdir()
+    (src / "seed.csv").write_text("k,v,ts\nz,0,1.0\n")
+    t = pw.demo.replay_csv(
+        str(src), schema=pw.schema_from_types(k=str, v=int, ts=float),
+        mode="streaming", spark=spark)
+
+    events = []
+    q = st.subscribe_differential(
+        t, lambda s: s.select(F.col("k"), F.col("v")),
+        lambda row, time, is_addition: events.append(
+            (row["k"], row["v"], time, is_addition)),
+        time_column="ts")
+    q.processAllAvailable()
+    events.clear()
+    bdf = spark.createDataFrame(
+        [("a", 1, 1000.25), ("b", 2, 1000.75), ("c", 3, 1001.5)],
+        "k string, v long, ts double")
+    q._batch_fn(bdf, 1)
+    q.stop()
+    assert len(events) == 3, events
+    clocks = {k: tm for k, _v, tm, _a in events}
+    # 1000.25 -> 1000; 1000.75 folds forward to 1001; 1001.5 to 1002 —
+    # exactly the sequential late-fold the sub-step path applies
+    assert clocks["a"] < clocks["b"] < clocks["c"], events
+    assert clocks == {"a": 1000, "b": 1001, "c": 1002}, events
+
+
+def test_flush_large_keyless_state_writes_parallel(spark, tmp_path,
+                                                   monkeypatch):
+    """A keyless state above SMALL_STATE_ROWS must not coalesce(1):
+    the version directory should hold multiple part files."""
+    monkeypatch.setattr(_StateStore, "SMALL_STATE_ROWS", 50)
+    # AQE would coalesce this test's tiny shuffle to one partition on
+    # size grounds alone; disable it so file count reflects whether
+    # flush() forced a coalesce(1)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _run_flush_parallel_check(spark, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _run_flush_parallel_check(spark, tmp_path):
+    tpl = spark.createDataFrame([], "v long")
+    st = _StateStore(spark, tpl, path=str(tmp_path / "s"))
+    delta = spark.range(500).select(F.col("id").alias("v")) \
+        .repartition(8) \
+        .withColumn(DIFF, F.lit(1).cast("long")) \
+        .withColumn("_pw_time", F.lit(0).cast("long"))
+    st.update(delta, wide=True)
+    st.flush()
+    vdir = tmp_path / "s" / f"v{st._ver:08d}"
+    parts = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(parts) > 1, "large keyless flush must stay parallel"
+    got = spark.read.parquet(str(vdir))
+    assert got.count() == 500
+    # small keyless states still publish single-file versions
+    st2 = _StateStore(spark, tpl, path=str(tmp_path / "s2"))
+    small = spark.range(10).select(F.col("id").alias("v")) \
+        .repartition(4) \
+        .withColumn(DIFF, F.lit(1).cast("long")) \
+        .withColumn("_pw_time", F.lit(0).cast("long"))
+    st2.update(small, wide=True)
+    st2.flush()
+    vdir2 = tmp_path / "s2" / f"v{st2._ver:08d}"
+    parts2 = [f for f in os.listdir(vdir2) if f.endswith(".parquet")]
+    assert len(parts2) == 1
+
+
+def test_restored_dense_iterate_without_guard_raises(spark):
+    """Meta says dense-recompute mode but the rebuild omits the guard:
+    advancing must raise a clear error instead of crashing later on a
+    missing _vstore (or silently seeding recompute from empty)."""
+    from pathway_spark.streaming.iterate_diff import iterate_differential
+
+    g = DifferentialGraph(spark)
+    g._node_meta["it0_dense"] = 1   # what a committed predecessor left
+    seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+    edges = g.source("edges", spark.createDataFrame([], "u long, v long"))
+
+    def body(v, edges):
+        hop = (v.select(F.col("x").alias("u")).join(edges, ["u"])
+                .select(F.col("v").alias("x")))
+        return v.union(hop).distinct()
+
+    reach = iterate_differential(body, seeds, {"edges": edges})
+    with pytest.raises(RuntimeError, match="dense_delta_guard"):
+        g.step(reach, seeds=spark.createDataFrame([(1,)], "x long"))
+
+
+def test_commit_vacuum_retains_previous_committed_version(spark, tmp_path):
+    """Three commits: after commit N the version of commit N-1 must
+    still be on disk (a concurrent reader may be mid-scan on it);
+    commit N-2's version is reclaimed."""
+    sd = str(tmp_path / "state")
+
+    def build(g):
+        src = g.source("t", spark.createDataFrame([], "k string, v long"))
+        return src.reduce(["k"], total=("sum", "v"))
+
+    g = DifferentialGraph(spark, state_dir=sd)
+    node = build(g)
+
+    def feed(i):
+        g.step(node, t=spark.createDataFrame([("a", i)],
+                                             "k string, v long"))
+        g.commit()
+
+    def versions():
+        out = {}
+        for d in sorted(os.listdir(sd)):
+            if d.startswith("store_"):
+                out[d] = sorted(v for v in os.listdir(f"{sd}/{d}")
+                                if v.startswith("v") and v[1:].isdigit())
+        return out
+
+    feed(1)
+    v1 = versions()
+    feed(2)
+    v2 = versions()
+    for store, vs in v2.items():
+        assert set(v1[store]) <= set(vs), \
+            f"{store}: previous committed version must survive commit 2"
+    feed(3)
+    v3 = versions()
+    for store, vs in v3.items():
+        # commit-1 versions reclaimed, commit-2 versions retained
+        assert set(v1[store]) & set(vs) == set(), \
+            f"{store}: versions two commits back should be vacuumed"
+        assert set(v2[store]) - set(v1[store]) <= set(vs), \
+            f"{store}: the previous committed version must survive"
+    # and a fresh process restores cleanly from the latest commit
+    g2 = DifferentialGraph(spark, state_dir=sd)
+    node2 = build(g2)
+    (d,) = g2.step(node2, t=spark.createDataFrame([("a", 10)],
+                                                  "k string, v long"))
+    snap = _rows(d.filter(F.col(DIFF) > 0), "k", "total")
+    assert snap == [("a", 16)]

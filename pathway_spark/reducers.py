@@ -14,9 +14,19 @@ from pyspark.sql import functions as F
 from .expressions import ColumnExpression, ReducerExpression, this
 
 
-def sum(expr) -> ReducerExpression:  # noqa: A001 - mirrors pw.reducers.sum
-    """reducers.py:350. Array-valued sums: use `array_sum`."""
-    return ReducerExpression("sum", F.sum, expr)
+def sum(expr, strict: bool = False) -> ReducerExpression:  # noqa: A001
+    """reducers.py:350. Array-valued sums: use `array_sum`.
+
+    `strict` mirrors the reference's float-sum switch
+    (`src/engine/reduce.rs:31` FloatSum{strict}): the default keeps a
+    RUNNING Neumaier-compensated sum in the differential engine (O(δ)
+    per batch, reference `FloatSumState`); `strict=True` recomputes the
+    group's sum from its full multiset every update (reference
+    `FloatSumReducer`), trading throughput for recompute-grade floats.
+    Batch (non-differential) reduces always recompute, so the flag only
+    changes incremental behavior."""
+    return ReducerExpression("sum_strict" if strict else "sum",
+                             F.sum, expr)
 
 
 def min(expr) -> ReducerExpression:  # noqa: A001

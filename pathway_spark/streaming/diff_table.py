@@ -59,7 +59,8 @@ class _NameContext(RowContext):
 
 # reference reducer name -> weight-aware differential spec kind
 _RED_MAP = {
-    "sum": "sum", "count": "count", "min": "min", "max": "max",
+    "sum": "sum", "sum_strict": "sum_strict",
+    "count": "count", "min": "min", "max": "max",
     "avg": "avg", "count_distinct": "count_distinct", "any": "any",
     "unique": "unique", "argmin": "argmin", "argmax": "argmax",
     "earliest": "earliest", "latest": "latest",

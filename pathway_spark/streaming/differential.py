@@ -174,13 +174,26 @@ class _StateStore:
     def __init__(self, spark: SparkSession, template: DataFrame,
                  checkpoint_every: int = 8, path: str | None = None,
                  restore_version: int | None = None, phase: int = 0,
-                 key_cols: list[str] | None = None):
+                 key_cols: list[str] | None = None,
+                 local_collect=None):
         self._key_cols = list(key_cols) if key_cols else None
+        # graph-supplied collector: returns a (size-capped) JVM row
+        # list of a small frame, or None.  When set, steady-state delta
+        # chunks MERGE into one driver-held pending LocalRelation
+        # instead of appending an RDD chunk per batch — the state scan
+        # then keeps a CONSTANT plan shape across ticks (base + one
+        # pending leaf), per-chunk scan overhead stops growing between
+        # compactions, and the merge itself runs job-free whenever the
+        # chunk plan folds to a LocalRelation (ConvertToLocalRelation)
+        self._local = local_collect
+        self._pend_rows = None          # java ArrayList[Row]
+        self._pend_df: DataFrame | None = None
         empty = template.filter(F.lit(False))
         if DIFF not in empty.columns:
             empty = empty.withColumn(DIFF, F.lit(1).cast("long"))
         base = empty.select(*_data_cols(empty), F.col(DIFF).cast("long"))
         self._cols = base.columns
+        self._jschema = base._jdf.schema()   # row layout of every chunk
         self._chunks: list[DataFrame] = [base]
         # True while no appended chunk may contain NEGATIVE weights:
         # then the chunk union holds no +x/−x cancellation pairs, and
@@ -278,6 +291,8 @@ class _StateStore:
             if c.columns != self._cols:
                 c = c.select(*self._cols)
             acc = acc.unionByName(c)
+        if self._pend_df is not None:
+            acc = acc.unionByName(self._pend_df)
         return acc
 
     def update(self, delta: DataFrame, *, wide: bool = False,
@@ -291,6 +306,9 @@ class _StateStore:
                          _expr_cached("diff_long",
                                       lambda: F.col(DIFF).cast("long")
                                       .alias(DIFF)))
+        if not wide and self._local is not None and self._merge_local(d):
+            self._tick_done()
+            return
         # keep each chunk's partition contribution bounded: without
         # this every chunk adds its parent's partition count to all
         # later scans of the union and per-batch task counts grow.
@@ -317,9 +335,45 @@ class _StateStore:
         if cut:
             d = d.localCheckpoint(eager=False)
         self._chunks.append(d)
+        self._tick_done()
+
+    def _tick_done(self) -> None:
         self._ticks += 1
         if (self._ticks + self._phase) % self._every == 0:
             self.compact(eager=False)
+
+    def _merge_local(self, d: DataFrame) -> bool:
+        """Fold a steady-state delta chunk into the single driver-held
+        pending LocalRelation.  Keeps the state scan's plan shape
+        CONSTANT across ticks (base + one pending leaf) instead of one
+        appended chunk frame per batch: per-scan analyzer work stops
+        growing, and the chunk materialization is usually job-free
+        (a narrow plan over a LocalRelation folds driver-side).
+        Returns False (caller appends a classic chunk) when the rows
+        can't be collected cheaply or the pending would exceed the
+        graph's local cap."""
+        jl = self._local(d, folded_only=True)
+        if jl is None:
+            return False
+        jvm = self._spark._jvm
+        if self._pend_rows is None:
+            self._pend_rows = jvm.java.util.ArrayList()
+        if self._pend_rows.size() + jl.size() > \
+                DifferentialGraph.LOCAL_CUT_MAX_ROWS:
+            return False
+        self._pend_rows.addAll(jl)
+        # createDataFrame copies the rows EAGERLY (verified), so frames
+        # built from the previous pending still see their old data and
+        # this rebuild is the only place the new rows become visible
+        self._pend_df = DataFrame(
+            self._spark._jsparkSession.createDataFrame(
+                self._pend_rows, self._jschema),
+            self._spark)
+        return True
+
+    def _clear_pending(self) -> None:
+        self._pend_rows = None
+        self._pend_df = None
 
     def compact(self, *, eager: bool = True) -> None:
         """Consolidate all chunks into one in-memory base (the
@@ -332,6 +386,7 @@ class _StateStore:
         eager (it is the one wide shuffle worth its own job)."""
         full = consolidate(self.get())
         self._chunks = [full.localCheckpoint(eager=eager)]
+        self._clear_pending()    # folded into the base
         self._pair_free = True   # consolidated: no cancellation pairs
 
     # states below this row count are flushed PLAIN (single-file, no
@@ -413,6 +468,7 @@ class _StateStore:
             # lineage-free like the parquet re-read, but a LogicalRDD
             # leaf that later planning passes traverse in microseconds
             self._chunks = [full]
+        self._clear_pending()    # folded into the flushed version
         self._pair_free = True
 
     def vacuum(self, *, below: int) -> None:
@@ -475,6 +531,7 @@ class _StateStore:
 
     def close(self) -> None:
         self._chunks = []
+        self._clear_pending()
 
 
 class DiffNode:
@@ -674,7 +731,8 @@ class DiffNode:
             else:
                 out = self._advance(t)
                 if self._CKPT_OUT:
-                    out = out.localCheckpoint(eager=False)
+                    out = self.graph._tick_cut(
+                        out, bounded=self._delta_bounded())
                 if self._empty_tpl is None:
                     self._empty_tpl = self.graph.spark.createDataFrame(
                         [], out.schema)
@@ -747,10 +805,13 @@ class SourceNode(DiffNode):
                  else F.lit(1)).cast("long").alias(DIFF),
                 tcol.alias(TIME))
             # one shared lineage cut per batch: every consumer (output
-            # action, state chunks) reuses the same materialized blocks,
-            # so a nondeterministic source plan (sample/limit) cannot
-            # evaluate differently for the emitted delta vs the state
-            self._pending = d.localCheckpoint(eager=False)
+            # action, state chunks) sees the same bytes, so a
+            # nondeterministic source plan (sample/limit) cannot
+            # evaluate differently for the emitted delta vs the state.
+            # Steady micro-batches become driver-held LocalRelations
+            # (all downstream broadcasts of the delta then run job-free
+            # — see _tick_cut); wide batches keep the lazy checkpoint
+            self._pending = self.graph._tick_cut(d, feed=True)
 
     def _advance(self, t: int) -> DataFrame:
         return self._pending if self._pending is not None else self._template
@@ -1019,7 +1080,7 @@ def _emit_traced(node, old: DataFrame, new: DataFrame, t: int) -> DataFrame:
     out = consolidate(old.unionByName(new.select(*old.columns))) \
         .withColumn(TIME, F.lit(t))
     if node._out_state is not None:
-        out = out.localCheckpoint(eager=False)
+        out = node.graph._tick_cut(out, bounded=node._delta_bounded())
         node._out_state.update(out, wide=node.graph._wide_batch, cut=False)
     return out
 
@@ -1157,7 +1218,7 @@ class _WatermarkedNode(DiffNode):
         AFTER the advance (old_cut is what late-drop compares against).
         Exactly one retract/insert lands in the watermark store."""
         old_mx = consolidate(self._wm.get()).select("__mx")
-        old_mx = old_mx.localCheckpoint(eager=False)
+        old_mx = self.graph._tick_cut(old_mx)   # ≤1 row
         # old_cut must be a ONE-ROW frame even before any watermark
         # exists (empty frame × crossJoin would wipe the delta): the
         # aggregate yields a single NULL row, and NULL cuts compare
@@ -1165,7 +1226,7 @@ class _WatermarkedNode(DiffNode):
         old_mx_row = old_mx.agg(F.max("__mx").alias("__mx"))
         new_mx = (old_mx.unionByName(d.select(F.col(wm_col).alias("__mx")))
                   .agg(F.max("__mx").alias("__mx")))
-        new_mx = new_mx.localCheckpoint(eager=False)
+        new_mx = self.graph._tick_cut(new_mx)   # 1 row
         if isinstance(threshold, (int, float)):
             def cexpr(col):
                 return col - F.lit(threshold)
@@ -1238,7 +1299,10 @@ class _ForgetNode(_WatermarkedNode):
         out = (d_pass.drop(TIME)
                .unionByName(expired.select(*_data_cols(d_pass), DIFF))
                .withColumn(TIME, F.lit(t)))
-        out = out.localCheckpoint(eager=False)
+        # retract-mode forget is NOT delta-bounded (a watermark jump can
+        # expire a state-sized batch) — _tick_cut falls back to the
+        # lazy checkpoint on bounded=False
+        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
         self._rows.update(out, wide=self.graph._wide_batch, cut=False)
         return out
 
@@ -1415,7 +1479,7 @@ class _AsofNowNode(DiffNode):
         # +x/-x row pairs inside `frozen`; net them before freezing
         out = consolidate(frozen.unionByName(gone.select(*frozen.columns))) \
             .withColumn(TIME, F.lit(t))
-        out = out.localCheckpoint(eager=False)
+        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
         wide = self.graph._wide_batch
         self._trace.update(out, wide=wide, cut=False)
         if not db_e:
@@ -1614,6 +1678,10 @@ def _c(c) -> Column:
 # linear ones fold the weight in; order statistics ignore it
 _AGG_BUILDERS = {
     "sum": lambda c: F.sum(_c(c) * F.col(DIFF)),
+    # strict float sum (reference `reducers.sum(strict=True)`):
+    # recomputed from the group's full multiset on the slice path —
+    # same fold as "sum", but _acc_ok never takes the accumulator
+    "sum_strict": lambda c: F.sum(_c(c) * F.col(DIFF)),
     "count": lambda c: F.sum(DIFF),
     "min": lambda c: F.min(_c(c)),
     "max": lambda c: F.max(_c(c)),
@@ -1669,9 +1737,10 @@ class _ReduceNode(DiffNode):
         # so linear-only reduces skip the two slice-consolidate
         # shuffles per batch; order statistics (min/max/distinct/
         # argmin...) need the consolidated slice
-        self._linear = all(k in ("sum", "count", "avg")
+        self._linear = all(k in ("sum", "count", "avg", "sum_strict")
                            for k, _ in self.specs.values())
         self._strategy: str | None = None   # "acc" | "slice", set on 1st batch
+        self._float_accs: set[str] = set()  # acc specs on float columns
 
     # -- accumulator strategy (abelian-group reduce) ---------------------
     # For linear aggregates over EXACT (integral) columns the group's
@@ -1683,8 +1752,11 @@ class _ReduceNode(DiffNode):
     # never created, so a 100 TB input needs only |keys| rows of state.
     # Differential dataflow's reduce makes the same specialization for
     # abelian groups (`count`/`sum` operate on aggregates, not traces).
-    # Floats stay on the slice path: incremental += would drift from a
-    # batch recompute by summation-order ULPs; integer sums cannot.
+    # FLOAT sums take the accumulator too, with a Neumaier compensation
+    # term — exactly the reference's DEFAULT float-sum semantics
+    # (`src/engine/reduce.rs:209-256` FloatSumState: a running
+    # (sum, compensation) semigroup folded per update, NOT a per-group
+    # recompute; `strict=True` opts into the recompute, our slice path).
 
     def _acc_ok(self, delta: DataFrame) -> bool:
         from pyspark.sql import types as T
@@ -1692,40 +1764,117 @@ class _ReduceNode(DiffNode):
         if not self._linear:
             return False
         dtypes = {f.name: f.dataType for f in delta.schema.fields}
-        for _name, (k, a) in self.specs.items():
+        self._float_accs = set()
+        for name, (k, a) in self.specs.items():
             if k == "count":
                 continue
+            if k not in ("sum", "avg"):
+                return False       # sum_strict: per-group recompute
             col = a[0]
             if not isinstance(col, str):
                 return False       # expression arg: dtype unknown
             dt = dtypes.get(col)
-            if not isinstance(dt, (T.ByteType, T.ShortType,
-                                   T.IntegerType, T.LongType)):
-                return False
+            if isinstance(dt, (T.ByteType, T.ShortType,
+                               T.IntegerType, T.LongType)):
+                continue
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                self._float_accs.add(name)
+                continue
+            return False
         return True
 
     def _part_cols(self) -> list[str]:
-        return ["__pw_n"] + [f"__ps_{n}" for n, (k, _a) in self.specs.items()
-                             if k in ("sum", "avg")]
+        cols = ["__pw_n"]
+        for n, (k, _a) in self.specs.items():
+            if k in ("sum", "avg"):
+                cols.append(f"__ps_{n}")
+                if n in self._float_accs:
+                    cols.append(f"__pc_{n}")
+        return cols
 
     def _part_aggs(self) -> list[Column]:
         aggs = [F.sum(F.col(DIFF)).cast("long").alias("__pw_n")]
         for name, (k, a) in self.specs.items():
             if k in ("sum", "avg"):
-                aggs.append(F.sum(_c(a[0]) * F.col(DIFF)).cast("long")
-                            .alias(f"__ps_{name}"))
+                if name in self._float_accs:
+                    # the micro-batch's own partial folds in one Spark
+                    # SUM; compensation starts at 0 and accrues in the
+                    # per-tick merge step (reference folds per ROW —
+                    # both are compensated summations, neither is
+                    # bit-pinned to the other)
+                    aggs.append(F.sum(_c(a[0]) * F.col(DIFF))
+                                .cast("double").alias(f"__ps_{name}"))
+                    aggs.append(F.lit(0.0).alias(f"__pc_{name}"))
+                else:
+                    aggs.append(F.sum(_c(a[0]) * F.col(DIFF)).cast("long")
+                                .alias(f"__ps_{name}"))
         return aggs
+
+    def _merge_parts(self, acc_slice: DataFrame,
+                     d_parts: DataFrame) -> DataFrame:
+        """acc ⊕ delta, per key: exact long adds for integral partials;
+        one Neumaier compensation step for float sums (the reference's
+        `neumeier_summation_step`, `src/engine/reduce.rs:209-217`):
+          new_sum = s + v
+          delta_c = (s - new_sum) + v   if |s| > |v|
+                    (v - new_sum) + s   otherwise
+          new_c   = c_acc + c_delta + delta_c"""
+        parts = self._part_cols()
+        on = list(self.keys)
+        # tagged union + ONE groupBy (a full-outer join would cost two
+        # exchanges + sorts for rows that are ≤2 per key by construction)
+        u = (acc_slice.select(*_ccs(on), *_ccs(parts),
+                              F.lit(0).alias("__src"))
+             .unionByName(d_parts.select(*_ccs(on), *_ccs(parts),
+                                         F.lit(1).alias("__src"))))
+        aggs = [F.sum("__pw_n").cast("long").alias("__pw_n")]
+        for name, (k, _a) in self.specs.items():
+            if k not in ("sum", "avg"):
+                continue
+            ps, pc = f"__ps_{name}", f"__pc_{name}"
+            if name in self._float_accs:
+                # split the (single) acc row's sum from the delta's so
+                # the compensation step can order its operands
+                aggs.append(F.sum(F.when(F.col("__src") == 0,
+                                         F.col(ps))).alias(f"__as_{name}"))
+                aggs.append(F.sum(F.when(F.col("__src") == 1,
+                                         F.col(ps))).alias(f"__ds_{name}"))
+                aggs.append(F.sum(pc).alias(f"__c_{name}"))
+            else:
+                aggs.append(F.sum(ps).cast("long").alias(ps))
+        g = u.groupBy(*_ccs(on)).agg(*aggs)
+        exprs = [_cc("__pw_n")]
+        for name, (k, _a) in self.specs.items():
+            if k not in ("sum", "avg"):
+                continue
+            ps, pc = f"__ps_{name}", f"__pc_{name}"
+            if name in self._float_accs:
+                s = F.coalesce(F.col(f"__as_{name}"), F.lit(0.0))
+                v = F.coalesce(F.col(f"__ds_{name}"), F.lit(0.0))
+                c0 = F.coalesce(F.col(f"__c_{name}"), F.lit(0.0))
+                ns = s + v
+                dc = F.when(F.abs(s) > F.abs(v),
+                            (s - ns) + v).otherwise((v - ns) + s)
+                exprs.append(ns.alias(ps))
+                exprs.append((c0 + dc).alias(pc))
+            else:
+                exprs.append(_cc(ps))
+        return g.select(*_ccs(on), *exprs)
 
     def _finals(self) -> list[Column]:
         out = []
         for name, (k, _a) in self.specs.items():
             if k == "count":
                 out.append(F.col("__pw_n").alias(name))
-            elif k == "sum":
-                out.append(F.col(f"__ps_{name}").alias(name))
-            else:   # avg — same long/long division as _AGG_BUILDERS
-                out.append((F.col(f"__ps_{name}") / F.col("__pw_n"))
-                           .alias(name))
+                continue
+            base = F.col(f"__ps_{name}")
+            if name in self._float_accs:
+                # finish(): sum + compensation (reduce.rs:277-283)
+                base = base + F.col(f"__pc_{name}")
+            if k == "sum":
+                out.append(base.alias(name))
+            else:   # avg — same division dtype as _AGG_BUILDERS
+                out.append((base / F.col("__pw_n")).alias(name))
         return out
 
     def _advance_acc(self, delta: DataFrame, t: int) -> DataFrame:
@@ -1748,14 +1897,10 @@ class _ReduceNode(DiffNode):
         else:
             keys = None
             acc_slice = consolidate(self._acc.get())
-        merged = (acc_slice.select(*_ccs(self.keys), *_ccs(parts))
-                  .unionByName(
-                      d_parts.select(*_ccs(self.keys), *_ccs(parts))))
-        comb = merged.groupBy(*self.keys).agg(
-            *[F.sum(c).cast("long").alias(c) for c in parts])
+        comb = self._merge_parts(acc_slice, d_parts)
         # one shared cut: the acc chunk and the emitted finals must see
         # the same combined bytes
-        comb = comb.localCheckpoint(eager=False)
+        comb = self.graph._tick_cut(comb, bounded=self._delta_bounded())
         new_acc = comb.filter(F.col("__pw_n") != 0)
         new_out = new_acc.select(*_ccs(self.keys), *self._finals(),
                                  _one_l().alias(DIFF))
@@ -1778,7 +1923,7 @@ class _ReduceNode(DiffNode):
         self._acc.update(acc_delta, wide=wide)
         out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
-        out = out.localCheckpoint(eager=False)
+        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
         self._out_state.update(out, wide=wide, cut=False)
         return out
 
@@ -1868,7 +2013,7 @@ class _ReduceNode(DiffNode):
         # one shared lineage cut: the returned delta and the output-trace
         # chunk must be the SAME bytes (a second evaluation could differ
         # by a ULP again, re-opening the hole this trace closes)
-        out = out.localCheckpoint(eager=False)
+        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
         self._out_state.update(out, wide=self.graph._wide_batch, cut=False)
         return out
 
@@ -1943,10 +2088,19 @@ class DifferentialGraph:
     # re-apply aqe=false/partitions=4 forever
     _SAVED_CONF_ATTR = "_pw_steady_saved_confs"
 
+    # steady-state per-tick frames at or under this row count are
+    # materialized as driver-held LocalRelations instead of lazily
+    # checkpointed RDDs (see _tick_cut); above it the RDD path is kept.
+    # Bounded by construction: only micro-batch-bounded deltas qualify,
+    # and state BASES never go through this (they stay distributed).
+    LOCAL_CUT_MAX_ROWS = 100_000
+
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
                  state_dir: str | None = None, tune_steady_confs: bool = True,
-                 truncate_every: int = 1):
+                 truncate_every: int = 1, local_tick_cut: bool = True):
         self.spark = spark
+        self.local_tick_cut = local_tick_cut
+        self.local_cut_outs = False
         # how often (in steps) jobs run with all-marked-ancestor
         # truncation: 1 = every step (default — wide serving graphs
         # grow plan/lineage steeply inside any window; measured: the
@@ -2040,7 +2194,9 @@ class DifferentialGraph:
                     if self.state_dir is not None else None)
         st = _StateStore(self.spark, template, self.checkpoint_every, path,
                          restore_version=self._restore_vers.get(key),
-                         phase=idx, key_cols=key_cols)
+                         phase=idx, key_cols=key_cols,
+                         local_collect=(self._local_rows
+                                        if self.local_tick_cut else None))
         st._meta_key = key
         self._stores.append(st)
         return st
@@ -2053,6 +2209,90 @@ class DifferentialGraph:
             yield
         finally:
             self._store_ns = prev
+
+    def _local_cut(self, df: DataFrame) -> DataFrame | None:
+        """Materialize a small per-tick frame as a DRIVER-HELD
+        LocalRelation — the engine's stand-in for the reference's
+        resident differential arrangements (`src/engine/dataflow.rs`
+        applies deltas in-memory; Spark's unit of in-driver data is the
+        LocalRelation leaf).
+
+        Versus the lazy localCheckpoint this replaces on steady ticks:
+        - every downstream BROADCAST of the frame (or of key/touched
+          frames derived from it) builds its hash relation driver-side
+          with NO Spark job — the per-tick broadcast-collect jobs that
+          dominated the tick floor disappear;
+        - consuming plans carry a LocalRelation leaf instead of an RDD
+          scan: narrow transforms over it constant-fold driver-side
+          (ConvertToLocalRelation) and lineage is cut absolutely — no
+          RDD graph to truncate or re-serialize;
+        - the collected values ARE the bytes: rescans cannot redraw
+          nondeterministic expressions, so cut=False state appends stay
+          sound even without a checkpoint.
+
+        The collect runs through `executeCollectPublic` (plain JVM rows,
+        skipping the per-action SQLExecution bookkeeping) and the rows
+        never cross into Python — py4j moves only object handles.
+        Returns None (caller falls back to localCheckpoint) when the
+        result exceeds LOCAL_CUT_MAX_ROWS or any step fails."""
+        jl = self._local_rows(df)
+        if jl is None:
+            return None
+        try:
+            njdf = self.spark._jsparkSession.createDataFrame(
+                jl, df._jdf.schema())
+            return DataFrame(njdf, self.spark)
+        except Exception:
+            return None
+
+    def _local_rows(self, df: DataFrame, *, folded_only: bool = False):
+        """Collect a small frame's rows as a JVM List[Row] (handles
+        only — nothing crosses into Python), or None when the result
+        exceeds LOCAL_CUT_MAX_ROWS or execution fails.  With
+        `folded_only`, refuse (return None) unless the optimized plan
+        IS a LocalRelation, i.e. the collect runs driver-side with no
+        Spark job — the state-chunk merge gate."""
+        if not self.local_tick_cut:
+            return None
+        try:
+            qe = df._jdf.queryExecution()
+            if folded_only and qe.optimizedPlan().getClass() \
+                    .getSimpleName() != "LocalRelation":
+                # caller only wants a JOB-FREE collect (the plan must
+                # constant-fold driver-side — narrow transforms over
+                # already-local frames); anything else would silently
+                # add a Spark job per call site per tick
+                return None
+            arr = qe.executedPlan().executeCollectPublic()
+            if len(arr) > self.LOCAL_CUT_MAX_ROWS:
+                return None
+            jvm = self.spark._jvm
+            return jvm.scala.collection.JavaConverters.seqAsJavaList(
+                jvm.scala.Predef.genericWrapArray(arr))
+        except Exception:
+            return None
+
+    def _tick_cut(self, df: DataFrame, *, bounded: bool = True,
+                  feed: bool = False) -> DataFrame:
+        """The per-tick lineage cut: a driver-held LocalRelation for
+        provably micro-batch-bounded frames on steady ticks, a lazy
+        localCheckpoint otherwise (wide batches, unbounded deltas —
+        forget expiries / buffer releases — or an oversized result).
+
+        Only SOURCE feeds localize eagerly by default (one small job
+        that makes every downstream broadcast of the delta job-free);
+        interior node outputs keep the lazy checkpoint so the whole
+        tick still executes as ONE fused action — eagerly collecting
+        each interior frame re-runs its subtree as a separate job per
+        site per tick (measured slower).  `local_cut_outs` flips the
+        interior sites too, for shapes whose outputs are cheaper to
+        hold driver-side than to re-plan."""
+        if (self._wide_batch or not bounded or not self.local_tick_cut):
+            return df.localCheckpoint(eager=False)
+        if not (feed or self.local_cut_outs):
+            return df.localCheckpoint(eager=False)
+        loc = self._local_cut(df)
+        return loc if loc is not None else df.localCheckpoint(eager=False)
 
     def _apply_steady_confs(self) -> None:
         if getattr(self.spark, self._SAVED_CONF_ATTR, None) is None:

@@ -215,3 +215,52 @@ def test_commit_vacuum_retains_previous_committed_version(spark, tmp_path):
                                                   "k string, v long"))
     snap = _rows(d.filter(F.col(DIFF) > 0), "k", "total")
     assert snap == [("a", 16)]
+
+
+def test_float_sum_accumulator_neumaier(spark):
+    """Reference-parity float sum (round 8): the differential reduce
+    keeps a RUNNING Neumaier-compensated (sum, compensation) per key —
+    `src/engine/reduce.rs:209-256` FloatSumState — instead of
+    recomputing the group.  Retraction folds with weight -1; the
+    compensated total must match the exact (Fraction) sum to within
+    1 ULP even when a large value transits the group, where a naive
+    running sum loses the small addend entirely."""
+    from fractions import Fraction
+    import math
+
+    from pathway_spark.streaming.differential import (
+        DIFF, DifferentialGraph,
+    )
+
+    g = DifferentialGraph(spark)
+    src = g.source("t", spark.createDataFrame([], "k string, v double"))
+    node = src.reduce(["k"], total=("sum", "v"))
+    cl = None
+    live = []
+
+    def step(rows, diff=1):
+        nonlocal cl
+        df = spark.createDataFrame(rows, "k string, v double")
+        if diff != 1:
+            df = df.withColumn(DIFF, F.lit(diff))
+        (d,) = g.step(node, t=df)
+        d = d.localCheckpoint(True)
+        cl = d if cl is None else cl.unionByName(d)
+        for r in rows:
+            if diff == 1:
+                live.append(r[1])
+            else:
+                live.remove(r[1])
+
+    step([("a", 0.1), ("a", 0.2)])
+    step([("a", 1e16)])          # swallows the small part in a naive sum
+    step([("a", 0.3), ("a", 0.4)])
+    step([("a", 1e16)], diff=-1)  # retract the big value
+    assert node._strategy == "acc" and node._float_accs == {"total"}
+    (got,) = DifferentialGraph.integrate(cl).collect()
+    exact = float(sum(Fraction(v) for v in live))
+    assert math.isclose(got["total"], exact, rel_tol=1e-15), \
+        (got["total"], exact)
+    # compensation actually mattered: the naive fold loses 0.1+0.2
+    naive = ((0.1 + 0.2) + 1e16 + 0.3 + 0.4) - 1e16
+    assert abs(naive - exact) > abs(got["total"] - exact)

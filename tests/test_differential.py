@@ -944,21 +944,26 @@ def test_reduce_retractions_are_bytewise_exact_from_output_trace(spark):
 def test_reduce_accumulator_strategy_selection(spark):
     """Linear reduces over integral columns take the abelian-group
     accumulator path (state = one partial-sum row per key, no input
-    multiset store); float sums stay on slice-recompute so integration
-    remains bit-equal to a batch recompute."""
+    multiset store).  Float sums take it too — with a Neumaier
+    compensation term, the reference's DEFAULT float-sum semantics
+    (`src/engine/reduce.rs:209-256` FloatSumState) — while
+    `strict=True` (spec kind "sum_strict", reference FloatSumReducer)
+    keeps the per-group slice recompute."""
     tpl_long = spark.createDataFrame([], "k string, v long")
     tpl_dbl = spark.createDataFrame([], "k string, v double")
     g = DifferentialGraph(spark)
     n_long = g.source("a", tpl_long).reduce(
         ["k"], s=("sum", "v"), n=("count",), m=("avg", "v"))
     n_dbl = g.source("b", tpl_dbl).reduce(["k"], s=("sum", "v"))
+    n_strict = g.source("b", tpl_dbl).reduce(["k"], s=("sum_strict", "v"))
     n_minmax = g.source("a", tpl_long).reduce(["k"], mx=("max", "v"))
-    g.step([n_long, n_dbl, n_minmax],
+    g.step([n_long, n_dbl, n_strict, n_minmax],
            a=spark.createDataFrame([("x", 1)], tpl_long.schema),
            b=spark.createDataFrame([("x", 1.0)], tpl_dbl.schema))
     assert n_long._strategy == "acc"
     assert n_long._state is None and n_long._acc is not None
-    assert n_dbl._strategy == "slice" and n_dbl._acc is None
+    assert n_dbl._strategy == "acc" and n_dbl._float_accs == {"s"}
+    assert n_strict._strategy == "slice" and n_strict._acc is None
     assert n_minmax._strategy == "slice"
 
 

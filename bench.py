@@ -125,21 +125,40 @@ def main() -> None:
     cust = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
             .select("c_custkey", "c_nationkey")
             .withColumnRenamed("c_custkey", "o_custkey"))
-    g = DifferentialGraph(spark)
-    src_o = g.source("orders", orders)
-    src_c = g.source("customer", cust)
-    diff_out = src_o.join(src_c, on=["o_custkey"]).reduce(
-        ["c_nationkey"], revenue=("sum", "o_totalprice"), n=("count",))
-    (d0,) = g.step(diff_out, orders=orders, customer=cust)
-    d0.localCheckpoint(eager=True)          # initial load, not timed
     delta_base = orders.limit(1000).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    for i in range(5):
-        delta = delta_base.withColumn(
-            "o_orderkey", SF.col("o_orderkey") + SF.lit((i + 1) * 10_000_000))
-        (d,) = g.step(diff_out, orders=delta)
-        d.localCheckpoint(eager=True)
-    timings["diff_join_reduce_5x1k"] = round(time.perf_counter() - t0, 3)
+
+    def join_reduce_ticks(sum_kind: str) -> float:
+        """Initial load (untimed) + 2 priming ticks (untimed — the
+        first steady ticks pay JVM JIT of the interpreted-eval and
+        planner paths) + 5 timed 1k-row delta ticks."""
+        g = DifferentialGraph(spark)
+        src_o = g.source("orders", orders)
+        src_c = g.source("customer", cust)
+        diff_out = src_o.join(src_c, on=["o_custkey"]).reduce(
+            ["c_nationkey"], revenue=(sum_kind, "o_totalprice"),
+            n=("count",))
+        (d0,) = g.step(diff_out, orders=orders, customer=cust)
+        d0.localCheckpoint(eager=True)      # initial load, not timed
+        for i in (90, 91):                  # prime steady path, untimed
+            warm = delta_base.withColumn(
+                "o_orderkey", SF.col("o_orderkey") + SF.lit(i * 10_000_000))
+            (d,) = g.step(diff_out, orders=warm)
+            d.localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        for i in range(5):
+            delta = delta_base.withColumn(
+                "o_orderkey",
+                SF.col("o_orderkey") + SF.lit((i + 1) * 10_000_000))
+            (d,) = g.step(diff_out, orders=delta)
+            d.localCheckpoint(eager=True)
+        return round(time.perf_counter() - t0, 3)
+
+    # sum_strict = the per-group slice recompute every round has
+    # measured so far (r1-r7 comparable); plain sum = the NEW default
+    # O(delta) Neumaier-compensated accumulator (reference float-sum
+    # semantics) — tracked as its own line
+    timings["diff_join_reduce_5x1k"] = join_reduce_ticks("sum_strict")
+    timings["diff_join_reduce_acc_5x1k"] = join_reduce_ticks("sum")
 
     # incremental CC on a power-law graph with ONE giant component:
     # 4 steady batches of intra-component inserts + non-bridge deletes.
@@ -166,6 +185,11 @@ def main() -> None:
     (c1,) = gcc.step(cc_out, e=spark.createDataFrame(
         cyc, "u long, v long"))
     c1.localCheckpoint(eager=True)              # warm-up batch, not timed
+    for w in range(2):                          # prime steady path, untimed
+        wb = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
+        (cw,) = gcc.step(cc_out, e=spark.createDataFrame(
+            wb, "u long, v long"))
+        cw.localCheckpoint(eager=True)
     t0 = time.perf_counter()
     for i in range(4):
         ins = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
@@ -196,13 +220,20 @@ def main() -> None:
               .reduce(["w"], n=("count",)))
     batch_rows = 500
     all_rows = docs_txt.limit(21 * batch_rows).localCheckpoint(eager=True)
-    (w0,) = gwc.step(wc_out, docs=all_rows.filter(
-        SF.col("doc_id") % 21 == 0))          # priming batch, untimed
-    w0.localCheckpoint(eager=True)
+    # 4 priming batches (untimed), then 100 timed batches so p99 is a
+    # real percentile, not the max of 20 samples (round-7 verdict #6).
+    # Batches cycle through 20 distinct row sets with shifted doc_ids —
+    # fixed-size inserts, fresh keys, steady-state shape throughout.
+    for i in range(4):
+        b = all_rows.filter(SF.col("doc_id") % 21 == 20 - i) \
+            .localCheckpoint(eager=True)
+        (d,) = gwc.step(wc_out, docs=b)
+        d.localCheckpoint(eager=True)
     lats = []
-    for i in range(1, 21):
-        b = all_rows.filter(SF.col("doc_id") % 21 == i) \
-            .localCheckpoint(eager=True)      # batch ready BEFORE t0
+    for i in range(100):
+        b = (all_rows.filter(SF.col("doc_id") % 21 == (i % 20))
+             .withColumn("doc_id", SF.col("doc_id") + SF.lit((i + 1) * 10**9))
+             .localCheckpoint(eager=True))    # batch ready BEFORE t0
         t0 = time.perf_counter()
         (d,) = gwc.step(wc_out, docs=b)
         d.localCheckpoint(eager=True)
@@ -210,7 +241,7 @@ def main() -> None:
     gwc.restore_session_confs()
     lats.sort()
     timings["stream_latency_p50"] = round(lats[len(lats) // 2], 3)
-    timings["stream_latency_p99"] = round(lats[-1], 3)
+    timings["stream_latency_p99"] = round(lats[98], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

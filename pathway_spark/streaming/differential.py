@@ -342,6 +342,41 @@ class _StateStore:
         if (self._ticks + self._phase) % self._every == 0:
             self.compact(eager=False)
 
+    def update_legs(self, legs: Sequence[DataFrame], *, wide: bool = False,
+                    positive: bool = False, cut: bool = True) -> None:
+        """update() for a delta given as separate legs (e.g. a -old
+        retraction leg and a +new insertion leg).  Catalyst does not
+        constant-fold a Union of LocalRelations, so merging the legs
+        one by one keeps the driver-side (job-free) pending path open
+        when each leg folds on its own; any non-folding leg falls the
+        whole update back to the classic single-chunk append."""
+        legs = [lg for lg in legs if lg is not None]
+        if len(legs) == 1:
+            return self.update(legs[0], wide=wide, positive=positive,
+                               cut=cut)
+        if not wide and self._local is not None:
+            ds = [lg.select(*_ccs(c for c in self._cols if c != DIFF),
+                            _expr_cached("diff_long",
+                                         lambda: F.col(DIFF).cast("long")
+                                         .alias(DIFF)))
+                  for lg in legs]
+            rows = [self._local(d, folded_only=True) for d in ds]
+            pend = self._pend_rows.size() if self._pend_rows is not None \
+                else 0
+            if (all(r is not None for r in rows)
+                    and pend + sum(r.size() for r in rows)
+                    <= DifferentialGraph.LOCAL_CUT_MAX_ROWS):
+                if not positive:
+                    self._pair_free = False
+                for r in rows:
+                    self._merge_rows(r)
+                self._tick_done()
+                return
+        u = legs[0]
+        for lg in legs[1:]:
+            u = u.unionByName(lg.select(*u.columns))
+        self.update(u, wide=wide, positive=positive, cut=cut)
+
     def _merge_local(self, d: DataFrame) -> bool:
         """Fold a steady-state delta chunk into the single driver-held
         pending LocalRelation.  Keeps the state scan's plan shape
@@ -355,12 +390,15 @@ class _StateStore:
         jl = self._local(d, folded_only=True)
         if jl is None:
             return False
-        jvm = self._spark._jvm
-        if self._pend_rows is None:
-            self._pend_rows = jvm.java.util.ArrayList()
-        if self._pend_rows.size() + jl.size() > \
-                DifferentialGraph.LOCAL_CUT_MAX_ROWS:
+        pend = self._pend_rows.size() if self._pend_rows is not None else 0
+        if pend + jl.size() > DifferentialGraph.LOCAL_CUT_MAX_ROWS:
             return False
+        self._merge_rows(jl)
+        return True
+
+    def _merge_rows(self, jl) -> None:
+        if self._pend_rows is None:
+            self._pend_rows = self._spark._jvm.java.util.ArrayList()
         self._pend_rows.addAll(jl)
         # createDataFrame copies the rows EAGERLY (verified), so frames
         # built from the previous pending still see their old data and
@@ -369,7 +407,6 @@ class _StateStore:
             self._spark._jsparkSession.createDataFrame(
                 self._pend_rows, self._jschema),
             self._spark)
-        return True
 
     def _clear_pending(self) -> None:
         self._pend_rows = None
@@ -756,6 +793,7 @@ class SourceNode(DiffNode):
         self._pending: DataFrame | None = None
         self._fed_t: int | None = None   # batch the last real feed was for
         self._ins_only = True   # sticky: False once a fed delta carries DIFF
+        self._local_refuse = 0   # consecutive oversized-localization skips
 
     def _empty_at(self, t: int) -> bool:
         return self._fed_t != t
@@ -810,8 +848,21 @@ class SourceNode(DiffNode):
             # evaluate differently for the emitted delta vs the state.
             # Steady micro-batches become driver-held LocalRelations
             # (all downstream broadcasts of the delta then run job-free
-            # — see _tick_cut); wide batches keep the lazy checkpoint
-            self._pending = self.graph._tick_cut(d, feed=True)
+            # — see _tick_cut); wide batches keep the lazy checkpoint.
+            # Three consecutive refusals (oversized rows — e.g. full-
+            # text documents) stop the attempts: a refused localization
+            # already paid its collect, so probing every tick forever
+            # would add a wasted job per batch.
+            if self.graph._wide_batch or self._local_refuse >= 3:
+                self._pending = d.localCheckpoint(eager=False)
+            else:
+                loc = self.graph._local_cut(d)
+                if loc is None:
+                    self._local_refuse += 1
+                    self._pending = d.localCheckpoint(eager=False)
+                else:
+                    self._local_refuse = 0
+                    self._pending = loc
 
     def _advance(self, t: int) -> DataFrame:
         return self._pending if self._pending is not None else self._template
@@ -1897,10 +1948,16 @@ class _ReduceNode(DiffNode):
         else:
             keys = None
             acc_slice = consolidate(self._acc.get())
+        bounded = self._delta_bounded()
+        # NOTE (r8, measured): eagerly localizing acc_slice/comb/out
+        # (one collect job each) was tried and REVERTED — in local mode
+        # a PySpark job costs ~100-150 ms end-to-end regardless of
+        # size, so 3 extra tiny jobs lose to 2 lazy checkpoints whose
+        # materialization fuses into the tick's single action.
         comb = self._merge_parts(acc_slice, d_parts)
         # one shared cut: the acc chunk and the emitted finals must see
         # the same combined bytes
-        comb = self.graph._tick_cut(comb, bounded=self._delta_bounded())
+        comb = self.graph._tick_cut(comb, bounded=bounded)
         new_acc = comb.filter(F.col("__pw_n") != 0)
         new_out = new_acc.select(*_ccs(self.keys), *self._finals(),
                                  _one_l().alias(DIFF))
@@ -1913,17 +1970,18 @@ class _ReduceNode(DiffNode):
                                  how="left_semi")
         old_out = consolidate(otrace).withColumn(DIFF, -_cc(DIFF))
         wide = self.graph._wide_batch
-        acc_delta = (acc_slice.select(
-                         *_ccs(self.keys), *_ccs(parts),
-                         _expr_cached("litm1l", lambda: F.lit(-1)
-                                      .cast("long").alias(DIFF)))
-                     .unionByName(new_acc.select(
-                         *_ccs(self.keys), *_ccs(parts),
-                         _one_l().alias(DIFF))))
-        self._acc.update(acc_delta, wide=wide)
+        # two legs, each a narrow select over a LOCALIZED frame — the
+        # store merges them driver-side with no chunk checkpoint
+        self._acc.update_legs(
+            [acc_slice.select(*_ccs(self.keys), *_ccs(parts),
+                              _expr_cached("litm1l", lambda: F.lit(-1)
+                                           .cast("long").alias(DIFF))),
+             new_acc.select(*_ccs(self.keys), *_ccs(parts),
+                            _one_l().alias(DIFF))],
+            wide=wide)
         out = consolidate(old_out.unionByName(new_out)) \
             .withColumn(TIME, F.lit(t))
-        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
+        out = self.graph._tick_cut(out, bounded=bounded)
         self._out_state.update(out, wide=wide, cut=False)
         return out
 
@@ -2088,12 +2146,19 @@ class DifferentialGraph:
     # re-apply aqe=false/partitions=4 forever
     _SAVED_CONF_ATTR = "_pw_steady_saved_confs"
 
-    # steady-state per-tick frames at or under this row count are
+    # steady-state per-tick frames at or under these bounds are
     # materialized as driver-held LocalRelations instead of lazily
-    # checkpointed RDDs (see _tick_cut); above it the RDD path is kept.
-    # Bounded by construction: only micro-batch-bounded deltas qualify,
-    # and state BASES never go through this (they stay distributed).
+    # checkpointed RDDs (see _tick_cut); above them the RDD path is
+    # kept.  Bounded by construction: only micro-batch-bounded deltas
+    # qualify, and state BASES never go through this (they stay
+    # distributed).  The BYTE cap matters as much as the row cap:
+    # LocalRelation data rides inline in every consuming plan (analyzer
+    # copies, per-stage task binaries), so a 500-row batch of full-text
+    # documents (~MBs) measurably SLOWS ticks if localized — wide-row
+    # feeds keep the RDD checkpoint (measured: wordcount latency p50
+    # 0.72s -> 1.05s when text batches were localized).
     LOCAL_CUT_MAX_ROWS = 100_000
+    LOCAL_CUT_MAX_BYTES = 512 * 1024
 
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
                  state_dir: str | None = None, tune_steady_confs: bool = True,
@@ -2267,6 +2332,9 @@ class DifferentialGraph:
             if len(arr) > self.LOCAL_CUT_MAX_ROWS:
                 return None
             jvm = self.spark._jvm
+            if len(arr) and jvm.org.apache.spark.util.SizeEstimator \
+                    .estimate(arr) > self.LOCAL_CUT_MAX_BYTES:
+                return None
             return jvm.scala.collection.JavaConverters.seqAsJavaList(
                 jvm.scala.Predef.genericWrapArray(arr))
         except Exception:

@@ -173,9 +173,9 @@ class _StateStore:
 
     def __init__(self, spark: SparkSession, template: DataFrame,
                  checkpoint_every: int = 8, path: str | None = None,
-                 restore_version: int | None = None, phase: int = 0,
+                 restore_version=None, phase: int = 0,
                  key_cols: list[str] | None = None,
-                 local_collect=None):
+                 local_collect=None, backend=None):
         self._key_cols = list(key_cols) if key_cols else None
         # graph-supplied collector: returns a (size-capped) JVM row
         # list of a small frame, or None.  When set, steady-state delta
@@ -208,22 +208,19 @@ class _StateStore:
         # so one batch never pays every store's full-state consolidate
         self._phase = phase % self._every
         self._ticks = 0
-        self._path = path
-        self._ver = 0
-        if path is not None:
+        # storage backend: an explicit backend object (graph-supplied —
+        # POSIX or Hadoop-URI, see state_backend.py), or one wrapped
+        # around a plain local `path`
+        if backend is None and path is not None:
+            from .state_backend import LocalStoreBackend
+            backend = LocalStoreBackend(path)
+        self._bk = backend
+        self._ver_ord = 0          # committed version ordinal
+        self._ver_token = None     # committed version token (dir name)
+        if self._bk is not None:
             self._load_version(restore_version)
 
-    def _versions(self) -> list[int]:
-        import os
-        if self._path is None or not os.path.isdir(self._path):
-            return []
-        out = []
-        for d in os.listdir(self._path):
-            if d.startswith("v") and d[1:].isdigit():
-                out.append(int(d[1:]))
-        return sorted(out)
-
-    def _load_version(self, want: int | None) -> None:
+    def _load_version(self, want) -> None:
         """Load the version the graph's committed meta recorded (never
         blindly the newest: a crash between a store's flush and the
         meta write must roll back to the committed one, or replayed
@@ -231,17 +228,20 @@ class _StateStore:
 
         `want is None` means NO commit ever recorded this store — any
         v* dirs on disk are uncommitted leftovers of a crash before the
-        first `_meta.json` write, so the store starts EMPTY (loading
-        vers[-1] here would double-count the replay of batch 0)."""
+        first meta commit, so the store starts EMPTY (loading the
+        newest here would double-count the replay of batch 0).
+        `want` is a version TOKEN (dir name; pre-r8 local metas stored
+        bare ordinals, which the local backend still resolves)."""
         if want is None or want == 0:
             return  # never committed (or committed pre-first-flush)
-        vers = self._versions()
-        if want not in vers:
+        if not self._bk.exists(want):
             raise RuntimeError(
-                f"state dir {self._path} lacks committed version "
-                f"v{want:08d} (found {vers}); cannot resume safely")
-        self._ver = want
-        base = self._spark.read.parquet(f"{self._path}/v{self._ver:08d}")
+                f"state dir {self._bk.path} lacks committed version "
+                f"{want!r} (found {self._bk.list_versions()}); cannot "
+                "resume safely")
+        self._ver_ord = self._bk.ordinal(want)
+        self._ver_token = want
+        base = self._spark.read.parquet(self._bk.uri(want))
         if "__pw_bucket" in base.columns:
             # bucket-partitioned (large) versions keep __pw_bucket on
             # the base chunk so probe pruning can filter the scan
@@ -446,60 +446,47 @@ class _StateStore:
         URI-schemed state dirs): small/empty states write one plain
         coalesced file; large states write the hash-bucketed layout so
         restored probes prune file groups (the 100 TB path)."""
-        if self._path is None:
+        if self._bk is None:
             self.compact()
             return
-        import os
-        import uuid
-
         full = consolidate(self.get()).localCheckpoint(eager=True)
         cnt = full.count()   # one job per store per COMMIT (rare)
-        # ACID publication protocol (the transactional backend the
-        # 100 TB design doc reserves for Delta/Iceberg, realized here
-        # over plain parquet + POSIX rename):
-        #   1. the version's data is fully written to a hidden staging
-        #      directory nobody reads (readers only follow v* names);
-        #   2. one atomic directory RENAME publishes it — a crash
-        #      leaves either no v-dir or a complete one, never a torn
-        #      write;
-        #   3. the version NUMBER is claimed by the rename itself: if a
-        #      concurrent writer/compactor already published it, the
-        #      rename fails and this writer retries with the next
-        #      number (optimistic concurrency, Delta-style);
-        #   4. a version only becomes THE committed one when the
-        #      graph's meta (also swapped atomically) references it —
-        #      readers load exactly the referenced version, so stray
-        #      uncommitted versions are harmless garbage.
+        # ACID publication protocol (see state_backend.py for both the
+        # POSIX rename-claim and the object-store rename-free variants):
+        #   1. the version's data is fully written where no reader
+        #      looks (staging dir locally; a uuid-unique final dir on
+        #      object stores, invisible until its _SUCCESS lands);
+        #   2. the backend's `publish` makes it atomically visible and
+        #      resolves concurrent-writer collisions (rename claim /
+        #      unique names);
+        #   3. a version only becomes THE committed one when the
+        #      graph's meta (atomic swap / append-log PUT) references
+        #      its token — readers load exactly the referenced version,
+        #      so stray uncommitted versions are harmless garbage.
         bucketed = bool(self._key_cols) and cnt > self.SMALL_STATE_ROWS
-        stage = f"{self._path}/.staging-{uuid.uuid4().hex}"
+
+        def write_fn(dest: str) -> None:
+            if bucketed:
+                # hash-bucketed layout: probes after restore prune to
+                # the touched buckets instead of scanning every file
+                (full.withColumn("__pw_bucket",
+                                 self._bucket(full, self._key_cols))
+                     .write.mode("overwrite").partitionBy("__pw_bucket")
+                     .parquet(dest))
+            elif cnt <= self.SMALL_STATE_ROWS:
+                full.coalesce(1).write.mode("overwrite").parquet(dest)
+            else:
+                # large KEYLESS state: no bucket column to prune by,
+                # but funneling it through one task per commit is slow
+                # and an executor-OOM risk — keep the write parallel
+                full.write.mode("overwrite").parquet(dest)
+
+        self._ver_ord, self._ver_token = self._bk.publish(
+            self._ver_ord + 1, write_fn)
         if bucketed:
-            # hash-bucketed layout: probes after restore prune to the
-            # touched buckets instead of scanning every file
-            (full.withColumn("__pw_bucket",
-                             self._bucket(full, self._key_cols))
-                 .write.mode("overwrite").partitionBy("__pw_bucket")
-                 .parquet(stage))
-        elif cnt <= self.SMALL_STATE_ROWS:
-            full.coalesce(1).write.mode("overwrite").parquet(stage)
-        else:
-            # large KEYLESS state: no bucket column to prune by, but
-            # funneling it through one task per commit is slow and an
-            # executor-OOM risk — keep the write parallel
-            full.write.mode("overwrite").parquet(stage)
-        want = self._ver + 1
-        while True:
-            dest = f"{self._path}/v{want:08d}"
-            try:
-                os.rename(stage, dest)
-                break
-            except OSError:
-                if not os.path.isdir(dest):
-                    raise     # not a version collision — real IO error
-                want += 1     # another writer claimed it: take the next
-        self._ver = want
-        if bucketed:
-            self._chunks = [self._spark.read.parquet(dest)
-                                .select(*self._cols, "__pw_bucket")]
+            self._chunks = [
+                self._spark.read.parquet(self._bk.uri(self._ver_token))
+                    .select(*self._cols, "__pw_bucket")]
         else:
             # keep serving from the already-materialized checkpoint —
             # lineage-free like the parquet re-read, but a LogicalRDD
@@ -509,62 +496,51 @@ class _StateStore:
         self._pair_free = True
 
     def vacuum(self, *, below: int) -> None:
-        """Drop published versions strictly below `below` — called by
-        `DifferentialGraph.commit` AFTER the atomic meta swap with the
-        newly committed version number, so the committed version (and
-        anything a concurrent compactor published above it) always
-        survives; a crash between flush and meta swap leaves the
-        previously committed version untouched.  Removal races with a
-        concurrent maintenance process are benign (rmtree ignores
-        already-gone trees; readers resolve versions through the
-        committed meta, never by directory listing)."""
-        import shutil
-        for v in self._versions():
-            if v < below:
-                shutil.rmtree(f"{self._path}/v{v:08d}",
-                              ignore_errors=True)
+        """Drop published versions with ordinal strictly below `below`
+        — called by `DifferentialGraph.commit` AFTER the meta commit,
+        with `below` = the PREVIOUS commit's ordinal, so both the new
+        and the prior committed versions (and anything a concurrent
+        compactor published above them) always survive; a crash
+        between flush and meta commit leaves the previously committed
+        version untouched.  Removal races with a concurrent
+        maintenance process are benign (deletes ignore already-gone
+        trees; readers resolve versions through the committed meta,
+        never by directory listing)."""
+        self._bk.vacuum_below(below)
 
     def compact_versions(self, *, attempts: int = 3) -> None:
         """Maintenance-side compaction: republish the NEWEST version's
         data as a fresh version (e.g. to merge small files after many
-        commits) using the same atomic claim protocol — a concurrent
-        committer and this compactor can interleave freely; whichever
-        rename lands first owns its number and the other retries.  The
+        commits) using the backend's collision-safe publication — a
+        concurrent committer and this compactor can interleave freely
+        (rename-claim locally; unique names on object stores).  The
         committed meta keeps pointing at its own version either way.
         Best-effort by design: a version VANISHING mid-read (the
         committer's post-commit vacuum reclaimed it) re-resolves the
         newest version and retries, giving up quietly after
         `attempts` — maintenance must never wedge the pipeline."""
-        import os
-        import uuid
-
         for _ in range(max(1, attempts)):
-            vers = self._versions()
+            vers = self._bk.list_versions()
             if not vers:
                 return
-            src = f"{self._path}/v{vers[-1]:08d}"
-            stage = f"{self._path}/.staging-{uuid.uuid4().hex}"
+            ordn, token = vers[-1]
             try:
-                df = self._spark.read.parquet(src)
-                if "__pw_bucket" in df.columns:
-                    (df.write.mode("overwrite")
-                       .partitionBy("__pw_bucket").parquet(stage))
-                else:
-                    df.coalesce(1).write.mode("overwrite").parquet(stage)
+                df = self._spark.read.parquet(self._bk.uri(token))
+
+                def write_fn(dest: str) -> None:
+                    if "__pw_bucket" in df.columns:
+                        (df.write.mode("overwrite")
+                           .partitionBy("__pw_bucket").parquet(dest))
+                    else:
+                        df.coalesce(1).write.mode("overwrite") \
+                          .parquet(dest)
+
+                self._bk.publish(ordn + 1, write_fn)
+                return
             except Exception:
-                if os.path.isdir(src):
+                if self._bk.exists(token):
                     raise             # real IO error, not a vacuum race
                 continue              # version vanished: retry newest
-            want = vers[-1] + 1
-            while True:
-                dest = f"{self._path}/v{want:08d}"
-                try:
-                    os.rename(stage, dest)
-                    return
-                except OSError:
-                    if not os.path.isdir(dest):
-                        raise
-                    want += 1
 
     def close(self) -> None:
         self._chunks = []
@@ -2216,17 +2192,18 @@ class DifferentialGraph:
         self._t = -1
         self._steps_seen = 0
         self._batch_wide = False   # set per batch by wide source feeds
+        self._store_bk_factory = None
+        self._meta_bk = None
         if state_dir is not None:
-            if "://" in state_dir:
-                # meta/version bookkeeping uses driver-local file IO;
-                # a URI-schemed dir would silently misbehave.  Remote
-                # durable state is the Delta/Iceberg backend swap
-                # (_StateStore.flush documents the override point).
-                raise ValueError(
-                    f"state_dir must be a driver-local path, got "
-                    f"{state_dir!r}; for object-store/remote state use "
-                    "a transactional table backend (see _StateStore."
-                    "flush) or mount the store locally")
+            # driver-local paths use the POSIX rename-claim protocol;
+            # URI-schemed dirs (s3a://, gs://, abfs://, hdfs://,
+            # file://) go through the Hadoop FileSystem API with the
+            # RENAME-FREE protocol (uuid version dirs + an append-only
+            # meta log) — see state_backend.py; reference parity:
+            # src/persistence/backends/{file,s3}.rs
+            from .state_backend import make_backends
+            self._store_bk_factory, self._meta_bk = \
+                make_backends(spark, state_dir)
             self._load_meta()
         # first-ever step folds the (usually wide) initial load into the
         # stores' bases; tracked separately from the clock because the
@@ -2251,17 +2228,17 @@ class DifferentialGraph:
             k = self._ns_counter.get(self._store_ns, 0)
             self._ns_counter[self._store_ns] = k + 1
             key = f"{self._store_ns}_{k:02d}"
-            path = (f"{self.state_dir}/store_{key}"
-                    if self.state_dir is not None else None)
         else:
             key = str(idx)
-            path = (f"{self.state_dir}/store_{idx:04d}"
-                    if self.state_dir is not None else None)
-        st = _StateStore(self.spark, template, self.checkpoint_every, path,
+        dir_key = key if self._store_ns is not None else f"{idx:04d}"
+        bk = (self._store_bk_factory(dir_key)
+              if self._store_bk_factory is not None else None)
+        st = _StateStore(self.spark, template, self.checkpoint_every,
                          restore_version=self._restore_vers.get(key),
                          phase=idx, key_cols=key_cols,
                          local_collect=(self._local_rows
-                                        if self.local_tick_cut else None))
+                                        if self.local_tick_cut else None),
+                         backend=bk)
         st._meta_key = key
         self._stores.append(st)
         return st
@@ -2386,14 +2363,9 @@ class DifferentialGraph:
                 self.spark.conf.set(k, v)
         setattr(self.spark, self._SAVED_CONF_ATTR, None)
 
-    def _meta_path(self) -> str:
-        return f"{self.state_dir}/_meta.json"
-
     def _load_meta(self) -> None:
-        import json, os
-        if os.path.isfile(self._meta_path()):
-            with open(self._meta_path()) as f:
-                meta = json.load(f)
+        meta = self._meta_bk.load()
+        if meta is not None:
             self._t = meta["t"]
             # versions recorded AT commit: stores load exactly these,
             # never a newer uncommitted flush (crash-window safety)
@@ -2404,36 +2376,33 @@ class DifferentialGraph:
     def commit(self) -> None:
         """Durably persist all state + the logical clock; a new process
         that rebuilds the same graph with the same `state_dir` resumes
-        exactly here (parquet-versioned stores, latest-two retained)."""
-        import json, os
+        exactly here (parquet-versioned stores, latest-two retained).
+        The commit POINT is the meta backend's atomic publication
+        (os.replace locally; one append-log PUT on object stores) — a
+        crash anywhere earlier leaves the previous meta and its
+        referenced versions fully intact."""
         if self.state_dir is None:
             raise ValueError("commit() requires a graph built with state_dir=")
         # fully truncate carried lineage under the flush jobs
         self.spark.sparkContext.setLocalProperty(
             "spark.checkpoint.checkpointAllMarkedAncestors", "true")
-        vers: dict[str, int] = {}
+        vers: dict[str, object] = {}
         for i, st in enumerate(self._stores):
             st.flush()
-            vers[getattr(st, "_meta_key", str(i))] = st._ver
-        os.makedirs(self.state_dir, exist_ok=True)
-        # atomic meta swap: the commit POINT is this rename — a crash
-        # anywhere earlier leaves the previous meta (and its referenced
-        # versions, retained by flush) fully intact
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"t": self._t, "vers": vers,
-                       "node_meta": self._node_meta}, f)
-        os.replace(tmp, self._meta_path())
+            vers[getattr(st, "_meta_key", str(i))] = st._ver_token
+        self._meta_bk.commit({"t": self._t, "vers": vers,
+                              "node_meta": self._node_meta})
         # reclaim only versions below the PREVIOUS commit's: a reader
         # process still serving from that version (it resolved the
-        # meta before this swap) keeps its files until the commit
+        # meta before this commit) keeps its files until the commit
         # after next — Delta-style retention of the last two committed
         # versions, so vacuum never races an in-flight scan
         for i, st in enumerate(self._stores):
             key = getattr(st, "_meta_key", str(i))
             prev = self._committed_vers.get(key, 0)
             if prev:
-                st.vacuum(below=min(prev, vers[key]))
+                st.vacuum(below=min(st._bk.ordinal(prev),
+                                    st._bk.ordinal(vers[key])))
         self._committed_vers = vers
 
     def source(self, name: str, template: DataFrame) -> SourceNode:

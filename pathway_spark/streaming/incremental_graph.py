@@ -72,7 +72,8 @@ class _ComponentRecomputeNode(DiffNode):
         tpl = self._out_tpl(dE.filter(F.lit(False))) \
             .withColumn(DIFF, F.lit(1).cast("long"))
         self._out_state = self.graph._make_store(tpl)
-        self._primed = self._out_state._ver > 0 or self._estate._ver > 0
+        self._primed = (self._out_state._ver_ord > 0
+                        or self._estate._ver_ord > 0)
 
     def _advance(self, t: int) -> DataFrame:
         dE = self.inputs[0].delta(t)
@@ -256,7 +257,8 @@ class _ForestCCNode(DiffNode):
         dtpl = (empty.select(F.col("u").alias("w"))
                 .withColumn(DIFF, F.lit(1).cast("long")))
         self._deg = self.graph._make_store(dtpl, key_cols=["w"])
-        self._primed = (self._trace._ver > 0 or self._estate._ver > 0)
+        self._primed = (self._trace._ver_ord > 0
+                        or self._estate._ver_ord > 0)
         self._ltype = dict(dE.dtypes)["u"]
 
     def _deg_delta(self, dE: DataFrame) -> DataFrame:

@@ -128,7 +128,7 @@ def _run_flush_parallel_check(spark, tmp_path):
         .withColumn("_pw_time", F.lit(0).cast("long"))
     st.update(delta, wide=True)
     st.flush()
-    vdir = tmp_path / "s" / f"v{st._ver:08d}"
+    vdir = tmp_path / "s" / st._ver_token
     parts = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
     assert len(parts) > 1, "large keyless flush must stay parallel"
     got = spark.read.parquet(str(vdir))
@@ -141,7 +141,7 @@ def _run_flush_parallel_check(spark, tmp_path):
         .withColumn("_pw_time", F.lit(0).cast("long"))
     st2.update(small, wide=True)
     st2.flush()
-    vdir2 = tmp_path / "s2" / f"v{st2._ver:08d}"
+    vdir2 = tmp_path / "s2" / st2._ver_token
     parts2 = [f for f in os.listdir(vdir2) if f.endswith(".parquet")]
     assert len(parts2) == 1
 

@@ -400,6 +400,7 @@ def subscribe_differential(stream_df, build, on_change, *,
 from . import differential  # noqa: E402,F401  (retraction-stream engine)
 from .differential import DifferentialGraph  # noqa: E402,F401
 from .diff_table import DifferentialTableGraph  # noqa: E402,F401
+from .sharding import ShardedDifferential  # noqa: E402,F401
 from .incremental_graph import (  # noqa: E402,F401
     incremental_bellman_ford,
     incremental_bellman_ford_cascade,

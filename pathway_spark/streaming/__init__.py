@@ -210,7 +210,12 @@ def _emit_delta_times(delta, on_change, on_time_end, effs):
         return
     it = iter(effs)
     pending = next(it, None)
-    for row in delta.orderBy(TIME).toLocalIterator():
+    # fused deltas are micro-batch-bounded and usually already driver-
+    # held (LocalRelation from the tick cut): one collect + a python
+    # sort replaces orderBy().toLocalIterator(), which cost a sort
+    # exchange plus ONE SPARK JOB PER PARTITION of iteration
+    rows = sorted(delta.collect(), key=lambda r: r[TIME])
+    for row in rows:
         d = row.asDict()
         t, w = d.pop(TIME), d.pop(DIFF)
         while (pending is not None and on_time_end is not None
@@ -323,7 +328,7 @@ def subscribe_differential(stream_df, build, on_change, *,
                        tagged.select("__pw_evt").distinct().collect()
                        if r[0] is not None)
         if (len(times) > _MAX_SUBSTEPS_WARN and not time_granularity
-                and not graph.is_linear()):
+                and not graph.fusable_rowtimes()):
             import warnings
             warnings.warn(
                 f"subscribe_differential: {len(times)} distinct event "
@@ -340,10 +345,12 @@ def subscribe_differential(stream_df, build, on_change, *,
             seen["last"] = batch_id
             _emit_delta(delta, on_change, on_time_end, graph._t)
             return
-        if graph.is_linear() and batch_id != seen["sub_batch"]:
-            # TICK FUSION (round 7): on an all-linear graph, deltas of
-            # different logical times never interact through state, so
-            # the whole multi-time batch runs as ONE step with per-row
+        if graph.fusable_rowtimes() and batch_id != seen["sub_batch"]:
+            # TICK FUSION (round 7, extended round 8 to keyed integral-
+            # accumulator reduces): deltas of different logical times
+            # either never interact through state (linear graph) or
+            # commute through per-key integer accumulators, so the
+            # whole multi-time batch runs as ONE step with per-row
             # times — a handful of Spark jobs instead of one full graph
             # step per distinct event time, with an identical trace.
             # Late/NULL event times fold forward to the processing

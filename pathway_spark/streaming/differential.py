@@ -756,6 +756,14 @@ class DiffNode:
     def _advance(self, t: int) -> DataFrame:  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _probe_frame(self) -> DataFrame:
+        """Empty frame with this node's OUTPUT delta schema, derived by
+        pushing source templates through the (stateless) chain — used
+        for build-time capability checks (e.g. multi-time fusion) that
+        need dtypes before any batch arrives.  Only defined for nodes
+        whose output schema is a pure function of their inputs'."""
+        raise NotImplementedError(type(self).__name__)
+
 
 class SourceNode(DiffNode):
     """Graph input: receives the externally-supplied delta each batch."""
@@ -776,6 +784,9 @@ class SourceNode(DiffNode):
 
     def _insert_only(self) -> bool:
         return self._ins_only
+
+    def _probe_frame(self) -> DataFrame:
+        return self._template
 
     def _feed(self, delta: DataFrame | None, t: int,
               row_times: bool = False) -> None:
@@ -900,6 +911,9 @@ class _LinearNode(DiffNode):
         self._sign_preserving = sign_preserving
         self._det_checked = False
 
+    def _probe_frame(self) -> DataFrame:
+        return self._fn(self.inputs[0]._probe_frame())
+
     def _insert_only(self) -> bool:
         return self._sign_preserving and self.inputs[0]._insert_only()
 
@@ -924,6 +938,10 @@ class _UnionNode(DiffNode):
 
     def _advance(self, t: int) -> DataFrame:
         a, b = (i.delta(t) for i in self.inputs)
+        return a.unionByName(b.select(*a.columns))
+
+    def _probe_frame(self) -> DataFrame:
+        a, b = (i._probe_frame() for i in self.inputs)
         return a.unionByName(b.select(*a.columns))
 
 
@@ -1961,6 +1979,103 @@ class _ReduceNode(DiffNode):
         self._out_state.update(out, wide=wide, cut=False)
         return out
 
+    def _advance_acc_rowtimes(self, delta: DataFrame, t: int) -> DataFrame:
+        """TICK FUSION through a keyed integral accumulator (round 8):
+        one step evaluates a whole multi-time batch, emitting per
+        (key, time) exactly the -old/+new rows per-time stepping would
+        — old/new are the cumulative partials BEFORE/AFTER that time,
+        a window over `_pw_time` per key seeded with the accumulator
+        base.  Integer partial sums commute through the accumulator, so
+        intermediate values are bit-equal to sequential sub-steps; one
+        Spark job replaces one full graph step per distinct time."""
+        from pyspark.sql import Window as W
+
+        parts = self._part_cols()
+        if self._acc is None:
+            tpl = (delta.filter(F.lit(False))
+                   .groupBy(*self.keys).agg(*self._part_aggs()))
+            self._acc = self.graph._make_store(
+                tpl.withColumn(DIFF, F.lit(1).cast("long")),
+                key_cols=self.keys or None)
+        keys = delta.select(*_ccs(self.keys))
+        acc_state = self._acc.get(probe=keys, on=self.keys)
+        acc_slice = consolidate(acc_state.join(
+            self._small(keys), on=self.keys, how="left_semi"))
+        acc_slice = acc_slice.localCheckpoint(eager=False)  # used 3x
+        # per-(key, time) batch partials, cumulated over the batch's
+        # ascending times on top of the per-key base
+        d_parts = delta.groupBy(*_ccs(self.keys), _cc(TIME)) \
+            .agg(*self._part_aggs())
+        base = acc_slice.select(
+            *_ccs(self.keys),
+            *[F.col(c).alias(f"__b_{c}") for c in parts])
+        j = d_parts.join(base, on=self.keys, how="left")
+        w = W.partitionBy(*self.keys).orderBy(TIME) \
+             .rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = j
+        for p in parts:
+            cum = cum.withColumn(
+                f"__cum_{p}",
+                (F.coalesce(F.col(f"__b_{p}"), F.lit(0))
+                 + F.sum(p).over(w)).cast("long"))
+        # rows whose partials are all zero change nothing — per-time
+        # stepping's -old/+new would cancel; emit nothing
+        touched = None
+        for p in parts:
+            c = F.col(p) != 0
+            touched = c if touched is None else (touched | c)
+        cum = cum.filter(touched).localCheckpoint(eager=False)
+
+        def finals_from(prefix: str) -> list[Column]:
+            sub = {p: F.col(f"{prefix}{p}") for p in parts}
+            out = []
+            for name, (k, _a) in self.specs.items():
+                if k == "count":
+                    out.append(sub["__pw_n"].alias(name))
+                elif k == "sum":
+                    out.append(sub[f"__ps_{name}"].alias(name))
+                else:
+                    out.append((sub[f"__ps_{name}"] / sub["__pw_n"])
+                               .alias(name))
+            return out
+
+        prev_cols = {p: (F.col(f"__cum_{p}") - F.col(p)).alias(f"__prev_{p}")
+                     for p in parts}
+        cum2 = cum.select("*", *prev_cols.values())
+        retracts = (cum2.filter(F.col("__prev___pw_n") != 0)
+                    .select(*_ccs(self.keys), *finals_from("__prev_"),
+                            F.lit(-1).cast("long").alias(DIFF),
+                            _cc(TIME)))
+        inserts = (cum2.filter(F.col("__cum___pw_n") != 0)
+                   .select(*_ccs(self.keys), *finals_from("__cum_"),
+                           _one_l().alias(DIFF), _cc(TIME)))
+        out = retracts.unionByName(inserts)
+        out = self.graph._tick_cut(out, bounded=self._delta_bounded())
+        # accumulator: retract the touched base rows, insert the final
+        # cumulative per key (the batch total folded onto the base)
+        totals = delta.groupBy(*_ccs(self.keys)).agg(*self._part_aggs())
+        final_acc = (totals.join(base, on=self.keys, how="left")
+                     .select(*_ccs(self.keys),
+                             *[(F.coalesce(F.col(f"__b_{p}"), F.lit(0))
+                                + F.col(p)).cast("long").alias(p)
+                               for p in parts])
+                     .filter(F.col("__pw_n") != 0))
+        wide = self.graph._wide_batch
+        self._acc.update_legs(
+            [acc_slice.select(*_ccs(self.keys), *_ccs(parts),
+                              F.lit(-1).cast("long").alias(DIFF)),
+             final_acc.select(*_ccs(self.keys), *_ccs(parts),
+                              _one_l().alias(DIFF))],
+            wide=wide)
+        if self._out_state is None:
+            self._out_state = self.graph._make_store(
+                out.drop(TIME).filter(F.lit(False)),
+                key_cols=self.keys or None)
+        # the trace stores the NET emitted multiset: intermediate
+        # -x/+x pairs across times cancel at its next consolidation
+        self._out_state.update(out, wide=wide, cut=False)
+        return out
+
     _EXPAND_KINDS = ("sorted_tuple",)   # need per-row multiplicity
 
     def _aggregate(self, multiset: DataFrame) -> DataFrame:
@@ -1984,10 +2099,31 @@ class _ReduceNode(DiffNode):
                 .select(*_ccs(self.keys), *_ccs(self.specs),
                         _one_l().alias(DIFF)))
 
+    def _rowtimes_capable(self) -> bool:
+        """True when a multi-time batch can run through this reduce in
+        ONE step: keyed, accumulator-capable, and EXACT (integral) —
+        per-time emission is then a cumulative window per key whose
+        values are bit-equal to per-time stepping (float compensation
+        is a sequential fold the window cannot reproduce, so float acc
+        reduces keep the sub-step path)."""
+        if not self.keys:
+            return False
+        try:
+            probe = as_delta(self.inputs[0]._probe_frame())
+        except NotImplementedError:
+            return False
+        return self._acc_ok(probe) and not self._float_accs
+
     def _advance(self, t: int) -> DataFrame:
         delta = self.inputs[0].delta(t)
         if self._strategy is None:
             self._strategy = "acc" if self._acc_ok(delta) else "slice"
+        if getattr(self.graph, "_row_times_step", False):
+            if self._strategy != "acc" or self._float_accs:
+                raise ValueError(
+                    "row_times fusion reached a reduce that cannot "
+                    "take it (slice strategy or float sums)")
+            return self._advance_acc_rowtimes(delta, t)
         if self._strategy == "acc":
             return self._advance_acc(delta, t)
         if self._state is None:
@@ -2192,6 +2328,7 @@ class DifferentialGraph:
         self._t = -1
         self._steps_seen = 0
         self._batch_wide = False   # set per batch by wide source feeds
+        self._row_times_step = False   # fused multi-time step in flight
         self._store_bk_factory = None
         self._meta_bk = None
         if state_dir is not None:
@@ -2419,6 +2556,23 @@ class DifferentialGraph:
         return all(type(n) in (SourceNode, _LinearNode, _UnionNode)
                    for n in self._nodes)
 
+    def fusable_rowtimes(self) -> bool:
+        """True when a multi-time batch may run as ONE fused step:
+        either an all-linear graph, or linear operators feeding keyed
+        INTEGRAL-accumulator reduces (round-8 keyed tick fusion — each
+        reduce emits its per-time -old/+new rows from a cumulative
+        window, bit-equal to sequential sub-steps because integer
+        partials commute through the accumulator)."""
+        if self.is_linear():
+            return True
+        reduces = [n for n in self._nodes if isinstance(n, _ReduceNode)]
+        others = [n for n in self._nodes
+                  if type(n) not in (SourceNode, _LinearNode, _UnionNode)
+                  and not isinstance(n, _ReduceNode)]
+        if others or not reduces:
+            return False
+        return all(r._rowtimes_capable() for r in reduces)
+
     def step(self, outputs: Sequence[DiffNode] | DiffNode, *,
              time: int | None = None, row_times: bool = False,
              **deltas: DataFrame) -> list[DataFrame]:
@@ -2481,12 +2635,15 @@ class DifferentialGraph:
             if time is None:
                 raise ValueError(
                     "row_times=True requires time= (the batch maximum)")
-            if not self.is_linear():
+            if not self.fusable_rowtimes():
                 raise ValueError(
                     "row_times=True is only sound on an all-linear "
-                    "graph (stateful operators need per-time barriers: "
-                    "a later sub-step must see earlier sub-steps' "
-                    "state) — step each distinct time instead")
+                    "graph or linear operators feeding keyed integral-"
+                    "accumulator reduces (other stateful operators "
+                    "need per-time barriers: a later sub-step must see "
+                    "earlier sub-steps' state) — step each distinct "
+                    "time instead")
+        self._row_times_step = row_times
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t, row_times=row_times)
         # tuned confs stay applied across steps (the caller's action on
@@ -2512,7 +2669,10 @@ class DifferentialGraph:
             n._requested = True
             if n._PASSTHROUGH:
                 stack.extend(n.inputs)
-        out = [n.delta(t) for n in nodes]
+        try:
+            out = [n.delta(t) for n in nodes]
+        finally:
+            self._row_times_step = False
         if not self._stepped:
             self._stepped = True
             # the initial load is usually the one WIDE batch: fold it

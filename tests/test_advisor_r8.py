@@ -264,3 +264,92 @@ def test_float_sum_accumulator_neumaier(spark):
     # compensation actually mattered: the naive fold loses 0.1+0.2
     naive = ((0.1 + 0.2) + 1e16 + 0.3 + 0.4) - 1e16
     assert abs(naive - exact) > abs(got["total"] - exact)
+
+
+def test_keyed_reduce_rowtimes_fusion_trace_equality(spark):
+    """Round-8 keyed tick fusion: a multi-time batch through a keyed
+    integral-accumulator reduce in ONE step(row_times=True) must emit
+    the EXACT per-time -old/+new changelog sequential sub-steps emit —
+    including inserts, retractions, and keys vanishing to zero."""
+    import random
+
+    from pathway_spark.streaming.differential import TIME
+
+    rng = random.Random(5)
+    tpl = spark.createDataFrame([], "k string, v long")
+
+    def build(g):
+        return (g.source("t", tpl)
+                 .filter(F.col("v") != 13)
+                 .reduce(["k"], n=("count",), s=("sum", "v")))
+
+    g_sub = DifferentialGraph(spark)
+    n_sub = build(g_sub)
+    g_fus = DifferentialGraph(spark)
+    n_fus = build(g_fus)
+    assert g_fus.fusable_rowtimes()
+
+    # prime both with an initial batch at t=0 (the wide load)
+    seed = [("a", 1), ("b", 2), ("a", 3)]
+    (s0,) = g_sub.step(n_sub, time=0, t=spark.createDataFrame(seed, tpl.schema))
+    (f0,) = g_fus.step(n_fus, time=0, t=spark.createDataFrame(seed, tpl.schema))
+    assert _rows(s0, "k", "n", "s", DIFF, TIME) == \
+        _rows(f0, "k", "n", "s", DIFF, TIME)
+
+    # a multi-time batch with inserts, retractions, a no-op pair, and a
+    # key retracted to zero
+    live = list(seed)
+    rows = []
+    for tv in range(1, 9):
+        ins = [(rng.choice("abcd"), rng.randint(1, 9)) for _ in
+               range(rng.randint(0, 2))]
+        dels = [live[rng.randrange(len(live))]] \
+            if live and rng.random() < 0.6 else []
+        rows += [(k, v, 1, tv) for k, v in ins]
+        rows += [(k, v, -1, tv) for k, v in dels]
+        rows += [("e", 7, 1, tv), ("e", 7, -1, tv)]   # cancels in-batch
+        live += ins
+        for d in dels:
+            live.remove(d)
+    rows += [(k, v, -1, 9) for k, v in live if k == "a"]  # a -> zero
+
+    # sub-step reference
+    logs = []
+    for tv in sorted({r[3] for r in rows}):
+        batch = spark.createDataFrame(
+            [(k, v, w) for k, v, w, t in rows if t == tv],
+            "k string, v long, _pw_diff long")
+        (d,) = g_sub.step(n_sub, time=tv, t=batch)
+        logs.append(d.localCheckpoint(True))
+    want = logs[0]
+    for d in logs[1:]:
+        want = want.unionByName(d)
+
+    fused_in = spark.createDataFrame(
+        rows, f"k string, v long, _pw_diff long, {TIME} long")
+    (got,) = g_fus.step(n_fus, time=9, row_times=True, t=fused_in)
+    assert _rows(got, "k", "n", "s", DIFF, TIME) == \
+        _rows(want, "k", "n", "s", DIFF, TIME)
+
+    # and both graphs continue correctly on a normal single-time step
+    nxt = spark.createDataFrame([("b", 5)], tpl.schema)
+    (s2,) = g_sub.step(n_sub, time=20, t=nxt)
+    (f2,) = g_fus.step(n_fus, time=20, t=nxt)
+    assert _rows(s2, "k", "n", "s", DIFF) == _rows(f2, "k", "n", "s", DIFF)
+
+
+def test_rowtimes_fusion_rejects_float_and_slice_reduces(spark):
+    from pathway_spark.streaming.differential import TIME
+
+    g = DifferentialGraph(spark)
+    node = g.source("t", spark.createDataFrame([], "k string, v double")) \
+        .reduce(["k"], s=("sum", "v"))
+    assert not g.fusable_rowtimes()   # float acc: sequential fold
+    g2 = DifferentialGraph(spark)
+    node2 = g2.source("t", spark.createDataFrame([], "k string, v long")) \
+        .reduce(["k"], mx=("max", "v"))
+    assert not g2.fusable_rowtimes()  # order statistic: slice path
+    fused = spark.createDataFrame([("a", 1, 1, 1)],
+                                  f"k string, v long, _pw_diff long, {TIME} long")
+    with pytest.raises(ValueError, match="row_times"):
+        g2.step(node2, time=1, row_times=True, t=fused)

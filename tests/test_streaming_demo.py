@@ -594,8 +594,13 @@ def test_subscribe_differential_substep_resume_after_midbatch_failure(
             raise RuntimeError("sink crashed mid-batch")
         events.append((row["k"], row["total"], time, is_addition))
 
+    # float sum => accumulator with a sequential compensation fold =>
+    # NOT row-times fusable (round 8): this keeps the test on the
+    # SUB-STEP path it exists to cover (fusable graphs apply a
+    # multi-time batch atomically and never resume mid-batch)
     q = st.subscribe_differential(
-        t, lambda s: s.reduce(["k"], total=("sum", "v")),
+        t, lambda s: s.with_columns(v=F.col("v").cast("double"))
+                      .reduce(["k"], total=("sum", "v")),
         on_change, time_column="ts")
     q.processAllAvailable()
     assert ("a", 1, 50, True) in events
@@ -643,8 +648,11 @@ def test_subscribe_differential_substep_explosion_warns(
         times = []
         with _w.catch_warnings(record=True) as caught:
             _w.simplefilter("always")
+            # float sum: keeps this graph NON-fusable so the
+            # sub-step-explosion warning still has a path to fire on
             q = st.subscribe_differential(
-                t, lambda s: s.reduce(["k"], total=("sum", "v")),
+                t, lambda s: s.with_columns(v=F.col("v").cast("double"))
+                              .reduce(["k"], total=("sum", "v")),
                 lambda row, time, is_addition: times.append(time),
                 time_column="ts", **kw)
             q.processAllAvailable()
@@ -707,3 +715,73 @@ def test_fused_multi_time_batch_linear_graph(spark, tmp_path):
     assert ends == want_ends
     # row callbacks arrive in ascending time with ends at boundaries
     assert [e[2] for e in events] == sorted(e[2] for e in events)
+
+
+def test_fused_multi_time_batch_keyed_reduce(spark, tmp_path):
+    """Round-8 keyed tick fusion: a 100-distinct-timestamp micro-batch
+    through flatten + keyed COUNT reduce (the differential wordcount)
+    runs as ONE fused step — a handful of Spark jobs instead of one
+    graph step per distinct time — with a callback trace identical to
+    the per-time sub-step path."""
+    import pathway_spark as pw
+    from pathway_spark import streaming as st
+
+    def mk(tag):
+        src = tmp_path / f"fusedk{tag}"
+        src.mkdir()
+        (src / "seed.csv").write_text("doc,ts\nalpha beta,1\n")
+        return pw.demo.replay_csv(
+            str(src), schema=pw.schema_from_types(doc=str, ts=int),
+            mode="streaming", spark=spark)
+
+    def build(s):
+        return (s.with_columns(__ws=F.split(F.col("doc"), r"\s+"))
+                .select(F.col("__ws"))
+                .flatten("__ws", "w")
+                .reduce(["w"], n=("count",)))
+
+    words = ["red", "blue", "green", "red blue", "blue blue green"]
+    rows = [(words[i % len(words)], 1000 + i) for i in range(100)]
+    bdf = spark.createDataFrame(rows, "doc string, ts long")
+
+    def run(tag):
+        events, ends = [], []
+        q = st.subscribe_differential(
+            mk(tag), build,
+            lambda row, time, is_addition: events.append(
+                (row["w"], row["n"], time, is_addition)),
+            on_time_end=ends.append, time_column="ts")
+        q.processAllAvailable()
+        events.clear(); ends.clear()
+        sc = spark.sparkContext
+        j0 = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+        q._batch_fn(bdf, 1)
+        jobs = len(set(sc.statusTracker().getJobIdsForGroup(None) or [])
+                   - j0)
+        q.stop()
+        return events, ends, jobs
+
+    ev_f, ends_f, jobs_f = run("a")
+    assert jobs_f <= 10, f"fused keyed batch ran {jobs_f} jobs"
+    assert ends_f == [1000 + i for i in range(100)]
+
+    # reference trace: drive a second graph through per-time sub-steps
+    from pathway_spark.streaming.differential import DifferentialGraph
+    g = DifferentialGraph(spark)
+    out = build(g.source("src", spark.createDataFrame(
+        [], "doc string, ts long")))
+    g.step(out, src=spark.createDataFrame([("alpha beta", 1)],
+                                          "doc string, ts long"))
+    want = []
+    for doc, ts in rows:
+        (d,) = g.step(out, time=ts, src=spark.createDataFrame(
+            [(doc, ts)], "doc string, ts long"))
+        for r in d.collect():
+            want.append((r["w"], r["n"], ts, r["_pw_diff"] > 0))
+    g.restore_session_confs()
+
+    def norm(evs):
+        return sorted(evs)
+    assert norm(ev_f) == norm(want)
+    # ascending time order with correct per-time grouping
+    assert [e[2] for e in ev_f] == sorted(e[2] for e in ev_f)

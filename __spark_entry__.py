@@ -867,6 +867,15 @@ def q39_graduations(spark, sf):
       doc_id%7==3, withdrawing their pairs.  Integrated trace must
       equal the full banding mirror (q32's oracle) over the live doc
       set: band-state probes and pair retraction both checked.
+    - part='ann_live' (round 8): the live APPROXIMATE nearest-neighbor
+      index (`streaming/incremental_ann.py`) — IVF cells from
+      integer-exact hash hyperplanes (4 tables x 6 bits, Hamming-1
+      multiprobe) maintained as differential state, queries frozen at
+      arrival — driven insert/insert/RETRACT(+queries) over the
+      embeddings corpus.  The DuckDB oracle reproduces the cell
+      assignment bit-for-bit (fixed-point integer planes), the probe
+      expansion, the candidate join against the LIVE corpus, and the
+      cosine top-3 ranks.
     - part='iterate_live' (round 7): the GENERIC incremental
       `pw.iterate` level cascade (`streaming/iterate_diff.py`) — a
       user-written reachability body iterated to fixed point, driven
@@ -995,6 +1004,36 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("rank").cast("double").alias("num"))
 
+    # ---- ann_live: live approximate ANN (IVF cells), frozen queries -
+    from pathway_spark.streaming.incremental_ann import (
+        incremental_ivf_topk)
+
+    qv8 = (emb.filter(F.col("vec_id") < 8)
+           .select((F.col("vec_id") + F.lit(1_000_000)).alias("query_id"),
+                   "embedding"))
+    g6 = DifferentialGraph(spark)
+    q6 = g6.source("q", qv8.limit(0))
+    d6 = g6.source("d", emb.limit(0))
+    ann = incremental_ivf_topk(q6, d6, vec_col="embedding",
+                               id_col="vec_id", k=3, n_bits=6, tables=4)
+    (n1,) = g6.step(ann, d=emb.filter(ev3))
+    (n2,) = g6.step(ann, d=emb.filter(~ev3))
+    # tick 3: corpus retraction AND query arrival — frozen against the
+    # LIVE (post-retraction) cell stores
+    (n3,) = g6.step(ann, d=emb.filter(F.pmod(F.col("vec_id"), F.lit(5))
+                                      == 2)
+                    .withColumn("_pw_diff", F.lit(-1)), q=qv8)
+    g6.restore_session_confs()
+    ann_trace = (n1.localCheckpoint(eager=True)
+                 .unionByName(n2.localCheckpoint(eager=True))
+                 .unionByName(n3.localCheckpoint(eager=True)))
+    anl = DifferentialGraph.integrate(ann_trace).select(
+        F.lit("ann_live").alias("part"),
+        F.concat_ws(":", F.col("query_id"), F.col("neighbor_id"))
+        .alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("rank").cast("double").alias("num"))
+
     # ---- dedup_live: incremental MinHash-LSH pairs with retraction --
     from pathway_spark.streaming.incremental_dedup import (
         incremental_minhash_pairs)
@@ -1060,7 +1099,8 @@ def q39_graduations(spark, sf):
 
     return (keep.unionByName(kmv).unionByName(cdf)
             .unionByName(bm).unionByName(ccl)
-            .unionByName(tkl).unionByName(ddl).unionByName(itl))
+            .unionByName(tkl).unionByName(anl)
+            .unionByName(ddl).unionByName(itl))
 
 
 def q40_iterate(spark, sf):
@@ -1711,6 +1751,83 @@ def _minhash_oracle_sql(*, n: int = 3, num_hashes: int = 64,
     """
 
 
+def _ann_live_oracle_sql(*, n_bits: int = 6, tables: int = 4,
+                         k: int = 3) -> str:
+    """Mirror of `streaming/incremental_ann.incremental_ivf_topk` as
+    driven by the q39 ann_live leg: integer-exact IVF cell assignment
+    (floor(x*1e6) quantization, md5-derived plane components c(p,i) for
+    p in [0, tables*n_bits)), per-table cells offset by table*2^n_bits,
+    Hamming-1 multiprobe, candidates against the LIVE corpus
+    (vec_id % 5 <> 2 after the tick-3 retraction), exact-cosine top-k
+    with id tiebreak.  Queries froze at tick 3, after the retraction,
+    so as-of-query-time corpus == live corpus."""
+    np_total = tables * n_bits
+    plane_cols = ",\n               ".join(
+        f"(('0x' || substr(md5(({p} * 10007 + i)::VARCHAR), 1, 15))::BIGINT"
+        f" % 2001 - 1000) AS c{p}" for p in range(np_total))
+    projs = ",\n               ".join(
+        f"CAST(SUM(xi * c{p}) AS BIGINT) AS p{p}" for p in range(np_total))
+    cell_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT vid, {t * (1 << n_bits)} + ("
+        + " + ".join(
+            f"CASE WHEN p{t * n_bits + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(n_bits))
+        + ") AS cell FROM proj"
+        for t in range(tables))
+    probe_rows = "\n            UNION\n            ".join(
+        ["SELECT vid, cell FROM qcells"]
+        + [f"SELECT vid, xor(cell, {1 << b}) FROM qcells"
+           for b in range(n_bits)])
+    return f"""
+        WITH qs AS (
+            SELECT vec_id + 1000000 AS vid, embedding
+            FROM embeddings WHERE vec_id < 8
+        ), live AS (
+            SELECT vec_id AS vid, embedding FROM embeddings
+            WHERE vec_id % 5 <> 2
+        ), allv AS (
+            SELECT vid, embedding FROM qs
+            UNION ALL SELECT vid, embedding FROM live
+        ), ex AS (
+            SELECT vid, generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xi
+            FROM allv
+        ), planes AS (
+            SELECT d.i AS i,
+               {plane_cols}
+            FROM (SELECT DISTINCT i FROM ex) d
+        ), proj AS (
+            SELECT vid,
+               {projs}
+            FROM ex JOIN planes USING (i)
+            GROUP BY vid
+        ), cells AS (
+            {cell_rows}
+        ), dcells AS (
+            SELECT c.vid, c.cell FROM cells c JOIN live l ON l.vid = c.vid
+        ), qcells AS (
+            SELECT c.vid, c.cell FROM cells c JOIN qs q ON q.vid = c.vid
+        ), probes AS (
+            {probe_rows}
+        ), cand AS (
+            SELECT DISTINCT p.vid AS query_id, d.vid AS neighbor_id
+            FROM probes p JOIN dcells d ON p.cell = d.cell
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   list_cosine_similarity(l.embedding, q.embedding) AS s
+            FROM cand c
+            JOIN live l ON l.vid = c.neighbor_id
+            JOIN qs q ON q.vid = c.query_id
+        )
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def _embedding_lsh_oracle_sql(*, num_planes: int = 64, bands: int = 4,
                               threshold: float = 0.99) -> str:
     """Mirror of embedding_neardup_pairs(cross_engine=True): quantize to
@@ -1977,6 +2094,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
                 QUALIFY rank <= 5
             ) tk
+            UNION ALL
+            SELECT 'ann_live' AS part,
+                   CAST(query_id AS VARCHAR) || ':'
+                       || CAST(neighbor_id AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(rank AS DOUBLE) AS num
+            FROM (""" + _ann_live_oracle_sql() + """) an
             UNION ALL
             SELECT 'iterate_live' AS part, CAST(x AS VARCHAR) AS key,
                    CAST(NULL AS VARCHAR) AS txt, CAST(x AS DOUBLE) AS num

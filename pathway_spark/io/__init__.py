@@ -180,6 +180,8 @@ def _kafka_read(rdkafka_settings: dict, topic: str | None = None, *, format: str
     r = _reader(spark, mode).format("kafka") \
         .option("kafka.bootstrap.servers", servers) \
         .option("subscribe", topic or rdkafka_settings.get("topic", ""))
+    for opt, val in kw.items():        # startingOffsets, maxOffsetsPerTrigger...
+        r = r.option(opt, val)
     df = r.load()
     val = F.col("value").cast("string")
     if format == "json" and schema is not None:

@@ -546,7 +546,8 @@ class DiffTable:
         return DiffTable(node, tpl.limit(0))
 
     def sort(self, key: ColumnReference, id_ref: ColumnReference, *,
-             instance: ColumnReference | None = None) -> "DiffTable":
+             instance: ColumnReference | None = None,
+             bucket_width=None) -> "DiffTable":
         """Live sort — prev/next neighbor pointers maintained under
         inserts AND retractions (reference `table.sort`,
         `src/engine/dataflow/operators/prev_next.rs` keeps a doubly-
@@ -555,10 +556,16 @@ class DiffTable:
         order is (key, id) per instance.
 
         Affected-instance recompute: a delta re-sorts only the
-        instances it touches (the reference's arranged BTree updates
-        neighbors in O(log n); the per-instance slice recompute is the
-        Spark-shaped equivalent) — pass `instance=` to bound the slice,
-        a global sort re-sorts everything per touched batch."""
+        instances it touches — pass `instance=` to bound the slice.
+
+        `bucket_width` (numeric keys) arranges each instance into
+        FIXED KEY-RANGE BUCKETS — the Spark-shaped counterpart of the
+        reference's O(log n) arranged BTree updates: within-bucket
+        prev/next recompute only for TOUCHED buckets, per-bucket
+        (first, last) summaries link neighbor buckets through a
+        per-instance pass over #buckets rows, and a bilinear join
+        stitches boundary pointers.  Per-batch cost is
+        O(touched-bucket rows + #buckets), never O(instance rows)."""
         from pyspark.sql import Window as W
 
         from .differential import _KeyedRecomputeUnaryNode
@@ -567,22 +574,73 @@ class DiffTable:
         inst = instance._name if instance is not None else "__pw_inst"
         node = (self.node if instance is not None
                 else self.node.with_columns(__pw_inst=F.lit(0)))
+        cols = [c for c in _data_cols(self._template)]
+        tpl0 = (self._template if instance is not None
+                else self._template.withColumn("__pw_inst", F.lit(0)))
 
-        def op(plain: DataFrame) -> DataFrame:
-            w = (W.partitionBy(inst)
+        if bucket_width is None:
+            def op(plain: DataFrame) -> DataFrame:
+                w = (W.partitionBy(inst)
+                     .orderBy(F.col(kname), F.col(idn)))
+                return (plain.withColumn("prev", F.lag(idn).over(w))
+                             .withColumn("next", F.lead(idn).over(w)))
+
+            knode = _KeyedRecomputeUnaryNode(self.node.graph, node,
+                                             [inst], op)
+            out = knode.select(*[F.col(c) for c in cols],
+                               F.col("prev"), F.col("next"))
+            # derive the template THROUGH op so prev/next carry the id
+            # column's true runtime dtype
+            tpl = op(tpl0).select(*cols, "prev", "next")
+            return DiffTable(out, tpl.limit(0))
+
+        # ---- bucketed order-statistics arrangement (round 8) --------
+        bkt = F.floor(F.col(kname) / F.lit(bucket_width)).cast("long")
+        bnode = node.with_columns(__pw_bkt=bkt)
+
+        def op_in(plain: DataFrame) -> DataFrame:
+            w = (W.partitionBy(inst, "__pw_bkt")
                  .orderBy(F.col(kname), F.col(idn)))
             return (plain.withColumn("prev", F.lag(idn).over(w))
                          .withColumn("next", F.lead(idn).over(w)))
 
-        knode = _KeyedRecomputeUnaryNode(self.node.graph, node, [inst], op)
-        cols = [c for c in _data_cols(self._template)]
-        out = knode.select(*[F.col(c) for c in cols],
-                           F.col("prev"), F.col("next"))
-        # derive the template THROUGH op so prev/next carry the id
-        # column's true runtime dtype
-        tpl0 = (self._template if instance is not None
-                else self._template.withColumn("__pw_inst", F.lit(0)))
-        tpl = op(tpl0).select(*cols, "prev", "next")
+        inner = _KeyedRecomputeUnaryNode(self.node.graph, bnode,
+                                         [inst, "__pw_bkt"], op_in)
+        # per-bucket boundary summaries: (first, last) by (key, id)
+        summ = (bnode
+                .with_columns(__pw_ord=F.struct(F.col(kname), F.col(idn)))
+                .reduce([inst, "__pw_bkt"],
+                        first_id=("argmin", idn, "__pw_ord"),
+                        last_id=("argmax", idn, "__pw_ord")))
+
+        def op_link(plain: DataFrame) -> DataFrame:
+            w = W.partitionBy(inst).orderBy("__pw_bkt")
+            return (plain
+                    .withColumn("__prev_last", F.lag("last_id").over(w))
+                    .withColumn("__next_first",
+                                F.lead("first_id").over(w)))
+
+        links = _KeyedRecomputeUnaryNode(self.node.graph, summ,
+                                         [inst], op_link) \
+            .select(F.col(inst), F.col("__pw_bkt"),
+                    F.col("__prev_last"), F.col("__next_first"))
+        joined = inner.join(links, on=[inst, "__pw_bkt"])
+        # a NULL within-bucket pointer means bucket-first/-last: stitch
+        # the neighbor bucket's boundary id (NULL again at the true
+        # ends — empty neighbor buckets are skipped by construction,
+        # the summary window only sees NON-EMPTY buckets)
+        out = joined.select(
+            *[F.col(c) for c in cols],
+            F.coalesce(F.col("prev"), F.col("__prev_last")).alias("prev"),
+            F.coalesce(F.col("next"), F.col("__next_first")).alias("next"))
+        tpl = (op_in(tpl0.withColumn("__pw_bkt", F.lit(0)))
+               .withColumn("__prev_last", F.lit(None))
+               .withColumn("__next_first", F.lit(None))
+               .select(*cols,
+                       F.coalesce(F.col("prev"), F.col("__prev_last"))
+                       .alias("prev"),
+                       F.coalesce(F.col("next"), F.col("__next_first"))
+                       .alias("next")))
         return DiffTable(out, tpl.limit(0))
 
     def diff_by(self, timestamp: ColumnReference,

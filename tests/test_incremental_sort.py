@@ -175,3 +175,92 @@ def test_live_sort_randomized_prefix_equality(spark):
                       .withColumn("prev", F.lag("rid").over(w))
                       .withColumn("next", F.lead("rid").over(w)).collect())
         assert got == want, f"step {step}: live={live}"
+
+
+def test_live_sort_bucketed_prefix_equality(spark):
+    """Round-8 arranged live sort: the key-range-bucketed arrangement
+    must stay prefix-equal to the window recompute through inserts and
+    an interior retraction — including pointers that CROSS bucket
+    boundaries (width 16 puts x=10/20 and x=30+ in different buckets)."""
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", _rows(spark, []))
+    out = t.sort(this.x, this.rid, instance=this.g, bucket_width=16)
+    for live, got_df in _drive(spark, out, g):
+        got = sorted((r["rid"], r["g"], r["x"], r["prev"], r["next"])
+                     for r in got_df.collect())
+        w = W.partitionBy("g").orderBy("x", "rid")
+        want = sorted((r["rid"], r["g"], r["x"], r["prev"], r["next"])
+                      for r in _rows(spark, live)
+                      .withColumn("prev", F.lag("rid").over(w))
+                      .withColumn("next", F.lead("rid").over(w)).collect())
+        assert got == want, f"live={live}"
+
+
+def test_live_sort_bucketed_randomized_prefix_equality(spark):
+    import random
+
+    rng = random.Random(17)
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", _rows(spark, []))
+    out = t.sort(this.x, this.rid, instance=this.g, bucket_width=8)
+    live, log, rid = [], None, 0
+    for step in range(6):
+        ins = []
+        for _ in range(rng.randint(1, 4)):
+            rid += 1
+            ins.append((rid, rng.choice("pq"), rng.randrange(64)))
+        dels = ([live[rng.randrange(len(live))]]
+                if live and rng.random() < 0.5 else [])
+        parts = []
+        if ins:
+            parts.append(_rows(spark, ins).withColumn("_pw_diff",
+                                                      F.lit(1)))
+        if dels:
+            parts.append(_rows(spark, dels).withColumn("_pw_diff",
+                                                       F.lit(-1)))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        (d,) = g.step(out.node, t=delta)
+        d = d.localCheckpoint(eager=True)
+        log = d if log is None else log.unionByName(d)
+        live.extend(ins)
+        for r in dels:
+            live.remove(r)
+        got = sorted(
+            (r["rid"], r["g"], r["x"], r["prev"], r["next"])
+            for r in DifferentialGraph.integrate(log).collect())
+        w = W.partitionBy("g").orderBy("x", "rid")
+        want = sorted((r["rid"], r["g"], r["x"], r["prev"], r["next"])
+                      for r in _rows(spark, live)
+                      .withColumn("prev", F.lag("rid").over(w))
+                      .withColumn("next", F.lead("rid").over(w)).collect())
+        assert got == want, f"step {step}: live={live}"
+
+
+def test_live_sort_bucketed_touched_bucket_cost(spark):
+    """Per-batch work is bounded by the TOUCHED bucket, not the
+    instance: after seeding 400 rows across 50 buckets, inserting one
+    interior row must re-emit only rows of its own bucket (+ the
+    stitched neighbor links), not the whole instance — the observable
+    contract of the arranged (BTree-like) update."""
+    g = DifferentialTableGraph(spark)
+    t = g.input("t", _rows(spark, []))
+    out = t.sort(this.x, this.rid, instance=this.g, bucket_width=8)
+    seed = [(i, "a", i) for i in range(400)]     # buckets of 8 rows
+    g.step(out.node, t=_rows(spark, seed))
+    # steady insert into bucket floor(203/8)=25
+    (d,) = g.step(out.node, t=_rows(spark, [(1000, "a", 203)])
+                  .withColumn("_pw_diff", F.lit(1)))
+    changed = d.localCheckpoint(eager=True)
+    n = changed.count()
+    # bucket 25 holds 8 rows -> re-emit <= 2*(8+1) rows (old/new pairs
+    # for the bucket + the new row) plus a couple of boundary-link
+    # re-emissions; the unbucketed path would re-emit ~2*400 rows
+    assert n <= 40, f"delta touched {n} rows — not bucket-bounded"
+    # and the emitted pointers are correct around the insert
+    snap = {r["rid"]: (r["prev"], r["next"])
+            for r in DifferentialGraph.integrate(changed).collect()
+            if r["rid"] in (203, 1000, 204)}
+    assert snap[1000] == (203, 204)
+    assert snap[203][1] == 1000 and snap[204][0] == 1000

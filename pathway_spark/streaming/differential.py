@@ -40,10 +40,14 @@ update is one shuffle on the operator's own key:
   `reduce` uses, expressed as Spark joins instead of arrangement
   cursors.
 - distinct: reduce with presence semantics (net weight > 0 → one row).
-- linear reduces over integral columns specialize to an ABELIAN-GROUP
-  ACCUMULATOR (per-key partial sums — no input multiset state at all);
-  float sums stay on slice-recompute so integration is bit-equal to a
-  batch recompute.
+- linear reduces specialize to an ABELIAN-GROUP ACCUMULATOR (per-key
+  partial sums — no input multiset state at all): exact long adds for
+  integral columns, the reference's running Neumaier-compensated
+  (sum, compensation) semigroup for floats (`src/engine/reduce.rs`
+  FloatSumState; `sum_strict` keeps the per-group slice recompute).
+  Keyed integral accumulators additionally fuse MULTI-TIME batches
+  into one step (per-time -old/+new via a cumulative window — integer
+  partials commute, so the trace is bit-equal to sub-steps).
 - watermark behaviors: ignore_late (cutoff), forget (expired rows
   RETRACT — downstream state bounded by the retention horizon), buffer
   (exactly-once release when the watermark passes).

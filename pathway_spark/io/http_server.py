@@ -59,6 +59,15 @@ class _Route:
     handler: Callable  # (method, payload: dict) -> (status, result)
 
 
+class RawResponse:
+    """Non-JSON handler result: serve `body` verbatim with the given
+    content type (HTML dashboards, plaintext scrape formats...)."""
+
+    def __init__(self, body, content_type: str = "text/html; charset=utf-8"):
+        self.body = body.encode() if isinstance(body, str) else body
+        self.content_type = content_type
+
+
 class PathwayWebserver:
     """Host/port config + route registry + lazily-started HTTP server.
 
@@ -103,9 +112,14 @@ class PathwayWebserver:
                     pass
 
                 def _reply(self, status: int, body):
-                    data = json.dumps(body).encode()
+                    if isinstance(body, RawResponse):
+                        data = body.body
+                        ctype = body.content_type
+                    else:
+                        data = json.dumps(body).encode()
+                        ctype = "application/json"
                     self.send_response(status)
-                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Type", ctype)
                     if ws._with_cors:
                         self.send_header("Access-Control-Allow-Origin", "*")
                     self.send_header("Content-Length", str(len(data)))

@@ -8,10 +8,16 @@ equivalents per query/job/stage; this module re-exposes them on a
 lightweight JSON endpoint so reference users keep their scrape targets
 when the Spark UI isn't reachable (headless clusters, containers).
 
-Endpoints (all GET, JSON):
+Endpoints (all GET):
 - ``/status``  — app info + active jobs/stages + per-streaming-query
   progress (input rate, processed rate, batch duration, state rows).
-- ``/metrics`` — flat scrape-friendly ``{name: number}`` map.
+- ``/metrics`` — flat scrape-friendly ``{name: number}`` map (JSON).
+- ``/`` and ``/dashboard`` — a zero-dependency HTML dashboard polling
+  ``/status`` (the reference ships a browser dashboard,
+  `python/pathway/web_dashboard/dashboard.py`; this is its
+  Spark-engine counterpart: app card, job/stage gauges, one row per
+  streaming query with rate sparklines — plain inline JS, no external
+  assets, usable from headless clusters over a port-forward).
 """
 
 from __future__ import annotations
@@ -56,6 +62,9 @@ class MonitoringServer:
             host, port, with_schema_endpoint=False)
         self.webserver.register_handler("/status", self._status, ("GET",))
         self.webserver.register_handler("/metrics", self._metrics, ("GET",))
+        self.webserver.register_handler("/", self._dashboard, ("GET",))
+        self.webserver.register_handler("/dashboard", self._dashboard,
+                                        ("GET",))
 
     # ------------------------------------------------------------- snapshot
     def snapshot(self) -> dict[str, Any]:
@@ -80,6 +89,10 @@ class MonitoringServer:
 
     def _status(self, _method: str, _payload: dict):
         return 200, self.snapshot()
+
+    def _dashboard(self, _method: str, _payload: dict):
+        from .io.http_server import RawResponse
+        return 200, RawResponse(_DASHBOARD_HTML)
 
     def _metrics(self, _method: str, _payload: dict):
         snap = self.snapshot()
@@ -115,3 +128,90 @@ def run_monitoring_server(spark: SparkSession | None = None, *,
     m = MonitoringServer(spark, host=host, port=port)
     m.start()
     return m
+
+
+# Zero-dependency dashboard page: polls /status once a second, keeps a
+# rolling window of per-query rates driver-side IN THE BROWSER, and
+# draws sparklines on small canvases.  No external assets (headless
+# clusters often have no internet egress).
+_DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>pathway-spark dashboard</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:1.2rem;background:#101418;
+      color:#e6e9ec}
+ h1{font-size:1.1rem;margin:0 0 .8rem}
+ .cards{display:flex;gap:.8rem;flex-wrap:wrap;margin-bottom:1rem}
+ .card{background:#1a2026;border:1px solid #2a323a;border-radius:8px;
+       padding:.6rem .9rem;min-width:8rem}
+ .card .v{font-size:1.4rem;font-weight:600}
+ .card .k{font-size:.72rem;color:#93a1ad;text-transform:uppercase}
+ table{border-collapse:collapse;width:100%}
+ th,td{padding:.35rem .6rem;border-bottom:1px solid #2a323a;
+       font-size:.85rem;text-align:right}
+ th:first-child,td:first-child{text-align:left}
+ th{color:#93a1ad;font-weight:500}
+ canvas{vertical-align:middle}
+ .err{color:#ff7a7a}
+</style></head><body>
+<h1>pathway-spark <span id="app" style="color:#93a1ad"></span></h1>
+<div class="cards" id="cards"></div>
+<table><thead><tr>
+ <th>streaming query</th><th>batch</th><th>rows/s in</th>
+ <th>rows/s done</th><th>batch ms</th><th>state rows</th><th>trend</th>
+</tr></thead><tbody id="qs"></tbody></table>
+<div id="err" class="err"></div>
+<script>
+const hist = {};              // query id -> rolling processed-rate window
+function card(k, v) {
+  return `<div class="card"><div class="v">${v}</div>` +
+         `<div class="k">${k}</div></div>`;
+}
+function spark(cv, xs) {
+  const c = cv.getContext("2d"), w = cv.width, h = cv.height;
+  c.clearRect(0, 0, w, h);
+  if (!xs.length) return;
+  const mx = Math.max(...xs, 1e-9);
+  c.beginPath(); c.strokeStyle = "#5ec2ff"; c.lineWidth = 1.5;
+  xs.forEach((v, i) => {
+    const x = i / Math.max(xs.length - 1, 1) * (w - 2) + 1;
+    const y = h - 2 - (v / mx) * (h - 4);
+    i ? c.lineTo(x, y) : c.moveTo(x, y);
+  });
+  c.stroke();
+}
+async function tick() {
+  try {
+    const s = await (await fetch("status")).json();
+    document.getElementById("err").textContent = "";
+    document.getElementById("app").textContent =
+      `${s.app.name} @ ${s.app.master}`;
+    document.getElementById("cards").innerHTML =
+      card("uptime s", s.app.uptimeSec) +
+      card("parallelism", s.app.defaultParallelism) +
+      card("active jobs", s.jobs.active) +
+      card("active stages", s.stages.active) +
+      card("queries", s.streamingQueries.length);
+    const tb = document.getElementById("qs");
+    tb.innerHTML = "";
+    for (const q of s.streamingQueries) {
+      (hist[q.id] = hist[q.id] || []).push(q.processedRowsPerSecond || 0);
+      if (hist[q.id].length > 60) hist[q.id].shift();
+      const tr = document.createElement("tr");
+      tr.innerHTML =
+        `<td>${q.name || q.id}${q.isActive ? "" : " (stopped)"}</td>` +
+        `<td>${q.batchId ?? ""}</td>` +
+        `<td>${(q.inputRowsPerSecond ?? 0).toFixed(1)}</td>` +
+        `<td>${(q.processedRowsPerSecond ?? 0).toFixed(1)}</td>` +
+        `<td>${q.batchDurationMs ?? ""}</td>` +
+        `<td>${q.stateRows ?? 0}</td>` +
+        `<td><canvas width="120" height="24"></canvas></td>`;
+      tb.appendChild(tr);
+      spark(tr.querySelector("canvas"), hist[q.id]);
+    }
+  } catch (e) {
+    document.getElementById("err").textContent = "poll failed: " + e;
+  }
+}
+tick(); setInterval(tick, 1000);
+</script></body></html>
+"""

@@ -226,6 +226,14 @@ def test_monitoring_server(spark):
             metrics = _json.load(urllib.request.urlopen(f"{url}/metrics"))
             assert metrics["pathway_spark_active_queries"] >= 1
             assert any(k.startswith("pathway_spark_query_") for k in metrics)
+            # round-8 web dashboard: HTML (not JSON) served at / and
+            # /dashboard, polling the JSON endpoints client-side
+            for route in ("/", "/dashboard"):
+                resp = urllib.request.urlopen(f"{url}{route}")
+                assert resp.headers.get_content_type() == "text/html"
+                body = resp.read().decode()
+                assert "pathway-spark dashboard" in body
+                assert "fetch(\"status\")" in body
         finally:
             q.stop()
     finally:

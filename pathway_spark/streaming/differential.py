@@ -2567,15 +2567,24 @@ class DifferentialGraph:
         reduce emits its per-time -old/+new rows from a cumulative
         window, bit-equal to sequential sub-steps because integer
         partials commute through the accumulator)."""
+        # topology-keyed cache: the capability probe builds schema
+        # frames (~10 analyzer passes) — once per topology, not per batch
+        cached = getattr(self, "_fusable_cache", None)
+        if cached is not None and cached[0] == len(self._nodes):
+            return cached[1]
         if self.is_linear():
-            return True
-        reduces = [n for n in self._nodes if isinstance(n, _ReduceNode)]
-        others = [n for n in self._nodes
-                  if type(n) not in (SourceNode, _LinearNode, _UnionNode)
-                  and not isinstance(n, _ReduceNode)]
-        if others or not reduces:
-            return False
-        return all(r._rowtimes_capable() for r in reduces)
+            out = True
+        else:
+            reduces = [n for n in self._nodes
+                       if isinstance(n, _ReduceNode)]
+            others = [n for n in self._nodes
+                      if type(n) not in (SourceNode, _LinearNode,
+                                         _UnionNode)
+                      and not isinstance(n, _ReduceNode)]
+            out = (not others and bool(reduces)
+                   and all(r._rowtimes_capable() for r in reduces))
+        self._fusable_cache = (len(self._nodes), out)
+        return out
 
     def step(self, outputs: Sequence[DiffNode] | DiffNode, *,
              time: int | None = None, row_times: bool = False,

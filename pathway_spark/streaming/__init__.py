@@ -185,7 +185,11 @@ def _emit_delta(delta, on_change, on_time_end, batch_time):
         if on_time_end is not None:
             on_time_end(batch_time)
         return
-    for row in delta.toLocalIterator():
+    # one collect, not toLocalIterator: deltas are micro-batch-bounded
+    # (driver callbacks are the per-row contract anyway) and iteration
+    # cost ONE SPARK JOB PER PARTITION per tick — a measured slice of
+    # the steady-state latency floor
+    for row in delta.collect():
         d = row.asDict()
         t, w = d.pop(TIME), d.pop(DIFF)
         for _ in range(abs(int(w))):

@@ -722,6 +722,30 @@ class DiffTable:
                .withColumn("score", F.lit(0.0)))
         return DiffTable(node, tpl.limit(0))
 
+    def ann_topk(self, queries: "DiffTable", vec: ColumnReference,
+                 id_ref: ColumnReference, *, k: int = 3,
+                 n_bits: int = 6, tables: int = 4,
+                 multiprobe: int | None = None) -> "DiffTable":
+        """Live APPROXIMATE nearest neighbors with freeze-at-arrival
+        query answers (reference usearch `query_as_of_now`,
+        `stdlib/indexing/nearest_neighbors.py:65`): self is the corpus,
+        `queries` the query stream (must carry `query_id` + the vector
+        column).  The IVF cell index is maintained as differential
+        state — per-query cost is the probed cells, never the corpus
+        (contrast :meth:`knn_topk`, exact and live-revising).  Emits
+        `(query_id, neighbor_id, rank)` deltas."""
+        from .incremental_ann import incremental_ivf_topk
+
+        node = incremental_ivf_topk(
+            queries.node, self.node, vec_col=vec._name,
+            id_col=id_ref._name, k=k, n_bits=n_bits, tables=tables,
+            multiprobe=multiprobe)
+        idc = F.col(id_ref._name)
+        tpl = (self._template
+               .select(idc.alias("query_id"), idc.alias("neighbor_id"))
+               .withColumn("rank", F.lit(0)))
+        return DiffTable(node, tpl.limit(0))
+
     def bm25_topk(self, queries: "DiffTable", text: ColumnReference,
                   id_ref: ColumnReference, *,
                   query_col: str = "query", k: int = 10,

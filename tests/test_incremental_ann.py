@@ -166,3 +166,31 @@ def test_cell_expr_matches_duckdb_fixed_point(spark):
         SELECT vid, {bits} AS cell FROM proj
     """).fetchall())
     assert got == want
+
+
+def test_ann_topk_table_idiom(spark):
+    """DiffTable.ann_topk — the Table-vocabulary face of the live ANN
+    index, matching knn_topk/bm25_topk's surface."""
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    emb = _emb(spark)
+    qdf = (emb.filter(F.col("vec_id") < 4)
+           .select((F.col("vec_id") + 1_000_000).alias("query_id"),
+                   "embedding"))
+    g = DifferentialTableGraph(spark)
+    corpus = g.input("d", emb.limit(0))
+    queries = g.input("q", qdf.limit(0))
+    live = corpus.ann_topk(queries, this.embedding, this.vec_id, k=3)
+    (a1,) = g.step(live.node, d=emb)
+    (a2,) = g.step(live.node, q=qdf)
+    g.restore_session_confs()
+    snap = DifferentialGraph.integrate(
+        a1.localCheckpoint(True).unionByName(a2.localCheckpoint(True)))
+    got = {}
+    for r in snap.collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert set(got) == {1_000_000 + i for i in range(4)}
+    for qid, ranked in got.items():
+        assert sorted(ranked) == [1, 2, 3]
+        assert ranked[1] == qid - 1_000_000   # identical vector: rank 1

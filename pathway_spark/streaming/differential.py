@@ -2458,24 +2458,21 @@ class DifferentialGraph:
         except Exception:
             return None
 
-    def _tick_cut(self, df: DataFrame, *, bounded: bool = True,
-                  feed: bool = False) -> DataFrame:
-        """The per-tick lineage cut: a driver-held LocalRelation for
-        provably micro-batch-bounded frames on steady ticks, a lazy
-        localCheckpoint otherwise (wide batches, unbounded deltas —
-        forget expiries / buffer releases — or an oversized result).
-
-        Only SOURCE feeds localize eagerly by default (one small job
-        that makes every downstream broadcast of the delta job-free);
-        interior node outputs keep the lazy checkpoint so the whole
-        tick still executes as ONE fused action — eagerly collecting
-        each interior frame re-runs its subtree as a separate job per
-        site per tick (measured slower).  `local_cut_outs` flips the
-        interior sites too, for shapes whose outputs are cheaper to
-        hold driver-side than to re-plan."""
-        if (self._wide_batch or not bounded or not self.local_tick_cut):
-            return df.localCheckpoint(eager=False)
-        if not (feed or self.local_cut_outs):
+    def _tick_cut(self, df: DataFrame, *, bounded: bool = True) -> DataFrame:
+        """The per-tick lineage cut for INTERIOR node outputs: a lazy
+        localCheckpoint by default, so the whole tick still executes as
+        ONE fused action — eagerly collecting each interior frame
+        re-runs its subtree as a separate job per site per tick
+        (measured slower: a PySpark job costs ~100-150 ms end-to-end
+        here regardless of size).  Only SOURCE feeds localize eagerly
+        (see `SourceNode._feed`: one small job that makes every
+        downstream broadcast of the delta job-free); `local_cut_outs`
+        flips the interior sites too, for shapes whose outputs are
+        cheaper to hold driver-side than to re-plan.  Unbounded deltas
+        (forget expiries / buffer releases), wide batches, and
+        oversized results always keep the checkpoint."""
+        if (self._wide_batch or not bounded or not self.local_tick_cut
+                or not self.local_cut_outs):
             return df.localCheckpoint(eager=False)
         loc = self._local_cut(df)
         return loc if loc is not None else df.localCheckpoint(eager=False)

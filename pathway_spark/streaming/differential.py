@@ -221,8 +221,32 @@ class _StateStore:
         self._bk = backend
         self._ver_ord = 0          # committed version ordinal
         self._ver_token = None     # committed version token (dir name)
+        # resident-mirror hook (see resident.py): while attached, the
+        # driver-held mirror is the state's source of truth; any
+        # distributed consumer syncs it back into _chunks first
+        self._res_df_fn = None
+        self._res_dirty = False
         if self._bk is not None:
             self._load_version(restore_version)
+
+    # -- resident mirror protocol (resident.py) ---------------------------
+    def _res_attach(self, df_fn) -> None:
+        self._res_df_fn = df_fn
+        self._res_dirty = False
+
+    def _res_detach(self) -> None:
+        self._res_df_fn = None
+        self._res_dirty = False
+
+    def _res_sync(self) -> None:
+        """Fold the resident mirror's current rows back into the chunk
+        list (ONE consolidated LocalRelation) so distributed consumers
+        — a fallback tick, flush(), compaction — see the same state."""
+        if self._res_df_fn is not None and self._res_dirty:
+            self._chunks = [self._res_df_fn()]
+            self._pair_free = True
+            self._clear_pending()
+            self._res_dirty = False
 
     def _load_version(self, want) -> None:
         """Load the version the graph's committed meta recorded (never
@@ -278,6 +302,7 @@ class _StateStore:
         skip the collect entirely — pruning only pays its one tiny job
         when state actually lives on disk, where it turns a full-state
         scan into an O(|touched buckets|) read."""
+        self._res_sync()
         base = self._chunks[0]
         if (probe is not None and self._key_cols
                 and "__pw_bucket" in base.columns):
@@ -304,6 +329,11 @@ class _StateStore:
         # `positive` is the CALLER's structural guarantee (insert-only
         # lineage) that this delta has no negative weights — never
         # probed from data
+        if self._res_df_fn is not None:
+            raise RuntimeError(
+                "store update while a resident mirror is attached — "
+                "the graph must detach mirrors before a distributed "
+                "tick (DifferentialGraph.step does this)")
         if not positive:
             self._pair_free = False
         d = delta.select(*_ccs(c for c in self._cols if c != DIFF),
@@ -354,6 +384,11 @@ class _StateStore:
         one by one keeps the driver-side (job-free) pending path open
         when each leg folds on its own; any non-folding leg falls the
         whole update back to the classic single-chunk append."""
+        if self._res_df_fn is not None:
+            raise RuntimeError(
+                "store update while a resident mirror is attached — "
+                "the graph must detach mirrors before a distributed "
+                "tick (DifferentialGraph.step does this)")
         legs = [lg for lg in legs if lg is not None]
         if len(legs) == 1:
             return self.update(legs[0], wide=wide, positive=positive,
@@ -600,7 +635,13 @@ class DiffNode:
         def fn(df: DataFrame) -> DataFrame:
             keep = [c for c in _data_cols(df) if c != col]
             return df.select(*keep, F.explode(col).alias(alias), DIFF, TIME)
-        return _LinearNode(self.graph, self, fn)
+        node = _LinearNode(self.graph, self, fn)
+        # resident fast path: F.explode doesn't constant-fold over a
+        # LocalRelation (Generate ⇒ one micro-job per tick), so the
+        # resident evaluator runs this hop in Python with exact explode
+        # semantics (skip NULL/empty; one row per element)
+        node._res_explode = (col, alias)
+        return node
 
     def union(self, other: "DiffNode") -> "DiffNode":
         return _UnionNode(self.graph, [self, other])
@@ -743,6 +784,12 @@ class DiffNode:
 
     def delta(self, t: int) -> DataFrame:
         if self._memo_t != t:
+            if self.graph._res_last_t == t:
+                # batch t ran on the resident engine; a distributed
+                # advance now would re-apply the delta to synced state
+                raise RuntimeError(
+                    f"batch {t} was evaluated by the resident engine; "
+                    "this node was not part of the requested subgraph")
             if self._empty_tpl is not None and self._empty_at(t):
                 out = self._empty_tpl
             else:
@@ -2276,12 +2323,27 @@ class DifferentialGraph:
     LOCAL_CUT_MAX_ROWS = 100_000
     LOCAL_CUT_MAX_BYTES = 512 * 1024
 
+    # resident fast-path caps (see resident.py): a tick whose delta or
+    # whose per-store state exceeds these runs distributed instead —
+    # residency is a micro-batch latency device, never the scale path
+    RESIDENT_MAX_DELTA_ROWS = 50_000
+    RESIDENT_MAX_STATE_ROWS = 400_000
+
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
                  state_dir: str | None = None, tune_steady_confs: bool = True,
-                 truncate_every: int = 1, local_tick_cut: bool = True):
+                 truncate_every: int = 1, local_tick_cut: bool = True,
+                 resident: bool = True):
         self.spark = spark
         self.local_tick_cut = local_tick_cut
         self.local_cut_outs = False
+        # driver-resident steady-tick evaluation (resident.py): dict-
+        # indexed state mirrors + Python delta algebra for micro
+        # batches, automatic distributed fallback beyond the caps
+        import os as _os
+        self.resident = resident and _os.environ.get(
+            "PATHWAY_SPARK_RESIDENT", "1") != "0"
+        self._res_engine = None
+        self._res_last_t: int | None = None
         # how often (in steps) jobs run with all-marked-ancestor
         # truncation: 1 = every step (default — wide serving graphs
         # grow plan/lineage steeply inside any window; measured: the
@@ -2654,6 +2716,22 @@ class DifferentialGraph:
                     "earlier sub-steps' state) — step each distinct "
                     "time instead")
         self._row_times_step = row_times
+        nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
+        # resident fast path: steady micro-batches over capable
+        # subgraphs run driver-side (resident.py) — no planning, no
+        # micro-jobs; anything ineligible falls through unchanged
+        if self.resident and self._stepped and not row_times:
+            if self._res_engine is None:
+                from .resident import ResidentEngine
+                self._res_engine = ResidentEngine(self)
+            res = self._res_engine.try_tick(nodes, deltas, t)
+            if res is not None:
+                return res
+        if self._res_engine is not None and self._res_engine.active:
+            # falling back to the distributed path: fold every mirror
+            # into its store first, then drop residency for this graph
+            # (it re-establishes on a later eligible steady tick)
+            self._res_engine.detach()
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t, row_times=row_times)
         # tuned confs stay applied across steps (the caller's action on
@@ -2665,7 +2743,6 @@ class DifferentialGraph:
                 self.restore_session_confs()
             else:
                 self._apply_steady_confs()
-        nodes = [outputs] if isinstance(outputs, DiffNode) else list(outputs)
         # only nodes handed to the caller need CONSOLIDATED deltas;
         # internal consumers are weight-aware, so interior joins skip
         # their output consolidate (one shuffle stage per batch saved)

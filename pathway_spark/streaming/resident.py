@@ -1,0 +1,977 @@
+"""Driver-resident fast path for steady differential micro-batches.
+
+The reference engine applies every delta inside RESIDENT differential
+arrangements — per-update cost is an in-memory index probe with no
+planning and no task scheduling (src/engine/dataflow.rs:194-340; the
+arrangement state lives in the worker, src/engine/dataflow/operators).
+The Spark translation pays a structurally different per-tick floor:
+even with driver-held LocalRelation deltas, every stateful node
+re-plans its tree each tick (analyzer + optimizer + physical planning
++ RDD/shuffle/broadcast setup, measured 50-130 ms per site) and the
+tick schedules several micro-jobs of fixed ~30-60 ms latency.
+
+This module removes that floor for the ticks where it matters — small
+deltas against bounded state — by keeping MIRRORS of the stateful
+nodes' stores as plain dict-indexed multisets on the driver and
+evaluating the engine's OWN delta algebra (bilinear join, affected-key
+reduce with accumulator partials and output traces, distinct flips,
+consolidate) directly over them in Python.  Only ENGINE-DEFINED
+algebra is re-implemented here; user-level Column expressions are
+never interpreted in Python — linear nodes still evaluate through
+Catalyst, as (usually job-free) constant-folds over LocalRelation
+leaves (ConvertToLocalRelation), so `select`/`filter`/`with_columns`
+semantics stay bit-identical to the distributed path.
+
+Scale contract — the 100 TB story is unchanged:
+
+- hard caps: a tick whose delta exceeds ``RESIDENT_MAX_DELTA_ROWS``
+  or whose state would exceed ``RESIDENT_MAX_STATE_ROWS`` falls back
+  to the distributed path; state then lives in executors/parquet
+  exactly as before.  The caps make residency self-selecting: micro
+  deltas against bounded hot state run at driver speed, anything bulk
+  runs distributed;
+- wide batches (initial load, backlog bursts) always run distributed;
+- mirrors are a LATENCY device, not a state backend: any distributed
+  consumer (a fallback tick, ``commit``/``flush``, compaction) first
+  synchronizes mirror rows back into the store's chunk list as one
+  LocalRelation, so durability, restore, probe pruning and the
+  bucketed disk layout are untouched.
+
+Float semantics: integral sums/counts are exact in both paths.  Float
+accumulator partials follow the same compensated (Neumaier) merge as
+the distributed accumulator (`_ReduceNode._merge_parts`,
+reference src/engine/reduce.rs:209-256); a micro-batch's own partial
+folds in row order here vs partition order there — the two paths are
+compensated summations of the same multiset, neither bit-pinned to
+the other (same caveat the distributed docstring states).  Output
+retractions always replay exact previously-emitted bytes (the output
+trace), so integration stays consistent across path switches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING, Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:   # pragma: no cover
+    from .differential import DifferentialGraph, DiffNode
+
+DIFF = "_pw_diff"
+TIME = "_pw_time"
+
+# one shared NaN object: tuple/dict equality short-circuits on identity,
+# so normalizing every collected NaN to THIS object makes Python dict
+# grouping treat NaN keys as equal — Spark's grouping/join semantics
+# (NaN = NaN in keys), which plain float('nan') != float('nan') breaks
+_NAN = float("nan")
+
+
+def _norm(v: Any) -> Any:
+    """Canonicalize a collected value into a hashable, group-equal form."""
+    if isinstance(v, float) and v != v:
+        return _NAN
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def _norm_row(vals) -> tuple:
+    return tuple(_norm(v) for v in vals)
+
+
+_SAFE_ATOMS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+               T.TimestampType, T.TimestampNTZType, T.DateType,
+               T.BinaryType, T.DecimalType)
+
+
+def schema_safe(schema: T.StructType) -> bool:
+    """True when every column round-trips the Python/Arrow bridge with
+    exact multiset semantics (atomics + arrays of safe types).  Maps
+    and structs are excluded — their Python forms don't hash."""
+    def ok(dt) -> bool:
+        if isinstance(dt, _SAFE_ATOMS):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        return False
+    return all(ok(f.dataType) for f in schema.fields)
+
+
+def collect_rows(df: DataFrame) -> list[tuple]:
+    """Collect a (small) frame into normalized Python tuples.  Job-free
+    when the plan folds to a LocalRelation (driver-held deltas)."""
+    return [_norm_row(r) for r in df.collect()]
+
+
+def rows_to_df(spark: SparkSession, rows: list[tuple],
+               schema: T.StructType, arrow_schema=None) -> DataFrame:
+    """Python tuples → LocalRelation DataFrame via one Arrow table.
+    (The pandas object-column route silently turns float NaN into
+    NULL; pa.array preserves the NaN/NULL distinction.)"""
+    import pyarrow as pa
+    if arrow_schema is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(schema)
+    if rows:
+        cols = list(zip(*rows))
+    else:
+        cols = [[] for _ in schema.fields]
+    tbl = pa.table({f.name: pa.array(list(c), type=arrow_schema.field(i).type)
+                    for i, (f, c) in enumerate(zip(schema.fields, cols))})
+    return spark.createDataFrame(tbl, schema=schema)
+
+
+def _consolidate_rows(pairs) -> dict:
+    """Multiset consolidate over (data_tuple, weight) pairs."""
+    out: dict = {}
+    for data, w in pairs:
+        nw = out.get(data, 0) + w
+        if nw == 0:
+            out.pop(data, None)
+        else:
+            out[data] = nw
+    return out
+
+
+class RDelta:
+    """A tick delta as driver rows: `cols` names every position, rows
+    are normalized tuples; DIFF (and, on emitted deltas, TIME) are
+    ordinary positions."""
+
+    __slots__ = ("cols", "rows")
+
+    def __init__(self, cols: list[str], rows: list[tuple]):
+        self.cols = cols
+        self.rows = rows
+
+    def pos(self, name: str) -> int:
+        return self.cols.index(name)
+
+    def data_cols(self) -> list[str]:
+        return [c for c in self.cols if c not in (DIFF, TIME)]
+
+    def iter_dw(self):
+        """Yield (data_tuple, weight) with DIFF/TIME stripped."""
+        keep = [i for i, c in enumerate(self.cols) if c not in (DIFF, TIME)]
+        dp = self.pos(DIFF)
+        for r in self.rows:
+            yield tuple(r[i] for i in keep), r[dp]
+
+
+# ---------------------------------------------------------------------------
+# store mirrors
+
+
+class _StoreMirror:
+    """Driver-held consolidated multiset of one `_StateStore`, plus the
+    sync contract back into the store's chunk list."""
+
+    def __init__(self, eng: "ResidentEngine", store, schema: T.StructType):
+        self.eng = eng
+        self.store = store
+        self.schema = schema          # store row layout: data cols + DIFF
+        from pyspark.sql.pandas.types import to_arrow_schema
+        self._arrow = to_arrow_schema(schema)
+        self.data: dict[tuple, int] = {}   # data_tuple -> net weight
+        store._res_attach(self._to_chunk_df)
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.data)
+
+    def load(self) -> bool:
+        """Build from the store's current (possibly unconsolidated)
+        chunk union; False when over cap."""
+        cap = self.eng.graph.RESIDENT_MAX_STATE_ROWS
+        df = self.store.get()
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            self.store._res_detach()
+            return False
+        dp = len(self.schema.fields) - 1   # DIFF is last in store layout
+        for r in rows:
+            vals = _norm_row(r)
+            data, w = vals[:dp], vals[dp]
+            nw = self.data.get(data, 0) + w
+            if nw == 0:
+                self.data.pop(data, None)
+            else:
+                self.data[data] = nw
+        return True
+
+    def apply(self, pairs) -> None:
+        for data, w in pairs:
+            nw = self.data.get(data, 0) + w
+            if nw == 0:
+                self.data.pop(data, None)
+            else:
+                self.data[data] = nw
+        self.store._res_dirty = True
+
+    def _to_chunk_df(self) -> DataFrame:
+        rows = [d + (w,) for d, w in self.data.items()]
+        return rows_to_df(self.eng.spark, rows, self.schema, self._arrow)
+
+
+class _KeyedMirror(_StoreMirror):
+    """Store mirror plus a key-grouped index for probe-style access."""
+
+    def __init__(self, eng, store, schema, key_pos: list[int]):
+        super().__init__(eng, store, schema)
+        self.key_pos = key_pos
+        self.idx: dict[tuple, dict[tuple, int]] = {}
+
+    def load(self) -> bool:
+        if not super().load():
+            return False
+        kp = self.key_pos
+        for data, w in self.data.items():
+            k = tuple(data[i] for i in kp)
+            self.idx.setdefault(k, {})[data] = w
+        return True
+
+    def apply(self, pairs) -> None:
+        kp = self.key_pos
+        for data, w in pairs:
+            nw = self.data.get(data, 0) + w
+            k = tuple(data[i] for i in kp)
+            grp = self.idx.setdefault(k, {})
+            if nw == 0:
+                self.data.pop(data, None)
+                grp.pop(data, None)
+                if not grp:
+                    self.idx.pop(k, None)
+            else:
+                self.data[data] = nw
+                grp[data] = nw
+        self.store._res_dirty = True
+
+
+# ---------------------------------------------------------------------------
+# per-node resident kernels
+
+
+class _JoinKernel:
+    """Bilinear inner-join delta rule over dict-indexed arrangements
+    (mirrors `_JoinNode._advance`: dA ⋈ B_new  ∪  A_old ⋈ dB)."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.ma: _KeyedMirror | None = None
+        self.mb: _KeyedMirror | None = None
+
+    def ensure(self) -> bool:
+        node = self.node
+        if node._sa is None or node._sb is None:
+            return False            # stores appear on 1st non-empty batch
+        if self.ma is None:
+            ma = self.eng._mirror_for(node._sa, node.on)
+            mb = self.eng._mirror_for(node._sb, node.on)
+            if ma is None or mb is None:
+                return False
+            self.ma, self.mb = ma, mb
+        return True
+
+    def advance(self, da: RDelta, db: RDelta, t: int) -> RDelta:
+        node, ma, mb = self.node, self.ma, self.mb
+        on = node.on
+        a_cols = [f.name for f in ma.schema.fields[:-1]]   # da data cols
+        b_cols = [f.name for f in mb.schema.fields[:-1]]
+        r_extra = [c for c in b_cols if c not in on]
+        akp = [a_cols.index(c) for c in on]
+        bkp = [b_cols.index(c) for c in on]
+        b_rest = [i for i, c in enumerate(b_cols) if c not in on]
+
+        # deltas arrive in the node-output column order; realign to the
+        # state layouts (linear parents may reorder)
+        da_pairs = self._aligned(da, a_cols)
+        db_pairs = self._aligned(db, b_cols)
+
+        def key_ok(k: tuple) -> bool:
+            return all(v is not None for v in k)   # SQL: NULL keys no-match
+
+        # group this batch's dB by key once (B_new = B_old ∪ dB)
+        db_by_key: dict[tuple, list] = {}
+        for data, w in db_pairs:
+            k = tuple(data[i] for i in bkp)
+            db_by_key.setdefault(k, []).append((data, w))
+
+        out: dict[tuple, int] = {}
+
+        def emit(a_data, b_data, w):
+            row = a_data + tuple(b_data[i] for i in b_rest)
+            nw = out.get(row, 0) + w
+            if nw == 0:
+                out.pop(row, None)
+            else:
+                out[row] = nw
+
+        # dA ⋈ B_new (B_old still unmodified — both applies run after)
+        for a_data, wa in da_pairs:
+            k = tuple(a_data[i] for i in akp)
+            if not key_ok(k):
+                continue
+            for b_data, wb in mb.idx.get(k, {}).items():
+                emit(a_data, b_data, wa * wb)
+            for b_data, wb in db_by_key.get(k, ()):
+                emit(a_data, b_data, wa * wb)
+        # A_old ⋈ dB
+        for b_data, wb in db_pairs:
+            k = tuple(b_data[i] for i in bkp)
+            if not key_ok(k):
+                continue
+            for a_data, wa in ma.idx.get(k, {}).items():
+                emit(a_data, b_data, wa * wb)
+
+        if da.rows:
+            ma.apply(da_pairs)
+        if db.rows:
+            mb.apply(db_pairs)
+        cols = a_cols + r_extra + [DIFF, TIME]
+        rows = [d + (w, t) for d, w in out.items()]
+        return RDelta(cols, rows)
+
+    @staticmethod
+    def _aligned(d: RDelta, want: list[str]) -> list[tuple]:
+        idx = [d.cols.index(c) for c in want]
+        dp = d.pos(DIFF)
+        return [(tuple(r[i] for i in idx), r[dp]) for r in d.rows]
+
+
+# reducers the resident SLICE path evaluates (full-group recompute);
+# ties/ordering match the distributed builders in `_AGG_BUILDERS`
+_SLICE_KINDS = ("sum", "sum_strict", "count", "avg", "min", "max",
+                "any", "count_distinct")
+
+
+class _ReduceKernel:
+    """Affected-key reduce with output-trace retraction.  `acc`
+    strategy mirrors `_advance_acc` (per-key partials, Neumaier float
+    merge); `slice` mirrors `_advance` (per-key recompute over the
+    input multiset)."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.acc: _StoreMirror | None = None     # key -> partials row
+        self.state: _KeyedMirror | None = None   # slice input multiset
+        self.out: _KeyedMirror | None = None     # emitted-rows trace
+        self._acc_idx: dict[tuple, tuple] | None = None
+
+    def ensure(self) -> bool:
+        node = self.node
+        if node._strategy is None or node._out_state is None:
+            return False
+        if self.out is None:
+            out = self.eng._mirror_for(node._out_state, node.keys)
+            if out is None:
+                return False
+            self.out = out
+        if node._strategy == "acc":
+            if node._acc is None:
+                return False
+            if self.acc is None:
+                acc = self.eng._mirror_for(node._acc, None)
+                if acc is None:
+                    return False
+                self.acc = acc
+                nk = len(node.keys)
+                self._acc_idx = {d[:nk]: d[nk:] for d in acc.data}
+            return True
+        if node._state is None:
+            return False
+        if self.state is None:
+            st = self.eng._mirror_for(node._state, node.keys)
+            if st is None:
+                return False
+            self.state = st
+        return True
+
+    # -- shared emission ---------------------------------------------------
+
+    def _emit(self, touched, new_rows: dict, t: int) -> RDelta:
+        """-old (exact trace bytes) ∪ +new, consolidated, stamped t."""
+        node, out = self.node, self.out
+        res: dict[tuple, int] = {}
+        trace_delta: list[tuple] = []
+        for k in touched:
+            for data, w in out.idx.get(k, {}).items():
+                nw = res.get(data, 0) - w
+                if nw == 0:
+                    res.pop(data, None)
+                else:
+                    res[data] = nw
+                trace_delta.append((data, -w))
+        for data in new_rows:
+            nw = res.get(data, 0) + 1
+            if nw == 0:
+                res.pop(data, None)
+            else:
+                res[data] = nw
+            trace_delta.append((data, 1))
+        out.apply(trace_delta)
+        out_cols = [f.name for f in out.schema.fields[:-1]]
+        rows = [d + (w, t) for d, w in res.items()]
+        return RDelta(out_cols + [DIFF, TIME], rows)
+
+    # -- accumulator strategy ------------------------------------------------
+
+    def advance_acc(self, delta: RDelta, t: int) -> RDelta:
+        node = self.node
+        keys = node.keys
+        kpos = [delta.cols.index(c) for c in keys]
+        dp = delta.pos(DIFF)
+        sum_specs = []       # (name, col_pos, is_float)
+        for name, (k, a) in node.specs.items():
+            if k in ("sum", "avg"):
+                sum_specs.append((name, delta.cols.index(a[0]),
+                                  name in node._float_accs))
+
+        # d_parts: per-key [n, ps...] in spec order; a partial stays
+        # None until a non-null value folds in (F.sum skips NULLs and
+        # returns NULL over an all-null group)
+        d_parts: dict[tuple, list] = {}
+        for r in delta.rows:
+            k = tuple(r[i] for i in kpos)
+            w = r[dp]
+            p = d_parts.get(k)
+            if p is None:
+                p = d_parts[k] = [0] + [None] * len(sum_specs)
+            p[0] += w
+            for j, (_n, cpos, _fl) in enumerate(sum_specs):
+                v = r[cpos]
+                if v is not None:
+                    cur = p[j + 1]
+                    p[j + 1] = v * w if cur is None else cur + v * w
+
+        acc_idx = self._acc_idx
+        acc_delta: list[tuple] = []
+        new_rows: dict[tuple, bool] = {}
+        part_names = node._part_cols()
+        # partials layout in the acc STORE row: keys + part_names + DIFF;
+        # _acc_idx values are the part tuple (n, ps..., pc... interleaved
+        # as _part_cols orders them)
+        for k, dp_ in d_parts.items():
+            old = acc_idx.get(k)
+            merged = self._merge(old, dp_, part_names, node, sum_specs)
+            if old is not None:
+                acc_delta.append((k + old, -1))
+            if merged[0] != 0:
+                mt = tuple(merged)
+                acc_delta.append((k + mt, 1))
+                acc_idx[k] = mt
+                new_rows[k + self._finals(mt, part_names, node)] = True
+            else:
+                acc_idx.pop(k, None)
+        self.acc.apply(acc_delta)
+        return self._emit(list(d_parts), new_rows, t)
+
+    @staticmethod
+    def _merge(old, dparts: list, part_names: list[str], node,
+               sum_specs) -> list:
+        """acc ⊕ delta per `_merge_parts`: exact integral adds; one
+        Neumaier compensation step per float sum."""
+        dvals = {"__pw_n": dparts[0]}
+        for j, (name, _cpos, _fl) in enumerate(sum_specs):
+            dvals[f"__ps_{name}"] = dparts[j + 1]
+        ovals = dict(zip(part_names, old)) if old is not None else {}
+        res = {"__pw_n": ovals.get("__pw_n", 0) + dvals["__pw_n"]}
+        for name, _cpos, fl in sum_specs:
+            ps, pc = f"__ps_{name}", f"__pc_{name}"
+            if fl:
+                # float partials coalesce NULL→0.0 before the Neumaier
+                # step (classic `_merge_parts` does the same), so a
+                # float acc row never stores NULL
+                s = ovals.get(ps)
+                s = 0.0 if s is None else s
+                v = dvals[ps]
+                v = 0.0 if v is None else v
+                c0 = ovals.get(pc)
+                c0 = 0.0 if c0 is None else c0
+                ns = s + v
+                dc = (s - ns) + v if abs(s) > abs(v) else (v - ns) + s
+                res[ps] = ns
+                res[pc] = c0 + dc
+            else:
+                # integral: F.sum skips NULLs; all-NULL stays NULL
+                a, b = ovals.get(ps), dvals[ps]
+                res[ps] = (None if a is None and b is None
+                           else (a or 0) + (b or 0))
+        return [res[n] for n in part_names]
+
+    @staticmethod
+    def _finals(part: tuple, part_names: list[str], node) -> tuple:
+        vals = dict(zip(part_names, part))
+        n = vals["__pw_n"]
+        out = []
+        for name, (k, _a) in node.specs.items():
+            if k == "count":
+                out.append(n)
+                continue
+            base = vals[f"__ps_{name}"]
+            if name in node._float_accs:
+                base = base + vals[f"__pc_{name}"]
+            if k == "sum":
+                out.append(base)
+            else:                       # avg: NULL sum → NULL avg
+                out.append(None if base is None else base / n)
+        return tuple(out)
+
+    # -- slice strategy -------------------------------------------------------
+
+    def advance_slice(self, delta: RDelta, t: int) -> RDelta:
+        node, st = self.node, self.state
+        keys = node.keys
+        s_cols = [f.name for f in st.schema.fields[:-1]]
+        kp = [s_cols.index(c) for c in keys]
+        pairs = _JoinKernel._aligned(delta, s_cols)
+        touched = ({tuple(d[i] for i in kp) for d, _ in pairs}
+                   if keys else {()})
+        spec_pos = {name: (k, s_cols.index(a[0]) if a and a[0] else None)
+                    for name, (k, a) in node.specs.items()}
+
+        st.apply(pairs)      # slice-new = state AFTER this delta
+        new_rows: dict[tuple, bool] = {}
+        for k in touched:
+            grp = (st.idx.get(k, {}) if keys
+                   else st.data)
+            n = sum(grp.values())
+            if n == 0:
+                continue
+            finals = []
+            for name, (kind, cpos) in spec_pos.items():
+                finals.append(self._slice_agg(kind, cpos, grp))
+            new_rows[k + tuple(finals)] = True
+        return self._emit(touched, new_rows, t)
+
+    @staticmethod
+    def _slice_agg(kind: str, cpos, grp: dict):
+        if kind == "count":
+            return sum(grp.values())
+        if kind in ("sum", "sum_strict"):
+            s = None
+            for data, w in grp.items():
+                v = data[cpos]
+                if v is not None:
+                    s = v * w if s is None else s + v * w
+            return s
+        if kind == "avg":
+            num, den = None, 0
+            for data, w in grp.items():
+                den += w
+                v = data[cpos]
+                if v is not None:
+                    num = v * w if num is None else num + v * w
+            return None if num is None else num / den
+        if kind in ("min", "any"):
+            vs = [d[cpos] for d in grp if d[cpos] is not None]
+            return min(vs) if vs else None
+        if kind == "max":
+            vs = [d[cpos] for d in grp if d[cpos] is not None]
+            return max(vs) if vs else None
+        if kind == "count_distinct":
+            return len({d[cpos] for d in grp if d[cpos] is not None})
+        raise AssertionError(kind)
+
+
+class _DistinctKernel:
+    """Multiset → set flips (mirrors `_DistinctNode._advance`)."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.st: _StoreMirror | None = None
+
+    def ensure(self) -> bool:
+        if self.node._state is None:
+            return False
+        if self.st is None:
+            st = self.eng._mirror_for(self.node._state, None)
+            if st is None:
+                return False
+            self.st = st
+        return True
+
+    def advance(self, delta: RDelta, t: int) -> RDelta:
+        st = self.st
+        s_cols = [f.name for f in st.schema.fields[:-1]]
+        pairs = _JoinKernel._aligned(delta, s_cols)
+        net = _consolidate_rows(pairs)
+        rows = []
+        for data, dw in net.items():
+            old_w = st.data.get(data, 0)
+            was = old_w > 0
+            now = old_w + dw > 0
+            if now and not was:
+                rows.append(data + (1, t))
+            elif was and not now:
+                rows.append(data + (-1, t))
+        st.apply(net.items())
+        return RDelta(s_cols + [DIFF, TIME], rows)
+
+
+# ---------------------------------------------------------------------------
+# the engine
+
+
+class ResidentEngine:
+    """Per-graph resident evaluator.  `try_tick` either runs the whole
+    requested subgraph driver-side and returns the emitted DataFrames,
+    or returns None WITHOUT having mutated anything — the caller then
+    runs the distributed path (after `detach`)."""
+
+    COOLDOWN_TICKS = 8
+
+    def __init__(self, graph: "DifferentialGraph"):
+        self.graph = graph
+        self.spark = graph.spark
+        self.kernels: dict[int, Any] = {}
+        self.mirrors: dict[int, _StoreMirror] = {}
+        self.active = False
+        self._cooldown = 0
+        self._elig: dict[tuple, bool] = {}
+        self._memo: dict[int, tuple[int, RDelta]] = {}
+        self._arrow_cache: dict[int, Any] = {}
+
+    # -- store mirrors -------------------------------------------------------
+
+    def _mirror_for(self, store, key_cols) -> _StoreMirror | None:
+        m = self.mirrors.get(id(store))
+        if m is not None:
+            return m
+        schema = store.get().schema
+        if not schema_safe(schema):
+            return None
+        if key_cols is not None:
+            names = [f.name for f in schema.fields[:-1]]
+            m = _KeyedMirror(self, store, schema,
+                             [names.index(c) for c in key_cols])
+        else:
+            m = _StoreMirror(self, store, schema)
+        if not m.load():
+            return None
+        self.mirrors[id(store)] = m
+        return m
+
+    # -- eligibility -----------------------------------------------------------
+
+    def _node_capable(self, n) -> bool:
+        from . import differential as D
+        if isinstance(n, D.ArrangedInput):
+            return False
+        if isinstance(n, D.SourceNode):
+            return True
+        if isinstance(n, D._LinearNode):
+            return True
+        if isinstance(n, D._UnionNode):
+            return True
+        if type(n) is D._JoinNode:
+            return n.how == "inner" and n._sa_shared is False \
+                and n._sb_shared is False
+        if type(n) is D._ReduceNode:
+            if n._strategy == "acc":
+                return True
+            return all(k in _SLICE_KINDS
+                       and (k == "count" or isinstance(a[0], str))
+                       for k, a in n.specs.values())
+        if type(n) is D._DistinctNode:
+            return True
+        return False
+
+    def eligible(self, nodes) -> bool:
+        """Positive verdicts are cached per requested set; negative
+        ones re-walk each tick (a reduce's strategy or a node's schema
+        memo appears after its first distributed batch)."""
+        key = tuple(sorted(id(n) for n in nodes))
+        if self._elig.get(key):
+            return True
+        from . import differential as D
+        seen, stack = set(), list(nodes)
+        while stack:
+            n = stack.pop()
+            if id(n) in seen:
+                continue
+            seen.add(id(n))
+            if not self._node_capable(n):
+                return False
+            if n._empty_tpl is None and not isinstance(n, D.SourceNode):
+                return False    # no schema memo yet (1st batch pending)
+            stack.extend(n.inputs)
+        self._elig[key] = True
+        return True
+
+    # -- tick driver ------------------------------------------------------------
+
+    def try_tick(self, nodes, deltas: dict[str, DataFrame],
+                 t: int) -> list[DataFrame] | None:
+        g = self.graph
+        if self._cooldown > 0:
+            self._cooldown -= 1
+            return None
+        if not self.eligible(nodes):
+            return None
+
+        # ---- phase 1: abort-safe (no state mutated) ----
+        feeds: dict[str, RDelta] = {}
+        cap = g.RESIDENT_MAX_DELTA_ROWS
+        for name, df in deltas.items():
+            src = g._sources[name]
+            d = self._feed_delta(src, df, t, cap)
+            if d is None:
+                self._cooldown = self.COOLDOWN_TICKS
+                return None
+            feeds[name] = d
+        # walk the subgraph; make sure every NON-EMPTY stateful node
+        # has a mirror (building them collects state — still read-only)
+        fed = {id(g._sources[n]) for n, d in feeds.items() if d.rows}
+        order = self._topo(nodes)
+        nonempty: set[int] = set()
+        for n in order:
+            from . import differential as D
+            if isinstance(n, D.SourceNode):
+                if id(n) in fed:
+                    nonempty.add(id(n))
+                continue
+            if any(id(i) in nonempty for i in n.inputs):
+                nonempty.add(id(n))
+                if not self._ensure_kernel(n):
+                    self._cooldown = self.COOLDOWN_TICKS
+                    return None
+        for m in self.mirrors.values():
+            if m.n_rows > g.RESIDENT_MAX_STATE_ROWS:
+                self.detach()
+                self._cooldown = self.COOLDOWN_TICKS
+                return None
+
+        # same session-conf contract as distributed steady ticks (the
+        # feed-collect micro-jobs run under the tuned confs, and the
+        # snapshot/restore protocol stays observable to callers)
+        if g._tune_steady:
+            g._apply_steady_confs()
+
+        # ---- phase 2: advance (mutating) ----
+        self.active = True
+        self._memo.clear()
+        for name, d in feeds.items():
+            src = g._sources[name]
+            self._memo[id(src)] = (t, d)
+        outs = []
+        for n in nodes:
+            d = self._delta(n, t)
+            outs.append(self._to_df(n, d))
+            # the classic memo must cover this tick: anything asking
+            # the node for batch t again gets the same frame, never a
+            # second (state-corrupting) distributed advance
+            n._memo_t, n._memo = t, outs[-1]
+        g._res_last_t = t
+        return outs
+
+    def _feed_delta(self, src, df: DataFrame | None, t: int,
+                    cap: int) -> RDelta | None:
+        from . import differential as D
+        tpl_cols = D._data_cols(src._template)
+        cols = tpl_cols + [DIFF, TIME]
+        if df is None:
+            return RDelta(cols, [])
+        if DIFF in df.columns:
+            src._ins_only = False
+        d = df.select(
+            *tpl_cols,
+            (F.col(DIFF) if DIFF in df.columns
+             else F.lit(1)).cast("long").alias(DIFF),
+            F.lit(t).cast("long").alias(TIME))
+        try:
+            rows = d.limit(cap + 1).collect()
+        except Exception:
+            return None
+        if len(rows) > cap:
+            return None
+        return RDelta(cols, [_norm_row(r) for r in rows])
+
+    def _topo(self, nodes) -> list:
+        order, seen = [], set()
+        def visit(n):
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            for i in n.inputs:
+                visit(i)
+            order.append(n)
+        for n in nodes:
+            visit(n)
+        return order
+
+    def _ensure_kernel(self, n) -> bool:
+        from . import differential as D
+        k = self.kernels.get(id(n))
+        if k is None:
+            if type(n) is D._JoinNode:
+                k = _JoinKernel(self, n)
+            elif type(n) is D._ReduceNode:
+                k = _ReduceKernel(self, n)
+            elif type(n) is D._DistinctNode:
+                k = _DistinctKernel(self, n)
+            else:
+                return True          # stateless
+            self.kernels[id(n)] = k
+        return k.ensure()
+
+    # -- node advance ----------------------------------------------------------
+
+    def _delta(self, n, t: int) -> RDelta:
+        m = self._memo.get(id(n))
+        if m is not None and m[0] == t:
+            return m[1]
+        d = self._advance(n, t)
+        self._memo[id(n)] = (t, d)
+        return d
+
+    def _advance(self, n, t: int) -> RDelta:
+        from . import differential as D
+        if isinstance(n, D.SourceNode):
+            # unfed source: empty delta
+            return RDelta(D._data_cols(n._template) + [DIFF, TIME], [])
+        if isinstance(n, D._LinearNode):
+            return self._advance_linear(n, t)
+        if isinstance(n, D._UnionNode):
+            a = self._delta(n.inputs[0], t)
+            b = self._delta(n.inputs[1], t)
+            if not b.rows:
+                return RDelta(a.cols, list(a.rows))
+            idx = [b.cols.index(c) for c in a.cols]
+            rows = list(a.rows) + [tuple(r[i] for i in idx) for r in b.rows]
+            return RDelta(a.cols, rows)
+        # stateful nodes: an empty-at subtree this tick has no kernel
+        # (phase 1 skips its mirror) and emits an empty delta
+        k = self.kernels.get(id(n))
+        empty = RDelta(D._data_cols(n._empty_tpl) + [DIFF, TIME], [])
+        if type(n) is D._JoinNode:
+            da = self._delta(n.inputs[0], t)
+            db = self._delta(n.inputs[1], t)
+            if not da.rows and not db.rows:
+                return empty
+            return k.advance(da, db, t)
+        if type(n) is D._ReduceNode:
+            d = self._delta(n.inputs[0], t)
+            if not d.rows:
+                return empty
+            if n._strategy == "acc":
+                return k.advance_acc(d, t)
+            return k.advance_slice(d, t)
+        if type(n) is D._DistinctNode:
+            d = self._delta(n.inputs[0], t)
+            if not d.rows:
+                return empty
+            return k.advance(d, t)
+        raise AssertionError(type(n).__name__)
+
+    def _advance_linear(self, n, t: int) -> RDelta:
+        """Evaluate a maximal linear chain with ONE Spark round trip
+        per contiguous Column-fn run; `flatten` hops run in Python
+        (exact `F.explode` semantics) so the hot chain stays job-free."""
+        from . import differential as D
+        chain = []
+        head = n
+        while isinstance(head, D._LinearNode):
+            m = self._memo.get(id(head))
+            if m is not None and m[0] == t:
+                break               # diamond: reuse the memoized prefix
+            chain.append(head)
+            head = head.inputs[0]
+        chain.reverse()
+        cur = self._delta(head, t)
+        schema = self._node_schema(head)
+        fns: list = []
+
+        def flush():
+            nonlocal cur, schema
+            if not fns:
+                return
+            df = rows_to_df(self.spark, cur.rows,
+                            self._reorder_schema(schema, cur.cols))
+            for f in fns:
+                df = f(df)
+            cur = RDelta(df.columns, collect_rows(df))
+            schema = df.schema
+            fns.clear()
+
+        for ln in chain:
+            ex = getattr(ln, "_res_explode", None)
+            if ex is None:
+                fns.append(ln._fn)
+                continue
+            flush()
+            cur, schema = self._explode(cur, schema, *ex)
+        flush()
+        return cur
+
+    def _explode(self, d: RDelta, schema: T.StructType, col: str,
+                 alias: str):
+        keep = [c for c in d.data_cols() if c != col]
+        ki = [d.cols.index(c) for c in keep]
+        ci = d.pos(col)
+        dp, tp = d.pos(DIFF), d.pos(TIME)
+        rows = []
+        for r in d.rows:
+            arr = r[ci]
+            if not arr:
+                continue
+            base = tuple(r[i] for i in ki)
+            tail = (r[dp], r[tp])
+            for v in arr:
+                rows.append(base + (v,) + tail)
+        by_name = {f.name: f for f in schema.fields}
+        elem = by_name[col].dataType.elementType
+        new_schema = T.StructType(
+            [by_name[c] for c in keep]
+            + [T.StructField(alias, elem)]
+            + [by_name[DIFF], by_name[TIME]])
+        return RDelta(keep + [alias, DIFF, TIME], rows), new_schema
+
+    # -- schemas / emission -------------------------------------------------------
+
+    def _node_schema(self, n) -> T.StructType:
+        tpl = n._empty_tpl
+        if tpl is None:
+            from . import differential as D
+            if isinstance(n, D.SourceNode):
+                base = n._template.schema
+                fields = [f for f in base.fields
+                          if f.name not in (DIFF, TIME)]
+                return T.StructType(fields + [
+                    T.StructField(DIFF, T.LongType()),
+                    T.StructField(TIME, T.LongType())])
+            raise RuntimeError("resident tick on a node without a "
+                               "schema memo")
+        return tpl.schema
+
+    @staticmethod
+    def _reorder_schema(schema: T.StructType, cols: list[str]
+                        ) -> T.StructType:
+        by = {f.name: f for f in schema.fields}
+        return T.StructType([by[c] for c in cols])
+
+    def _to_df(self, n, d: RDelta) -> DataFrame:
+        schema = self._reorder_schema(self._node_schema(n), d.cols)
+        return rows_to_df(self.spark, d.rows, schema)
+
+    # -- teardown ------------------------------------------------------------------
+
+    def detach(self) -> None:
+        """Synchronize every mirror into its store and drop residency —
+        called before any distributed tick runs on the graph."""
+        for m in self.mirrors.values():
+            m.store._res_sync()
+            m.store._res_detach()
+        self.mirrors.clear()
+        self.kernels.clear()
+        self._memo.clear()
+        self.active = False

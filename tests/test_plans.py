@@ -163,7 +163,7 @@ def test_differential_step_plans_stay_jvm_side(spark):
 
     left_t = spark.createDataFrame([], "k string, v long")
     right_t = spark.createDataFrame([], "k string, w long")
-    g = DifferentialGraph(spark)
+    g = DifferentialGraph(spark, resident=False)
     a, b = g.source("a", left_t), g.source("b", right_t)
     q = (a.filter(F.col("v") > 0)
           .join(b, on=["k"], how="left")
@@ -239,7 +239,9 @@ def test_differential_steady_delta_broadcasts(spark, monkeypatch):
     monkeypatch.setattr(D._JoinNode, "_CKPT_OUT", False)
     tpl_a = spark.createDataFrame([], "k string, v long")
     tpl_b = spark.createDataFrame([], "k string, w long")
-    g = D.DifferentialGraph(spark)
+    # resident=False: this gate inspects the DISTRIBUTED steady-tick
+    # plan (the path over-cap / non-capable graphs still take)
+    g = D.DifferentialGraph(spark, resident=False)
     a, b = g.source("a", tpl_a), g.source("b", tpl_b)
     q = a.join(b, on=["k"])
     # batch 0: wide initial load (no hint expected)
@@ -265,7 +267,7 @@ def test_differential_forget_amplified_delta_not_broadcast(spark, monkeypatch):
     monkeypatch.setattr(D._JoinNode, "_CKPT_OUT", False)
     tpl_a = spark.createDataFrame([], "k string, ts long, v long")
     tpl_b = spark.createDataFrame([], "k string, w long")
-    g = D.DifferentialGraph(spark)
+    g = D.DifferentialGraph(spark, resident=False)
     a, b = g.source("a", tpl_a), g.source("b", tpl_b)
     q = a.forget("ts", 10).join(b, on=["k"])
     assert not q._delta_bounded()

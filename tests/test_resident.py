@@ -1,0 +1,297 @@
+"""Resident fast-path equivalence: the driver-resident engine
+(`streaming/resident.py`) must emit exactly the deltas the distributed
+path emits, tick for tick, through inserts and retractions — and fold
+back into the distributed path (caps, wide batches, commit/restore)
+without losing state.
+
+Float columns in these streams use dyadic values (multiples of 0.25),
+which double-precision sums represent exactly regardless of fold
+order, so trace comparisons are exact even where the two paths fold
+partials in different orders (both are compensated sums; neither is
+bit-pinned to the other on non-representable data — same caveat as
+the distributed accumulator's own docstring)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pathway_spark.streaming.differential import DifferentialGraph
+
+
+def _trace(rows) -> list[tuple]:
+    return sorted(tuple(r) for r in rows)
+
+
+def _drive(spark, build, ticks, *, resident, state_dir=None,
+           collect_active=False):
+    """Build the graph, run batch 0 + the given ticks, return the
+    per-tick sorted traces (and whether each tick ran resident)."""
+    g = DifferentialGraph(spark, resident=resident, state_dir=state_dir)
+    out, feeds0 = build(g)
+    (d0,) = g.step(out, **feeds0)
+    traces = [_trace(d0.collect())]
+    active = []
+    for feeds in ticks:
+        (d,) = g.step(out, **feeds)
+        traces.append(_trace(d.collect()))
+        active.append(g._res_last_t == g._t)
+    if collect_active:
+        return g, out, traces, active
+    return g, out, traces
+
+
+def _orders_build(spark, n0=3000, nk=50):
+    rows0 = [(i, i % nk, (i % 37) * 0.25) for i in range(n0)]
+    orders = spark.createDataFrame(
+        rows0, "k long, ck long, price double")
+    cust = spark.createDataFrame(
+        [(i, i % 7) for i in range(nk)], "ck long, nat long")
+
+    def build(g):
+        so = g.source("o", orders)
+        sc = g.source("c", cust)
+        out = so.join(sc, on=["ck"]).reduce(
+            ["nat"], rev=("sum", "price"), n=("count",),
+            ks=("sum", "k"))
+        return out, dict(o=orders, c=cust)
+    return build, rows0
+
+
+def _mk_ticks(spark, rows0, nticks, *, rng, nk=50, schema=None):
+    schema = schema or "k long, ck long, price double, _pw_diff long"
+    live = list(rows0)
+    ticks = []
+    for b in range(nticks):
+        ins = [(10_000 + b * 1000 + j, rng.randrange(nk),
+                (rng.randrange(200)) * 0.25, 1) for j in range(120)]
+        dels = []
+        for r in rng.sample(live, 25):
+            dels.append(r + (-1,))
+            live.remove(r)
+        live.extend(i[:3] for i in ins)
+        ticks.append(dict(o=spark.createDataFrame(ins + dels, schema)))
+    return ticks
+
+
+def test_join_reduce_acc_equivalence(spark):
+    rng = random.Random(11)
+    build, rows0 = _orders_build(spark)
+    ticks = _mk_ticks(spark, rows0, 8, rng=rng)
+    _, _, tr_res, act = _drive(spark, build, ticks, resident=True,
+                               collect_active=True)
+    _, _, tr_cls = _drive(spark, build, ticks, resident=False)
+    assert tr_res == tr_cls
+    assert all(act), "resident engine silently fell back on a steady tick"
+
+
+def test_slice_reduce_equivalence(spark):
+    """min/max/count_distinct force the slice strategy; retractions
+    must re-derive order statistics from the surviving multiset."""
+    rng = random.Random(5)
+    rows0 = [(i, i % 20, (i * 7) % 101, f"s{i % 13}") for i in range(800)]
+    src_df = spark.createDataFrame(rows0, "k long, g long, v long, s string")
+
+    def build(g):
+        so = g.source("o", src_df)
+        out = so.reduce(["g"], lo=("min", "v"), hi=("max", "v"),
+                        nd=("count_distinct", "s"), tot=("sum", "v"),
+                        n=("count",))
+        return out, dict(o=src_df)
+
+    live = list(rows0)
+    ticks = []
+    for b in range(6):
+        ins = [(5000 + b * 100 + j, rng.randrange(20),
+                rng.randrange(101), f"s{rng.randrange(13)}", 1)
+               for j in range(40)]
+        dels = []
+        for r in rng.sample(live, 15):
+            dels.append(r + (-1,))
+            live.remove(r)
+        live.extend(i[:4] for i in ins)
+        ticks.append(dict(o=spark.createDataFrame(
+            ins + dels, "k long, g long, v long, s string, _pw_diff long")))
+
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+def test_distinct_union_flatten_equivalence(spark):
+    """The wordcount shape: linear chain + python-explode + count
+    reduce, plus a distinct over a union — with NULL text rows (split
+    of NULL explodes to nothing) and empty strings."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c"), (3, None), (4, "")],
+        "id long, text string")
+
+    def build(g):
+        so = g.source("d", docs)
+        words = (so.with_columns(ws=F.split(F.col("text"), r"\s+"))
+                   .select(F.col("id"), F.col("ws"))
+                   .flatten("ws", "w")
+                   .reduce(["w"], n=("count",)))
+        return words, dict(d=docs)
+
+    ticks = []
+    payloads = [
+        [(10, "c d e", 1)],
+        [(11, "e e e", 1), (1, "a b c", -1)],
+        [(12, None, 1), (13, "f", 1)],
+        [(11, "e e e", -1)],
+    ]
+    for p in payloads:
+        ticks.append(dict(d=spark.createDataFrame(
+            p, "id long, text string, _pw_diff long")))
+
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+def test_distinct_node_equivalence(spark):
+    base = spark.createDataFrame([(i % 5, f"v{i % 3}") for i in range(40)],
+                                 "a long, s string")
+
+    def build(g):
+        so = g.source("d", base)
+        return so.distinct(), dict(d=base)
+
+    ticks = []
+    payloads = [
+        [(9, "new", 1)],
+        [(0, "v0", -1)],                    # multiplicity drops, stays >0
+        [(0, "v0", -7), (1, "v1", 2)],      # flips 0/v0 out
+        [(0, "v0", 7)],                     # back in
+    ]
+    for p in payloads:
+        ticks.append(dict(d=spark.createDataFrame(
+            p, "a long, s string, _pw_diff long")))
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+def test_null_join_keys_never_match(spark):
+    left = spark.createDataFrame([(1, "x"), (None, "y")], "k long, l string")
+    right = spark.createDataFrame([(1, "r1"), (None, "r2")],
+                                  "k long, r string")
+
+    def build(g):
+        a = g.source("a", left)
+        b = g.source("b", right)
+        return a.join(b, on=["k"]), dict(a=left, b=right)
+
+    ticks = [dict(a=spark.createDataFrame([(None, "z", 1), (1, "w", 1)],
+                                          "k long, l string, _pw_diff long"))]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+    # null keys padded nothing into the inner join
+    assert all("y" not in str(row) for row in a[-1])
+
+
+def test_nan_group_keys_group_together(spark):
+    nan = float("nan")
+    base = spark.createDataFrame([(nan, 1), (nan, 2), (1.5, 3)],
+                                 "g double, v long")
+
+    def build(g):
+        so = g.source("d", base)
+        return so.reduce(["g"], s=("sum", "v"), n=("count",)), dict(d=base)
+
+    ticks = [dict(d=spark.createDataFrame([(nan, 10, 1)],
+                                          "g double, v long, _pw_diff long")),
+             dict(d=spark.createDataFrame([(nan, 1, -1)],
+                                          "g double, v long, _pw_diff long"))]
+    g, out, a, act = _drive(spark, build, ticks, resident=True,
+                            collect_active=True)
+    assert all(act)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+
+    def keyed(tr):
+        return sorted((repr(x[0]),) + tuple(x[1:]) for x in tr)
+    assert [keyed(x) for x in a] == [keyed(x) for x in b]
+
+
+def test_fallback_and_resume_preserve_state(spark):
+    """Resident ticks → an over-cap wide batch (distributed, mirrors
+    synced + dropped) → resident resumes after the cooldown; the full
+    integrated trace must match an always-distributed drive."""
+    rng = random.Random(23)
+    build, rows0 = _orders_build(spark, n0=1000, nk=30)
+    small = _mk_ticks(spark, rows0, 3, rng=rng, nk=30)
+    wide_rows = [(90_000 + j, j % 30, 0.25, 1) for j in range(60_000)]
+    wide = dict(o=spark.createDataFrame(
+        wide_rows, "k long, ck long, price double, _pw_diff long"))
+    more = _mk_ticks(spark, rows0, 12, rng=rng, nk=30)
+    ticks = small + [wide] + more
+
+    gr, outr, a, act = _drive(spark, build, ticks, resident=True,
+                              collect_active=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+    assert act[0] and act[1] and act[2], "steady prefix should be resident"
+    assert not act[3], "the wide batch must run distributed"
+    assert act[-1], "resident mode should re-establish after the cooldown"
+
+
+def test_commit_restore_through_resident_ticks(spark, tmp_path):
+    """Mirror rows must reach durable state: resident ticks, commit,
+    restore into a fresh graph, continue — equal to one distributed
+    drive of the same stream."""
+    rng = random.Random(7)
+    sd = str(tmp_path / "state")
+    build, rows0 = _orders_build(spark, n0=500, nk=10)
+    pre = _mk_ticks(spark, rows0, 3, rng=rng, nk=10)
+    post = _mk_ticks(spark, rows0, 2, rng=rng, nk=10)
+
+    g, out, traces = _drive(spark, build, pre, resident=True, state_dir=sd)
+    assert g._res_last_t == g._t      # resident actually ran
+    g.commit()
+
+    g2 = DifferentialGraph(spark, resident=True, state_dir=sd)
+    out2, _ = build(g2)
+    for feeds in post:
+        (d,) = g2.step(out2, **feeds)
+        traces.append(_trace(d.collect()))
+
+    _, _, ref = _drive(spark, build, pre + post, resident=False)
+    assert traces == ref
+
+
+def test_caps_route_to_distributed(spark):
+    build, rows0 = _orders_build(spark, n0=400, nk=10)
+    rng = random.Random(3)
+    ticks = _mk_ticks(spark, rows0, 2, rng=rng, nk=10)
+
+    g = DifferentialGraph(spark, resident=True)
+    g.RESIDENT_MAX_DELTA_ROWS = 10       # instance override
+    out, feeds0 = build(g)
+    g.step(out, **feeds0)
+    for feeds in ticks:
+        (d,) = g.step(out, **feeds)
+        d.collect()
+        assert g._res_last_t != g._t, "over-cap delta must run distributed"
+
+
+def test_global_keyless_reduce(spark):
+    base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
+                                 "k long, v double")
+
+    def build(g):
+        so = g.source("d", base)
+        return (so.reduce([], s=("sum", "v"), n=("count",),
+                          a=("avg", "v")),
+                dict(d=base))
+
+    ticks = [dict(d=spark.createDataFrame([(200, 5.25, 1), (0, 0.0, -1)],
+                                          "k long, v double, _pw_diff long")),
+             dict(d=spark.createDataFrame([(201, 1.0, 1)],
+                                          "k long, v double, _pw_diff long"))]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b

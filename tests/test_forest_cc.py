@@ -43,22 +43,31 @@ def _cc_oracle(edges):
     return sorted((w, find(w)) for w in parent)
 
 
-@pytest.fixture()
-def graph(spark):
-    g = DifferentialGraph(spark)
+@pytest.fixture(params=[True, False], ids=["resident", "distributed"])
+def graph(spark, request):
+    g = DifferentialGraph(spark, resident=request.param)
     src = g.source("e", spark.createDataFrame([], "u long, v long"))
     return g, src, incremental_connected_components(src)
 
 
 def _count_solves(monkeypatch):
+    """Count component re-solves on BOTH paths: the distributed
+    fixed point (_cc_labels_forest) and the resident BFS
+    (_cc_solve_py) — the cheap-path guarantee must hold for each."""
     calls = {"n": 0}
     orig = ig._cc_labels_forest
+    orig_py = ig._cc_solve_py
+
+    def counting_py(res_nodes, est_idx):
+        calls["n"] += 1
+        return orig_py(res_nodes, est_idx)
 
     def counting(e):
         calls["n"] += 1
         return orig(e)
 
     monkeypatch.setattr(ig, "_cc_labels_forest", counting)
+    monkeypatch.setattr(ig, "_cc_solve_py", counting_py)
     return calls
 
 

@@ -58,6 +58,13 @@ in-memory compaction every `checkpoint_every` batches, and durable
 parquet versions written only by `DifferentialGraph.commit` so restore
 is always commit-consistent.
 
+Steady micro-batch ticks additionally run on the RESIDENT fast path
+(`resident.py`, on by default): the same delta algebra evaluated over
+driver-held dict-indexed state mirrors — the Spark-side analog of the
+reference's resident arrangements — with hard caps and automatic
+fallback to the distributed rules above for wide batches, over-cap
+state, and operators without a resident kernel.
+
 Scale notes: all state updates shuffle on the operator key only; the
 affected-key reduce touches |delta-keys| groups, not |state| groups;
 consolidation is a map-side-combinable sum.  Nothing collects to the

@@ -346,6 +346,169 @@ class _JoinKernel:
         return [(tuple(r[i] for i in idx), r[dp]) for r in d.rows]
 
 
+class _SemiAntiKernel:
+    """Presence-flip semi/anti join (mirrors `_SemiAntiNode._advance`):
+    a right key flipping 0↔>0 emits/retracts the matching left rows;
+    fresh left rows gate on the NEW presence.  NULL keys never match
+    (EqualTo), so in anti mode they always pass, in semi mode never."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.ma: _KeyedMirror | None = None
+        self.mb: _KeyedMirror | None = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._sa is None or n._sb is None:
+            return False
+        if self.ma is None:
+            ma = self.eng._mirror_for(n._sa, n._lkeys)
+            mb = self.eng._mirror_for(n._sb, n._rkeys)
+            if ma is None or mb is None:
+                return False
+            self.ma, self.mb = ma, mb
+        return True
+
+    def advance(self, t: int, da: RDelta, db: RDelta) -> RDelta:
+        node, ma, mb = self.node, self.ma, self.mb
+        a_cols = [f.name for f in ma.schema.fields[:-1]]
+        b_cols = [f.name for f in mb.schema.fields[:-1]]
+        da_pairs = _JoinKernel._aligned(da, a_cols)
+        db_pairs = _JoinKernel._aligned(db, b_cols)
+        bkp = [b_cols.index(c) for c in node._rkeys]
+
+        def p_old(k) -> bool:
+            return sum(mb.idx.get(k, {}).values()) > 0
+
+        db_by_key: dict = {}
+        for data, w in db_pairs:
+            k = tuple(data[i] for i in bkp)
+            db_by_key[k] = db_by_key.get(k, 0) + w
+
+        def p_new(k) -> bool:
+            return (sum(mb.idx.get(k, {}).values())
+                    + db_by_key.get(k, 0)) > 0
+
+        out: dict = {}
+
+        def emit(data, w):
+            nw = out.get(data, 0) + w
+            if nw == 0:
+                out.pop(data, None)
+            else:
+                out[data] = nw
+
+        sa, sv = (-1, 1) if node._anti else (1, -1)
+        for k in db_by_key:
+            if any(v is None for v in k):
+                continue                       # EqualTo: never matches
+            was, now = p_old(k), p_new(k)
+            sign = sa if (now and not was) else sv if (was and not now) \
+                else 0
+            if sign:
+                for a_data, wa in ma.idx.get(k, {}).items():
+                    emit(a_data, wa * sign)
+        akp = [a_cols.index(c) for c in node._lkeys]
+        for a_data, wa in da_pairs:
+            k = tuple(a_data[i] for i in akp)
+            present = (not any(v is None for v in k)) and p_new(k)
+            if present != node._anti:          # semi keeps, anti drops
+                emit(a_data, wa)
+        if da.rows:
+            ma.apply(da_pairs)
+        if db.rows:
+            mb.apply(db_pairs)
+        return RDelta(a_cols + [DIFF, TIME],
+                      [d + (w, t) for d, w in out.items()])
+
+
+class _AsofNowKernel:
+    """Freeze-at-arrival join (mirrors `_AsofNowNode._advance`): left
+    deltas join the right side's CURRENT state immutably; left
+    retractions replay exact frozen bytes from the output trace."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.mb: _KeyedMirror | None = None     # right state by rkeys
+        self.tr: _KeyedMirror | None = None     # trace by left columns
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._sb is None or n._trace is None or n._out_tpl is None:
+            return False
+        if self.mb is None:
+            mb = self.eng._mirror_for(n._sb, n._rk)
+            tr = self.eng._mirror_for(n._trace, n._lcols)
+            if mb is None or tr is None:
+                return False
+            self.mb, self.tr = mb, tr
+        return True
+
+    def advance(self, t: int, da: RDelta, db: RDelta) -> RDelta:
+        node, mb, tr = self.node, self.mb, self.tr
+        b_cols = [f.name for f in mb.schema.fields[:-1]]
+        db_pairs = _JoinKernel._aligned(db, b_cols)
+        if not da.rows:
+            if db.rows:
+                mb.apply(db_pairs)
+            return RDelta(node._lcols + node._rcols + [DIFF, TIME], [])
+        a_idx = [da.cols.index(c) for c in node._lcols]
+        dp = da.pos(DIFF)
+        da_net: dict = {}
+        for r in da.rows:
+            d = tuple(r[i] for i in a_idx)
+            nw = da_net.get(d, 0) + r[dp]
+            if nw == 0:
+                da_net.pop(d, None)
+            else:
+                da_net[d] = nw
+
+        bkp = [b_cols.index(c) for c in node._rk]
+        b_rest = [b_cols.index(c) for c in node._rcols]
+        akp = [node._lcols.index(c) for c in node._lk]
+        db_by_key: dict = {}
+        for data, w in db_pairs:
+            k = tuple(data[i] for i in bkp)
+            db_by_key.setdefault(k, []).append((data, w))
+
+        out: dict = {}
+
+        def emit(data, w):
+            nw = out.get(data, 0) + w
+            if nw == 0:
+                out.pop(data, None)
+            else:
+                out[data] = nw
+
+        for l_data, wa in da_net.items():
+            if wa <= 0:
+                continue
+            k = tuple(l_data[i] for i in akp)
+            if any(v is None for v in k):
+                continue                       # EqualTo keys
+            for b_data, wb in mb.idx.get(k, {}).items():
+                emit(l_data + tuple(b_data[i] for i in b_rest), wa * wb)
+            for b_data, wb in db_by_key.get(k, ()):
+                emit(l_data + tuple(b_data[i] for i in b_rest), wa * wb)
+        # left retractions: exact trace bytes, null-safe left-row match
+        # (tuple equality — None==None, NaN normalized to one object)
+        trace_delta = []
+        for l_data, wa in da_net.items():
+            if wa >= 0:
+                continue
+            for row, wt in tr.idx.get(l_data, {}).items():
+                emit(row, -wt)
+        for data, w in out.items():
+            trace_delta.append((data, w))
+        tr.apply(trace_delta)
+        if db.rows:
+            mb.apply(db_pairs)
+        return RDelta(node._lcols + node._rcols + [DIFF, TIME],
+                      [d + (w, t) for d, w in out.items()])
+
+
 # reducers the resident SLICE path evaluates (full-group recompute);
 # ties/ordering match the distributed builders in `_AGG_BUILDERS`
 _SLICE_KINDS = ("sum", "sum_strict", "count", "avg", "min", "max",
@@ -684,6 +847,10 @@ class ResidentEngine:
                        for k, a in n.specs.values())
         if type(n) is D._DistinctNode:
             return True
+        if type(n) is D._SemiAntiNode:
+            return True
+        if type(n) is D._AsofNowNode:
+            return True
         # extension hook: a custom node ships its own resident kernel
         # (e.g. the spanning-forest CC in incremental_graph.py) —
         # `_res_kernel(engine)` returns an object with
@@ -840,6 +1007,10 @@ class ResidentEngine:
                 k = _ReduceKernel(self, n)
             elif type(n) is D._DistinctNode:
                 k = _DistinctKernel(self, n)
+            elif type(n) is D._SemiAntiNode:
+                k = _SemiAntiKernel(self, n)
+            elif type(n) is D._AsofNowNode:
+                k = _AsofNowKernel(self, n)
             elif hasattr(n, "_res_kernel"):
                 k = n._res_kernel(self)
             else:
@@ -894,6 +1065,12 @@ class ResidentEngine:
             if not d.rows:
                 return empty
             return k.advance(d, t)
+        if type(n) is D._SemiAntiNode or type(n) is D._AsofNowNode:
+            da = self._delta(n.inputs[0], t)
+            db = self._delta(n.inputs[1], t)
+            if not da.rows and not db.rows:
+                return empty
+            return k.advance(t, da, db)
         # custom kernel (see _node_capable's extension hook)
         ins = [self._delta(i, t) for i in n.inputs]
         if all(not d.rows for d in ins):

@@ -22,7 +22,8 @@ from pathway_spark.streaming.differential import DifferentialGraph
 
 
 def _trace(rows) -> list[tuple]:
-    return sorted(tuple(r) for r in rows)
+    # repr sort key: rows may mix None with values in any column
+    return sorted((tuple(r) for r in rows), key=repr)
 
 
 def _drive(spark, build, ticks, *, resident, state_dir=None,
@@ -276,6 +277,74 @@ def test_caps_route_to_distributed(spark):
         (d,) = g.step(out, **feeds)
         d.collect()
         assert g._res_last_t != g._t, "over-cap delta must run distributed"
+
+
+@pytest.mark.parametrize("anti", [False, True], ids=["semi", "anti"])
+def test_semi_anti_equivalence(spark, anti):
+    """Presence flips (0↔>0) through right-side churn, null keys, and
+    left deltas gating on the new presence."""
+    left0 = spark.createDataFrame(
+        [(i % 12, f"l{i}") for i in range(60)] + [(None, "lnull")],
+        "k long, payload string")
+    right0 = spark.createDataFrame(
+        [(i % 6, i) for i in range(18)], "rk long, rv long")
+
+    def build(g):
+        a = g.source("a", left0)
+        b = g.source("b", right0)
+        out = (a.anti_join(b, ["k"], ["rk"]) if anti
+               else a.semi_join(b, ["k"], ["rk"]))
+        return out, dict(a=left0, b=right0)
+
+    rsch = "rk long, rv long, _pw_diff long"
+    lsch = "k long, payload string, _pw_diff long"
+    ticks = [
+        dict(b=spark.createDataFrame([(7, 100, 1)], rsch)),   # appears
+        dict(a=spark.createDataFrame([(7, "new7", 1),
+                                      (None, "n2", 1)], lsch)),
+        dict(b=spark.createDataFrame([(0, 0, -1), (0, 6, -1),
+                                      (0, 12, -1)], rsch)),   # vanishes
+        dict(b=spark.createDataFrame([(0, 50, 1)], rsch),
+             a=spark.createDataFrame([(0, "back", 1)], lsch)),
+        dict(a=spark.createDataFrame([(7, "new7", -1)], lsch)),
+    ]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+def test_asof_now_equivalence(spark):
+    """Freeze-at-arrival: later right churn never retracts frozen
+    matches; left retractions replay exact trace bytes."""
+    docs0 = spark.createDataFrame(
+        [(i % 5, f"d{i}", i * 0.25) for i in range(20)],
+        "key long, doc string, score double")
+    q0 = spark.createDataFrame([], "qid long, key long")
+
+    def build(g):
+        docs = g.source("docs", docs0)
+        qs = g.source("qs", q0)
+        from pathway_spark.streaming.differential import _AsofNowNode
+        out = _AsofNowNode(g, qs, docs, ["key"], ["key"])
+        return out, dict(docs=docs0, qs=q0)
+
+    qsch = "qid long, key long, _pw_diff long"
+    dsch = "key long, doc string, score double, _pw_diff long"
+    ticks = [
+        dict(qs=spark.createDataFrame([(1, 0, 1), (2, 3, 1)], qsch)),
+        dict(docs=spark.createDataFrame([(0, "new0", 9.0, 1),
+                                         (3, "d3", 0.75, -1)], dsch)),
+        # same keys queried again: sees the CHANGED right state
+        dict(qs=spark.createDataFrame([(3, 0, 1)], qsch)),
+        # retraction of query 1 replays its frozen rows only
+        dict(qs=spark.createDataFrame([(1, 0, -1)], qsch)),
+        # mixed tick: docs and queries together
+        dict(docs=spark.createDataFrame([(2, "late2", 1.0, 1)], dsch),
+             qs=spark.createDataFrame([(4, 2, 1)], qsch)),
+    ]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
 
 
 def test_global_keyless_reduce(spark):

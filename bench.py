@@ -253,6 +253,30 @@ def main() -> None:
     timings["stream_latency_p50"] = round(lats[len(lats) // 2], 3)
     timings["stream_latency_p99"] = round(lats[98], 3)
 
+    # serve-while-indexing query latency (NEW r8): the LiveDocumentStore
+    # answers BM25 top-k queries through the live graph (query source →
+    # tokenize → asof-now stages); per-query latency = ask → ranked
+    # rows materialized.  Tracks the serving-path tick floor the same
+    # way stream_latency tracks the pipeline floor.
+    from pathway_spark.xpacks.llm.live_store import LiveDocumentStore
+
+    store = LiveDocumentStore(spark)
+    store.add_documents(docs_txt.limit(2000))
+    store.query(["warm up the serving chain"], k=3)        # untimed
+    qlats = []
+    # probes drawn from the synthetic corpus vocabulary so every query
+    # exercises real tf lookups and ranking, not empty-slice fast exits
+    probes = ["spark join merge", "sort column order", "fast batch group",
+              "hash scan window", "stream query value", "big data table",
+              "slow filter key", "vector agg line", "merge window batch",
+              "query plan scan sort"]
+    for q in probes:
+        t0 = time.perf_counter()
+        store.query([q], k=3)
+        qlats.append(time.perf_counter() - t0)
+    qlats.sort()
+    timings["live_store_query_p50"] = round(qlats[len(qlats) // 2], 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

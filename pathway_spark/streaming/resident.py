@@ -50,8 +50,7 @@ trace), so integration stays consistent across path switches.
 
 from __future__ import annotations
 
-import math
-from typing import TYPE_CHECKING, Any, Callable
+from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,12 +156,6 @@ class RDelta:
     def data_cols(self) -> list[str]:
         return [c for c in self.cols if c not in (DIFF, TIME)]
 
-    def iter_dw(self):
-        """Yield (data_tuple, weight) with DIFF/TIME stripped."""
-        keep = [i for i, c in enumerate(self.cols) if c not in (DIFF, TIME)]
-        dp = self.pos(DIFF)
-        for r in self.rows:
-            yield tuple(r[i] for i in keep), r[dp]
 
 
 # ---------------------------------------------------------------------------
@@ -259,8 +252,12 @@ class _KeyedMirror(_StoreMirror):
 
 
 class _JoinKernel:
-    """Bilinear inner-join delta rule over dict-indexed arrangements
-    (mirrors `_JoinNode._advance`: dA ⋈ B_new  ∪  A_old ⋈ dB)."""
+    """Bilinear join delta rule over dict-indexed arrangements
+    (mirrors `_JoinNode._advance`: dA ⋈ B_new  ∪  A_old ⋈ dB), plus
+    the outer variants' presence-flip padding (`_JoinNode._padding`):
+    a probe key flipping 0↔>0 retracts/emits the kept side's
+    null-padded rows; fresh kept rows pad when their key has no
+    presence in the probe's NEW state."""
 
     def __init__(self, eng, node):
         self.eng = eng
@@ -331,13 +328,77 @@ class _JoinKernel:
             for a_data, wa in ma.idx.get(k, {}).items():
                 emit(a_data, b_data, wa * wb)
 
+        da_by_key: dict[tuple, int] = {}
+        for data, w in da_pairs:
+            k = tuple(data[i] for i in akp)
+            da_by_key[k] = da_by_key.get(k, 0) + w
+        db_key_net = {k: sum(w for _d, w in rows)
+                      for k, rows in db_by_key.items()}
+        out_cols = a_cols + r_extra
+        if node.how in ("left", "outer"):
+            self._pad(out, emit_row=lambda a_data: a_data
+                      + (None,) * len(r_extra),
+                      keep_pairs=da_pairs, keep_idx=ma.idx, keep_kp=akp,
+                      probe_idx=mb.idx, probe_net=db_key_net,
+                      d_keep_empty=not da.rows, d_probe_empty=not db.rows)
+        if node.how in ("right", "outer"):
+            # out position -> b_data position (None → null-padded)
+            rmap = [b_cols.index(c) if (c in on or c in r_extra) else None
+                    for c in out_cols]
+
+            def right_row(b_data):
+                return tuple(None if i is None else b_data[i]
+                             for i in rmap)
+            da_key_net = dict(da_by_key)
+            self._pad(out, emit_row=right_row,
+                      keep_pairs=db_pairs, keep_idx=mb.idx, keep_kp=bkp,
+                      probe_idx=ma.idx, probe_net=da_key_net,
+                      d_keep_empty=not db.rows, d_probe_empty=not da.rows)
+
         if da.rows:
             ma.apply(da_pairs)
         if db.rows:
             mb.apply(db_pairs)
-        cols = a_cols + r_extra + [DIFF, TIME]
         rows = [d + (w, t) for d, w in out.items()]
-        return RDelta(cols, rows)
+        return RDelta(out_cols + [DIFF, TIME], rows)
+
+    @staticmethod
+    def _pad(out: dict, *, emit_row, keep_pairs, keep_idx, keep_kp,
+             probe_idx, probe_net, d_keep_empty, d_probe_empty) -> None:
+        """Presence-flip padding into `out` (mirrors `_padding`'s case
+        algebra): appeared (0→>0) retracts K_old's pads, vanished
+        (>0→0) emits K_old's + this batch's fresh pads, and fresh keep
+        rows pad under keys with no NEW presence.  EqualTo semantics:
+        null keys have no presence, so their keep rows always pad."""
+        def emit(row, w):
+            nw = out.get(row, 0) + w
+            if nw == 0:
+                out.pop(row, None)
+            else:
+                out[row] = nw
+
+        def p_old(k) -> bool:
+            return sum(probe_idx.get(k, {}).values()) > 0
+
+        def p_new(k) -> bool:
+            return (sum(probe_idx.get(k, {}).values())
+                    + probe_net.get(k, 0)) > 0
+
+        if not d_probe_empty:
+            for k in probe_net:
+                if any(v is None for v in k):
+                    continue
+                was, now = p_old(k), p_new(k)
+                sign = -1 if (now and not was) else 1 \
+                    if (was and not now) else 0
+                if sign:
+                    for keep_data, w in keep_idx.get(k, {}).items():
+                        emit(emit_row(keep_data), w * sign)
+        if not d_keep_empty:
+            for keep_data, w in keep_pairs:
+                k = tuple(keep_data[i] for i in keep_kp)
+                if any(v is None for v in k) or not p_new(k):
+                    emit(emit_row(keep_data), w)
 
     @staticmethod
     def _aligned(d: RDelta, want: list[str]) -> list[tuple]:
@@ -507,6 +568,310 @@ class _AsofNowKernel:
             mb.apply(db_pairs)
         return RDelta(node._lcols + node._rcols + [DIFF, TIME],
                       [d + (w, t) for d, w in out.items()])
+
+
+class _KeyedRecomputeUnaryKernel:
+    """Affected-key recompute for arbitrary keyed batch ops (mirrors
+    `_KeyedRecomputeUnaryNode._advance`, trace path): the touched
+    slices come from the state mirror, the user op runs ONCE through
+    Spark over one LocalRelation (its semantics are never
+    re-implemented), and retractions replay exact trace bytes.  Only
+    the traced variant is resident-capable — an op that projects its
+    keys away needs recompute-old, whose byte stability the classic
+    path already caveats."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.st: _KeyedMirror | None = None
+        self.tr: _KeyedMirror | None = None
+        self._in_schema = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        # _out_state exists after batch 0 iff keys ⊆ op output (the
+        # traced variant); recompute-old nodes stay distributed
+        if n._state is None or n._out_state is None:
+            return False
+        if self.st is None:
+            st = self.eng._mirror_for(n._state, n._keys)
+            tr = self.eng._mirror_for(n._out_state, n._keys)
+            if st is None or tr is None:
+                return False
+            self.st, self.tr = st, tr
+            self._in_schema = T.StructType(list(st.schema.fields[:-1]))
+        return True
+
+    def advance(self, t: int, d: RDelta) -> RDelta:
+        node, st, tr = self.node, self.st, self.tr
+        s_cols = [f.name for f in st.schema.fields[:-1]]
+        kp = [s_cols.index(c) for c in node._keys]
+        pairs = _JoinKernel._aligned(d, s_cols)
+        # classic slices are EqualTo semi-joins: null-key rows live in
+        # state but never enter a slice or retract trace rows
+        touched = {k for k in
+                   (tuple(p[i] for i in kp) for p, _ in pairs)
+                   if not any(v is None for v in k)}
+        st.apply(pairs)                     # slices are post-delta
+        in_rows: list[tuple] = []
+        for k in sorted(touched, key=repr):
+            for data, w in st.idx.get(k, {}).items():
+                if w > 0:
+                    in_rows.extend([data] * w)
+        out: dict = {}
+        for k in touched:
+            for data, wt in tr.idx.get(k, {}).items():
+                nw = out.get(data, 0) - wt
+                if nw == 0:
+                    out.pop(data, None)
+                else:
+                    out[data] = nw
+        out_cols = [f.name for f in tr.schema.fields[:-1]]
+        if in_rows:
+            df = node._op(rows_to_df(self.eng.spark, in_rows,
+                                     self._in_schema))
+            # the trace layout is keys-first (the classic path's
+            # semi-join built it that way); realign the op's output
+            # tuples to it before mixing with trace retractions
+            op_cols = df.columns
+            idx = [op_cols.index(c) for c in out_cols]
+            for raw in collect_rows(df):
+                r = tuple(raw[i] for i in idx)
+                nw = out.get(r, 0) + 1
+                if nw == 0:
+                    out.pop(r, None)
+                else:
+                    out[r] = nw
+        tr.apply(list(out.items()))
+        return RDelta(out_cols + [DIFF, TIME],
+                      [data + (w, t) for data, w in out.items()])
+
+
+class _KeyedRecomputeBinaryKernel:
+    """Two-input affected-key recompute (mirrors `_KeyedRecomputeNode`
+    — live asof joins etc.): both side slices come from mirrors, the
+    user op runs ONCE through Spark over two LocalRelations, and
+    retractions replay exact trace bytes.  NULL keys follow the
+    classic semi-join semantics: their rows live in state but never
+    enter a slice."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.ma = self.mb = self.tr = None
+        self._a_schema = self._b_schema = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._sa is None or n._sb is None or n._out_state is None:
+            return False            # traced variant only (keys ⊆ output)
+        if self.ma is None:
+            ma = self.eng._mirror_for(n._sa, n._lkeys)
+            mb = self.eng._mirror_for(n._sb, n._rkeys)
+            tr = self.eng._mirror_for(n._out_state, n._lkeys)
+            if None in (ma, mb, tr):
+                return False
+            self.ma, self.mb, self.tr = ma, mb, tr
+            self._a_schema = T.StructType(list(ma.schema.fields[:-1]))
+            self._b_schema = T.StructType(list(mb.schema.fields[:-1]))
+        return True
+
+    def advance(self, t: int, da: RDelta, db: RDelta) -> RDelta:
+        node, ma, mb, tr = self.node, self.ma, self.mb, self.tr
+        a_cols = [f.name for f in ma.schema.fields[:-1]]
+        b_cols = [f.name for f in mb.schema.fields[:-1]]
+        da_pairs = _JoinKernel._aligned(da, a_cols)
+        db_pairs = _JoinKernel._aligned(db, b_cols)
+        akp = [a_cols.index(c) for c in node._lkeys]
+        bkp = [b_cols.index(c) for c in node._rkeys]
+        touched = {tuple(p[i] for i in akp) for p, _ in da_pairs} \
+            | {tuple(p[i] for i in bkp) for p, _ in db_pairs}
+        touched = {k for k in touched if not any(v is None for v in k)}
+        if da.rows:
+            ma.apply(da_pairs)
+        if db.rows:
+            mb.apply(db_pairs)
+
+        def slice_rows(m) -> list[tuple]:
+            rows: list[tuple] = []
+            for k in sorted(touched, key=repr):
+                for data, w in m.idx.get(k, {}).items():
+                    if w > 0:
+                        rows.extend([data] * w)
+            return rows
+
+        a_rows, b_rows = slice_rows(ma), slice_rows(mb)
+        out: dict = {}
+        for k in touched:
+            for data, wt in tr.idx.get(k, {}).items():
+                nw = out.get(data, 0) - wt
+                if nw == 0:
+                    out.pop(data, None)
+                else:
+                    out[data] = nw
+        out_cols = [f.name for f in tr.schema.fields[:-1]]
+        if a_rows or b_rows:
+            df = node._op(
+                rows_to_df(self.eng.spark, a_rows, self._a_schema),
+                rows_to_df(self.eng.spark, b_rows, self._b_schema))
+            op_cols = df.columns
+            idx = [op_cols.index(c) for c in out_cols]
+            for raw in collect_rows(df):
+                r = tuple(raw[i] for i in idx)
+                nw = out.get(r, 0) + 1
+                if nw == 0:
+                    out.pop(r, None)
+                else:
+                    out[r] = nw
+        tr.apply(list(out.items()))
+        return RDelta(out_cols + [DIFF, TIME],
+                      [data + (w, t) for data, w in out.items()])
+
+
+_WM_SAFE = (int, float)
+
+
+class _WatermarkMixin:
+    """Shared watermark bookkeeping for the behavior kernels: a scalar
+    mirror of the 1-row watermark store, advanced exactly as
+    `_WatermarkedNode._wm_cut` (max over the designated column,
+    NULL-skipping; cut = watermark − threshold, microsecond-exact for
+    datetime/timedelta, plain arithmetic for numerics)."""
+
+    def _wm_load(self, eng, node) -> bool:
+        self.wm_mirror = eng._mirror_for(node._wm, None)
+        if self.wm_mirror is None:
+            return False
+        vals = [d[0] for d, w in self.wm_mirror.data.items() if w > 0]
+        vals = [v for v in vals if v is not None]
+        self.wm = max(vals) if vals else None
+        return True
+
+    def _wm_advance(self, d: RDelta, wm_col: str, threshold):
+        """Returns (old_cut, new_cut) and records the store delta."""
+        old = self.wm
+        vp = d.pos(wm_col)
+        for r in d.rows:
+            v = r[vp]
+            if v is not None and (self.wm is None or v > self.wm):
+                self.wm = v
+        # the classic path retracts the old max row and inserts the new
+        # one every tick (cancelling when unchanged after consolidate);
+        # the mirror applies the same net change
+        if self.wm != old or not self.wm_mirror.data:
+            delta = []
+            for data, w in list(self.wm_mirror.data.items()):
+                delta.append((data, -w))
+            delta.append(((self.wm,), 1))
+            self.wm_mirror.apply(delta)
+
+        def cut(v):
+            return None if v is None else v - threshold
+        return cut(old), cut(self.wm)
+
+
+class _ForgetKernel(_WatermarkMixin):
+    """Watermark-horizon eviction (mirrors `_ForgetNode._advance`):
+    pass is strict `> cut` (NULL times always pass), retract mode
+    additionally expires alive rows at `<= cut`."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.rows: _StoreMirror | None = None
+        self.wm_mirror = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._wm is None or (n._retract and n._rows is None):
+            return False
+        if self.wm_mirror is None:
+            if not self._wm_load(self.eng, n):
+                return False
+            if self.wm is not None and not isinstance(
+                    self.wm, _WM_SAFE) and not hasattr(self.wm, "year"):
+                return False        # exotic watermark dtype: distributed
+            if n._retract:
+                rows = self.eng._mirror_for(n._rows, None)
+                if rows is None:
+                    return False
+                self.rows = rows
+        return True
+
+    def advance(self, t: int, d: RDelta) -> RDelta:
+        node = self.node
+        _old_cut, cut = self._wm_advance(d, node._tcol, node._thr)
+        s_cols = ([f.name for f in self.rows.schema.fields[:-1]]
+                  if self.rows is not None else d.data_cols())
+        pairs = _JoinKernel._aligned(d, s_cols)
+        tp = s_cols.index(node._tcol)
+        # pass-through rows keep the input's (possibly unconsolidated)
+        # representation, exactly like the classic filter
+        passed = [(data, w) for data, w in pairs
+                  if data[tp] is None or cut is None or data[tp] > cut]
+        if not node._retract:
+            return RDelta(s_cols + [DIFF, TIME],
+                          [dt + (w, t) for dt, w in passed])
+        expired = []
+        if cut is not None:
+            for data, w in list(self.rows.data.items()):
+                v = data[tp]
+                if v is not None and v <= cut:
+                    expired.append((data, -w))
+        self.rows.apply(passed + expired)
+        return RDelta(s_cols + [DIFF, TIME],
+                      [dt + (w, t) for dt, w in passed + expired])
+
+
+class _BufferKernel(_WatermarkMixin):
+    """Watermark-gated release (mirrors `_BufferNode._advance`):
+    pending rows at or behind the cut release; NULL release times
+    release immediately; `drop_late` drops rows at or behind the
+    PREVIOUS cut; same-batch retractions cancel inside the pool."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.pending: _StoreMirror | None = None
+        self.wm_mirror = None
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._wm is None or n._pending is None:
+            return False
+        if self.wm_mirror is None:
+            if not self._wm_load(self.eng, n):
+                return False
+            if self.wm is not None and not isinstance(
+                    self.wm, _WM_SAFE) and not hasattr(self.wm, "year"):
+                return False
+            pend = self.eng._mirror_for(n._pending, None)
+            if pend is None:
+                return False
+            self.pending = pend
+        return True
+
+    def advance(self, t: int, d: RDelta) -> RDelta:
+        node = self.node
+        old_cut, cut = self._wm_advance(d, node._wmcol, node._thr)
+        s_cols = [f.name for f in self.pending.schema.fields[:-1]]
+        pairs = _JoinKernel._aligned(d, s_cols)
+        tp = s_cols.index(node._tcol)
+        if node._drop_late and old_cut is not None:
+            pairs = [(data, w) for data, w in pairs
+                     if data[tp] is None or data[tp] > old_cut]
+        # pool = pending ⊕ this delta (consolidated)
+        self.pending.apply(pairs)
+        released: dict = {}
+        for data, w in list(self.pending.data.items()):
+            v = data[tp]
+            if v is None or (cut is not None and v <= cut):
+                released[data] = w
+        if released:
+            self.pending.apply([(data, -w)
+                                for data, w in released.items()])
+        return RDelta(s_cols + [DIFF, TIME],
+                      [data + (w, t) for data, w in released.items()])
 
 
 # reducers the resident SLICE path evaluates (full-group recompute);
@@ -837,8 +1202,7 @@ class ResidentEngine:
         if isinstance(n, D._UnionNode):
             return True
         if type(n) is D._JoinNode:
-            return n.how == "inner" and n._sa_shared is False \
-                and n._sb_shared is False
+            return n._sa_shared is False and n._sb_shared is False
         if type(n) is D._ReduceNode:
             if n._strategy == "acc":
                 return True
@@ -850,6 +1214,12 @@ class ResidentEngine:
         if type(n) is D._SemiAntiNode:
             return True
         if type(n) is D._AsofNowNode:
+            return True
+        if type(n) is D._KeyedRecomputeUnaryNode:
+            return True
+        if type(n) is D._KeyedRecomputeNode:
+            return True
+        if type(n) is D._ForgetNode or type(n) is D._BufferNode:
             return True
         # extension hook: a custom node ships its own resident kernel
         # (e.g. the spanning-forest CC in incremental_graph.py) —
@@ -1011,6 +1381,14 @@ class ResidentEngine:
                 k = _SemiAntiKernel(self, n)
             elif type(n) is D._AsofNowNode:
                 k = _AsofNowKernel(self, n)
+            elif type(n) is D._KeyedRecomputeUnaryNode:
+                k = _KeyedRecomputeUnaryKernel(self, n)
+            elif type(n) is D._KeyedRecomputeNode:
+                k = _KeyedRecomputeBinaryKernel(self, n)
+            elif type(n) is D._ForgetNode:
+                k = _ForgetKernel(self, n)
+            elif type(n) is D._BufferNode:
+                k = _BufferKernel(self, n)
             elif hasattr(n, "_res_kernel"):
                 k = n._res_kernel(self)
             else:
@@ -1065,7 +1443,14 @@ class ResidentEngine:
             if not d.rows:
                 return empty
             return k.advance(d, t)
-        if type(n) is D._SemiAntiNode or type(n) is D._AsofNowNode:
+        if type(n) is D._KeyedRecomputeUnaryNode \
+                or type(n) is D._ForgetNode or type(n) is D._BufferNode:
+            d = self._delta(n.inputs[0], t)
+            if not d.rows:
+                return empty
+            return k.advance(t, d)
+        if type(n) is D._SemiAntiNode or type(n) is D._AsofNowNode \
+                or type(n) is D._KeyedRecomputeNode:
             da = self._delta(n.inputs[0], t)
             db = self._delta(n.inputs[1], t)
             if not da.rows and not db.rows:

@@ -85,6 +85,8 @@ class LiveDocumentStore:
         rank-ordered hit list per query, each hit a dict with the id
         column, `rank`, and `score` — the reference HTTP endpoint's
         shape.  `k` may narrow (never widen) the store's build-time k."""
+        if isinstance(queries, str):
+            queries = [queries]     # a bare string would split per char
         if not queries:
             return []
         base = self._next_qid
@@ -92,9 +94,16 @@ class LiveDocumentStore:
         # recorded in graph meta so commit() persists it and a restored
         # process continues the id space instead of re-issuing old ids
         self._g._node_meta["live_store_next_qid"] = self._next_qid
+        # Arrow LocalRelation, NOT createDataFrame(list): the legacy
+        # pickle path parallelizes to a Python RDD whose collect costs
+        # one Python-worker launch per partition — ~0.4 s of the
+        # serving latency for a 1-row query frame
+        import pandas as _pd
         qdf = self._spark.createDataFrame(
-            [(base + i, s) for i, s in enumerate(queries)],
-            "query_id long, query string")
+            _pd.DataFrame({"query_id": [base + i for i in
+                                        range(len(queries))],
+                           "query": list(queries)}),
+            schema="query_id long, query string")
         (delta,) = self._g.step(self._out, queries=qdf)
         rows = delta.filter(F.col("_pw_diff") > 0).collect()
         kk = min(k, self._k) if k is not None else self._k

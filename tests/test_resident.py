@@ -347,6 +347,147 @@ def test_asof_now_equivalence(spark):
     assert a == b
 
 
+def test_keyed_recompute_sort_equivalence(spark):
+    """keyed_recompute (per-instance lag/lead sort) through inserts
+    and retractions: the user op runs through Spark in both paths;
+    resident must replay exact trace bytes for retractions."""
+    from pyspark.sql import Window as W
+    from pathway_spark.streaming.differential import (
+        _KeyedRecomputeUnaryNode)
+
+    base = spark.createDataFrame(
+        [(i, i % 3, (i * 17) % 50) for i in range(30)],
+        "rid long, g long, x long")
+
+    def op(plain):
+        w = W.partitionBy("g").orderBy("x", "rid")
+        return (plain.withColumn("prev", F.lag("rid").over(w))
+                     .withColumn("next", F.lead("rid").over(w)))
+
+    def build(g):
+        src = g.source("t", base)
+        return _KeyedRecomputeUnaryNode(g, src, ["g"], op), dict(t=base)
+
+    sch = "rid long, g long, x long, _pw_diff long"
+    ticks = [
+        dict(t=spark.createDataFrame([(100, 0, 7, 1), (101, 2, 3, 1)],
+                                     sch)),
+        dict(t=spark.createDataFrame([(0, 0, 0, -1), (100, 0, 7, -1)],
+                                     sch)),
+        dict(t=spark.createDataFrame([(102, 1, 25, 1), (4, 1, 18, -1)],
+                                     sch)),
+    ]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+def test_binary_keyed_recompute_asof_equivalence(spark):
+    """Live asof_join (binary keyed recompute) through churn on both
+    sides: per-key slices re-run the batch asof op through Spark in
+    both paths; trace bytes must cancel across retractions."""
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark import this
+
+    lrows = [(k, ts, float(ts)) for k in range(4) for ts in (10, 20, 30)]
+    rrows = [(k, ts, ts * 100) for k in range(4) for ts in (5, 15, 25)]
+    lsch = "k long, lt long, lv double"
+    rsch = "k long, rt long, rv long"
+
+    def drive(resident):
+        g = DifferentialTableGraph(spark, resident=resident)
+        lt = g.input("l", spark.createDataFrame(lrows, lsch))
+        rt = g.input("r", spark.createDataFrame(rrows, rsch))
+        out = lt.asof_join(rt, this.lt, this.rt, this.k == this.k)
+        (d0,) = g.step(out.node,
+                       l=spark.createDataFrame(lrows, lsch),
+                       r=spark.createDataFrame(rrows, rsch))
+        traces = [_trace(d0.collect())]
+        ticks = [
+            dict(l=spark.createDataFrame([(1, 40, 40.0, 1)],
+                                         lsch + ", _pw_diff long")),
+            dict(r=spark.createDataFrame([(1, 35, 3500, 1)],
+                                         rsch + ", _pw_diff long")),
+            dict(l=spark.createDataFrame([(1, 40, 40.0, -1)],
+                                         lsch + ", _pw_diff long"),
+                 r=spark.createDataFrame([(2, 28, 2800, 1)],
+                                         rsch + ", _pw_diff long")),
+            dict(r=spark.createDataFrame([(2, 25, 2500, -1)],
+                                         rsch + ", _pw_diff long")),
+        ]
+        for feeds in ticks:
+            (d,) = g.step(out.node, **feeds)
+            traces.append(_trace(d.collect()))
+        return traces
+
+    assert drive(True) == drive(False)
+
+
+@pytest.mark.parametrize("how", ["left", "right", "outer"])
+def test_outer_join_equivalence(spark, how):
+    """Presence-flip padding: probe keys appearing/vanishing retract/
+    emit null-padded rows; fresh kept rows pad under absent keys; null
+    keys always pad (EqualTo semantics)."""
+    left0 = spark.createDataFrame(
+        [(i % 8, f"l{i}") for i in range(24)] + [(None, "lnull")],
+        "k long, lval string")
+    right0 = spark.createDataFrame(
+        [(i % 5, i * 10) for i in range(10)], "k long, rval long")
+
+    def build(g):
+        a = g.source("a", left0)
+        b = g.source("b", right0)
+        return a.join(b, on=["k"], how=how), dict(a=left0, b=right0)
+
+    lsch = "k long, lval string, _pw_diff long"
+    rsch = "k long, rval long, _pw_diff long"
+    ticks = [
+        dict(b=spark.createDataFrame([(6, 600, 1)], rsch)),    # appears
+        dict(a=spark.createDataFrame([(6, "n6", 1), (None, "n2", 1)],
+                                     lsch)),
+        dict(b=spark.createDataFrame([(0, 0, -1), (0, 50, -1)], rsch)),
+        dict(b=spark.createDataFrame([(0, 7, 1)], rsch),       # back +
+             a=spark.createDataFrame([(0, "back", 1)], lsch)),  # mixed
+        dict(a=spark.createDataFrame([(6, "n6", -1)], lsch)),
+    ]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
+@pytest.mark.parametrize("mode", ["ignore_late", "forget", "buffer"])
+def test_watermark_behaviors_equivalence(spark, mode):
+    """Watermark cuts, NULL times, late rows, and (forget) horizon
+    evictions / (buffer) releases across watermark jumps."""
+    base = spark.createDataFrame(
+        [(i, i * 10, f"v{i}") for i in range(10)],
+        "k long, ts long, s string")
+
+    def build(g):
+        so = g.source("d", base)
+        if mode == "ignore_late":
+            out = so.ignore_late("ts", 25)
+        elif mode == "forget":
+            out = so.forget("ts", 25)
+        else:
+            out = so.buffer("ts", 25)
+        return out, dict(d=base)
+
+    sch = "k long, ts long, s string, _pw_diff long"
+    ticks = [
+        dict(d=spark.createDataFrame([(20, 95, "fresh", 1),
+                                      (21, None, "nullts", 1)], sch)),
+        dict(d=spark.createDataFrame([(22, 10, "late", 1)], sch)),
+        # watermark jump: expires/releases a batch of rows at once
+        dict(d=spark.createDataFrame([(23, 500, "jump", 1)], sch)),
+        dict(d=spark.createDataFrame([(24, 495, "edge", 1),
+                                      (20, 95, "fresh", -1)], sch)),
+    ]
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
 def test_global_keyless_reduce(spark):
     base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
                                  "k long, v double")

@@ -728,7 +728,26 @@ class _KeyedRecomputeBinaryKernel:
                       [data + (w, t) for data, w in out.items()])
 
 
-_WM_SAFE = (int, float)
+import datetime as _dt
+
+
+def _wm_types_ok(tcol_schema: T.StructType, col: str,
+                 threshold) -> bool:
+    """Threshold arithmetic must match Spark's exactly: numeric column
+    with numeric threshold (plain subtraction), or timestamp column
+    with a timedelta (microsecond-exact in both).  Anything else (DATE
+    minus int resolves to date_sub in Spark but TypeErrors in Python,
+    decimals, intervals on numerics...) stays distributed."""
+    by = {f.name: f.dataType for f in tcol_schema.fields}
+    dt = by.get(col)
+    if isinstance(threshold, bool):
+        return False
+    if isinstance(threshold, (int, float)):
+        return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType, T.FloatType, T.DoubleType))
+    if isinstance(threshold, _dt.timedelta):
+        return isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+    return False
 
 
 class _WatermarkMixin:
@@ -786,11 +805,11 @@ class _ForgetKernel(_WatermarkMixin):
         if n._wm is None or (n._retract and n._rows is None):
             return False
         if self.wm_mirror is None:
+            tpl = n._empty_tpl
+            if tpl is None or not _wm_types_ok(tpl.schema, n._tcol, n._thr):
+                return False
             if not self._wm_load(self.eng, n):
                 return False
-            if self.wm is not None and not isinstance(
-                    self.wm, _WM_SAFE) and not hasattr(self.wm, "year"):
-                return False        # exotic watermark dtype: distributed
             if n._retract:
                 rows = self.eng._mirror_for(n._rows, None)
                 if rows is None:
@@ -840,10 +859,11 @@ class _BufferKernel(_WatermarkMixin):
         if n._wm is None or n._pending is None:
             return False
         if self.wm_mirror is None:
-            if not self._wm_load(self.eng, n):
+            tpl = n._empty_tpl
+            if tpl is None or not _wm_types_ok(tpl.schema, n._wmcol, n._thr) \
+                    or not _wm_types_ok(tpl.schema, n._tcol, n._thr):
                 return False
-            if self.wm is not None and not isinstance(
-                    self.wm, _WM_SAFE) and not hasattr(self.wm, "year"):
+            if not self._wm_load(self.eng, n):
                 return False
             pend = self.eng._mirror_for(n._pending, None)
             if pend is None:

@@ -488,6 +488,33 @@ def test_watermark_behaviors_equivalence(spark, mode):
     assert a == b
 
 
+def test_watermark_timestamp_threshold_equivalence(spark):
+    """timedelta thresholds over TIMESTAMP columns are resident
+    (microsecond-exact in both paths)."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i * 10)) for i in range(10)],
+        "k long, ts timestamp")
+
+    def build(g):
+        so = g.source("d", base)
+        return so.forget("ts", dt.timedelta(seconds=25)), dict(d=base)
+
+    sch = "k long, ts timestamp, _pw_diff long"
+    ticks = [
+        dict(d=spark.createDataFrame(
+            [(20, t0 + dt.timedelta(seconds=95), 1)], sch)),
+        dict(d=spark.createDataFrame(
+            [(23, t0 + dt.timedelta(seconds=500), 1)], sch)),
+    ]
+    g, _, a, act = _drive(spark, build, ticks, resident=True,
+                          collect_active=True)
+    assert all(act), "timestamp watermark should run resident"
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
 def test_global_keyless_reduce(spark):
     base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
                                  "k long, v double")

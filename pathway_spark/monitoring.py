@@ -109,6 +109,15 @@ class MonitoringServer:
                 v = q.get(metric)
                 if v is not None:
                     out[f"pathway_spark_query_{metric}{{{key}}}"] = v
+        # differential-engine execution-path counters (process-wide):
+        # how many steady ticks ran on the resident fast path vs fell
+        # back to the distributed rules — the first thing to check when
+        # live latency regresses (a fallback storm means caps or an
+        # ineligible operator)
+        from .streaming.resident import STATS as _res_stats
+        out["pathway_spark_resident_ticks"] = _res_stats["resident_ticks"]
+        out["pathway_spark_resident_fallbacks"] = \
+            _res_stats["fallback_ticks"]
         return 200, out
 
     # ------------------------------------------------------------ lifecycle

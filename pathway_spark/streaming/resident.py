@@ -62,6 +62,12 @@ if TYPE_CHECKING:   # pragma: no cover
 DIFF = "_pw_diff"
 TIME = "_pw_time"
 
+# process-wide execution-path counters, surfaced via monitoring
+# /metrics: resident_ticks = steady ticks the fast path handled;
+# fallback_ticks = ticks a resident-enabled graph routed distributed
+# (caps, ineligible operator, cooldown, missing schema memo)
+STATS = {"resident_ticks": 0, "fallback_ticks": 0}
+
 # one shared NaN object: tuple/dict equality short-circuits on identity,
 # so normalizing every collected NaN to THIS object makes Python dict
 # grouping treat NaN keys as equal — Spark's grouping/join semantics
@@ -1273,6 +1279,13 @@ class ResidentEngine:
 
     def try_tick(self, nodes, deltas: dict[str, DataFrame],
                  t: int) -> list[DataFrame] | None:
+        res = self._try_tick(nodes, deltas, t)
+        if res is None:
+            STATS["fallback_ticks"] += 1
+        return res
+
+    def _try_tick(self, nodes, deltas: dict[str, DataFrame],
+                  t: int) -> list[DataFrame] | None:
         g = self.graph
         if self._cooldown > 0:
             self._cooldown -= 1
@@ -1333,6 +1346,7 @@ class ResidentEngine:
             # second (state-corrupting) distributed advance
             n._memo_t, n._memo = t, outs[-1]
         g._res_last_t = t
+        STATS["resident_ticks"] += 1
         return outs
 
     def _feed_delta(self, src, df: DataFrame | None, t: int,

@@ -2734,10 +2734,12 @@ class DifferentialGraph:
             res = self._res_engine.try_tick(nodes, deltas, t)
             if res is not None:
                 return res
-        if self._res_engine is not None and self._res_engine.active:
+        if self._res_engine is not None and self._res_engine.mirrors:
             # falling back to the distributed path: fold every mirror
             # into its store first, then drop residency for this graph
-            # (it re-establishes on a later eligible steady tick)
+            # (it re-establishes on a later eligible steady tick).
+            # Keyed on MIRRORS, not the active flag — a phase-1 abort
+            # can leave mirrors attached without ever going active
             self._res_engine.detach()
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t, row_times=row_times)

@@ -1317,6 +1317,11 @@ class ResidentEngine:
             if any(id(i) in nonempty for i in n.inputs):
                 nonempty.add(id(n))
                 if not self._ensure_kernel(n):
+                    # a partially-ensured kernel may have ATTACHED some
+                    # mirrors already (e.g. the second store of a join
+                    # was over cap) — drop them, or the distributed
+                    # fallback tick would trip the store-update guard
+                    self.detach()
                     self._cooldown = self.COOLDOWN_TICKS
                     return None
         for m in self.mirrors.values():

@@ -515,6 +515,39 @@ def test_watermark_timestamp_threshold_equivalence(spark):
     assert a == b
 
 
+def test_partial_mirror_attach_then_fallback(spark):
+    """A kernel whose SECOND store is over the state cap aborts phase 1
+    after the first mirror already attached; the distributed fallback
+    tick must see detached stores (not trip the update guard) and stay
+    correct."""
+    left0 = spark.createDataFrame([(i % 10, i) for i in range(50)],
+                                  "k long, lv long")
+    right0 = spark.createDataFrame([(i % 10, i * 2) for i in range(3000)],
+                                   "k long, rv long")
+
+    def build(g):
+        a = g.source("a", left0)
+        b = g.source("b", right0)
+        return a.join(b, on=["k"]), dict(a=left0, b=right0)
+
+    lsch = "k long, lv long, _pw_diff long"
+    ticks = [dict(a=spark.createDataFrame([(3, 999, 1)], lsch)),
+             dict(a=spark.createDataFrame([(3, 999, -1)], lsch))]
+
+    g = DifferentialGraph(spark, resident=True)
+    g.RESIDENT_MAX_STATE_ROWS = 1000     # right store (3000 rows) over
+    out, feeds0 = build(g)
+    (d0,) = g.step(out, **feeds0)
+    traces = [_trace(d0.collect())]
+    for feeds in ticks:
+        (d,) = g.step(out, **feeds)      # must not raise
+        traces.append(_trace(d.collect()))
+        assert g._res_last_t != g._t     # stayed distributed
+
+    _, _, ref = _drive(spark, build, ticks, resident=False)
+    assert traces == ref
+
+
 def test_global_keyless_reduce(spark):
     base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
                                  "k long, v double")

@@ -264,6 +264,36 @@ def test_commit_restore_through_resident_ticks(spark, tmp_path):
     assert traces == ref
 
 
+def test_repeated_commit_restore_between_resident_stretches(spark,
+                                                            tmp_path):
+    """commit() with live mirrors (sync without detach), more resident
+    ticks, commit again, crash-restore, resume — integrated durable
+    state must match an always-distributed drive of the same stream."""
+    rng = random.Random(31)
+    sd = str(tmp_path / "state2")
+    build, rows0 = _orders_build(spark, n0=400, nk=8)
+    s1 = _mk_ticks(spark, rows0, 2, rng=rng, nk=8)
+    s2 = _mk_ticks(spark, rows0, 2, rng=rng, nk=8)
+    s3 = _mk_ticks(spark, rows0, 2, rng=rng, nk=8)
+
+    g, out, traces = _drive(spark, build, s1, resident=True, state_dir=sd)
+    g.commit()
+    for feeds in s2:
+        (d,) = g.step(out, **feeds)
+        traces.append(_trace(d.collect()))
+    assert g._res_last_t == g._t
+    g.commit()
+
+    g2 = DifferentialGraph(spark, resident=True, state_dir=sd)
+    out2, _ = build(g2)
+    for feeds in s3:
+        (d,) = g2.step(out2, **feeds)
+        traces.append(_trace(d.collect()))
+
+    _, _, ref = _drive(spark, build, s1 + s2 + s3, resident=False)
+    assert traces == ref
+
+
 def test_caps_route_to_distributed(spark):
     build, rows0 = _orders_build(spark, n0=400, nk=10)
     rng = random.Random(3)
@@ -546,6 +576,58 @@ def test_partial_mirror_attach_then_fallback(spark):
 
     _, _, ref = _drive(spark, build, ticks, resident=False)
     assert traces == ref
+
+
+def test_mixed_kernel_graph_randomized_with_bursts(spark):
+    """One graph exercising join + acc reduce + semi join + distinct +
+    forget simultaneously, driven by randomized churn with two
+    over-cap bursts (mid-stream fallback + resumption) — the whole
+    trace must equal an always-distributed drive."""
+    rng = random.Random(99)
+    ev0 = [(i, i % 25, i * 5, (i % 8) * 0.25) for i in range(2000)]
+    events = spark.createDataFrame(ev0, "eid long, g long, ts long, v double")
+    dims = spark.createDataFrame([(i, f"d{i % 4}") for i in range(25)],
+                                 "g long, tag string")
+    allow = spark.createDataFrame([(i,) for i in range(0, 25, 2)],
+                                  "g long")
+
+    def build(g):
+        ev = g.source("ev", events)
+        dm = g.source("dm", dims)
+        al = g.source("al", allow)
+        fresh = ev.forget("ts", 10_000)          # horizon far away
+        joined = fresh.join(dm, on=["g"])
+        gated = joined.semi_join(al, ["g"])
+        agg = gated.reduce(["tag"], n=("count",), s=("sum", "v"))
+        return agg.distinct(), dict(ev=events, dm=dims, al=allow)
+
+    esch = "eid long, g long, ts long, v double, _pw_diff long"
+    live = list(ev0)
+    ticks = []
+    for b in range(12):
+        if b in (4, 8):   # burst over the delta cap -> distributed
+            rows = [(10**6 + b * 10**5 + j, j % 25, 10_000 + j,
+                     0.25, 1) for j in range(60_001)]
+            ticks.append(dict(ev=spark.createDataFrame(rows, esch)))
+            continue
+        ins = [(10_000 + b * 100 + j, rng.randrange(25),
+                10_000 + b * 10 + j, rng.randrange(8) * 0.25, 1)
+               for j in range(30)]
+        dels = []
+        for r in rng.sample(live, 10):
+            dels.append(r + (-1,))
+            live.remove(r)
+        live.extend(i[:4] for i in ins)
+        feeds = dict(ev=spark.createDataFrame(ins + dels, esch))
+        if b % 3 == 0:    # occasional right-side churn on the gate
+            feeds["al"] = spark.createDataFrame(
+                [(rng.randrange(25), rng.choice((1, -1)))],
+                "g long, _pw_diff long")
+        ticks.append(feeds)
+
+    _, _, a = _drive(spark, build, ticks, resident=True)
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
 
 
 def test_global_keyless_reduce(spark):

@@ -76,6 +76,12 @@ class _TopKJoinNode(DiffNode):
         # the micro-batch size, so downstream must not blind-broadcast
         return False
 
+    def _res_kernel(self, eng):
+        """Resident-engine hook (resident.py): steady batches decide
+        the touched set in Python and run ONE re-rank job against a
+        cached corpus LocalRelation — see `_TopKKernel`."""
+        return _TopKKernel(eng, self)
+
     def _small(self, df, src=None):
         # _trace_old probes the output trace with the touched-id frame
         # through this hook; honor the measured per-batch gate so a
@@ -170,6 +176,152 @@ class _TopKJoinNode(DiffNode):
         self._sd.update(dd.drop(TIME), wide=wide,
                         positive=self.inputs[1]._insert_only())
         return _emit_traced(self, old, new, t)
+
+
+class _TopKKernel:
+    """Resident evaluator for `_TopKJoinNode` (resident.py custom-
+    kernel hook): query/doc/trace state in driver mirrors, the touched
+    set decided in Python, and ONE Spark job per batch — the re-rank
+    of the touched queries against a CACHED corpus LocalRelation
+    (rebuilt only on doc churn).  Scores evaluate through the same
+    Column expressions as the distributed path."""
+
+    def __init__(self, eng, node):
+        self.eng = eng
+        self.node = node
+        self.sq = self.sd = self.tr = None
+        self._corpus_df = None        # cache; invalidated on doc churn
+
+    def ensure(self) -> bool:
+        n = self.node
+        if n._sq is None or n._sd is None or n._out_state is None:
+            return False
+        if self.sq is None:
+            from .resident import _KeyedMirror  # noqa: F401 (type)
+            sq = self.eng._mirror_for(n._sq, ["query_id"])
+            sd = self.eng._mirror_for(n._sd, ["neighbor_id"])
+            tr = self.eng._mirror_for(n._out_state, ["query_id"])
+            if None in (sq, sd, tr):
+                return False
+            self.sq, self.sd, self.tr = sq, sd, tr
+        return True
+
+    def _present_df(self, mirror, schema_fields):
+        from .resident import rows_to_df
+        from pyspark.sql import types as T
+        rows = [d for d, w in mirror.data.items() if w > 0]
+        return rows_to_df(self.eng.spark, rows,
+                          T.StructType(list(schema_fields)))
+
+    def advance(self, t: int, dq, dd):
+        from .resident import RDelta, _JoinKernel, collect_rows, rows_to_df
+        from pyspark.sql import types as T
+        node, sq, sd, tr = self.node, self.sq, self.sd, self.tr
+        q_cols = [f.name for f in sq.schema.fields[:-1]]
+        d_cols = [f.name for f in sd.schema.fields[:-1]]
+        dq_pairs = _JoinKernel._aligned(dq, q_cols)
+        dd_pairs = _JoinKernel._aligned(dd, d_cols)
+        qi = q_cols.index("query_id")
+        di = d_cols.index("neighbor_id")
+        tcols = [f.name for f in tr.schema.fields[:-1]]
+        tqi, tni, tsi = (tcols.index("query_id"),
+                         tcols.index("neighbor_id"), tcols.index("score"))
+
+        touched = {p[qi] for p, _ in dq_pairs if p[qi] is not None}
+        dd_net: dict = {}
+        for data, w in dd_pairs:
+            nw = dd_net.get(data, 0) + w
+            if nw == 0:
+                dd_net.pop(data, None)
+            else:
+                dd_net[data] = nw
+        if dd_net:
+            del_ids = {d[di] for d, w in dd_net.items() if w < 0}
+            if del_ids:
+                # queries currently holding a deleted doc
+                for row, wt in tr.data.items():
+                    if wt > 0 and row[tni] in del_ids:
+                        touched.add(row[tqi])
+            ins_rows = [d for d, w in dd_net.items() if w > 0]
+            if ins_rows:
+                # queries the inserts would enter: score LIVE queries
+                # against the (small) insert delta in one job, gate on
+                # each query's current k-th score / result count
+                stats: dict = {}
+                for row, wt in tr.data.items():
+                    if wt > 0:
+                        s = stats.get(row[tqi])
+                        if s is None:
+                            stats[row[tqi]] = [row[tsi], wt]
+                        else:
+                            s[0] = min(s[0], row[tsi])
+                            s[1] += wt
+                q_live = self._present_df(sq, sq.schema.fields[:-1])
+                d_ins = rows_to_df(self.eng.spark, ins_rows,
+                                   T.StructType(list(sd.schema.fields[:-1])))
+                stats_df = rows_to_df(
+                    self.eng.spark,
+                    [(q, s[0], s[1]) for q, s in stats.items()],
+                    T.StructType([sq.schema.fields[qi],
+                                  T.StructField("__kth", T.DoubleType()),
+                                  T.StructField("__cnt", T.LongType())]))
+                crossed = q_live.crossJoin(d_ins)
+                beaten = (crossed
+                          .withColumn("__s", node._score(crossed))
+                          .select("query_id", "__s")
+                          .join(stats_df, on=["query_id"], how="left")
+                          .filter(F.col("__kth").isNull()
+                                  | (F.col("__cnt") < node._k)
+                                  | (F.col("__s") >= F.col("__kth")))
+                          .select("query_id").distinct())
+                for r in collect_rows(beaten):
+                    touched.add(r[0])
+
+        # state advances, then the re-rank sees the post-delta corpus
+        if dq.rows:
+            sq.apply(dq_pairs)
+        if dd.rows:
+            sd.apply(dd_pairs)
+            self._corpus_df = None
+
+        out: dict = {}
+        trace_delta: list = []
+        for q in touched:
+            for row, wt in tr.idx.get((q,), {}).items():
+                nw = out.get(row, 0) - wt
+                if nw == 0:
+                    out.pop(row, None)
+                else:
+                    out[row] = nw
+                trace_delta.append((row, -wt))
+        if touched:
+            if self._corpus_df is None:
+                self._corpus_df = self._present_df(
+                    sd, sd.schema.fields[:-1]).localCheckpoint(eager=False)
+            q_rows = []
+            for q in sorted(touched, key=repr):
+                q_rows.extend(d for d, w in sq.idx.get((q,), {}).items()
+                              if w > 0)
+            if q_rows:
+                qdf = rows_to_df(self.eng.spark, q_rows,
+                                 T.StructType(list(sq.schema.fields[:-1])))
+                pairs = self._corpus_df.crossJoin(F.broadcast(qdf))
+                scored = pairs.withColumn("score", node._score(pairs))
+                w = W.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("neighbor_id"))
+                new = (scored.withColumn("rank", F.row_number().over(w))
+                       .filter(F.col("rank") <= node._k)
+                       .select(*tcols))
+                for raw in collect_rows(new):
+                    nw = out.get(raw, 0) + 1
+                    if nw == 0:
+                        out.pop(raw, None)
+                    else:
+                        out[raw] = nw
+                    trace_delta.append((raw, 1))
+        tr.apply(trace_delta)
+        return RDelta(tcols + ["_pw_diff", "_pw_time"],
+                      [row + (wt, t) for row, wt in out.items()])
 
 
 def _score_expr(metric: str, qv: Column, dv: Column) -> Column:

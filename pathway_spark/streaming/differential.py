@@ -660,11 +660,25 @@ class DiffNode:
         return _JoinNode(self.graph, self, other, list(on), how)
 
     def join_theta(self, other: "DiffNode", cond_fn,
-                   lcols: Sequence[str], rcols: Sequence[str]) -> "DiffNode":
+                   lcols: Sequence[str], rcols: Sequence[str], *,
+                   band: dict | None = None) -> "DiffNode":
         """Inner join under an arbitrary predicate; `cond_fn(a, b)`
-        receives the two aliased frames and returns a boolean Column."""
+        receives the two aliased frames and returns a boolean Column.
+
+        `band` (optional) declares that the predicate is exactly an
+        interval condition — equi keys plus a time-axis range
+        `rtime ∈ [ltime+lo, ltime+hi]` — so the resident fast path can
+        arrange state by (keys, ⌊time/width⌋) and probe only touched
+        bands (`resident._ThetaBandKernel`).  Shape:
+        ``{"ltime": str, "rtime": str, "lo": int, "hi": int,
+        "micros": bool, "keys": [(lkey, rkey), ...]}`` with lo/hi in
+        the column's own units (microseconds when ``micros`` — the
+        predicate is then over ``unix_micros(col.cast("timestamp"))``).
+        The declaration must MATCH cond_fn; it changes only the
+        physical strategy, never the semantics — the resident kernel
+        re-evaluates the same range predicate on the banded slice."""
         return _ThetaJoinNode(self.graph, self, other, cond_fn,
-                              list(lcols), list(rcols))
+                              list(lcols), list(rcols), band=band)
 
     def semi_join(self, other: "DiffNode", lkeys: Sequence[str],
                   rkeys: Sequence[str] | None = None) -> "DiffNode":
@@ -1015,11 +1029,13 @@ class _ThetaJoinNode(DiffNode):
     _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
-                 cond_fn, lcols: list[str], rcols: list[str]):
+                 cond_fn, lcols: list[str], rcols: list[str],
+                 band: dict | None = None):
         super().__init__(graph, [left, right])
         self._cond_fn = cond_fn       # (left_df, right_df) -> Column
         self._lcols = lcols           # output columns from the left
         self._rcols = rcols           # output columns from the right
+        self._theta_band = band       # resident banding metadata or None
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
 
@@ -2332,9 +2348,17 @@ class DifferentialGraph:
 
     # resident fast-path caps (see resident.py): a tick whose delta or
     # whose per-store state exceeds these runs distributed instead —
-    # residency is a micro-batch latency device, never the scale path
+    # residency is a micro-batch latency device, never the scale path.
+    # The caps are TWO-dimensional per store: rows AND estimated bytes
+    # (r9; the same lesson LOCAL_CUT_MAX_BYTES encodes above) — a
+    # 400k-row cap alone would admit gigabytes of full-text or
+    # embedding-array mirrors into the driver heap.  Byte accounting is
+    # maintained on load and on every apply (`_StoreMirror.est_bytes`);
+    # crossing either bound detaches the mirrors and routes ticks
+    # distributed until the cooldown expires.
     RESIDENT_MAX_DELTA_ROWS = 50_000
     RESIDENT_MAX_STATE_ROWS = 400_000
+    RESIDENT_MAX_STATE_BYTES = 64 * 1024 * 1024
 
     def __init__(self, spark: SparkSession, *, checkpoint_every: int = 8,
                  state_dir: str | None = None, tune_steady_confs: bool = True,
@@ -2652,8 +2676,27 @@ class DifferentialGraph:
         self._fusable_cache = (len(self._nodes), out)
         return out
 
+    def step_rows(self, outputs: Sequence[DiffNode] | DiffNode, *,
+                  time: int | None = None, **deltas
+                  ) -> list[tuple[list[str], list[tuple]]]:
+        """`step()` that returns each output delta as `(columns, rows)`
+        driver lists — the subscriber handoff format.  On a fully-
+        resident tick the kernel rows are handed over DIRECTLY: no
+        output DataFrame is built and no Spark job runs (the reference
+        hands subscribers rows straight out of its output arrangements,
+        src/engine/dataflow.rs:194-340); a distributed tick falls back
+        to step() + collect().  Pair with per-source local-rows feeds
+        (pandas / pyarrow / `(columns, rows)`) for end-to-end
+        JVM-free steady ticks."""
+        out = self.step(outputs, time=time, _rows_out=True, **deltas)
+        if out and not isinstance(out[0], tuple):
+            out = [(d.columns, [tuple(r) for r in d.collect()])
+                   for d in out]
+        return out
+
     def step(self, outputs: Sequence[DiffNode] | DiffNode, *,
              time: int | None = None, row_times: bool = False,
+             _rows_out: bool = False,
              **deltas: DataFrame) -> list[DataFrame]:
         """Advance the logical clock; feed `deltas` keyed by source name,
         return each requested output node's delta for this batch.
@@ -2676,14 +2719,31 @@ class DifferentialGraph:
         (watermark semantics), exactly as the reference's connectors
         assign each input row the minibatch timestamp that first
         processes it."""
+        from .resident import LocalRows
         self._batch_wide = False
         # a graph may legitimately have a SOURCE named "time" — a
-        # DataFrame arriving through the keyword is that source's
-        # delta, not a logical timestamp
-        if isinstance(time, DataFrame) and "time" in self._sources:
+        # DataFrame (or local-rows payload) arriving through the
+        # keyword is that source's delta, not a logical timestamp
+        if "time" in self._sources and (
+                isinstance(time, DataFrame)
+                or LocalRows.coerce(time) is not None):
             deltas = dict(deltas)
             deltas["time"] = time
             time = None
+        # connector handoff: per-source pandas/pyarrow/(cols, rows)
+        # payloads become LocalRows — consumed driver-side by the
+        # resident engine, or converted to ONE Arrow LocalRelation for
+        # the distributed path (not supported with row_times=True,
+        # whose feeds carry their own _pw_time column)
+        coerced = None
+        for name, val in deltas.items():
+            if not isinstance(val, DataFrame):
+                lr = LocalRows.coerce(val)
+                if lr is not None:
+                    coerced = coerced if coerced is not None else dict(deltas)
+                    coerced[name] = lr
+        if coerced is not None:
+            deltas = coerced
         t = self._t + 1 if time is None else int(time)
         if t <= self._t:
             raise ValueError(
@@ -2731,7 +2791,8 @@ class DifferentialGraph:
             if self._res_engine is None:
                 from .resident import ResidentEngine
                 self._res_engine = ResidentEngine(self)
-            res = self._res_engine.try_tick(nodes, deltas, t)
+            res = self._res_engine.try_tick(nodes, deltas, t,
+                                            rows_out=_rows_out)
             if res is not None:
                 return res
         if self._res_engine is not None and self._res_engine.mirrors:
@@ -2741,6 +2802,14 @@ class DifferentialGraph:
             # Keyed on MIRRORS, not the active flag — a phase-1 abort
             # can leave mirrors attached without ever going active
             self._res_engine.detach()
+        if coerced is not None:
+            # row-fed sources on a distributed tick: one Arrow-backed
+            # LocalRelation per source
+            from .resident import local_rows_to_df
+            deltas = {name: (local_rows_to_df(
+                self.spark, val, self._sources[name]._template.schema)
+                if isinstance(val, LocalRows) else val)
+                for name, val in deltas.items()}
         for name, src in self._sources.items():
             src._feed(deltas.get(name), t, row_times=row_times)
         # tuned confs stay applied across steps (the caller's action on
@@ -2817,7 +2886,7 @@ class DifferentialGraph:
             batch = {n: f.filter(F.col(TIME) == tv).drop(TIME)
                      for n, f in frames.items()}
             (out,) = self.step(output, time=int(tv), **batch)
-            out = out.localCheckpoint(eager=True)
+            out = self.materialize(out)
             pieces.append(out)
             if on_change is not None:
                 on_change(out, int(tv))
@@ -2845,7 +2914,7 @@ class DifferentialGraph:
                     raise ValueError("multi-source graph needs dict batches")
                 batch = {only: batch}
             (out,) = self.step(output, **batch)
-            out = out.localCheckpoint(eager=True)
+            out = self.materialize(out)
             pieces.append(out)
             if on_change is not None:
                 on_change(out, self._t)
@@ -2859,6 +2928,17 @@ class DifferentialGraph:
         for p in pieces[1:]:
             acc = acc.unionByName(p)
         return acc
+
+    def materialize(self, out: DataFrame) -> DataFrame:
+        """Pin one step's output delta so later state mutations can't
+        change it: an eager localCheckpoint for distributed ticks —
+        but a NO-OP when the delta came off the resident engine, whose
+        outputs are LocalRelations (the rows already live on the
+        driver; an eager checkpoint would schedule a pointless job per
+        tick, ~25-55 ms of the old latency floor)."""
+        if self._res_last_t == self._t:
+            return out
+        return out.localCheckpoint(eager=True)
 
     @staticmethod
     def integrate(changelog: DataFrame) -> DataFrame:

@@ -94,28 +94,28 @@ class LiveDocumentStore:
         # recorded in graph meta so commit() persists it and a restored
         # process continues the id space instead of re-issuing old ids
         self._g._node_meta["live_store_next_qid"] = self._next_qid
-        # Arrow LocalRelation, NOT createDataFrame(list): the legacy
-        # pickle path parallelizes to a Python RDD whose collect costs
-        # one Python-worker launch per partition — ~0.4 s of the
-        # serving latency for a 1-row query frame
-        import pandas as _pd
-        qdf = self._spark.createDataFrame(
-            _pd.DataFrame({"query_id": [base + i for i in
-                                        range(len(queries))],
-                           "query": list(queries)}),
-            schema="query_id long, query string")
-        (delta,) = self._g.step(self._out, queries=qdf)
-        rows = delta.filter(F.col("_pw_diff") > 0).collect()
+        # rows in, rows out: the query delta feeds as LocalRows (zero
+        # Spark involvement on a resident tick) and the ranked answer
+        # comes back as driver tuples via step_rows — the reference's
+        # arrangement-probe serving shape; a distributed tick (first
+        # query, cap fallback) transparently pays the classic path
+        feed = (["query_id", "query"],
+                [(base + i, q) for i, q in enumerate(queries)])
+        ((cols, rows),) = self._g.step_rows(self._out, queries=feed)
+        qp, dp = cols.index("query_id"), cols.index("_pw_diff")
+        ip = cols.index(self._id_col)
+        rp, sp = cols.index("rank"), cols.index("score")
         kk = min(k, self._k) if k is not None else self._k
         out: list[list[dict]] = [[] for _ in queries]
         for r in rows:
-            idx = r["query_id"] - base
+            if r[dp] <= 0:
+                continue
+            idx = r[qp] - base
             # ids outside this call's window would be stray deltas from
             # a colliding id space — never attribute them to a caller
-            if 0 <= idx < len(queries) and r["rank"] <= kk:
+            if 0 <= idx < len(queries) and r[rp] <= kk:
                 out[idx].append(
-                    {self._id_col: r[self._id_col],
-                     "rank": r["rank"], "score": r["score"]})
+                    {self._id_col: r[ip], "rank": r[rp], "score": r[sp]})
         for lst in out:
             lst.sort(key=lambda d: d["rank"])
         return out

@@ -669,6 +669,360 @@ def test_topk_kernel_equivalence(spark):
     assert a == b
 
 
+def _drive_table(spark, build_out, feeds0, ticks, *, resident):
+    """DiffTable-idiom drive: build via DifferentialTableGraph, run
+    batch 0 + ticks, return (traces, per-tick resident flags)."""
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    g = DifferentialTableGraph(spark, resident=resident)
+    out = build_out(g)
+    (d0,) = g.step(out.node, **feeds0)
+    traces = [_trace(d0.collect())]
+    active = []
+    for feeds in ticks:
+        (d,) = g.step(out.node, **feeds)
+        traces.append(_trace(d.collect()))
+        active.append(g._res_last_t == g._t)
+    return traces, active
+
+
+def test_interval_join_equivalence(spark):
+    """Live interval join (banded θ kernel): inserts AND retractions on
+    both sides, NULL times, NULL keys, matches at both interval
+    boundaries — resident traces must equal the distributed path."""
+    from pathway_spark import this
+    rng = random.Random(41)
+
+    lrows = [(i, i % 6, i * 3 % 100, f"l{i}") for i in range(200)]
+    rrows = [(i, i % 6, (i * 7 + 2) % 100, i * 10) for i in range(200)]
+    lrows += [(900, None, 5, "lnullk"), (901, 2, None, "lnullt")]
+    rrows += [(900, None, 5, -1), (901, 2, None, -2)]
+    lsch = "lid long, g long, lt long, tag string"
+    rsch = "rid long, rg long, rt long, rv long"
+    ldf = spark.createDataFrame(lrows, lsch)
+    rdf = spark.createDataFrame(rrows, rsch)
+
+    def build(g):
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        return lt.interval_join(rt, this.lt, this.rt, (-4, 9),
+                                this.g == this.rg)
+
+    live_l, live_r = list(lrows), list(rrows)
+    ticks = []
+    for b in range(6):
+        lin = [(1000 + b * 50 + j, rng.randrange(6), rng.randrange(100),
+                f"n{b}_{j}", 1) for j in range(15)]
+        rin = [(2000 + b * 50 + j, rng.randrange(6), rng.randrange(100),
+                rng.randrange(500), 1) for j in range(15)]
+        ldel = []
+        for r in rng.sample(live_l, 5):
+            ldel.append(r + (-1,))
+            live_l.remove(r)
+        rdel = []
+        for r in rng.sample(live_r, 5):
+            rdel.append(r + (-1,))
+            live_r.remove(r)
+        live_l.extend(x[:4] for x in lin)
+        live_r.extend(x[:4] for x in rin)
+        ticks.append(dict(
+            l=spark.createDataFrame(lin + ldel, lsch + ", _pw_diff long"),
+            r=spark.createDataFrame(rin + rdel, rsch + ", _pw_diff long")))
+
+    feeds0 = dict(l=ldf, r=rdf)
+    a, act = _drive_table(spark, build, feeds0, ticks, resident=True)
+    b_, _ = _drive_table(spark, build, feeds0, ticks, resident=False)
+    assert a == b_
+    assert all(act), "interval-join ticks should run resident"
+    # sanity: the stream actually produced matches
+    assert any(len(tr) > 0 for tr in a)
+
+
+def test_interval_join_timestamp_equivalence(spark):
+    """timedelta bounds over TIMESTAMP columns band resident under the
+    fixed-offset (UTC) session timezone — microsecond-exact."""
+    import datetime as dt
+    from pathway_spark import this
+    t0 = dt.datetime(2024, 3, 1)
+
+    lrows = [(i, i % 3, t0 + dt.timedelta(seconds=i * 7)) for i in range(60)]
+    rrows = [(i, i % 3, t0 + dt.timedelta(seconds=i * 5 + 3))
+             for i in range(60)]
+    lsch = "lid long, g long, lt timestamp"
+    rsch = "rid long, rg long, rt timestamp"
+    ldf = spark.createDataFrame(lrows, lsch)
+    rdf = spark.createDataFrame(rrows, rsch)
+
+    def build(g):
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        return lt.interval_join(
+            rt, this.lt, this.rt,
+            (dt.timedelta(seconds=-10), dt.timedelta(seconds=10)),
+            this.g == this.rg)
+
+    ticks = [
+        dict(l=spark.createDataFrame(
+            [(100, 1, t0 + dt.timedelta(seconds=50), 1),
+             (3, 0, t0 + dt.timedelta(seconds=21), -1)],
+            lsch + ", _pw_diff long")),
+        dict(r=spark.createDataFrame(
+            [(100, 1, t0 + dt.timedelta(seconds=55), 1),
+             (6, 0, t0 + dt.timedelta(seconds=33), -1)],
+            rsch + ", _pw_diff long")),
+        dict(l=spark.createDataFrame(
+            [(100, 1, t0 + dt.timedelta(seconds=50), -1)],
+            lsch + ", _pw_diff long")),
+    ]
+    feeds0 = dict(l=ldf, r=rdf)
+    a, act = _drive_table(spark, build, feeds0, ticks, resident=True)
+    b_, _ = _drive_table(spark, build, feeds0, ticks, resident=False)
+    assert a == b_
+    assert all(act), "timestamp interval join should run resident"
+
+
+def test_interval_join_double_nan_inf_equivalence(spark):
+    """Double time axis with NaN and ±inf values: the kernel's sentinel
+    bands must reproduce Spark's NaN total-order comparison semantics
+    exactly (NaN matches NaN; inf matches inf)."""
+    from pathway_spark import this
+    nan, inf = float("nan"), float("inf")
+
+    lrows = [(1, 1.0), (2, 5.5), (3, nan), (4, inf), (5, -inf)]
+    rrows = [(11, 2.0), (12, 6.0), (13, nan), (14, inf), (15, -inf)]
+    lsch = "lid long, lt double"
+    rsch = "rid long, rt double"
+    ldf = spark.createDataFrame(lrows, lsch)
+    rdf = spark.createDataFrame(rrows, rsch)
+
+    def build(g):
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        return lt.interval_join(rt, this.lt, this.rt, (-1, 1))
+
+    ticks = [
+        dict(l=spark.createDataFrame([(6, nan, 1), (3, nan, -1)],
+                                     lsch + ", _pw_diff long")),
+        dict(r=spark.createDataFrame([(16, 1.5, 1), (14, inf, -1)],
+                                     rsch + ", _pw_diff long")),
+        dict(l=spark.createDataFrame([(7, -inf, 1)],
+                                     lsch + ", _pw_diff long")),
+    ]
+    feeds0 = dict(l=ldf, r=rdf)
+    a, act = _drive_table(spark, build, feeds0, ticks, resident=True)
+    b_, _ = _drive_table(spark, build, feeds0, ticks, resident=False)
+
+    def norm(trs):   # NaN != NaN breaks raw tuple equality — repr-compare
+        return [sorted(tuple(repr(v) for v in row) for row in tr)
+                for tr in trs]
+    assert norm(a) == norm(b_)
+    assert all(act)
+    # NaN must have matched NaN somewhere in batch 0
+    assert any("nan" in repr(tr).lower() for tr in a)
+
+
+def test_interval_join_state_cap_fallback(spark):
+    """An interval join whose state exceeds the resident cap stays
+    distributed and correct (the generic cap contract holds for the
+    banded mirrors too)."""
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    lrows = [(i, i % 4, i % 50) for i in range(3000)]
+    rrows = [(i, i % 4, (i + 3) % 50) for i in range(100)]
+    lsch = "lid long, g long, lt long"
+    rsch = "rid long, rg long, rt long"
+    ldf = spark.createDataFrame(lrows, lsch)
+    rdf = spark.createDataFrame(rrows, rsch)
+
+    def run(resident, cap=None):
+        g = DifferentialTableGraph(spark, resident=resident)
+        if cap:
+            g.RESIDENT_MAX_STATE_ROWS = cap
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        out = lt.interval_join(rt, this.lt, this.rt, (0, 2),
+                               this.g == this.rg)
+        (d0,) = g.step(out.node, l=ldf, r=rdf)
+        traces = [_trace(d0.collect())]
+        flags = []
+        for i in range(2):
+            (d,) = g.step(out.node, r=spark.createDataFrame(
+                [(5000 + i, i % 4, (i * 11) % 50, 1)],
+                rsch + ", _pw_diff long"))
+            traces.append(_trace(d.collect()))
+            flags.append(g._res_last_t == g._t)
+        return traces, flags
+
+    a, fa = run(True, cap=1000)
+    b_, _ = run(False)
+    assert a == b_
+    assert not any(fa), "over-cap state must stay distributed"
+
+
+def _rtrace(rows) -> list[tuple]:
+    return sorted((tuple(repr(v) for v in r) for r in rows), key=repr)
+
+
+def test_step_rows_and_local_feed_equivalence(spark):
+    """Connector-handoff feeds (pandas / pyarrow / (cols, rows)) plus
+    step_rows direct output must produce exactly the DataFrame-feed
+    distributed trace — including NULLs, NaN doubles and timestamps —
+    with every steady tick resident."""
+    import datetime as dt
+    import pandas as pd
+    import pyarrow as pa
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    t0 = dt.datetime(2024, 5, 1)
+    nan = float("nan")
+    rows0 = [(i, i % 7, (i % 5) * 0.25 if i % 11 else nan,
+              t0 + dt.timedelta(minutes=i) if i % 13 else None,
+              f"s{i % 3}" if i % 9 else None)
+             for i in range(400)]
+    sch = ("k long, g long, v double, ts timestamp, s string")
+    base = spark.createDataFrame(rows0, sch)
+
+    def build(g):
+        src = g.source("o", base)
+        out = src.filter(F.col("g") != 5).reduce(
+            ["g"], n=("count",), sv=("sum", "v"),
+            mx=("max", "ts"), nd=("count_distinct", "s"))
+        return out
+
+    payload_rows = []
+    for b in range(6):
+        ins = [(10_000 + b * 100 + j, (b + j) % 7,
+                (j % 4) * 0.5 if j % 6 else nan,
+                t0 + dt.timedelta(hours=b, minutes=j) if j % 5 else None,
+                f"s{j % 3}", 1) for j in range(20)]
+        dels = [rows0[b * 30 + j] + (-1,) for j in range(5)]
+        payload_rows.append(ins + dels)
+    cols = ["k", "g", "v", "ts", "s", "_pw_diff"]
+
+    def payload(i, rows):
+        kind = i % 3
+        if kind == 0:
+            return pd.DataFrame(rows, columns=cols)
+        if kind == 1:
+            pdf = pd.DataFrame(rows, columns=cols)
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+        return (cols, rows)
+
+    # resident drive, row feeds, step_rows
+    g = DifferentialGraph(spark, resident=True)
+    out = build(g)
+    (d0,) = g.step(out, o=base)
+    tr_res = [_rtrace(tuple(r) for r in d0.collect())]
+    for i, rows in enumerate(payload_rows):
+        ((ocols, orows),) = g.step_rows(out, o=payload(i, rows))
+        assert g._res_last_t == g._t, f"tick {i} fell back"
+        # realign rows to a canonical column order before comparing
+        order = sorted(range(len(ocols)), key=lambda j: ocols[j])
+        tr_res.append(_rtrace(tuple(r[j] for j in order) for r in orows))
+
+    # distributed drive, DataFrame feeds
+    g2 = DifferentialGraph(spark, resident=False)
+    out2 = build(g2)
+    (e0,) = g2.step(out2, o=base)
+    tr_cls = [_rtrace(tuple(r) for r in e0.collect())]
+    for rows in payload_rows:
+        (d,) = g2.step(out2, o=spark.createDataFrame(
+            rows, sch + ", _pw_diff long"))
+        cc = sorted(d.columns)
+        tr_cls.append(_rtrace(tuple(r[c] for c in cc)
+                              for r in d.collect()))
+    assert tr_res == tr_cls
+
+
+def test_local_feed_on_distributed_graph(spark):
+    """Row feeds also work with resident=False — converted to one
+    Arrow LocalRelation per source on the classic path."""
+    import pandas as pd
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    base = spark.createDataFrame([(i, i % 3) for i in range(30)],
+                                 "k long, g long")
+    g = DifferentialGraph(spark, resident=False)
+    out = g.source("o", base).reduce(["g"], n=("count",))
+    g.step(out, o=base)
+    (d,) = g.step(out, o=pd.DataFrame(
+        [(100, 0, 1), (101, 0, 1)], columns=["k", "g", "_pw_diff"]))
+    got = {(r["g"], r["n"], r["_pw_diff"]) for r in d.collect()}
+    assert (0, 12, 1) in got and (0, 10, -1) in got
+
+
+def test_local_feed_rejects_unknown_columns(spark):
+    import pandas as pd
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    base = spark.createDataFrame([(1, 2)], "k long, g long")
+    g = DifferentialGraph(spark, resident=False)
+    out = g.source("o", base).distinct()
+    g.step(out, o=base)
+    with pytest.raises(ValueError, match="unknown columns"):
+        g.step(out, o=pd.DataFrame([(1, 2)], columns=["k", "wrong"]))
+
+
+def test_byte_cap_keeps_wide_rows_distributed(spark):
+    """Few-but-wide rows (long text) must trip the BYTE cap even far
+    under the row cap — the r8 wide-row driver-OOM hazard — while the
+    same pipeline with narrow rows stays resident under the same
+    byte budget."""
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    def drive(texts, byte_cap):
+        base = spark.createDataFrame(
+            [(i, texts[i % len(texts)]) for i in range(200)],
+            "k long, text string")
+        g = DifferentialGraph(spark, resident=True)
+        g.RESIDENT_MAX_STATE_BYTES = byte_cap
+        out = g.source("d", base).distinct()
+        (d0,) = g.step(out, d=base)
+        traces = [_trace(d0.collect())]
+        flags = []
+        for i in range(2):
+            (d,) = g.step(out, d=spark.createDataFrame(
+                [(1000 + i, texts[0], 1)],
+                "k long, text string, _pw_diff long"))
+            traces.append(_trace(d.collect()))
+            flags.append(g._res_last_t == g._t)
+        return traces, flags
+
+    wide = ["x" * 20_000 + str(i) for i in range(7)]    # ~4 MB state
+    narrow = [f"t{i}" for i in range(7)]                # ~10 KB state
+    cap = 1024 * 1024
+    tw, fw = drive(wide, cap)
+    tn, fn_ = drive(narrow, cap)
+    assert not any(fw), "wide rows must stay distributed (byte cap)"
+    assert all(fn_), "narrow rows must stay resident under the same cap"
+    # correctness unaffected either way
+    ref_w, _ = drive(wide, 10**12)
+    assert tw == ref_w
+
+
+def test_byte_cap_trips_on_growth(spark):
+    """A mirror admitted small must detach when APPLIED deltas grow it
+    past the byte cap (est_bytes is maintained incrementally)."""
+    from pathway_spark.streaming.differential import DifferentialGraph
+
+    base = spark.createDataFrame([(i, f"s{i}") for i in range(50)],
+                                 "k long, text string")
+    g = DifferentialGraph(spark, resident=True)
+    g.RESIDENT_MAX_STATE_BYTES = 200_000
+    out = g.source("d", base).distinct()
+    g.step(out, d=base)
+    wide = "y" * 5_000
+    flags = []
+    for i in range(60):
+        (d,) = g.step(out, d=spark.createDataFrame(
+            [(10_000 + i, wide + str(i), 1)],
+            "k long, text string, _pw_diff long"))
+        d.collect()
+        flags.append(g._res_last_t == g._t)
+    assert flags[0], "starts resident"
+    assert not flags[-1], "growth past the byte cap must detach"
+
+
 def test_global_keyless_reduce(spark):
     base = spark.createDataFrame([(i, (i % 4) * 0.25) for i in range(100)],
                                  "k long, v double")

@@ -160,3 +160,159 @@ def test_shard_distinct_dropping_key_fails_loudly(spark):
     sh = ShardedDifferential(spark, build, shards=2, key=["user"])
     with pytest.raises(ValueError, match="dropped"):
         sh.step(o=spark.createDataFrame([(1, 5)], "user long, v long"))
+
+
+def test_sharded_resident_composition(spark, tmp_path):
+    """Sharding × residency (round 9): each shard's graph takes the
+    resident fast path independently on steady ticks, per-shard mirrors
+    sync into durable state before per-shard commits, and the whole
+    composition still equals an unsharded distributed run through a
+    commit + restore boundary."""
+    rng = random.Random(17)
+    users, batches = _mkbatches(rng, steps=6)
+    sd = str(tmp_path / "shres")
+
+    # unsharded DISTRIBUTED reference
+    g = DifferentialGraph(spark, resident=False)
+    out = _build(g)
+    full = []
+    for i, b in enumerate(batches):
+        (du,) = g.step(out, **_feed(spark, g, users, b, first=i == 0))
+        full.append(du.localCheckpoint(True))
+    g.restore_session_confs()
+
+    sh1 = ShardedDifferential(spark, _build, shards=2, key=["user"],
+                              state_dir=sd)
+    log_s = None
+    for i, b in enumerate(batches[:4]):
+        ds = sh1.step(**_feed(spark, sh1, users, b, first=i == 0))
+        log_s = ds if log_s is None else log_s.unionByName(ds)
+    # residency actually engaged inside the shards on steady ticks
+    res_ticks = [g_._res_last_t == g_._t for g_ in sh1._graphs]
+    assert all(res_ticks), f"shards fell back distributed: {res_ticks}"
+    sh1.commit()          # mirrors must sync before each shard's commit
+    sh1.restore_session_confs()
+
+    sh2 = ShardedDifferential(spark, _build, shards=2, key=["user"],
+                              state_dir=sd)
+    assert sh2.t == sh1.t
+    for b in batches[4:]:
+        ds = sh2.step(**_feed(spark, sh2, users, b, first=False))
+        log_s = log_s.unionByName(ds)
+    want = full[0]
+    for d in full[1:]:
+        want = want.unionByName(d)
+    got = _rows(DifferentialGraph.integrate(log_s),
+                "user", "total", "n", "seg")
+    assert got == _rows(DifferentialGraph.integrate(want),
+                        "user", "total", "n", "seg")
+    sh2.restore_session_confs()
+
+
+_WORKER_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from pathway_spark.session import get_spark
+from pathway_spark.streaming.shard_worker import run_shard_worker
+
+shard = int(sys.argv[1])
+crash_at = int(sys.argv[2])          # -1 = run to completion
+root = sys.argv[3]
+
+spark = get_spark(f"shard-worker-{{shard}}-{{crash_at}}", cpus="4")
+spark.sparkContext.setLogLevel("ERROR")
+
+def on_batch(t, delta):
+    if t == crash_at:
+        os._exit(1)                  # die AFTER output write, BEFORE commit
+
+n = run_shard_worker(
+    spark, f"{{root}}/program.py", shard_id=shard, shards=2,
+    key=["user"], state_root=f"{{root}}/state", feed_dir=f"{{root}}/feed",
+    out_dir=f"{{root}}/out", poll_interval=0.2, stop_after_time=4,
+    idle_timeout=60, on_batch=on_batch)
+print("processed", n)
+os._exit(0)
+"""
+
+_WORKER_PROGRAM = """
+from pyspark.sql import functions as F
+
+def build(g):
+    tpl = g.spark.createDataFrame([], "user long, amount long")
+    src = g.source("t", tpl)
+    return src.filter(F.col("amount") != 0).reduce(
+        ["user"], total=("sum", "amount"), n=("count",))
+"""
+
+
+def test_cross_process_shard_workers_crash_restore(spark, tmp_path):
+    """The executable deployment (round 9): two `shard-worker`
+    processes (own JVMs) drain a shared directory feed; one crashes
+    mid-batch (output written, commit missed), restarts, replays its
+    own tail — and the union of the shard outputs equals an unsharded
+    single-process run.  Reference bar: the multi-process timely
+    cluster (src/engine/dataflow/config.rs:140-165)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "deploy")
+    os.makedirs(root)
+    with open(f"{root}/program.py", "w") as f:
+        f.write(_WORKER_PROGRAM)
+
+    BATCHES = [
+        [(1, 10), (2, 5), (3, 7), (4, 1)],
+        [(1, 2), (5, 7), (2, -5)],
+        [(3, 5), (6, 1), (1, 4)],
+        [(5, -7), (4, 1), (7, 9)],
+    ]
+    from pathway_spark.streaming.shard_worker import write_feed_batch
+    for t, rows in enumerate(BATCHES, start=1):
+        write_feed_batch(
+            spark.createDataFrame(rows, "user long, amount long"),
+            f"{root}/feed", "t", t)
+
+    child = _WORKER_CHILD.format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def launch(shard, crash_at):
+        return subprocess.Popen(
+            [_sys.executable, "-c", child, str(shard), str(crash_at), root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    # shard 0 runs clean; shard 1 crashes mid-batch at t=2
+    p0, p1 = launch(0, -1), launch(1, 2)
+    o0, e0 = p0.communicate(timeout=900)
+    o1, e1 = p1.communicate(timeout=900)
+    assert p0.returncode == 0, f"shard 0 failed:\n{e0[-3000:]}"
+    assert p1.returncode == 1, "shard 1 should have crashed mid-batch"
+
+    # restart shard 1: restores from its committed clock (t=1), replays
+    p1b = launch(1, -1)
+    o1b, e1b = p1b.communicate(timeout=900)
+    assert p1b.returncode == 0, f"shard 1 restart failed:\n{e1b[-3000:]}"
+
+    # union of per-shard outputs == unsharded single-process run
+    got = {}
+    for t in range(1, 5):
+        rows = []
+        for s in (0, 1):
+            p = f"{root}/out/shard_{s:03d}/t={t}"
+            rows.extend(tuple(r) for r in spark.read.parquet(p).collect())
+        got[t] = sorted(rows, key=repr)
+
+    from pyspark.sql import functions as F
+    gref = DifferentialGraph(spark)
+    tpl = spark.createDataFrame([], "user long, amount long")
+    qref = gref.source("t", tpl).filter(F.col("amount") != 0).reduce(
+        ["user"], total=("sum", "amount"), n=("count",))
+    for t, rows in enumerate(BATCHES, start=1):
+        (d,) = gref.step(qref, time=t,
+                         t=spark.createDataFrame(rows, tpl.schema))
+        want = sorted((tuple(r) for r in d.collect()), key=repr)
+        assert got[t] == want, f"t={t}:\ngot  {got[t]}\nwant {want}"
+    gref.restore_session_confs()

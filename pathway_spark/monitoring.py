@@ -85,7 +85,25 @@ class MonitoringServer:
             "streamingQueries": [
                 _query_progress(q) for q in self.spark.streams.active
             ],
+            # differential-engine graph topology + per-node tick
+            # timings split by execution path (resident vs
+            # distributed) — the reference dashboard's operator-graph
+            # view (python/pathway/web_dashboard/)
+            "differential": self._differential(),
         }
+
+    @staticmethod
+    def _differential() -> list[dict]:
+        from .streaming.differential import live_graphs
+        out = []
+        for i, g in enumerate(live_graphs()):
+            try:
+                topo = g.topology()
+            except Exception:           # a graph mid-teardown
+                continue
+            topo["graph"] = i
+            out.append(topo)
+        return out
 
     def _status(self, _method: str, _payload: dict):
         return 200, self.snapshot()
@@ -168,6 +186,7 @@ _DASHBOARD_HTML = """<!doctype html>
  <th>streaming query</th><th>batch</th><th>rows/s in</th>
  <th>rows/s done</th><th>batch ms</th><th>state rows</th><th>trend</th>
 </tr></thead><tbody id="qs"></tbody></table>
+<div id="diff"></div>
 <div id="err" class="err"></div>
 <script>
 const hist = {};              // query id -> rolling processed-rate window
@@ -216,6 +235,34 @@ async function tick() {
         `<td><canvas width="120" height="24"></canvas></td>`;
       tb.appendChild(tr);
       spark(tr.querySelector("canvas"), hist[q.id]);
+    }
+    // differential-engine graphs: one node table per live graph, the
+    // per-node tick split showing which operators ride the resident
+    // fast path and which still pay distributed ticks
+    const dv = document.getElementById("diff");
+    dv.innerHTML = "";
+    for (const gr of (s.differential || [])) {
+      const head = document.createElement("h1");
+      head.textContent = `differential graph #${gr.graph} — t=${gr.t}, ` +
+        `${gr.n_nodes} nodes` + (gr.resident_active ? " (resident)" : "");
+      dv.appendChild(head);
+      const tbl = document.createElement("table");
+      tbl.innerHTML = "<thead><tr><th>#</th><th>operator</th>" +
+        "<th>inputs</th><th>res ticks</th><th>res ms</th>" +
+        "<th>dist ticks</th><th>dist ms</th></tr></thead>";
+      const body = document.createElement("tbody");
+      for (const n of gr.nodes) {
+        const tr2 = document.createElement("tr");
+        tr2.innerHTML =
+          `<td>${n.i}</td>` +
+          `<td>${n.op}${n.name ? " (" + n.name + ")" : ""}</td>` +
+          `<td>${n.inputs.join(",")}</td>` +
+          `<td>${n.res_ticks}</td><td>${n.res_ms}</td>` +
+          `<td>${n.dist_ticks}</td><td>${n.dist_ms}</td>`;
+        body.appendChild(tr2);
+      }
+      tbl.appendChild(body);
+      dv.appendChild(tbl);
     }
   } catch (e) {
     document.getElementById("err").textContent = "poll failed: " + e;

@@ -73,7 +73,9 @@ driver.
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager
+from time import perf_counter as _perf_counter
 from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -91,6 +93,17 @@ _META = (DIFF, TIME)
 # floor.  Cache the handful of expressions every node builds each tick,
 # keyed on the live SparkContext (a restarted JVM invalidates the
 # JavaObject handles, so the cache resets with it).
+# live graphs of this process, for the monitoring dashboard (weak:
+# registration must never keep a finished pipeline's state alive)
+_LIVE_GRAPHS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def live_graphs() -> list:
+    """DifferentialGraphs currently alive in this process, in creation
+    order where determinable — the monitoring server's data source."""
+    return sorted(_LIVE_GRAPHS, key=id)
+
+
 _EXPR_CACHE: tuple | None = None
 
 
@@ -624,8 +637,39 @@ class DiffNode:
     def select(self, *cols: Column | str, **named: Column) -> "DiffNode":
         exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
         exprs += [c.alias(n) for n, c in named.items()]
-        return _LinearNode(self.graph, self,
+        node = _LinearNode(self.graph, self,
                            lambda df: df.select(*exprs, DIFF, TIME))
+        if not named and all(isinstance(c, str) for c in cols):
+            # pure column picking — the resident evaluator reorders
+            # tuples in Python instead of paying a Catalyst fold
+            node._res_project = [(c, c) for c in cols]
+        return node
+
+    def project(self, *cols: str, **renamed: str) -> "DiffNode":
+        """Pure projection/rename — NO computation: `project("a",
+        b="c")` keeps `a` and renames `c` to `b`.  Semantically
+        identical to a select of plain column references; the resident
+        fast path evaluates it as a tuple reorder in Python (zero
+        Spark involvement), which is what makes multi-stage serving
+        graphs tick in milliseconds — use it in engine builders for
+        every hop that only routes columns."""
+        pairs = [(c, c) for c in cols] + list(renamed.items())
+        exprs = [F.col(i).alias(o) if o != i else F.col(o)
+                 for o, i in pairs]
+        node = _LinearNode(self.graph, self,
+                           lambda df: df.select(*exprs, DIFF, TIME))
+        node._res_project = pairs
+        return node
+
+    def with_lit(self, name: str, value) -> "DiffNode":
+        """`with_columns(name=F.lit(value))` whose resident evaluation
+        is a Python tuple append (the literal needs no Catalyst): the
+        column's TYPE is still authoritative from the distributed
+        schema memo, so int/long literal typing matches Spark's."""
+        node = _LinearNode(self.graph, self,
+                           lambda df: df.withColumn(name, F.lit(value)))
+        node._res_lit = (name, value)
+        return node
 
     def filter(self, cond: Column) -> "DiffNode":
         return _LinearNode(self.graph, self, lambda df: df.filter(cond))
@@ -814,7 +858,10 @@ class DiffNode:
             if self._empty_tpl is not None and self._empty_at(t):
                 out = self._empty_tpl
             else:
+                _t0 = _perf_counter()
                 out = self._advance(t)
+                self.graph._nstat(self, _perf_counter() - _t0,
+                                  resident=False)
                 if self._CKPT_OUT:
                     out = self.graph._tick_cut(
                         out, bounded=self._delta_bounded())
@@ -2367,6 +2414,12 @@ class DifferentialGraph:
         self.spark = spark
         self.local_tick_cut = local_tick_cut
         self.local_cut_outs = False
+        # per-node tick accounting for the monitoring dashboard
+        # (/status differential section): cumulative advance time split
+        # by execution path — a node stuck on the distributed path in a
+        # latency-sensitive graph shows up immediately
+        self._node_stats: dict[int, dict] = {}
+        _LIVE_GRAPHS.add(self)
         # driver-resident steady-tick evaluation (resident.py): dict-
         # indexed state mirrors + Python delta algebra for micro
         # batches, automatic distributed fallback beyond the caps
@@ -2928,6 +2981,45 @@ class DifferentialGraph:
         for p in pieces[1:]:
             acc = acc.unionByName(p)
         return acc
+
+    def _nstat(self, node, secs: float, *, resident: bool) -> None:
+        st = self._node_stats.get(id(node))
+        if st is None:
+            st = self._node_stats[id(node)] = {
+                "dist_ticks": 0, "dist_secs": 0.0,
+                "res_ticks": 0, "res_secs": 0.0}
+        k = "res" if resident else "dist"
+        st[k + "_ticks"] += 1
+        st[k + "_secs"] += secs
+
+    def topology(self) -> dict:
+        """Node list + edges + per-node tick timings, split by
+        execution path — the engine-graph view the reference dashboard
+        draws (python/pathway/web_dashboard/; per-operator latency in
+        internals/monitoring.py).  Served by MonitoringServer under
+        /status's `differential` section and rendered as a table on
+        /dashboard."""
+        index = {id(n): i for i, n in enumerate(self._nodes)}
+        nodes = []
+        for i, n in enumerate(self._nodes):
+            st = self._node_stats.get(id(n), {})
+            nodes.append({
+                "i": i,
+                "op": type(n).__name__.lstrip("_"),
+                "name": getattr(n, "name", None),
+                "inputs": [index.get(id(x)) for x in n.inputs],
+                "dist_ticks": st.get("dist_ticks", 0),
+                "dist_ms": round(st.get("dist_secs", 0.0) * 1e3, 1),
+                "res_ticks": st.get("res_ticks", 0),
+                "res_ms": round(st.get("res_secs", 0.0) * 1e3, 1),
+            })
+        return {
+            "t": self._t,
+            "n_nodes": len(nodes),
+            "resident_active": bool(self._res_engine is not None
+                                    and self._res_engine.mirrors),
+            "nodes": nodes,
+        }
 
     def materialize(self, out: DataFrame) -> DataFrame:
         """Pin one step's output delta so later state mutations can't

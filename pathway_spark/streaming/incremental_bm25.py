@@ -52,28 +52,37 @@ def incremental_bm25_topk(docs: DiffNode, queries: DiffNode, *,
     arrival tick, and never change afterwards (except query
     retraction, which withdraws them)."""
     g = docs.graph
-    d = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    # column-routing hops use project()/with_lit() — Python tuple
+    # moves on the resident path, so a serving tick pays Catalyst only
+    # where something is COMPUTED (tokenize, the score expression)
+    d = docs.project(doc=id_col, t=text_col)
     toks = (d.with_columns(__toks=_tokens(F.col("t")))
-            .select(F.col("doc"), F.col("__toks"))
+            .project("doc", "__toks")
             .flatten("__toks", "term"))
     tf = toks.reduce(["doc", "term"], tf=("count",))
     dl = toks.reduce(["doc"], dl=("count",))
     df_ = tf.reduce(["term"], df=("count",))
-    n_docs = (d.reduce([], n_docs=("count",))
-              .with_columns(__k=F.lit(1)))
+    n_docs = d.reduce([], n_docs=("count",)).with_lit("__k", 1)
     dl_stats = (dl.reduce([], __dlsum=("sum", "dl"), __dln=("count",))
-                .with_columns(__k=F.lit(1)))
+                .with_lit("__k", 1))
     stats = n_docs.join(dl_stats, on=["__k"])
+    # scoring-ready postings, maintained INCREMENTALLY on doc ticks:
+    # (doc, term, tf, dl).  Joining dl here (instead of per query, the
+    # r8 shape) means a serving tick's candidate set flows through ONE
+    # heavy asof join instead of four — the per-query work drops from
+    # 4x|candidates| emitted rows to 1x (measured 0.47 -> ~0.2 s/query)
+    post = tf.join(dl, on=["doc"])
 
     qt = (queries.with_columns(__qtoks=_tokens(F.col(query_col)))
-          .select(F.col("query_id"), F.col("__qtoks"))
+          .project("query_id", "__qtoks")
           .flatten("__qtoks", "term")
           .distinct())
-    j1 = _AsofNowNode(g, qt, tf, ["term"], ["term"])
-    j2 = _AsofNowNode(g, j1, df_, ["term"], ["term"])
-    j3 = _AsofNowNode(g, j2.with_columns(__k=F.lit(1)), stats,
+    # per-TERM metadata first (a handful of rows per query), the
+    # full candidate fan-out last — all freeze-at-arrival
+    m1 = _AsofNowNode(g, qt, df_, ["term"], ["term"])
+    m2 = _AsofNowNode(g, m1.with_lit("__k", 1), stats,
                       ["__k"], ["__k"])
-    j4 = _AsofNowNode(g, j3, dl, ["doc"], ["doc"])
+    j4 = _AsofNowNode(g, m2, post, ["term"], ["term"])
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)

@@ -383,6 +383,278 @@ class _IterateNode(DiffNode):
         return out
 
 
+class _IterateResidentKernel:
+    """Driver-resident steady ticks for the level cascade (r9 — the
+    last core operator class on the distributed per-tick floor): each
+    level's body advances through the resident engine's OWN kernels
+    over mirrored level state, the convergence check is a Python
+    multiset compare (no count jobs), and accumulators/trace apply as
+    mirror deltas.  Depth GROWTH (rare, amortized — initial
+    convergence or a deepened fixed point) runs the classic
+    distributed seeding path inline: a new level is a fresh subgraph
+    with no attached mirrors, so the two engines compose without
+    tripping the store-update guard; the new level's stores are
+    mirrored from the next tick on.  Arranged inputs (shared
+    arrangements are distributed state by contract) and
+    dense-recompute mode stay distributed: ensure() refuses and the
+    graph falls back for that tick."""
+
+    def __init__(self, eng, node: "_IterateNode"):
+        self.eng = eng
+        self.node = node
+        self.tr = None
+        self.vst = None
+        self.ist: dict = {}
+
+    # -- helpers ----------------------------------------------------------
+
+    @staticmethod
+    def _walk(out) -> list:
+        order, seen = [], set()
+
+        def visit(n):
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            for i in n.inputs:
+                visit(i)
+            order.append(n)
+        visit(out)
+        return order
+
+    @staticmethod
+    def _consol(d, t: int):
+        """Consolidated copy of an RDelta (weights folded by data
+        tuple), stamped t — the resident analog of `_pull`'s
+        consolidate().  Returns None for an all-cancelled delta? No —
+        keeps the (possibly empty) RDelta; emptiness is data."""
+        from .resident import RDelta
+        dp, tp = d.pos(DIFF), d.pos(TIME)
+        di = [i for i in range(len(d.cols)) if i not in (dp, tp)]
+        acc: dict = {}
+        for r in d.rows:
+            k = tuple(r[i] for i in di)
+            nw = acc.get(k, 0) + r[dp]
+            if nw == 0:
+                acc.pop(k, None)
+            else:
+                acc[k] = nw
+        cols = [d.cols[i] for i in di] + [DIFF, TIME]
+        return RDelta(cols, [k + (w, t) for k, w in acc.items()])
+
+    @staticmethod
+    def _net(d) -> dict:
+        if d is None:
+            return {}
+        dp, tp = d.pos(DIFF), d.pos(TIME)
+        di = [i for i in range(len(d.cols)) if i not in (dp, tp)]
+        out: dict = {}
+        for r in d.rows:
+            k = tuple(r[i] for i in di)
+            nw = out.get(k, 0) + r[dp]
+            if nw == 0:
+                out.pop(k, None)
+            else:
+                out[k] = nw
+        return out
+
+    def _store_pairs(self, d, mirror) -> list:
+        """RDelta rows aligned to a mirror's store layout (data cols +
+        DIFF) as (data, weight) pairs."""
+        s_cols = [f.name for f in mirror.schema.fields[:-1]]
+        idx = [d.cols.index(c) for c in s_cols]
+        dp = d.pos(DIFF)
+        return [(tuple(r[i] for i in idx), r[dp]) for r in d.rows]
+
+    def _feed_src(self, src, d, t: int) -> None:
+        """Memo-feed one level source with an RDelta aligned to its
+        template layout (the engine's source delta contract)."""
+        from . import differential as D
+        from .resident import RDelta
+        tpl_cols = D._data_cols(src._template)
+        cols = tpl_cols + [DIFF, TIME]
+        if d is None or not d.rows:
+            self.eng._memo[id(src)] = (t, RDelta(cols, []))
+            return
+        idx = [d.cols.index(c) for c in tpl_cols]
+        dp, tp = d.pos(DIFF), d.pos(TIME)
+        rows = [tuple(r[i] for i in idx) + (r[dp], r[tp]) for r in d.rows]
+        src._ins_only = False      # level deltas carry retractions
+        self.eng._memo[id(src)] = (t, RDelta(cols, rows))
+
+    # -- protocol ----------------------------------------------------------
+
+    def ensure(self) -> bool:
+        from .differential import SourceNode
+        eng, node = self.eng, self.node
+        if not node._ensured or node._dense or node._arranged:
+            return False
+        for k, st in (node._istores or {}).items():
+            m = eng._mirror_for(st, None)
+            if m is None:
+                return False
+            self.ist[k] = m
+        if node._trace is not None:
+            self.tr = eng._mirror_for(node._trace, None)
+            if self.tr is None:
+                return False
+        if node._vstore is not None:
+            self.vst = eng._mirror_for(node._vstore, None)
+            if self.vst is None:
+                return False
+        for level in node._levels:
+            for n in self._walk(level["out"]):
+                if isinstance(n, SourceNode):
+                    continue
+                if not eng._node_capable(n):
+                    return False
+                if n._empty_tpl is None:
+                    return False
+                if not eng._ensure_kernel(n):
+                    return False
+        return True
+
+    def advance(self, t: int, dv, *dis_list):
+        from .resident import RDelta
+        eng, node = self.eng, self.node
+        g = node.graph
+        names = node._input_names
+        dis = dict(zip(names, dis_list))
+        if self.vst is not None and dv.rows:
+            self.vst.apply(self._store_pairs(dv, self.vst))
+        for k in names:
+            if dis[k].rows:
+                self.ist[k].apply(self._store_pairs(dis[k], self.ist[k]))
+
+        d_prev = self._consol(dv, t) if dv.rows else None
+        deltas = [d_prev]
+        for level in node._levels:
+            self._feed_src(level["vsrc"], d_prev, t)
+            for k in names:
+                self._feed_src(level["isrcs"][k], dis[k], t)
+            d = self._consol(eng._delta(level["out"], t), t)
+            deltas.append(d)
+            if node._guard is not None and not node._dense:
+                cap = max(node._guard_min,
+                          int(node._guard * (node._fp_rows or 0))
+                          if node._fp_rows else node._guard_min)
+                if len(d.rows) > cap:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "iterate dense-delta guard tripped (resident): "
+                        "level delta width %d > %d; switching to "
+                        "per-batch recompute", len(d.rows), cap)
+                    node._dense = True
+                    g._node_meta[f"it{node._nidx}_dense"] = 1
+            d_prev = d
+
+        depth0 = len(node._levels)
+        if node._limit is not None and depth0 >= node._limit:
+            converged = True
+        elif depth0 == 0:
+            converged = False
+        else:
+            converged = self._net(deltas[-1]) == self._net(deltas[-2])
+
+        out_cols = ([c for c in node._v_tpl.columns if c != DIFF]
+                    + [DIFF, TIME])
+        if converged:
+            out = deltas[-1] if deltas[-1] is not None \
+                else RDelta(out_cols, [])
+            if self.tr is not None and out.rows:
+                self.tr.apply(self._store_pairs(out, self.tr))
+            return out
+        return self._grow(t, deltas, dis)
+
+    # -- depth growth: classic distributed seeding, mirror-aware ---------
+    def _grow(self, t: int, deltas, dis):
+        from .resident import RDelta, collect_rows, rows_to_df
+        eng, node = self.eng, self.node
+        g = node.graph
+
+        def full_df(mapping: dict, schema):
+            rows = [k + (w,) for k, w in mapping.items()]
+            return rows_to_df(eng.spark, rows, schema)
+
+        # current full value = trace ⊕ last level delta (all in mirrors)
+        cur = dict(self.tr.data) if self.tr is not None else {}
+        for k, w in self._net(deltas[-1]).items():
+            nw = cur.get(k, 0) + w
+            if nw == 0:
+                cur.pop(k, None)
+            else:
+                cur[k] = nw
+        if g._tune_steady:
+            g.restore_session_confs()
+        g._batch_wide = True
+        v_schema = node._v_tpl.schema     # data cols + DIFF
+        i_tpls = {k: rows_to_df(eng.spark, [], self.ist[k].schema)
+                  for k in node._input_names}
+        i_fulls = {k: full_df(dict(self.ist[k].data), self.ist[k].schema)
+                   for k in node._input_names}
+        while True:
+            if len(node._levels) >= node._max_depth:
+                raise RuntimeError(
+                    f"iterate did not converge within {node._max_depth} "
+                    f"levels; pass iteration_limit= or raise max_depth=")
+            level = node._build_level(node._v_tpl, i_tpls)
+            if node._trace is None:
+                node._make_trace()
+            level["vsrc"]._feed(full_df(cur, v_schema), t)
+            for k in node._input_names:
+                level["isrcs"][k]._feed(i_fulls[k], t)
+            new_df = node._pull(level, t)
+            new = {}
+            dp = new_df.columns.index(DIFF)
+            di = [i for i, c in enumerate(new_df.columns)
+                  if c not in (DIFF, TIME)]
+            for r in collect_rows(new_df):
+                k = tuple(r[i] for i in di)
+                nw = new.get(k, 0) + r[dp]
+                if nw == 0:
+                    new.pop(k, None)
+                else:
+                    new[k] = nw
+            if new == cur:
+                break
+            cur = new
+            if (node._limit is not None
+                    and len(node._levels) >= node._limit):
+                break
+        g._batch_wide = False
+        if g._tune_steady:
+            g._apply_steady_confs()
+        if node._guard is not None:
+            node._fp_rows = len(cur)
+
+        # exact-bytes diff vs the emitted trace, applied to the MIRROR
+        # (the trace store has a mirror attached — store.update would
+        # trip the guard; the mirror syncs back on detach/commit)
+        if self.tr is None:
+            self.tr = eng._mirror_for(node._trace, None)
+        old = self.tr.data
+        diff: dict = {}
+        for k, w in old.items():
+            diff[k] = -w
+        for k, w in cur.items():
+            nw = diff.get(k, 0) + w
+            if nw == 0:
+                diff.pop(k, None)
+            else:
+                diff[k] = nw
+        self.tr.apply(list(diff.items()))
+        out_cols = ([c for c in node._v_tpl.columns if c != DIFF]
+                    + [DIFF, TIME])
+        return RDelta(out_cols, [k + (w, t) for k, w in diff.items()])
+
+
+def _iterate_res_kernel(self, eng):
+    return _IterateResidentKernel(eng, self)
+
+
+_IterateNode._res_kernel = _iterate_res_kernel
+
+
 def iterate_differential(body: Callable[..., DiffNode], var: DiffNode,
                          inputs: Mapping[str, DiffNode] | None = None,
                          *, iteration_limit: int | None = None,

@@ -312,19 +312,36 @@ def local_rows_to_tuples(lr: LocalRows, tpl_schema: T.StructType
     return names, [_norm_row(r) for r in zip(*cols_py)]
 
 
-def _est_bytes(v) -> int:
+def _est_bytes(v, _t=type) -> int:
     """Cheap driver-heap estimate of one value (CPython object sizes,
     rounded): the resident byte caps only need order-of-magnitude
     accuracy to stop wide-row mirrors (full documents, embedding
-    arrays) from hiding under the row cap."""
+    arrays) from hiding under the row cap.  This runs once per
+    inserted mirror row on the hot tick path (~0.4 µs/row: exact type
+    dispatch, no isinstance chains, one inlined level for the common
+    flat-row case)."""
+    t = _t(v)
+    if t is tuple:
+        n = 56
+        for x in v:
+            tx = _t(x)
+            if tx is str:
+                n += 40 + 2 * len(x)
+            elif x is None:
+                n += 8
+            elif tx is tuple:
+                n += _est_bytes(x)
+            elif tx is bytes or tx is bytearray:
+                n += 33 + len(x)
+            else:
+                n += 28
+        return n
+    if t is str:
+        return 40 + 2 * len(v)
     if v is None:
         return 8
-    if isinstance(v, str):
-        return 40 + 2 * len(v)
-    if isinstance(v, (bytes, bytearray)):
+    if t is bytes or t is bytearray:
         return 33 + len(v)
-    if isinstance(v, tuple):
-        return 56 + sum(_est_bytes(x) for x in v)
     return 28
 
 
@@ -2043,7 +2060,10 @@ class ResidentEngine:
         m = self._memo.get(id(n))
         if m is not None and m[0] == t:
             return m[1]
+        from time import perf_counter
+        t0 = perf_counter()
         d = self._advance(n, t)
+        self.graph._nstat(n, perf_counter() - t0, resident=True)
         self._memo[id(n)] = (t, d)
         return d
 
@@ -2136,13 +2156,39 @@ class ResidentEngine:
 
         for ln in chain:
             ex = getattr(ln, "_res_explode", None)
-            if ex is None:
+            pr = getattr(ln, "_res_project", None)
+            lt = getattr(ln, "_res_lit", None)
+            if ex is None and pr is None and lt is None:
                 fns.append(ln._fn)
                 continue
             flush()
-            cur, schema = self._explode(cur, schema, *ex)
+            if ex is not None:
+                cur, schema = self._explode(cur, schema, *ex)
+            else:
+                cur, schema = self._route(cur, ln, pr, lt)
         flush()
         return cur
+
+    @staticmethod
+    def _route(d: RDelta, ln, pr, lt):
+        """Column-routing hops (pure projection/rename, literal add) in
+        Python: the node's OWN distributed schema memo is authoritative
+        for output order and types, so tuples realign to exactly the
+        frame `df.select(plain refs)` / `withColumn(lit)` would have
+        produced — no expression is evaluated, only routed."""
+        tpl = ln._empty_tpl
+        out_cols = [c for c in tpl.columns]
+        if pr is not None:
+            src = {o: i for o, i in pr}
+            picks = [d.pos(src.get(c, c)) for c in out_cols]
+            rows = [tuple(r[i] for i in picks) for r in d.rows]
+        else:
+            name, value = lt
+            picks = [(d.pos(c) if c != name else None) for c in out_cols]
+            v = _norm(value)
+            rows = [tuple(v if i is None else r[i] for i in picks)
+                    for r in d.rows]
+        return RDelta(out_cols, rows), tpl.schema
 
     def _explode(self, d: RDelta, schema: T.StructType, col: str,
                  alias: str):

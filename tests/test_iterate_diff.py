@@ -413,3 +413,104 @@ def test_dense_delta_guard_falls_back_to_recompute(spark):
         log = log.unionByName(d.localCheckpoint(eager=True))
         got = _rows(DifferentialGraph.integrate(log), "x", "s")
         assert got == want_rows(live), f"after ins={ins} dels={dels}"
+
+
+def test_resident_cascade_equivalence_and_activation(spark):
+    """Round 9: steady iterate ticks run on the resident engine
+    (kernel cascade over mirrored level state) — exact traces vs an
+    always-distributed drive through inserts, retractions, AND a
+    depth-growing batch (growth seeds distributed inline, then
+    residency resumes)."""
+    seeds0 = [(0,)]
+    # chain 0->1->2 plus a spur; later batches extend the chain (depth
+    # growth) and retract an edge (shrinking fixed point)
+    edges0 = [(0, 1), (1, 2), (0, 5)]
+    ticks = [
+        dict(edges=[(2, 3, 1)]),                   # extends reach
+        dict(edges=[(3, 4, 1), (4, 6, 1)]),        # deepens: growth
+        dict(edges=[(1, 2, -1)]),                  # retraction shrinks
+        dict(edges=[(1, 2, 1)]),                   # back
+    ]
+
+    def drive(resident):
+        g = DifferentialGraph(spark, resident=resident)
+        seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+        edges = g.source("edges", spark.createDataFrame(
+            [], "u long, v long"))
+        out = iterate_differential(_reach_body, seeds,
+                                   {"edges": edges})
+        (d0,) = g.step(out,
+                       seeds=spark.createDataFrame(seeds0, "x long"),
+                       edges=spark.createDataFrame(edges0,
+                                                   "u long, v long"))
+        traces = [_rows(d0, "x", DIFF)]
+        active = []
+        for tk in ticks:
+            rows = [(u, v, w) for u, v, w in tk["edges"]]
+            (d,) = g.step(out, edges=spark.createDataFrame(
+                rows, "u long, v long, _pw_diff long"))
+            traces.append(_rows(d, "x", DIFF))
+            active.append(g._res_last_t == g._t)
+        g.restore_session_confs()
+        return traces, active
+
+    tr_res, act = drive(True)
+    tr_cls, _ = drive(False)
+    assert tr_res == tr_cls
+    assert all(act), f"iterate ticks should run resident: {act}"
+
+
+def test_resident_cascade_commit_restore(spark, tmp_path):
+    """Mirrored level/trace/accumulator state from resident iterate
+    ticks must reach durable storage: commit, restore into a fresh
+    process-equivalent graph, continue — equal to one distributed
+    drive."""
+    sd = str(tmp_path / "itres")
+    seeds0 = [(0,)]
+    edges0 = [(0, 1), (1, 2)]
+    pre = [dict(edges=[(2, 3, 1)]), dict(edges=[(0, 7, 1)])]
+    post = [dict(edges=[(1, 2, -1)])]
+
+    def build(g):
+        seeds = g.source("seeds", spark.createDataFrame([], "x long"))
+        edges = g.source("edges",
+                         spark.createDataFrame([], "u long, v long"))
+        return iterate_differential(_reach_body, seeds,
+                                    {"edges": edges})
+
+    def feed0(g, out):
+        return g.step(out,
+                      seeds=spark.createDataFrame(seeds0, "x long"),
+                      edges=spark.createDataFrame(edges0,
+                                                  "u long, v long"))
+
+    g = DifferentialGraph(spark, resident=True, state_dir=sd)
+    out = build(g)
+    (d0,) = feed0(g, out)
+    traces = [_rows(d0, "x", DIFF)]
+    for tk in pre:
+        (d,) = g.step(out, edges=spark.createDataFrame(
+            tk["edges"], "u long, v long, _pw_diff long"))
+        traces.append(_rows(d, "x", DIFF))
+    assert g._res_last_t == g._t
+    g.commit()
+    g.restore_session_confs()
+
+    g2 = DifferentialGraph(spark, resident=True, state_dir=sd)
+    out2 = build(g2)
+    for tk in post:
+        (d,) = g2.step(out2, edges=spark.createDataFrame(
+            tk["edges"], "u long, v long, _pw_diff long"))
+        traces.append(_rows(d, "x", DIFF))
+    g2.restore_session_confs()
+
+    gr = DifferentialGraph(spark, resident=False)
+    outr = build(gr)
+    (r0,) = feed0(gr, outr)
+    want = [_rows(r0, "x", DIFF)]
+    for tk in pre + post:
+        (d,) = gr.step(outr, edges=spark.createDataFrame(
+            tk["edges"], "u long, v long, _pw_diff long"))
+        want.append(_rows(d, "x", DIFF))
+    gr.restore_session_confs()
+    assert traces == want

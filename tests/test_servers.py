@@ -234,7 +234,50 @@ def test_monitoring_server(spark):
                 body = resp.read().decode()
                 assert "pathway-spark dashboard" in body
                 assert "fetch(\"status\")" in body
+                # round-9: per-operator graph section rendered
+                assert "differential graph" in body
         finally:
             q.stop()
     finally:
         mon.stop()
+
+
+def test_monitoring_differential_topology(spark):
+    """/status carries the differential graph's node list + per-node
+    tick timings split by execution path (round 9 — the reference
+    dashboard's operator-graph view)."""
+    import json as _json
+    import urllib.request
+
+    from pathway_spark.monitoring import run_monitoring_server
+    from pathway_spark.streaming.differential import DifferentialGraph
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame([(i, i % 4) for i in range(100)],
+                                 "k long, g long")
+    g = DifferentialGraph(spark, resident=True)
+    out = (g.source("d", base).filter(F.col("k") >= 0)
+            .reduce(["g"], n=("count",)))
+    g.step(out, d=base)                                 # distributed
+    g.step(out, d=spark.createDataFrame([(500, 1, 1)],  # resident
+                                        "k long, g long, _pw_diff long"))
+    assert g._res_last_t == g._t
+
+    mon = run_monitoring_server(spark)
+    try:
+        url = f"http://127.0.0.1:{mon.webserver.port}"
+        status = _json.load(urllib.request.urlopen(f"{url}/status"))
+        graphs = status["differential"]
+        mine = [t for t in graphs
+                if any(n["op"] == "ReduceNode" for n in t["nodes"])]
+        assert mine, graphs
+        topo = mine[-1]
+        red = [n for n in topo["nodes"] if n["op"] == "ReduceNode"][0]
+        assert red["dist_ticks"] >= 1, red     # batch 0 ran distributed
+        assert red["res_ticks"] >= 1, red      # the steady tick resident
+        assert red["inputs"], red              # edges present
+        src = [n for n in topo["nodes"] if n["op"] == "SourceNode"][0]
+        assert src["name"] == "d"
+    finally:
+        mon.stop()
+        g.restore_session_confs()

@@ -876,6 +876,14 @@ def q39_graduations(spark, sf):
       assignment bit-for-bit (fixed-point integer planes), the probe
       expansion, the candidate join against the LIVE corpus, and the
       cosine top-3 ranks.
+    - part='interval_live' (round 9): stream-stream INTERVAL JOIN with
+      retraction on the differential engine (resident banded θ kernel,
+      `streaming/resident.py:_ThetaBandKernel`): left/right halves of
+      an orders self-join arrive on different ticks, a third tick
+      retracts a left subset; the integrated pair set must equal
+      DuckDB's static interval join over the surviving rows —
+      reference `stdlib/temporal/_interval_join.py` semantics, live.
+
     - part='iterate_live' (round 7): the GENERIC incremental
       `pw.iterate` level cascade (`streaming/iterate_diff.py`) — a
       user-written reachability body iterated to fixed point, driven
@@ -1097,10 +1105,47 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("x").cast("double").alias("num"))
 
+    # ---- interval_live: banded θ kernel, live temporal join (r9) ----
+    # stream-stream interval join WITH retraction over the orders
+    # table: left/right halves arrive on different ticks, a third tick
+    # retracts part of the left — the resident _ThetaBandKernel's
+    # emitted pairs must integrate to DuckDB's static interval join
+    # over the surviving rows (reference stdlib/temporal/_interval_join)
+    ords7 = _t(spark, sf, "orders").to_df().select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.pmod(F.col("o_custkey"), F.lit(101)).cast("long").alias("gk"),
+        F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long").alias("tt"))
+    ldf7 = (ords7.filter(F.pmod(F.col("okey"), F.lit(3)) == 0)
+            .select(F.col("okey").alias("lid"), F.col("gk").alias("g"),
+                    F.col("tt").alias("lt")))
+    rdf7 = (ords7.filter(F.pmod(F.col("okey"), F.lit(3)) == 1)
+            .select(F.col("okey").alias("rid"), F.col("gk").alias("rg"),
+                    F.col("tt").alias("rt")))
+    g7 = DifferentialTableGraph(spark)
+    lti = g7.input("l", ldf7.limit(0))
+    rti = g7.input("r", rdf7.limit(0))
+    ivl = lti.interval_join(rti, this.lt, this.rt, (-4, 7),
+                            this.g == this.rg)
+    ev7 = F.pmod(F.col("rid"), F.lit(2)) == 0
+    (v1,) = g7.step(ivl.node, l=ldf7, r=rdf7.filter(ev7))
+    (v2,) = g7.step(ivl.node, r=rdf7.filter(~ev7))
+    (v3,) = g7.step(ivl.node, l=ldf7.filter(
+        F.pmod(F.col("lid"), F.lit(9)) == 0)
+        .withColumn("_pw_diff", F.lit(-1)))
+    g7.restore_session_confs()
+    iv_trace = (v1.localCheckpoint(eager=True)
+                .unionByName(v2.localCheckpoint(eager=True))
+                .unionByName(v3.localCheckpoint(eager=True)))
+    ivo = DifferentialGraph.integrate(iv_trace).select(
+        F.lit("interval_live").alias("part"),
+        F.concat_ws(":", F.col("lid"), F.col("rid")).alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        (F.col("rt") - F.col("lt")).cast("double").alias("num"))
+
     return (keep.unionByName(kmv).unionByName(cdf)
             .unionByName(bm).unionByName(ccl)
             .unionByName(tkl).unionByName(anl)
-            .unionByName(ddl).unionByName(itl))
+            .unionByName(ddl).unionByName(itl).unionByName(ivo))
 
 
 def q40_iterate(spark, sf):
@@ -2134,6 +2179,20 @@ def oracle_sql() -> dict[str, str]:
                    jaccard AS num
             FROM (""" + _minhash_oracle_sql(
             where="WHERE doc_id % 7 <> 3") + """) dl
+            UNION ALL
+            SELECT 'interval_live' AS part,
+                   CAST(l.lid AS VARCHAR) || ':'
+                       || CAST(r.rid AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(r.rt - l.lt AS DOUBLE) AS num
+            FROM (SELECT o_orderkey AS lid, o_custkey % 101 AS g,
+                         o_orderkey % 1000 AS lt
+                  FROM orders
+                  WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0) l
+            JOIN (SELECT o_orderkey AS rid, o_custkey % 101 AS rg,
+                         o_orderkey % 1000 AS rt
+                  FROM orders WHERE o_orderkey % 3 = 1) r
+              ON l.g = r.rg AND r.rt >= l.lt - 4 AND r.rt <= l.lt + 7
         """,
         "q02_project_ifelse": """
             SELECT l_orderkey, l_linenumber,

@@ -1123,7 +1123,14 @@ class _IntervalsOverDiffGrouped:
             return (t >= p + F.lit(lo)) & (t <= p + F.lit(up))
 
         lcols = _data_cols(parent._template)
-        node = parent.node.join_theta(at_node, cond, lcols, [WSTART])
+        # resident banding (r9): t ∈ [p+lo, p+up] rearranged to the
+        # kernel's rtime-in-range form p ∈ [t-up, t-lo] — exact only
+        # for integer axes (int_only gates float columns back to the
+        # distributed join, where the original expression evaluates)
+        node = parent.node.join_theta(
+            at_node, cond, lcols, [WSTART],
+            band=dict(ltime=tname, rtime=WSTART, lo=-up, hi=-lo,
+                      micros=False, keys=[], int_only=True))
         tpl = parent._template.crossJoin(
             at._template.select(F.col(at_cols[0]).alias(WSTART))).limit(0)
         self._grouped = DiffGrouped(DiffTable(node, tpl), [WSTART])

@@ -93,6 +93,13 @@ _META = (DIFF, TIME)
 # floor.  Cache the handful of expressions every node builds each tick,
 # keyed on the live SparkContext (a restarted JVM invalidates the
 # JavaObject handles, so the cache resets with it).
+import re as _re
+
+# a bare column reference's repr in classic pyspark: Column<'name'>.
+# Used only as a POSITIVE detector for the resident projection fast
+# path — anything that doesn't match keeps the Catalyst fold
+_PLAIN_COL_RE = _re.compile(r"^Column<'([A-Za-z0-9_]+)'>$")
+
 # live graphs of this process, for the monitoring dashboard (weak:
 # registration must never keep a finished pipeline's state alive)
 _LIVE_GRAPHS: "weakref.WeakSet" = weakref.WeakSet()
@@ -639,10 +646,24 @@ class DiffNode:
         exprs += [c.alias(n) for n, c in named.items()]
         node = _LinearNode(self.graph, self,
                            lambda df: df.select(*exprs, DIFF, TIME))
-        if not named and all(isinstance(c, str) for c in cols):
+        if not named:
             # pure column picking — the resident evaluator reorders
-            # tuples in Python instead of paying a Catalyst fold
-            node._res_project = [(c, c) for c in cols]
+            # tuples in Python instead of paying a Catalyst fold.
+            # Besides plain strings, a bare `F.col("name")` is
+            # recognized by its stable repr (simple identifiers only —
+            # dotted names mean nested-field access and never match)
+            names: list[str] | None = []
+            for c in cols:
+                if isinstance(c, str):
+                    names.append(c)
+                    continue
+                m = _PLAIN_COL_RE.match(str(c))
+                if m is None:
+                    names = None
+                    break
+                names.append(m.group(1))
+            if names is not None:
+                node._res_project = [(c, c) for c in names]
         return node
 
     def project(self, *cols: str, **renamed: str) -> "DiffNode":

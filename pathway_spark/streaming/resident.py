@@ -138,19 +138,23 @@ def _fast_arrow_df(spark: SparkSession, tbl, schema: T.StructType
             if sc._encryption_enabled:
                 ctx = (None,)
             else:
-                ctx = (sc, spark._jvm, spark._jsparkSession,
+                # bind the JVM class handles ONCE: a JVMView attribute
+                # lookup is its own reflection round trip (~1.3 ms here,
+                # 2 per conversion) — the bound handle call is ~0.2 ms
+                psu = sc._jvm.PythonSQLUtils
+                ctx = (sc, psu, spark._jsparkSession,
                        ArrowStreamSerializer())
         except Exception:       # non-classic session
             ctx = (None,)
         _FAST_CTX[id(spark)] = ctx
     if ctx[0] is None:
         return None
-    sc, jvm, jsession, ser = ctx
+    sc, psu, jsession, ser = ctx
     jiter = sc._serialize_to_jvm(
         tbl.to_batches(), ser,
-        lambda fname: jvm.PythonSQLUtils.readArrowStreamFromFile(fname),
-        lambda: jvm.ArrowIteratorServer())
-    jdf = jvm.PythonSQLUtils.toDataFrame(jiter, schema.json(), jsession)
+        lambda fname: psu.readArrowStreamFromFile(fname),
+        lambda: sc._jvm.ArrowIteratorServer())
+    jdf = psu.toDataFrame(jiter, schema.json(), jsession)
     from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
     df = CDataFrame(jdf, spark)
     df._schema = schema
@@ -1054,6 +1058,11 @@ class _ThetaBandKernel:
         conv_l, exact_l = _band_conv(l_by.get(meta["ltime"]), meta["micros"])
         conv_r, exact_r = _band_conv(r_by.get(meta["rtime"]), meta["micros"])
         if conv_l is None or conv_r is None or exact_l != exact_r:
+            return False
+        if meta.get("int_only") and not exact_l:
+            # the declarer REARRANGED its predicate into band form
+            # (t ∈ [p+lo, p+up] ⇒ p ∈ [t-up, t-lo]) — exact only under
+            # integer arithmetic; float axes keep the Catalyst join
             return False
         if meta["micros"] and not self.eng._tz_fixed():
             return False

@@ -1040,3 +1040,48 @@ def test_global_keyless_reduce(spark):
     _, _, a = _drive(spark, build, ticks, resident=True)
     _, _, b = _drive(spark, build, ticks, resident=False)
     assert a == b
+
+
+def test_intervals_over_live_resident_equivalence(spark):
+    """Live intervals_over (θ join against at-points, banded with the
+    rearranged int-only metadata) + per-point reduce: resident vs
+    distributed traces through data and at-point churn."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    dtpl = spark.createDataFrame([], "t long, v long")
+    atpl = spark.createDataFrame([], "p long")
+    d0 = spark.createDataFrame(
+        [(i * 3 % 50, i) for i in range(60)], dtpl.schema)
+    a0 = spark.createDataFrame([(5,), (20,), (37,)], atpl.schema)
+    ticks = [
+        dict(d=spark.createDataFrame([(21, 500, 1), (0, 0, -1)],
+                                     "t long, v long, _pw_diff long")),
+        dict(a=spark.createDataFrame([(11, 1)], "p long, _pw_diff long")),
+        dict(a=spark.createDataFrame([(20, -1)], "p long, _pw_diff long"),
+             d=spark.createDataFrame([(39, 7, 1)],
+                                     "t long, v long, _pw_diff long")),
+    ]
+
+    def drive(resident):
+        g = DifferentialTableGraph(spark, resident=resident)
+        data, pts = g.input("d", dtpl), g.input("a", atpl)
+        win = data.windowby(
+            this.t, window=pw.temporal.intervals_over(
+                at=pts, lower_bound=-4, upper_bound=6)
+        ).reduce(n=r.count(), s=r.sum(this.v))
+        (o0,) = g.step(win.node, d=d0, a=a0)
+        traces = [_trace(tuple(x) for x in o0.collect())]
+        act = []
+        for tk in ticks:
+            (o,) = g.step(win.node, **tk)
+            traces.append(_trace(tuple(x) for x in o.collect()))
+            act.append(g._res_last_t == g._t)
+        g.restore_session_confs()
+        return traces, act
+
+    a, act = drive(True)
+    b, _ = drive(False)
+    assert a == b
+    assert all(act), f"intervals_over ticks should run resident: {act}"

@@ -111,7 +111,22 @@ def schema_safe(schema: T.StructType) -> bool:
 
 def collect_rows(df: DataFrame) -> list[tuple]:
     """Collect a (small) frame into normalized Python tuples.  Job-free
-    when the plan folds to a LocalRelation (driver-held deltas)."""
+    when the plan folds to a LocalRelation (driver-held deltas).  Uses
+    the JVM entry point directly when available — DataFrame.collect's
+    SCCallSiteSync wrapper adds two py4j calls + a traceback walk per
+    collect, which is measurable on the per-tick hot path."""
+    jdf = getattr(df, "_jdf", None)
+    if jdf is not None:
+        try:
+            from pyspark.serializers import (BatchedSerializer,
+                                             CPickleSerializer)
+            from pyspark.util import _load_from_socket
+            sock_info = jdf.collectToPython()
+            rows = list(_load_from_socket(
+                sock_info, BatchedSerializer(CPickleSerializer())))
+            return [_norm_row(r) for r in rows]
+        except ImportError:     # pragma: no cover - layout drift
+            pass
     return [_norm_row(r) for r in df.collect()]
 
 

@@ -1085,3 +1085,71 @@ def test_intervals_over_live_resident_equivalence(spark):
     b, _ = drive(False)
     assert a == b
     assert all(act), f"intervals_over ticks should run resident: {act}"
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_interval_join_randomized_property(spark, seed):
+    """Randomized interval-join equivalence: random bounds (including
+    point and INVERTED/empty intervals), axis type (long or double),
+    0 or 1 equi keys, NULL times/keys, and random insert/retract churn
+    on both sides — resident traces must equal the distributed path
+    tick for tick."""
+    from pathway_spark import this
+    rng = random.Random(seed)
+
+    use_double = rng.random() < 0.5
+    use_key = rng.random() < 0.7
+    lo = rng.randint(-12, 12)
+    hi = lo + rng.choice([-3, 0, 1, 5, 14])      # may be inverted/empty
+    tcast = (lambda x: x * 0.5) if use_double else (lambda x: x)
+    ttype = "double" if use_double else "long"
+
+    def mk(n, base):
+        rows = []
+        for i in range(n):
+            t = None if rng.random() < 0.06 else tcast(rng.randint(0, 80))
+            k = None if (use_key and rng.random() < 0.06) \
+                else rng.randrange(4)
+            rows.append((base + i, k, t))
+        return rows
+
+    lsch = f"lid long, g long, lt {ttype}"
+    rsch = f"rid long, rg long, rt {ttype}"
+    l0, r0 = mk(80, 0), mk(80, 1000)
+    ldf = spark.createDataFrame(l0, lsch)
+    rdf = spark.createDataFrame(r0, rsch)
+
+    def build(g):
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        on = (this.g == this.rg,) if use_key else ()
+        return lt.interval_join(rt, this.lt, this.rt, (lo, hi), *on)
+
+    live_l, live_r = list(l0), list(r0)
+    ticks = []
+    for b in range(5):
+        lin = mk(8, 5000 + b * 100)
+        rin = mk(8, 6000 + b * 100)
+        ldel = [x + (-1,) for x in rng.sample(live_l, 3)]
+        rdel = [x + (-1,) for x in rng.sample(live_r, 3)]
+        for x in ldel:
+            live_l.remove(x[:3])
+        for x in rdel:
+            live_r.remove(x[:3])
+        live_l.extend(lin)
+        live_r.extend(rin)
+        ticks.append(dict(
+            l=spark.createDataFrame([x + (1,) for x in lin] + ldel,
+                                    lsch + ", _pw_diff long"),
+            r=spark.createDataFrame([x + (1,) for x in rin] + rdel,
+                                    rsch + ", _pw_diff long")))
+
+    feeds0 = dict(l=ldf, r=rdf)
+    a, act = _drive_table(spark, build, feeds0, ticks, resident=True)
+    b_, _ = _drive_table(spark, build, feeds0, ticks, resident=False)
+
+    def norm(trs):
+        return [sorted(tuple(repr(v) for v in row) for row in tr)
+                for tr in trs]
+    assert norm(a) == norm(b_), (use_double, use_key, lo, hi)
+    assert all(act), (act, use_double, use_key, lo, hi)

@@ -102,4 +102,35 @@ def incremental_bm25_topk(docs: DiffNode, queries: DiffNode, *,
 
     from .differential import _KeyedRecomputeUnaryNode
 
-    return _KeyedRecomputeUnaryNode(g, scored, ["query_id"], topk)
+    node = _KeyedRecomputeUnaryNode(g, scored, ["query_id"], topk)
+
+    def topk_py(rows, cols):
+        """Exact Python equivalent of `topk` for the resident kernel
+        (`_py_op` hook): same (score desc, doc) order, same rank cut,
+        and bit-identical rounding — Spark's round() is
+        BigDecimal.valueOf(double).setScale(6, HALF_UP), which
+        Decimal(repr(x)).quantize(1e-6, HALF_UP) reproduces (verified
+        over 30k random doubles; the one divergence class, -0.0, is
+        normalized).  NULL/NaN scores return None → the Spark op stays
+        authoritative for orderings Python can't reproduce safely."""
+        from decimal import ROUND_HALF_UP, Decimal
+        qp, dp, sp = (cols.index("query_id"), cols.index("doc"),
+                      cols.index("score"))
+        groups: dict = {}
+        for r in rows:
+            s = r[sp]
+            if s is None or s != s:
+                return None
+            groups.setdefault(r[qp], []).append((s, r[dp]))
+        q6 = Decimal("0.000001")
+        out = []
+        for q, lst in groups.items():
+            lst.sort(key=lambda t: (-t[0], t[1]))
+            for i, (s, d) in enumerate(lst[:k], 1):
+                rs = float(Decimal(repr(s)).quantize(
+                    q6, rounding=ROUND_HALF_UP))
+                out.append((q, d, i, 0.0 if rs == 0.0 else rs))
+        return ["query_id", id_col, "rank", "score"], out
+
+    node._py_op = topk_py
+    return node

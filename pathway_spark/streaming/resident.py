@@ -1223,14 +1223,25 @@ class _KeyedRecomputeUnaryKernel:
                     out[data] = nw
         out_cols = [f.name for f in tr.schema.fields[:-1]]
         if in_rows:
-            df = node._op(rows_to_df(self.eng.spark, in_rows,
-                                     self._in_schema))
+            # `_py_op(rows, cols) -> (cols, rows) | None` is a LIBRARY
+            # hook: an engine builder that knows its op's exact Python
+            # equivalent (same ordering, same rounding — e.g. the BM25
+            # top-k) can skip the per-tick Spark round trip; returning
+            # None (NULL/NaN ordering corners, anything unhandled)
+            # falls back to the authoritative Spark op
+            py = getattr(node, "_py_op", None)
+            res = py(in_rows, s_cols) if py is not None else None
+            if res is None:
+                df = node._op(rows_to_df(self.eng.spark, in_rows,
+                                         self._in_schema))
+                op_cols, op_rows = df.columns, collect_rows(df)
+            else:
+                op_cols, op_rows = res
             # the trace layout is keys-first (the classic path's
             # semi-join built it that way); realign the op's output
             # tuples to it before mixing with trace retractions
-            op_cols = df.columns
             idx = [op_cols.index(c) for c in out_cols]
-            for raw in collect_rows(df):
+            for raw in op_rows:
                 r = tuple(raw[i] for i in idx)
                 nw = out.get(r, 0) + 1
                 if nw == 0:

@@ -142,6 +142,13 @@ class ShardedDifferential:
         advance every shard to the same logical time, and return the
         UNION of the shards' output deltas — byte-compatible with the
         unsharded graph's changelog."""
+        from .resident import LocalRows, local_rows_to_df
+        deltas = {
+            name: (local_rows_to_df(
+                self.spark, lr,
+                self._graphs[0]._sources[name]._template.schema)
+                if (lr := LocalRows.coerce(df)) is not None else df)
+            for name, df in deltas.items()}
         tagged = {
             name: df.withColumn("__pw_shard",
                                 _shard_col(self.key, self.n))

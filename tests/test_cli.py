@@ -71,3 +71,15 @@ def test_spawn_from_env(tmp_path):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["cpus"] == "4"
+
+
+def test_shard_worker_arg_validation():
+    """shard-worker is wired into the CLI: missing required args exit
+    with argparse's usage error BEFORE any Spark session spins up (the
+    functional path is covered by the cross-process sharding test)."""
+    import pytest
+    from pathway_spark.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["shard-worker", "prog.py"])     # no --shard-id etc.
+    assert e.value.code == 2

@@ -847,7 +847,8 @@ class DiffTable:
                 f"differential windowby supports tumbling/sliding/"
                 f"session/intervals_over, got {window.kind!r}")
         tcol = to_col(time_ref, self._ctx())
-        node = _LinearWindowNode(self.node, tcol, window)
+        node = _LinearWindowNode(self.node, tcol, window,
+                                 tname=getattr(time_ref, "_name", None))
         tpl = _assign_hopping(self._template, tcol, window).limit(0)
         if exactly_once:
             # release a window's rows TOGETHER once the event-time
@@ -962,15 +963,24 @@ class DiffTable:
         return DiffTable(node, self._template)
 
 
-def _LinearWindowNode(node: DiffNode, tcol: Column, window):
+def _LinearWindowNode(node: DiffNode, tcol: Column, window,
+                      tname: str | None = None):
     from ..operators.temporal import _assign_hopping
 
     graph = node.graph
     # reuse the generic linear wrapper: window fan-out applies per delta
     # row; diffs ride along untouched
     from .differential import _LinearNode
-    return _LinearNode(graph, node,
-                       lambda df: _assign_hopping(df, tcol, window))
+    out = _LinearNode(graph, node,
+                      lambda df: _assign_hopping(df, tcol, window))
+    if tname is not None:
+        # resident fast path: sliding fan-out is an EXPLODE, which
+        # never constant-folds (Generate ⇒ one micro-job per tick) —
+        # the resident evaluator assigns windows in Python with the
+        # exact `_assign_hopping` arithmetic (resident._hopping_rows;
+        # type/timezone-gated, falls back to this fn otherwise)
+        out._res_hopping = (tname, window)
+    return out
 
 
 class DiffGrouped:

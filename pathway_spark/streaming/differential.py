@@ -1889,6 +1889,39 @@ _AGG_BUILDERS = {
 }
 
 
+def _ns_semi(left: DataFrame, right: DataFrame, keys: list[str],
+             how: str = "left_semi") -> DataFrame:
+    """Key-slice join that treats NULL keys as EQUAL (`<=>`).  Reduce
+    and distinct group NULLs into ONE group (SQL GROUP BY semantics —
+    and the resident kernels' dict grouping), so their affected-key
+    slices and output-trace retractions must match NULL-key rows too:
+    a plain `on=[names]` join (EqualTo) silently dropped the NULL
+    group from every slice, leaving its old output row unretracted
+    beside each batch's fresh one (r9 fix; the resident/distributed
+    equivalence suite caught it via NULL window columns).  Spark hash
+    joins support EqualNullSafe keys, so broadcast plans survive."""
+    lhs, rhs = left.alias("__nsl"), right.alias("__nsr")
+    cond = None
+    for k in keys:
+        c = lhs[k].eqNullSafe(rhs[k])
+        cond = c if cond is None else cond & c
+    return lhs.join(rhs, cond, how)
+
+
+def _ns_left(left: DataFrame, right: DataFrame,
+             keys: list[str]) -> DataFrame:
+    """Null-safe LEFT join keeping the left frame's columns plus the
+    right's non-key columns — the `on=[names]` shape with `<=>`."""
+    lhs, rhs = left.alias("__nsl"), right.alias("__nsr")
+    cond = None
+    for k in keys:
+        c = lhs[k].eqNullSafe(rhs[k])
+        cond = c if cond is None else cond & c
+    return lhs.join(rhs, cond, "left").select(
+        *[lhs[c] for c in left.columns],
+        *[rhs[c] for c in right.columns if c not in keys])
+
+
 class _ReduceNode(DiffNode):
     """Affected-key groupby/agg with retraction of superseded rows.
 
@@ -2079,8 +2112,8 @@ class _ReduceNode(DiffNode):
             # distinct saves a shuffle per batch
             keys = delta.select(*_ccs(self.keys))
             acc_state = self._acc.get(probe=keys, on=self.keys)
-            acc_slice = consolidate(acc_state.join(
-                self._small(keys), on=self.keys, how="left_semi"))
+            acc_slice = consolidate(_ns_semi(
+                acc_state, self._small(keys), self.keys))
         else:
             keys = None
             acc_slice = consolidate(self._acc.get())
@@ -2102,8 +2135,7 @@ class _ReduceNode(DiffNode):
                 new_out, key_cols=self.keys or None)
         otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if keys is not None:
-            otrace = otrace.join(self._small(keys), on=self.keys,
-                                 how="left_semi")
+            otrace = _ns_semi(otrace, self._small(keys), self.keys)
         old_out = consolidate(otrace).withColumn(DIFF, -_cc(DIFF))
         wide = self.graph._wide_batch
         # two legs, each a narrow select over a LOCALIZED frame — the
@@ -2141,8 +2173,8 @@ class _ReduceNode(DiffNode):
                 key_cols=self.keys or None)
         keys = delta.select(*_ccs(self.keys))
         acc_state = self._acc.get(probe=keys, on=self.keys)
-        acc_slice = consolidate(acc_state.join(
-            self._small(keys), on=self.keys, how="left_semi"))
+        acc_slice = consolidate(_ns_semi(
+            acc_state, self._small(keys), self.keys))
         acc_slice = acc_slice.localCheckpoint(eager=False)  # used 3x
         # per-(key, time) batch partials, cumulated over the batch's
         # ascending times on top of the per-key base
@@ -2151,7 +2183,7 @@ class _ReduceNode(DiffNode):
         base = acc_slice.select(
             *_ccs(self.keys),
             *[F.col(c).alias(f"__b_{c}") for c in parts])
-        j = d_parts.join(base, on=self.keys, how="left")
+        j = _ns_left(d_parts, base, self.keys)
         w = W.partitionBy(*self.keys).orderBy(TIME) \
              .rowsBetween(W.unboundedPreceding, W.currentRow)
         cum = j
@@ -2196,7 +2228,7 @@ class _ReduceNode(DiffNode):
         # accumulator: retract the touched base rows, insert the final
         # cumulative per key (the batch total folded onto the base)
         totals = delta.groupBy(*_ccs(self.keys)).agg(*self._part_aggs())
-        final_acc = (totals.join(base, on=self.keys, how="left")
+        final_acc = (_ns_left(totals, base, self.keys)
                      .select(*_ccs(self.keys),
                              *[(F.coalesce(F.col(f"__b_{p}"), F.lit(0))
                                 + F.col(p)).cast("long").alias(p)
@@ -2295,8 +2327,7 @@ class _ReduceNode(DiffNode):
             # bucket-pruned after a restore; the semi-join then prunes
             # each chunk scan to |affected| rows pre-shuffle
             state = self._state.get(probe=keys, on=self.keys)
-            sl = state.join(self._small(keys), on=self.keys,
-                            how="left_semi")
+            sl = _ns_semi(state, self._small(keys), self.keys)
         new_in = sl.unionByName(
             delta.select(*_ccs(_data_cols(sl)), _cc(DIFF)))
         if not pair_free:
@@ -2313,8 +2344,7 @@ class _ReduceNode(DiffNode):
                 new_out, key_cols=self.keys or None)
         otrace = self._out_state.get(probe=keys, on=self.keys or None)
         if self.keys:
-            otrace = otrace.join(self._small(keys), on=self.keys,
-                                 how="left_semi")
+            otrace = _ns_semi(otrace, self._small(keys), self.keys)
         # exact bytes previously emitted, negated — guaranteed to cancel
         old_out = consolidate(otrace).withColumn(DIFF, -_cc(DIFF))
         self._state.update(delta, wide=self.graph._wide_batch, cut=False,
@@ -2347,7 +2377,7 @@ class _DistinctNode(DiffNode):
         touched = delta.select(*_ccs(cols)).distinct()
         state = self._state.get(probe=touched, on=cols)
         def present(ms: DataFrame) -> DataFrame:
-            return (ms.join(self._small(touched), on=cols, how="left_semi")
+            return (_ns_semi(ms, self._small(touched), cols)
                       .groupBy(*_ccs(cols))
                       .agg(_expr_cached(
                           "sumw", lambda: F.sum(DIFF).alias("__w")))

@@ -930,6 +930,20 @@ def _to_micros(v) -> int:
     return (v - _EPOCH_D).days * 86_400_000_000
 
 
+def _session_offset_us(spark) -> int | None:
+    """The session timezone's constant UTC offset in microseconds, or
+    None when the zone isn't fixed-offset (DST zones can't encode
+    instants as naive datetimes unambiguously)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if not _fixed_offset_tz(tz):
+        return None
+    if tz.upper() in ("UTC", "GMT", "Z", "ETC/UTC", "ETC/GMT", "UCT"):
+        return 0
+    from zoneinfo import ZoneInfo
+    off = _dt.datetime(2000, 1, 1, tzinfo=ZoneInfo(tz)).utcoffset()
+    return int(off.total_seconds() * 1_000_000)
+
+
 def _fixed_offset_tz(tz: str) -> bool:
     """True when the session timezone has one constant UTC offset —
     the condition under which collected naive datetimes are an exact
@@ -2193,8 +2207,17 @@ class ResidentEngine:
             ex = getattr(ln, "_res_explode", None)
             pr = getattr(ln, "_res_project", None)
             lt = getattr(ln, "_res_lit", None)
-            if ex is None and pr is None and lt is None:
+            hp = getattr(ln, "_res_hopping", None)
+            if ex is None and pr is None and lt is None and hp is None:
                 fns.append(ln._fn)
+                continue
+            if hp is not None:
+                flush()
+                res = self._hopping_rows(cur, schema, ln, *hp)
+                if res is None:         # type/timezone gate: Catalyst
+                    fns.append(ln._fn)
+                    continue
+                cur, schema = res
                 continue
             flush()
             if ex is not None:
@@ -2203,6 +2226,97 @@ class ResidentEngine:
                 cur, schema = self._route(cur, ln, pr, lt)
         flush()
         return cur
+
+    def _hopping_rows(self, d: RDelta, schema: T.StructType, ln,
+                      tname: str, window):
+        """Python tumbling/sliding window assignment with EXACTLY
+        `_assign_hopping`'s arithmetic: Spark divides after casting
+        longs to double, so the floor runs on `float(tl-origin)/hop`;
+        timestamp axes convert through true epoch micros (fixed-offset
+        session timezones only — the same gate the θ kernel uses) and
+        WSTART/WEND come back as session-naive datetimes, matching
+        `timestamp_micros` under collect().  NULL-time rows keep NULL
+        windows when one window is assigned, and vanish under fan-out
+        (explode of the empty filtered array) — Spark's own semantics.
+        Returns None when a type/timezone gate fails (Catalyst then
+        evaluates the original fn)."""
+        import math
+        by = {f.name: f.dataType for f in schema.fields}
+        dt = by.get(tname)
+        is_ts = isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                                T.DateType))
+        if is_ts:
+            off = _session_offset_us(self.spark)
+            if off is None:
+                return None
+            from ..operators.temporal import _dur_us
+            try:
+                dur, hop = _dur_us(window.duration), _dur_us(window.hop)
+            except Exception:
+                return None
+            origin = (_to_micros(window.origin) - off
+                      if window.origin is not None else 0)
+
+            def conv(v):
+                return _to_micros(v) - off
+
+            def back(m):
+                return _EPOCH_DT + _dt.timedelta(microseconds=m + off)
+        elif isinstance(dt, _BAND_INTISH + (T.DoubleType,)):
+            dur, hop = window.duration, window.hop
+            if not isinstance(dur, (int, float)) \
+                    or not isinstance(hop, (int, float)) \
+                    or isinstance(dur, bool) or isinstance(hop, bool):
+                return None
+            origin = window.origin if window.origin is not None else 0
+            if not isinstance(origin, (int, float)):
+                return None
+
+            def conv(v):
+                return v
+
+            def back(m):
+                return m
+        else:
+            return None
+        if not hop:
+            return None
+        tpl = ln._empty_tpl
+        out_cols = list(tpl.columns)
+        from ..operators.temporal import WEND, WSTART
+        n_windows = math.ceil(dur / hop)
+        tp = d.pos(tname)
+        # output position map: WSTART/WEND computed, others routed
+        picks = [(None if c in (WSTART, WEND) else d.pos(c))
+                 for c in out_cols]
+        ws_i = out_cols.index(WSTART)
+        we_i = out_cols.index(WEND)
+        rows = []
+        for r in d.rows:
+            tv = r[tp]
+            if tv is None:
+                if n_windows == 1:      # NULL window columns, row kept
+                    row = [None if i is None else r[i] for i in picks]
+                    rows.append(tuple(row))
+                continue                # fan-out: empty array, row gone
+            tl = conv(tv)
+            # Spark divides DOUBLES: long axes cast (lossily, >2^53)
+            # before the division — reproduce exactly
+            f = math.floor(float(tl - origin) / float(hop))
+            latest = origin + f * hop
+            if n_windows == 1:
+                starts = (latest,)
+            else:
+                starts = tuple(s for s in
+                               (latest - k * hop
+                                for k in range(n_windows))
+                               if s + dur > tl)
+            for s in starts:
+                row = [None if i is None else r[i] for i in picks]
+                row[ws_i] = _norm(back(s))
+                row[we_i] = _norm(back(s + dur))
+                rows.append(tuple(row))
+        return RDelta(out_cols, rows), tpl.schema
 
     @staticmethod
     def _route(d: RDelta, ln, pr, lt):

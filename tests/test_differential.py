@@ -1537,3 +1537,84 @@ def test_diff_table_update_cells_duplicate_keys_no_cross_row_mixing(spark):
                       d0.localCheckpoint(eager=True)).collect())
     # struct-min row is (1, 9); per-column min would fabricate (1, 3)
     assert rows == [("x", 1, 9)], rows
+
+
+def test_reduce_null_group_keys_group_together(spark):
+    """NULL group keys form ONE group (SQL GROUP BY semantics): the
+    affected-key slices and output-trace retractions must match
+    NULL-key rows (null-safe joins, r9 fix) — previously each batch
+    emitted a fresh NULL-group row beside the stale unretracted one.
+    Covers both reduce strategies and distinct."""
+    sch = "g long, v long"
+    base = spark.createDataFrame([(1, 10), (None, 5), (2, 7)], sch)
+    ticks = [[(None, 3, 1), (1, 1, 1)], [(None, 5, -1)]]
+
+    def run(aggs):
+        g = DifferentialGraph(spark, resident=False)
+        out = g.source("d", base).reduce(["g"], **aggs)
+        (d0,) = g.step(out, d=base)
+        full = d0.localCheckpoint(True)
+        for rows in ticks:
+            (d,) = g.step(out, d=spark.createDataFrame(
+                rows, sch + ", _pw_diff long"))
+            full = full.unionByName(d.localCheckpoint(True))
+        snap = sorted(
+            (tuple(r) for r in
+             DifferentialGraph.integrate(full).collect()), key=repr)
+        g.restore_session_confs()
+        return snap
+
+    # acc strategy (count+sum): NULL group = {3} after the churn
+    assert run(dict(n=("count",), s=("sum", "v"))) == sorted(
+        [(1, 2, 11), (2, 1, 7), (None, 1, 3)], key=repr)
+    # slice strategy (max forces it)
+    assert run(dict(n=("count",), mx=("max", "v"))) == sorted(
+        [(1, 2, 10), (2, 1, 7), (None, 1, 3)], key=repr)
+
+    # distinct over NULL-valued rows
+    g = DifferentialGraph(spark, resident=False)
+    out = g.source("d", base).distinct()
+    (d0,) = g.step(out, d=base)
+    full = d0.localCheckpoint(True)
+    (d1,) = g.step(out, d=spark.createDataFrame(
+        [(None, 5, -1), (None, 9, 1)], sch + ", _pw_diff long"))
+    full = full.unionByName(d1.localCheckpoint(True))
+    snap = sorted((tuple(r) for r in
+                   DifferentialGraph.integrate(full).collect()), key=repr)
+    g.restore_session_confs()
+    assert snap == sorted([(1, 10), (2, 7), (None, 9)], key=repr)
+
+
+def test_reduce_null_group_keys_rowtimes_fused(spark):
+    """The fused multi-time path's base join and accumulator legs are
+    null-safe too: a NULL-key group through row_times=True equals
+    per-time stepping."""
+    sch = "g long, v long"
+    base = spark.createDataFrame([(1, 10), (None, 5)], sch)
+
+    def build(g):
+        return g.source("d", base).reduce(["g"], n=("count",),
+                                          s=("sum", "v"))
+
+    timed = [(None, 3, 1, 5), (1, 1, 1, 5), (None, 2, 1, 7)]
+    tsch = sch + ", _pw_diff long, _pw_time long"
+
+    g1 = DifferentialGraph(spark, resident=False)
+    q1 = build(g1)
+    g1.step(q1, time=1, d=base)
+    (f1,) = g1.step(q1, time=7, row_times=True,
+                    d=spark.createDataFrame(timed, tsch))
+    fused = sorted((tuple(r) for r in f1.collect()), key=repr)
+    g1.restore_session_confs()
+
+    g2 = DifferentialGraph(spark, resident=False)
+    q2 = build(g2)
+    g2.step(q2, time=1, d=base)
+    pieces = []
+    for tv in (5, 7):
+        rows = [r[:3] for r in timed if r[3] == tv]
+        (d,) = g2.step(q2, time=tv, d=spark.createDataFrame(
+            rows, sch + ", _pw_diff long"))
+        pieces.extend(tuple(r) for r in d.collect())
+    g2.restore_session_confs()
+    assert fused == sorted(pieces, key=repr)

@@ -1153,3 +1153,64 @@ def test_interval_join_randomized_property(spark, seed):
                 for tr in trs]
     assert norm(a) == norm(b_), (use_double, use_key, lo, hi)
     assert all(act), (act, use_double, use_key, lo, hi)
+
+
+@pytest.mark.parametrize("kind,axis", [("tumbling", "long"),
+                                       ("sliding", "long"),
+                                       ("sliding", "timestamp")])
+def test_live_hopping_windows_resident_equivalence(spark, kind, axis):
+    """Live tumbling/sliding windowby+reduce: the Python window
+    assignment (resident `_hopping_rows`) must match `_assign_hopping`
+    through Catalyst exactly — including NULL times (kept with NULL
+    windows when one window is assigned, dropped under fan-out) and
+    retractions."""
+    import datetime as dt
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    t0 = dt.datetime(2024, 6, 1)
+    if axis == "long":
+        tval = lambda i: i * 7 % 300
+        tnull = None
+        sch = "k long, t long, v long"
+        win = (pw.temporal.tumbling(duration=40) if kind == "tumbling"
+               else pw.temporal.sliding(duration=40, hop=15))
+    else:
+        tval = lambda i: t0 + dt.timedelta(seconds=i * 7 % 300)
+        tnull = None
+        sch = "k long, t timestamp, v long"
+        win = pw.temporal.sliding(duration=dt.timedelta(seconds=40),
+                                  hop=dt.timedelta(seconds=15))
+
+    rows0 = [(i, tval(i), i % 11) for i in range(120)]
+    rows0.append((900, tnull, 5))
+    base = spark.createDataFrame(rows0, sch)
+    ticks = [
+        dict(d=spark.createDataFrame(
+            [(200, tval(33), 7, 1), (901, tnull, 3, 1)],
+            sch + ", _pw_diff long")),
+        dict(d=spark.createDataFrame(
+            [(3, tval(3), 3 % 11, -1), (201, tval(90), 2, 1)],
+            sch + ", _pw_diff long")),
+    ]
+
+    def drive(resident):
+        g = DifferentialTableGraph(spark, resident=resident)
+        data = g.input("d", base.limit(0))
+        out = data.windowby(this.t, window=win).reduce(
+            n=r.count(), s=r.sum(this.v))
+        (o0,) = g.step(out.node, d=base)
+        traces = [_rtrace(tuple(x) for x in o0.collect())]
+        act = []
+        for tk in ticks:
+            (o,) = g.step(out.node, **tk)
+            traces.append(_rtrace(tuple(x) for x in o.collect()))
+            act.append(g._res_last_t == g._t)
+        g.restore_session_confs()
+        return traces, act
+
+    a, act = drive(True)
+    b, _ = drive(False)
+    assert a == b
+    assert all(act), f"hopping-window ticks should run resident: {act}"

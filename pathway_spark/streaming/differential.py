@@ -1254,8 +1254,8 @@ def _trace_old(node, new: DataFrame, keys: list[str], touched: DataFrame,
             node._out_state = node.graph._make_store(
                 new.withColumn(DIFF, F.lit(1).cast("long")),
                 key_cols=keys)
-        sl = node._out_state.get(probe=touched, on=keys) \
-            .join(node._small(touched), on=keys, how="left_semi")
+        sl = _ns_semi(node._out_state.get(probe=touched, on=keys),
+                      node._small(touched), keys)
         return consolidate(sl).withColumn(DIFF, -F.col(DIFF))
     return recompute_old().withColumn(DIFF, F.lit(-1).cast("long"))
 
@@ -1314,10 +1314,8 @@ class _KeyedRecomputeNode(DiffNode):
         # a pair-free multiset (see _ReduceNode)
         a_pf = self._sa._pair_free and self.inputs[0]._insert_only()
         b_pf = self._sb._pair_free and self.inputs[1]._insert_only()
-        ao = a_old.join(self._small(touched), on=self._lkeys,
-                        how="left_semi")
-        bo = b_old.join(self._small(touched_r), on=self._rkeys,
-                        how="left_semi")
+        ao = _ns_semi(a_old, self._small(touched), self._lkeys)
+        bo = _ns_semi(b_old, self._small(touched_r), self._rkeys)
         if not a_pf:
             ao = consolidate(ao)
         if not b_pf:
@@ -1368,8 +1366,7 @@ class _KeyedRecomputeUnaryNode(DiffNode):
         state = self._state.get(probe=touched, on=self._keys)
         pair_free = (self._state._pair_free
                      and self.inputs[0]._insert_only())
-        old_in = state.join(self._small(touched), on=self._keys,
-                            how="left_semi")
+        old_in = _ns_semi(state, self._small(touched), self._keys)
         if not pair_free:
             old_in = consolidate(old_in)
         new_in = old_in.unionByName(

@@ -1216,11 +1216,10 @@ class _KeyedRecomputeUnaryKernel:
         s_cols = [f.name for f in st.schema.fields[:-1]]
         kp = [s_cols.index(c) for c in node._keys]
         pairs = _JoinKernel._aligned(d, s_cols)
-        # classic slices are EqualTo semi-joins: null-key rows live in
-        # state but never enter a slice or retract trace rows
-        touched = {k for k in
-                   (tuple(p[i] for i in kp) for p, _ in pairs)
-                   if not any(v is None for v in k)}
+        # NULL keys form a GROUP like any other (SQL GROUP BY / the
+        # classic path's null-safe slices, r9): a live session window
+        # with a NULL instance must recompute and retract exactly
+        touched = {tuple(p[i] for i in kp) for p, _ in pairs}
         st.apply(pairs)                     # slices are post-delta
         in_rows: list[tuple] = []
         for k in sorted(touched, key=repr):
@@ -1271,9 +1270,9 @@ class _KeyedRecomputeBinaryKernel:
     """Two-input affected-key recompute (mirrors `_KeyedRecomputeNode`
     — live asof joins etc.): both side slices come from mirrors, the
     user op runs ONCE through Spark over two LocalRelations, and
-    retractions replay exact trace bytes.  NULL keys follow the
-    classic semi-join semantics: their rows live in state but never
-    enter a slice."""
+    retractions replay exact trace bytes.  NULL keys form slices like
+    any other (the classic path's null-safe joins, r9); the batch op
+    itself decides what they produce."""
 
     def __init__(self, eng, node):
         self.eng = eng
@@ -1306,7 +1305,9 @@ class _KeyedRecomputeBinaryKernel:
         bkp = [b_cols.index(c) for c in node._rkeys]
         touched = {tuple(p[i] for i in akp) for p, _ in da_pairs} \
             | {tuple(p[i] for i in bkp) for p, _ in db_pairs}
-        touched = {k for k in touched if not any(v is None for v in k)}
+        # NULL keys are slices too (null-safe classic joins, r9): the
+        # batch op decides what they produce — an inner asof emits
+        # nothing for them, a LEFT asof pads its null-key left rows
         if da.rows:
             ma.apply(da_pairs)
         if db.rows:

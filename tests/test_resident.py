@@ -1214,3 +1214,105 @@ def test_live_hopping_windows_resident_equivalence(spark, kind, axis):
     b, _ = drive(False)
     assert a == b
     assert all(act), f"hopping-window ticks should run resident: {act}"
+
+
+def test_session_window_null_instance_matches_batch(spark):
+    """Live session windows with a NULL instance: NULL groups like any
+    other key (SQL GROUP BY; r9 null-safe slices) — resident and
+    distributed agree, and the integrated snapshot equals the batch
+    operator on the surviving rows."""
+    import pathway_spark as pw
+    from pathway_spark import this, reducers as r
+    from pathway_spark.operators import temporal
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+    from pathway_spark.table import Table
+
+    sch = "u string, t long, v long"
+    rows0 = [("a", 1, 1), ("a", 3, 2), (None, 2, 5), (None, 4, 6),
+             ("b", 10, 3), (None, 30, 7)]
+    base = spark.createDataFrame(rows0, sch)
+    ticks = [
+        dict(d=spark.createDataFrame([(None, 5, 8, 1)],
+                                     sch + ", _pw_diff long")),
+        dict(d=spark.createDataFrame([(None, 2, 5, -1)],
+                                     sch + ", _pw_diff long")),
+    ]
+    win = pw.temporal.session(max_gap=3)
+
+    def drive(resident):
+        g = DifferentialTableGraph(spark, resident=resident)
+        data = g.input("d", base.limit(0))
+        out = data.windowby(this.t, window=win, instance=this.u).reduce(
+            u=this._pw_instance, n=r.count(), s=r.sum(this.v))
+        (o0,) = g.step(out.node, d=base)
+        traces = [_rtrace(tuple(x) for x in o0.collect())]
+        full = o0.localCheckpoint(True)
+        for tk in ticks:
+            (o,) = g.step(out.node, **tk)
+            traces.append(_rtrace(tuple(x) for x in o.collect()))
+            full = full.unionByName(o.localCheckpoint(True))
+        g.restore_session_confs()
+        return traces, full
+
+    a, full_a = drive(True)
+    b, _ = drive(False)
+    assert a == b
+
+    # integrated == batch operator over the surviving multiset
+    live = [x for x in rows0 if x != (None, 2, 5)] + [(None, 5, 8)]
+    bt = temporal.windowby(
+        Table.from_spark(spark.createDataFrame(live, sch)),
+        this.t, window=win, instance=this.u).reduce(
+        u=this._pw_instance, n=r.count(), s=r.sum(this.v)).to_df()
+    want = _rtrace(tuple(x) for x in bt.select("u", "n", "s").collect())
+    got = _rtrace(
+        tuple(x) for x in
+        DifferentialGraph.integrate(full_a)
+        .select("u", "n", "s").collect())
+    assert got == want, f"\ngot {got}\nwant {want}"
+
+
+def test_live_left_asof_null_key_pads_like_batch(spark):
+    """Live LEFT asof join: NULL-key left rows reach the op's slice
+    (null-safe, r9) and come back padded — the batch operator's
+    semantics; previously they were silently dropped."""
+    from pathway_spark import this
+    from pathway_spark.streaming.diff_table import DifferentialTableGraph
+
+    lsch = "k long, lt long, lv long"
+    rsch = "k long, rt long, rv long"
+    l0 = [(1, 10, 100), (None, 10, 999)]
+    r0 = [(1, 5, 7)]
+    ldf = spark.createDataFrame(l0, lsch)
+    rdf = spark.createDataFrame(r0, rsch)
+    ticks = [
+        dict(l=spark.createDataFrame([(None, 20, 888, 1)],
+                                     lsch + ", _pw_diff long")),
+        dict(l=spark.createDataFrame([(None, 10, 999, -1)],
+                                     lsch + ", _pw_diff long")),
+    ]
+
+    def drive(resident):
+        g = DifferentialTableGraph(spark, resident=resident)
+        lt = g.input("l", ldf)
+        rt = g.input("r", rdf)
+        out = lt.asof_join(rt, this.lt, this.rt, this.k == this.k,
+                           how="left")
+        (o0,) = g.step(out.node, l=ldf, r=rdf)
+        traces = [_rtrace(tuple(x) for x in o0.collect())]
+        full = o0.localCheckpoint(True)
+        for tk in ticks:
+            (o,) = g.step(out.node, **tk)
+            traces.append(_rtrace(tuple(x) for x in o.collect()))
+            full = full.unionByName(o.localCheckpoint(True))
+        g.restore_session_confs()
+        return traces, full
+
+    a, full_a = drive(True)
+    b, _ = drive(False)
+    assert a == b
+    snap = {tuple(x) for x in
+            DifferentialGraph.integrate(full_a).collect()}
+    # the surviving NULL-key left row is padded, the retracted one gone
+    assert any(x[2] == 888 for x in snap), snap
+    assert not any(x[2] == 999 for x in snap), snap

@@ -1897,26 +1897,32 @@ def _ns_semi(left: DataFrame, right: DataFrame, keys: list[str],
     beside each batch's fresh one (r9 fix; the resident/distributed
     equivalence suite caught it via NULL window columns).  Spark hash
     joins support EqualNullSafe keys, so broadcast plans survive."""
-    lhs, rhs = left.alias("__nsl"), right.alias("__nsr")
+    # rename the right keys through an Alias FIRST: slice probes often
+    # share lineage with the state they probe, and cross-frame
+    # attribute refs (df["k"]) over shared ids feed Catalyst plans the
+    # self-join dedup rewrites from under the condition (optimizer
+    # NoSuchElementException); fresh Alias ids make resolution
+    # unambiguous without relying on the dedup
+    rhs = right.select(*[F.col(k).alias(f"__ns_{k}") for k in keys])
     cond = None
     for k in keys:
-        c = lhs[k].eqNullSafe(rhs[k])
+        c = F.col(k).eqNullSafe(F.col(f"__ns_{k}"))
         cond = c if cond is None else cond & c
-    return lhs.join(rhs, cond, how)
+    return left.join(rhs, cond, how)
 
 
 def _ns_left(left: DataFrame, right: DataFrame,
              keys: list[str]) -> DataFrame:
     """Null-safe LEFT join keeping the left frame's columns plus the
     right's non-key columns — the `on=[names]` shape with `<=>`."""
-    lhs, rhs = left.alias("__nsl"), right.alias("__nsr")
+    rest = [c for c in right.columns if c not in keys]
+    rhs = right.select(*[F.col(k).alias(f"__ns_{k}") for k in keys],
+                       *rest)
     cond = None
     for k in keys:
-        c = lhs[k].eqNullSafe(rhs[k])
+        c = F.col(k).eqNullSafe(F.col(f"__ns_{k}"))
         cond = c if cond is None else cond & c
-    return lhs.join(rhs, cond, "left").select(
-        *[lhs[c] for c in left.columns],
-        *[rhs[c] for c in right.columns if c not in keys])
+    return left.join(rhs, cond, "left").select(*left.columns, *rest)
 
 
 class _ReduceNode(DiffNode):

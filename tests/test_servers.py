@@ -256,11 +256,11 @@ def test_monitoring_differential_topology(spark):
     base = spark.createDataFrame([(i, i % 4) for i in range(100)],
                                  "k long, g long")
     g = DifferentialGraph(spark, resident=True)
-    out = (g.source("d", base).filter(F.col("k") >= 0)
+    out = (g.source("mon_topo_src", base).filter(F.col("k") >= 0)
             .reduce(["g"], n=("count",)))
-    g.step(out, d=base)                                 # distributed
-    g.step(out, d=spark.createDataFrame([(500, 1, 1)],  # resident
-                                        "k long, g long, _pw_diff long"))
+    g.step(out, mon_topo_src=base)                      # distributed
+    g.step(out, mon_topo_src=spark.createDataFrame(     # resident
+        [(500, 1, 1)], "k long, g long, _pw_diff long"))
     assert g._res_last_t == g._t
 
     mon = run_monitoring_server(spark)
@@ -268,16 +268,16 @@ def test_monitoring_differential_topology(spark):
         url = f"http://127.0.0.1:{mon.webserver.port}"
         status = _json.load(urllib.request.urlopen(f"{url}/status"))
         graphs = status["differential"]
+        # other tests' graphs may still be alive in this session —
+        # find OURS by its unique source name
         mine = [t for t in graphs
-                if any(n["op"] == "ReduceNode" for n in t["nodes"])]
-        assert mine, graphs
+                if any(n["name"] == "mon_topo_src" for n in t["nodes"])]
+        assert mine, [len(graphs)]
         topo = mine[-1]
         red = [n for n in topo["nodes"] if n["op"] == "ReduceNode"][0]
         assert red["dist_ticks"] >= 1, red     # batch 0 ran distributed
         assert red["res_ticks"] >= 1, red      # the steady tick resident
         assert red["inputs"], red              # edges present
-        src = [n for n in topo["nodes"] if n["op"] == "SourceNode"][0]
-        assert src["name"] == "d"
     finally:
         mon.stop()
         g.restore_session_confs()

@@ -891,7 +891,14 @@ def q39_graduations(spark, sf):
       hub-chain whose 100↔101 link is retracted at tick 3.  The
       stale fixed point ("everything reachable") must SHRINK through
       the cascade's retraction path; integrated trace equals a DuckDB
-      recursive-CTE closure over the live edge set."""
+      recursive-CTE closure over the live edge set.
+    - part='pagerank_live' (round 10): cascade PageRank
+      (`incremental_pagerank_cascade`) driven insert/insert/RETRACT
+      over symmetric nation↔region-hub edges — retracting region 0
+      withdraws its vertices and re-settles every surviving rank.
+      1e-9 fixed-point integer ranks hash-match the q51 unrolled-CTE
+      recurrence over the live edge set (reference
+      stdlib/graphs/pagerank/impl.py, live with retraction)."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -1105,6 +1112,38 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("x").cast("double").alias("num"))
 
+    # ---- pagerank_live: cascade pagerank w/ retraction (r10) --------
+    # the generic level cascade (`incremental_pagerank_cascade`) driven
+    # insert/insert/RETRACT over the symmetric nation↔region-hub star:
+    # tick 3 retracts region 0's edges both ways, so region-0 nations
+    # and hub 100 leave the vertex set and every surviving rank must
+    # re-settle.  Fixed-point 1e-9 integer ranks are engine-exact, so
+    # the integrated (w, rank) trace hash-matches the unrolled-CTE
+    # recurrence over the LIVE edge set (same chain q51 uses).
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_pagerank_cascade)
+
+    sym_pr = (nat.select("u", "v", "r")
+              .unionByName(nat.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v"), "r")))
+    g8 = DifferentialGraph(spark)
+    e8 = g8.source("e", sym_pr.select("u", "v").limit(0))
+    prc = incremental_pagerank_cascade(e8, steps=5)
+    ev8 = F.pmod(F.col("u"), F.lit(2)) == 0
+    (w1,) = g8.step(prc, e=sym_pr.filter(ev8).select("u", "v"))
+    (w2,) = g8.step(prc, e=sym_pr.filter(~ev8).select("u", "v"))
+    (w3,) = g8.step(prc, e=sym_pr.filter(F.col("r") == 0)
+                    .select("u", "v").withColumn("_pw_diff", F.lit(-1)))
+    g8.restore_session_confs()
+    pr_trace8 = (w1.localCheckpoint(eager=True)
+                 .unionByName(w2.localCheckpoint(eager=True))
+                 .unionByName(w3.localCheckpoint(eager=True)))
+    prl = DifferentialGraph.integrate(pr_trace8).select(
+        F.lit("pagerank_live").alias("part"),
+        F.col("w").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("rank").cast("double").alias("num"))
+
     # ---- interval_live: banded θ kernel, live temporal join (r9) ----
     # stream-stream interval join WITH retraction over the orders
     # table: left/right halves arrive on different ticks, a third tick
@@ -1145,7 +1184,8 @@ def q39_graduations(spark, sf):
     return (keep.unionByName(kmv).unionByName(cdf)
             .unionByName(bm).unionByName(ccl)
             .unionByName(tkl).unionByName(anl)
-            .unionByName(ddl).unionByName(itl).unionByName(ivo))
+            .unionByName(ddl).unionByName(itl).unionByName(prl)
+            .unionByName(ivo))
 
 
 def q40_iterate(spark, sf):
@@ -1971,10 +2011,12 @@ _WAV_ORACLE = """
 """
 
 
-def _pagerank_oracle_sql(steps: int = 5) -> str:
-    """pagerank_exact mirror — the 1e-9 fixed-point integer recurrence
-    unrolled into chained CTEs (// is floor-div on non-negative longs,
-    identical to the engine's exact idiv)."""
+def _pagerank_chain_sql(steps: int = 5) -> str:
+    """pagerank_exact recurrence (1e-9 fixed-point integers) unrolled
+    into chained CTEs r0..r{steps} over pre-existing CTEs `e`, `verts`,
+    `outdeg` (// is floor-div on non-negative longs, identical to the
+    engine's exact idiv).  Shared by q51 AND q39's pagerank_live leg —
+    one source of truth for the recurrence."""
     ctes = ["""r0 AS (SELECT w, 1000000000::BIGINT AS rank FROM verts)"""]
     for k in range(1, steps + 1):
         ctes.append(f"""r{k} AS (
@@ -1985,7 +2027,11 @@ def _pagerank_oracle_sql(steps: int = 5) -> str:
             SELECT e.v AS w, SUM(r.rank // d.deg) AS in_rank
             FROM e JOIN r{k - 1} r ON e.u = r.w JOIN outdeg d ON e.u = d.u
             GROUP BY e.v) c ON v.w = c.w)""")
-    chain = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _pagerank_oracle_sql(steps: int = 5) -> str:
+    chain = _pagerank_chain_sql(steps)
     return f"""
     WITH ub AS (
         SELECT DISTINCT user_id AS u, epoch_us(ts) // 3600000000 AS b
@@ -2171,6 +2217,28 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT x FROM reach2
             ) il
+            UNION ALL
+            SELECT 'pagerank_live' AS part, CAST(w AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(rank AS DOUBLE) AS num
+            FROM (
+                WITH e AS (
+                    SELECT CAST(n_nationkey AS BIGINT) AS u,
+                           CAST(100 + n_regionkey AS BIGINT) AS v
+                    FROM nation WHERE n_regionkey <> 0
+                    UNION ALL
+                    SELECT CAST(100 + n_regionkey AS BIGINT),
+                           CAST(n_nationkey AS BIGINT)
+                    FROM nation WHERE n_regionkey <> 0
+                ), verts AS (
+                    SELECT DISTINCT w FROM (
+                        SELECT u AS w FROM e UNION ALL SELECT v FROM e)
+                ), outdeg AS (
+                    SELECT u, COUNT(*) AS deg FROM e GROUP BY u
+                ),
+                """ + _pagerank_chain_sql(5) + """
+                SELECT w, rank FROM r5
+            ) pl
             UNION ALL
             SELECT 'dedup_live' AS part,
                    CAST(id_a AS VARCHAR) || ':'

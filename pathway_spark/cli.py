@@ -109,7 +109,16 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--key", type=str, required=True,
                     help="comma-separated shard key columns")
     sw.add_argument("--state-root", type=str, required=True)
-    sw.add_argument("--feed-dir", type=str, required=True)
+    feed_grp = sw.add_mutually_exclusive_group(required=True)
+    feed_grp.add_argument("--feed-dir", type=str, default=None,
+                          help="directory-feed transport root")
+    feed_grp.add_argument("--kafka-bootstrap", type=str, default=None,
+                          help="Kafka transport (jar-gated): broker "
+                               "list; topics default to source names, "
+                               "or map via --kafka-topic src=topic")
+    sw.add_argument("--kafka-topic", action="append", default=[],
+                    metavar="SRC=TOPIC",
+                    help="source->topic override (repeatable)")
     sw.add_argument("--out-dir", type=str, required=True)
     sw.add_argument("--poll-interval", type=float, default=1.0)
     sw.add_argument("--stop-after-time", type=int, default=None)
@@ -125,10 +134,18 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(f"pw-shard-{args.shard_id}",
                           cpus=str(args.threads))
+        transport = None
+        if args.kafka_bootstrap:
+            from .streaming.shard_worker import KafkaShardFeed
+            tmap = dict(kv.split("=", 1) for kv in args.kafka_topic)
+            transport = KafkaShardFeed(
+                bootstrap_servers=args.kafka_bootstrap,
+                topic_of=lambda s: tmap.get(s, s))
         n = run_shard_worker(
             spark, args.program, shard_id=args.shard_id,
             shards=args.shards, key=args.key.split(","),
             state_root=args.state_root, feed_dir=args.feed_dir,
+            transport=transport,
             out_dir=args.out_dir, poll_interval=args.poll_interval,
             stop_after_time=args.stop_after_time,
             idle_timeout=args.idle_timeout)

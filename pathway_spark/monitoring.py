@@ -136,6 +136,19 @@ class MonitoringServer:
         out["pathway_spark_resident_ticks"] = _res_stats["resident_ticks"]
         out["pathway_spark_resident_fallbacks"] = \
             _res_stats["fallback_ticks"]
+        # resident driver-heap pressure per live graph: watch
+        # est_bytes approach the per-store cap before a detach storm
+        for gr in snap.get("differential", []):
+            mem = gr.get("resident_memory")
+            if not mem:
+                continue
+            gi = gr.get("graph", 0)
+            out[f"pathway_spark_resident_state_bytes{{graph{gi}}}"] = \
+                mem["est_bytes_total"]
+            out[f"pathway_spark_resident_mirror_admissions{{graph{gi}}}"] \
+                = mem["events"]["mirror_admissions"]
+            out[f"pathway_spark_resident_cap_detaches{{graph{gi}}}"] = \
+                mem["events"]["cap_detaches"]
         return 200, out
 
     # ------------------------------------------------------------ lifecycle

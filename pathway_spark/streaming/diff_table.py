@@ -1134,13 +1134,16 @@ class _IntervalsOverDiffGrouped:
 
         lcols = _data_cols(parent._template)
         # resident banding (r9): t ∈ [p+lo, p+up] rearranged to the
-        # kernel's rtime-in-range form p ∈ [t-up, t-lo] — exact only
-        # for integer axes (int_only gates float columns back to the
-        # distributed join, where the original expression evaluates)
+        # kernel's rtime-in-range form p ∈ [t-up, t-lo] — exact as-is
+        # for integer axes; float axes band too (r10) because
+        # orig_bounds hands the kernel the ORIGINAL predicate to
+        # re-check (bands generate with ulp slack, candidates pass
+        # `t ∈ [p+lo, p+up]` in IEEE doubles — Catalyst-identical)
         node = parent.node.join_theta(
             at_node, cond, lcols, [WSTART],
             band=dict(ltime=tname, rtime=WSTART, lo=-up, hi=-lo,
-                      micros=False, keys=[], int_only=True))
+                      micros=False, keys=[], int_only=True,
+                      orig_bounds=(lo, up)))
         tpl = parent._template.crossJoin(
             at._template.select(F.col(at_cols[0]).alias(WSTART))).limit(0)
         self._grouped = DiffGrouped(DiffTable(node, tpl), [WSTART])

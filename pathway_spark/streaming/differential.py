@@ -80,6 +80,7 @@ from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DIFF = "_pw_diff"
 TIME = "_pw_time"
@@ -1085,15 +1086,60 @@ class _UnionNode(DiffNode):
         return a.unionByName(b.select(*a.columns))
 
 
+_BAND = "_pw_theta_band"        # banded θ join: hash-join key column
+_BAND_T = "_pw_theta_band_t"    # staging column for the time axis
+
+
+def _band_assign(df: DataFrame, t_expr: Column, width: int) -> DataFrame:
+    """Tag each row with its time band ⌊t/width⌋ — exact long floor
+    division ((t - pmod(t, w)) div w): `/`+floor would route through
+    doubles and round above 2^53 (micros pass that in year ~2255, user
+    ints any time).  NULL time ⇒ NULL band ⇒ the band-equality join
+    key never matches, same as the θ predicate itself on NULLs."""
+    df = df.withColumn(_BAND_T, t_expr.cast("long"))
+    return df.withColumn(_BAND, F.expr(
+        f"({_BAND_T} - pmod({_BAND_T}, {width})) div {width}"
+    )).drop(_BAND_T)
+
+
+def _band_explode(df: DataFrame, t_expr: Column, rlo: int, rhi: int,
+                  width: int) -> DataFrame:
+    """Explode each delta row to its candidate bands for the range
+    [t+rlo, t+rhi] — ⌈(rhi-rlo)/width⌉+1 ≤ 3 rows since width is the
+    interval length.  Bands only GENERATE candidates; the exact θ
+    predicate re-checks every pair, so integer band arithmetic being
+    exact is all that's needed for no-missed-pairs (float axes are
+    gated out by `_dband_init`).  NULL time ⇒ NULL sequence ⇒ explode
+    drops the row, matching the predicate's NULL-no-match."""
+    df = df.withColumn(_BAND_T, t_expr.cast("long"))
+    lo_e = (f"(({_BAND_T} + ({rlo})) - pmod({_BAND_T} + ({rlo}), {width}))"
+            f" div {width}")
+    hi_e = (f"(({_BAND_T} + ({rhi})) - pmod({_BAND_T} + ({rhi}), {width}))"
+            f" div {width}")
+    return df.withColumn(
+        _BAND, F.explode(F.expr(f"sequence({lo_e}, {hi_e})"))
+    ).drop(_BAND_T)
+
+
 class _ThetaJoinNode(DiffNode):
     """Bilinear delta join under an arbitrary θ predicate (interval /
     range joins): d(A ⋈θ B) = dA ⋈θ B_new ∪ A_old ⋈θ dB — the
     bilinearity rule is predicate-agnostic, only the matching changes.
-    Equi keys (when given) ride in the predicate so Catalyst still
-    extracts them into a hash/sort-merge join with the range as a
-    post-filter; a pure range condition plans as a broadcast
-    nested-loop of the (small) delta against state — the right shape,
-    since only deltas ever sit on the loop side."""
+
+    With `band` metadata on an exact-integer time axis the state probe
+    is BANDED (mirrors `resident._ThetaBandKernel`, and the reference's
+    time-bucketed arrangements,
+    python/pathway/stdlib/temporal/_interval_join.py:577): each delta
+    row explodes to its 2-3 candidate bands ⌊t±bound / width⌋, state
+    rows carry ⌊t/width⌋, and the join hash-partitions on (equi keys,
+    band) with the ORIGINAL predicate re-checked on the banded slice.
+    Probe work per delta row is then O(band slice), not O(key history),
+    and a key-less interval condition plans as a broadcast HASH join on
+    the band instead of a nested-loop of delta × full state.  Bands
+    never change semantics: they only generate candidates; every pair
+    passes the exact predicate.  Float axes (and non-integer bounds)
+    keep the un-banded join — Catalyst still extracts equi keys into a
+    hash join with the range as a post-filter."""
     _CKPT_OUT = True
 
     def __init__(self, graph, left: DiffNode, right: DiffNode,
@@ -1106,6 +1152,8 @@ class _ThetaJoinNode(DiffNode):
         self._theta_band = band       # resident banding metadata or None
         self._sa: _StateStore | None = None
         self._sb: _StateStore | None = None
+        self._dband = None            # distributed banding, decided once
+        self._dband_done = False
 
     def _insert_only(self) -> bool:
         return all(i._insert_only() for i in self.inputs)
@@ -1115,11 +1163,67 @@ class _ThetaJoinNode(DiffNode):
             self._sa = self.graph._make_store(da)
             self._sb = self.graph._make_store(db)
 
-    def _weighted(self, a: DataFrame, b: DataFrame, t: int) -> DataFrame:
+    def _dband_init(self, da: DataFrame, db: DataFrame) -> None:
+        """Decide ONCE whether the distributed probe can band: needs
+        band metadata, integer bounds, and both time axes either
+        int-typed or (under micros) timestamp/date — unix_micros is
+        exact long arithmetic, and band assignment + probe range use
+        the SAME Spark expressions as the predicate, so no session-tz
+        gating is needed here (unlike the Python resident kernel).
+        Doubles are out: the rearranged probe range rounds, and the
+        resident kernel's ulp-slack trick buys nothing on the
+        DataFrame path where the un-banded join is already a hash join
+        whenever equi keys exist."""
+        self._dband_done = True
+        meta = self._theta_band
+        if not meta:
+            return
+        lo, hi = meta["lo"], meta["hi"]
+        if not (isinstance(lo, int) and isinstance(hi, int)
+                and not isinstance(lo, bool) and not isinstance(hi, bool)):
+            return
+        l_by = {f.name: f.dataType for f in da.schema.fields}
+        r_by = {f.name: f.dataType for f in db.schema.fields}
+        lt, rt = l_by.get(meta["ltime"]), r_by.get(meta["rtime"])
+        if meta["micros"]:
+            ok_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
+            if not (isinstance(lt, ok_types) and isinstance(rt, ok_types)):
+                return
+            def conv(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            ok_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            if not (isinstance(lt, ok_types) and isinstance(rt, ok_types)):
+                return
+            def conv(c: Column) -> Column:
+                return c
+        self._dband = (conv, lo, hi, hi - lo if hi > lo else 1)
+
+    def _weighted(self, a: DataFrame, b: DataFrame, t: int,
+                  delta_side: str | None = None) -> DataFrame:
         wa, wb = f"{DIFF}__a", f"{DIFF}__b"
-        a = a.select(*self._lcols, F.col(DIFF).alias(wa)).alias("l")
-        b = b.select(*self._rcols, F.col(DIFF).alias(wb)).alias("r")
-        out = a.join(b, on=self._cond_fn(a, b), how="inner")
+        a = a.select(*self._lcols, F.col(DIFF).alias(wa))
+        b = b.select(*self._rcols, F.col(DIFF).alias(wb))
+        dband = self._dband if delta_side else None
+        if dband is not None:
+            conv, lo, hi, width = dband
+            meta = self._theta_band
+            if delta_side == "l":   # dA probes B: bands of [lt+lo, lt+hi]
+                a = _band_explode(a, conv(F.col(meta["ltime"])),
+                                  lo, hi, width)
+                b = _band_assign(b, conv(F.col(meta["rtime"])), width)
+            else:                   # dB probes A: bands of [rt-hi, rt-lo]
+                b = _band_explode(b, conv(F.col(meta["rtime"])),
+                                  -hi, -lo, width)
+                a = _band_assign(a, conv(F.col(meta["ltime"])), width)
+        a, b = a.alias("l"), b.alias("r")
+        cond = self._cond_fn(a, b)
+        if dband is not None:
+            # band equality leads the conjunction: with the equi keys
+            # it forms the hash-join key set; the θ range stays a
+            # post-filter over the banded slice
+            cond = (a[_BAND] == b[_BAND]) & cond
+        out = a.join(b, on=cond, how="inner")
         return (out.select(
             *[a[c] for c in self._lcols], *[b[c] for c in self._rcols],
             (F.col(wa) * F.col(wb)).alias(DIFF))
@@ -1130,16 +1234,20 @@ class _ThetaJoinNode(DiffNode):
         da_e = self.inputs[0]._empty_at(t) and self._sa is not None
         db_e = self.inputs[1]._empty_at(t) and self._sb is not None
         self._ensure_state(da, db)
+        if not self._dband_done:
+            self._dband_init(da, db)
         a_old, b_old = self._sa.get(), self._sb.get()
         b_new = b_old if db_e else b_old.unionByName(
             db.select(*_ccs(_data_cols(b_old)), _cc(DIFF)))
         parts = []
         if not da_e:
             parts.append(self._weighted(
-                self._small(da, self.inputs[0]), as_delta(b_new, time=t), t))
+                self._small(da, self.inputs[0]), as_delta(b_new, time=t), t,
+                delta_side="l"))
         if not db_e:
             parts.append(self._weighted(
-                as_delta(a_old, time=t), self._small(db, self.inputs[1]), t))
+                as_delta(a_old, time=t), self._small(db, self.inputs[1]), t,
+                delta_side="r"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p.select(*out.columns))
@@ -3072,6 +3180,10 @@ class DifferentialGraph:
             "n_nodes": len(nodes),
             "resident_active": bool(self._res_engine is not None
                                     and self._res_engine.mirrors),
+            # mirror bytes / band counts / admission-detach events /
+            # pyexpr states — observable BEFORE a cap trips (r10)
+            "resident_memory": (self._res_engine.memory_stats()
+                                if self._res_engine is not None else None),
             "nodes": nodes,
         }
 

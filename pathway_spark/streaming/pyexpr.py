@@ -1,0 +1,526 @@
+"""Verified-Python evaluation of linear-node Column expressions on
+resident ticks (r9 verdict #2).
+
+The resident engine's one remaining per-tick JVM cost for linear hops
+is the Catalyst fold of USER expressions over a LocalRelation (~40-50
+ms analyzer floor + py4j roundtrips).  This module removes it for a
+conservative expression subset: the node's fn is applied ONCE to an
+empty template frame, the analyzed logical plan (a Project/Filter
+chain) is walked via py4j, and every Catalyst expression is compiled
+to a Python evaluator with *Spark-exact* semantics — two's-complement
+integer wrap, IEEE doubles with Spark's NaN ordering (NaN = NaN, NaN
+greater than everything), three-valued logic, NULL propagation.
+
+The contract stays bit-identical the same way `_py_op` does
+(resident.py): the compiled chain is DUAL-RUN against the authoritative
+Catalyst fold until it has matched on a non-empty tick (byte-compared
+via repr), runs Python-only afterwards, and any mismatch pins the node
+to Catalyst forever.  Anything uncertain refuses at compile time
+(→ the node simply keeps its Catalyst fold), and runtime values that
+leave the provably-exact domain (e.g. non-ASCII input to lower/upper,
+whose Java/Python case maps differ) raise `PyEvalEscape` so the tick
+falls back without changing state.
+
+Reference bar: the reference evaluates row expressions natively inside
+its engine (src/expression/ eval paths); this is the Spark-first
+equivalent for the driver-resident latency path only — distributed
+execution always keeps Catalyst.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["PyEvalEscape", "CompiledChain", "compile_fn"]
+
+
+class PyEvalEscape(Exception):
+    """A runtime value left the domain where the Python translation is
+    provably Spark-exact; the caller re-runs this tick on Catalyst."""
+
+
+class _Unsupported(Exception):
+    pass
+
+
+_U64 = 1 << 64
+_U32 = 1 << 32
+_INT_DTS = {"tinyint", "smallint", "int", "bigint"}
+_CMP_DTS = _INT_DTS | {"double", "string", "boolean"}
+
+
+def _wrap64(v: int) -> int:
+    v &= _U64 - 1
+    return v - _U64 if v >= (1 << 63) else v
+
+
+def _wrap32(v: int) -> int:
+    v &= _U32 - 1
+    return v - _U32 if v >= (1 << 31) else v
+
+
+def _dcmp(a: float, b: float) -> int:
+    """Spark's double comparison order: NaN equals NaN and exceeds
+    every other value; -0.0 == 0.0 (Python's native behavior)."""
+    an, bn = a != a, b != b
+    if an or bn:
+        if an and bn:
+            return 0
+        return 1 if an else -1
+    return (a > b) - (a < b)
+
+
+# regex alphabet where Java (Spark StringSplit) and Python `re.ASCII`
+# semantics provably coincide: ASCII literals, the ASCII-equal classes
+# \s \S \w \W \d \D (Java default == Python re.ASCII), escaped
+# metachars, greedy quantifiers, non-capturing char classes.  Capturing
+# groups are OUT (re.split returns captures, Java split does not);
+# anchors/backrefs/unicode properties are out.
+_SPLIT_TOKEN = re.compile(
+    r"""(?: \\[sSwWdD.\\+*?\[\]{}|^$-]   # escaped class / metachar
+          | [A-Za-z0-9 _,:;!@#%&=<>/~'"`-]  # ASCII literal
+          | [.+*?|]                      # metachars, same both sides
+          | \[ \^? (?:\\[sSwWdD\\\]-]|[A-Za-z0-9 _,:;.!@#%&=<>/~'"`]
+                     |-)+ \]             # simple char class
+          | \{\d+(?:,\d*)?\}             # counted quantifier
+        )""",
+    re.VERBOSE,
+)
+
+
+def _split_pattern_ok(pat: str) -> bool:
+    pos = 0
+    while pos < len(pat):
+        m = _SPLIT_TOKEN.match(pat, pos)
+        if m is None:
+            return False
+        pos = m.end()
+    return True
+
+
+def _scala_seq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _lit_value(e):
+    v = e.value()
+    if v is None:
+        return None
+    dt = e.dataType().simpleString()
+    if dt in _INT_DTS:
+        return int(v)
+    if dt == "double":
+        return float(v)
+    if dt == "boolean":
+        return bool(v)
+    if dt == "string":
+        return v if isinstance(v, str) else v.toString()
+    raise _Unsupported(f"literal:{dt}")
+
+
+_I64 = (-(1 << 63), (1 << 63) - 1)
+_I32 = (-(1 << 31), (1 << 31) - 1)
+
+
+class _ExprCompiler:
+    """One Catalyst expression tree → a Python `row -> value` closure.
+    `cols` maps input column name → tuple position.  `ansi` mirrors the
+    session's `spark.sql.ansi.enabled` (Spark 4 default true): under
+    ANSI an integer overflow / zero divisor must THROW, so the Python
+    evaluator escapes to Catalyst for that tick and the user sees
+    Spark's own error; non-ANSI wraps two's-complement like Java."""
+
+    def __init__(self, cols: dict[str, int], ansi: bool):
+        self.cols = cols
+        self.ansi = ansi
+
+    def compile(self, e):
+        cls = e.getClass().getSimpleName()
+        m = getattr(self, f"_c_{cls}", None)
+        if m is None:
+            raise _Unsupported(cls)
+        return m(e)
+
+    # -- leaves ------------------------------------------------------
+
+    def _c_AttributeReference(self, e):
+        i = self.cols.get(e.name())
+        if i is None:
+            raise _Unsupported(f"unknown col {e.name()!r}")
+        return lambda r: r[i]
+
+    def _c_Alias(self, e):
+        return self.compile(e.child())
+
+    def _c_Literal(self, e):
+        v = _lit_value(e)
+        return lambda r: v
+
+    # -- arithmetic (two's-complement wrap / IEEE doubles) ------------
+
+    def _int_out(self, dt):
+        """(range, wrap) for an integer result dtype."""
+        if dt == "bigint":
+            return _I64, _wrap64
+        if dt == "int":
+            return _I32, _wrap32
+        raise _Unsupported(f"int:{dt}")   # small ints: let Catalyst
+
+    def _arith(self, e, iop, fop):
+        dt = e.dataType().simpleString()
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        if dt == "double":
+            def ev(r):
+                a, b = l(r), r_(r)
+                return None if a is None or b is None else fop(a, b)
+            return ev
+        (lo, hi), wrap = self._int_out(dt)
+        if self.ansi:
+            def ev(r):
+                a, b = l(r), r_(r)
+                if a is None or b is None:
+                    return None
+                v = iop(a, b)
+                if v < lo or v > hi:      # ANSI overflow: Spark throws
+                    raise PyEvalEscape()
+                return v
+        else:
+            def ev(r):
+                a, b = l(r), r_(r)
+                return None if a is None or b is None else wrap(iop(a, b))
+        return ev
+
+    def _c_Add(self, e):
+        return self._arith(e, lambda a, b: a + b, lambda a, b: a + b)
+
+    def _c_Subtract(self, e):
+        return self._arith(e, lambda a, b: a - b, lambda a, b: a - b)
+
+    def _c_Multiply(self, e):
+        return self._arith(e, lambda a, b: a * b, lambda a, b: a * b)
+
+    def _c_UnaryMinus(self, e):
+        dt = e.dataType().simpleString()
+        c = self.compile(e.child())
+        if dt == "double":
+            return lambda r: None if c(r) is None else -c(r)
+        (lo, hi), wrap = self._int_out(dt)
+        if self.ansi:
+            def ev(r):
+                v = c(r)
+                if v is None:
+                    return None
+                if -v < lo or -v > hi:    # -INT_MIN overflows
+                    raise PyEvalEscape()
+                return -v
+            return ev
+        return lambda r: None if c(r) is None else wrap(-c(r))
+
+    def _c_Remainder(self, e):
+        # Java %: sign follows the DIVIDEND (Python's follows the
+        # divisor — adjust); zero divisor: ANSI throws (escape),
+        # non-ANSI yields NULL.
+        dt = e.dataType().simpleString()
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        ansi = self.ansi
+        if dt in _INT_DTS:
+            def ev(r):
+                a, b = l(r), r_(r)
+                if a is None or b is None:
+                    return None
+                if b == 0:
+                    if ansi:
+                        raise PyEvalEscape()
+                    return None
+                m = abs(a) % abs(b)     # exact; fmod loses >2^53
+                return m if a >= 0 else -m
+        elif dt == "double":
+            def ev(r):
+                a, b = l(r), r_(r)
+                if a is None or b is None:
+                    return None
+                return math.fmod(a, b)
+        else:
+            raise _Unsupported(f"mod:{dt}")
+        return ev
+
+    def _c_Cast(self, e):
+        src = e.child().dataType().simpleString()
+        dst = e.dataType().simpleString()
+        c = self.compile(e.child())
+        if src == "void":
+            return lambda r: None         # cast of a NULL literal
+        if src == dst:
+            return c
+        if src in _INT_DTS and dst == "bigint":
+            return c                      # widening, exact
+        if src in ("tinyint", "smallint") and dst == "int":
+            return c
+        if src in _INT_DTS and dst == "double":
+            # (double)(long): Python float() rounds half-even the same
+            return lambda r: None if c(r) is None else float(c(r))
+        if src == "bigint" and dst == "int":
+            if self.ansi:
+                def ev(r):
+                    v = c(r)
+                    if v is None:
+                        return None
+                    if v < _I32[0] or v > _I32[1]:
+                        raise PyEvalEscape()
+                    return v
+                return ev
+            return lambda r: None if c(r) is None else _wrap32(c(r))
+        raise _Unsupported(f"cast:{src}->{dst}")
+
+    # -- comparisons ---------------------------------------------------
+
+    def _cmp(self, e, keep):
+        ldt = e.left().dataType().simpleString()
+        if ldt not in _CMP_DTS:
+            raise _Unsupported(f"cmp:{ldt}")
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        if ldt == "double":
+            def ev(r):
+                a, b = l(r), r_(r)
+                if a is None or b is None:
+                    return None
+                return _dcmp(a, b) in keep
+        else:
+            def ev(r):
+                a, b = l(r), r_(r)
+                if a is None or b is None:
+                    return None
+                return ((a > b) - (a < b)) in keep
+        return ev
+
+    def _c_EqualTo(self, e):
+        return self._cmp(e, (0,))
+
+    def _c_GreaterThan(self, e):
+        return self._cmp(e, (1,))
+
+    def _c_GreaterThanOrEqual(self, e):
+        return self._cmp(e, (0, 1))
+
+    def _c_LessThan(self, e):
+        return self._cmp(e, (-1,))
+
+    def _c_LessThanOrEqual(self, e):
+        return self._cmp(e, (-1, 0))
+
+    def _c_EqualNullSafe(self, e):
+        ldt = e.left().dataType().simpleString()
+        if ldt not in _CMP_DTS:
+            raise _Unsupported(f"cmp:{ldt}")
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        dbl = ldt == "double"
+        def ev(r):
+            a, b = l(r), r_(r)
+            if a is None or b is None:
+                return a is None and b is None
+            return _dcmp(a, b) == 0 if dbl else a == b
+        return ev
+
+    # -- boolean 3VL ---------------------------------------------------
+
+    def _c_And(self, e):
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        def ev(r):
+            a, b = l(r), r_(r)
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
+        return ev
+
+    def _c_Or(self, e):
+        l, r_ = self.compile(e.left()), self.compile(e.right())
+        def ev(r):
+            a, b = l(r), r_(r)
+            if a is True or b is True:
+                return True
+            if a is None or b is None:
+                return None
+            return False
+        return ev
+
+    def _c_Not(self, e):
+        c = self.compile(e.child())
+        return lambda r: None if c(r) is None else not c(r)
+
+    def _c_IsNull(self, e):
+        c = self.compile(e.child())
+        return lambda r: c(r) is None
+
+    def _c_IsNotNull(self, e):
+        c = self.compile(e.child())
+        return lambda r: c(r) is not None
+
+    # -- conditionals --------------------------------------------------
+
+    def _c_Coalesce(self, e):
+        cs = [self.compile(x) for x in _scala_seq(e.children())]
+        def ev(r):
+            for c in cs:
+                v = c(r)
+                if v is not None:
+                    return v
+            return None
+        return ev
+
+    def _c_If(self, e):
+        p = self.compile(e.predicate())
+        t_ = self.compile(e.trueValue())
+        f_ = self.compile(e.falseValue())
+        return lambda r: t_(r) if p(r) is True else f_(r)
+
+    def _c_CaseWhen(self, e):
+        branches = [(self.compile(b._1()), self.compile(b._2()))
+                    for b in _scala_seq(e.branches())]
+        opt = e.elseValue()
+        els = self.compile(opt.get()) if opt.isDefined() else (lambda r: None)
+        def ev(r):
+            for p, v in branches:
+                if p(r) is True:
+                    return v(r)
+            return els(r)
+        return ev
+
+    # -- strings -------------------------------------------------------
+
+    def _c_Lower(self, e):
+        c = self.compile(e.child())
+        def ev(r):
+            s = c(r)
+            if s is None:
+                return None
+            if not s.isascii():     # Java/Python unicode case maps differ
+                raise PyEvalEscape()
+            return s.lower()
+        return ev
+
+    def _c_Upper(self, e):
+        c = self.compile(e.child())
+        def ev(r):
+            s = c(r)
+            if s is None:
+                return None
+            if not s.isascii():
+                raise PyEvalEscape()
+            return s.upper()
+        return ev
+
+    def _c_Length(self, e):
+        if e.child().dataType().simpleString() != "string":
+            raise _Unsupported("length:non-string")
+        c = self.compile(e.child())
+        # Spark Length(string) counts code points == Python len
+        return lambda r: None if c(r) is None else len(c(r))
+
+    def _c_Concat(self, e):
+        if e.dataType().simpleString() != "string":
+            raise _Unsupported("concat:non-string")
+        cs = [self.compile(x) for x in _scala_seq(e.children())]
+        def ev(r):
+            parts = [c(r) for c in cs]
+            if any(p is None for p in parts):
+                return None
+            return "".join(parts)
+        return ev
+
+    def _c_StringSplit(self, e):
+        rx, lim = e.regex(), e.limit()
+        if rx.getClass().getSimpleName() != "Literal" \
+                or lim.getClass().getSimpleName() != "Literal":
+            raise _Unsupported("split:non-literal args")
+        if _lit_value(lim) != -1:
+            raise _Unsupported("split:limit")
+        pat_s = _lit_value(rx)
+        if not _split_pattern_ok(pat_s):
+            raise _Unsupported(f"split:pattern {pat_s!r}")
+        pat = re.compile(pat_s, re.ASCII)
+        c = self.compile(e.str())
+        def ev(r):
+            s = c(r)
+            if s is None:
+                return None
+            # limit -1: trailing empties kept; TUPLE to match
+            # collect_rows' canonical (hashable) array representation
+            return tuple(pat.split(s))
+        return ev
+
+
+class CompiledChain:
+    """A Project/Filter pipeline compiled from one linear node's fn.
+    `run` realigns incoming tuples by name (RDelta column order varies
+    tick to tick), applies each op row-wise, and returns tuples in the
+    chain's OUTPUT column order (identical to what the Catalyst fold's
+    collect would produce)."""
+
+    def __init__(self, in_cols: list[str], ops: list, out_cols: list[str],
+                 out_schema: T.StructType):
+        self.in_cols = in_cols
+        self.ops = ops              # ("project", [fns]) | ("filter", fn)
+        self.out_cols = out_cols
+        self.out_schema = out_schema
+
+    def run(self, rows: list[tuple], cols: list[str]) -> list[tuple]:
+        if cols != self.in_cols:
+            pos = {c: i for i, c in enumerate(cols)}
+            picks = [pos[c] for c in self.in_cols]
+            rows = [tuple(r[i] for i in picks) for r in rows]
+        for kind, payload in self.ops:
+            if kind == "project":
+                rows = [tuple(f(r) for f in payload) for r in rows]
+            else:
+                rows = [r for r in rows if payload(r) is True]
+        return rows
+
+
+def compile_fn(spark: SparkSession, fn, in_schema: T.StructType
+               ) -> CompiledChain | None:
+    """Apply `fn` to an empty template of `in_schema`, walk the
+    analyzed plan, and compile a Python chain — or None when anything
+    (plan shape, expression class, dtype) falls outside the verified
+    subset.  Duplicate input names refuse (attribute lookup is by
+    name)."""
+    in_cols = [f.name for f in in_schema.fields]
+    if len(set(in_cols)) != len(in_cols):
+        return None
+    try:
+        from .resident import rows_to_df
+        tpl = rows_to_df(spark, [], in_schema)
+        out = fn(tpl)
+        node = out._jdf.queryExecution().analyzed()
+        stack = []
+        while True:
+            cls = node.getClass().getSimpleName()
+            if cls in ("LocalRelation", "LogicalRDD"):
+                break
+            if cls not in ("Project", "Filter"):
+                return None
+            stack.append(node)
+            node = node.children().apply(0)
+        ansi = str(spark.conf.get("spark.sql.ansi.enabled",
+                                  "true")).lower() == "true"
+        cols = in_cols
+        ops: list = []
+        for nd in reversed(stack):
+            cmap = {c: i for i, c in enumerate(cols)}
+            ec = _ExprCompiler(cmap, ansi)
+            if nd.getClass().getSimpleName() == "Project":
+                nes = _scala_seq(nd.projectList())
+                ops.append(("project", [ec.compile(e) for e in nes]))
+                cols = [e.name() for e in nes]
+            else:
+                ops.append(("filter", ec.compile(nd.condition())))
+        return CompiledChain(in_cols, ops, cols, out.schema)
+    except (_Unsupported, PyEvalEscape):
+        return None
+    except Exception:
+        return None     # any py4j surprise: refuse, keep Catalyst

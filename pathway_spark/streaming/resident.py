@@ -1073,6 +1073,7 @@ class _ThetaBandKernel:
         self.ma: _BandedMirror | None = None
         self.mb: _BandedMirror | None = None
         self._exact = True
+        self._orig = None
 
     def ensure(self) -> bool:
         n = self.node
@@ -1088,11 +1089,20 @@ class _ThetaBandKernel:
         conv_r, exact_r = _band_conv(r_by.get(meta["rtime"]), meta["micros"])
         if conv_l is None or conv_r is None or exact_l != exact_r:
             return False
+        orig = None
         if meta.get("int_only") and not exact_l:
             # the declarer REARRANGED its predicate into band form
-            # (t ∈ [p+lo, p+up] ⇒ p ∈ [t-up, t-lo]) — exact only under
-            # integer arithmetic; float axes keep the Catalyst join
-            return False
+            # (t ∈ [p+L, p+U] ⇒ p ∈ [t-U, t-L]) — exact only under
+            # integer arithmetic.  Float axes are still bandable IF the
+            # meta carries `orig_bounds=(L, U)` (the original form):
+            # bands then only GENERATE (with ulp slack on the
+            # rearranged side) and every candidate re-checks the
+            # ORIGINAL predicate `ltime ∈ [rtime+L, rtime+U]` in IEEE
+            # doubles — the same ops Catalyst's Column expr runs
+            # (r9 verdict #6).  Without orig_bounds: Catalyst join.
+            orig = meta.get("orig_bounds")
+            if orig is None:
+                return False
         if meta["micros"] and not self.eng._tz_fixed():
             return False
         lo, hi = meta["lo"], meta["hi"]
@@ -1107,6 +1117,7 @@ class _ThetaBandKernel:
             return False
         self.ma, self.mb = ma, mb
         self._exact = exact_l
+        self._orig = orig
         self._conv_l, self._conv_r = conv_l, conv_r
         self._lo, self._hi = lo, hi
         return True
@@ -1143,7 +1154,25 @@ class _ThetaBandKernel:
             else:
                 out[row] = nw
 
-        # dA ⋈θ B_new — bands from the predicate's own bounds: exact
+        # candidate re-check: the declared band form `rtime ∈
+        # [ltime+lo, ltime+hi]` when that IS the predicate, or —
+        # rearranged float metas (intervals_over) — the ORIGINAL
+        # `ltime ∈ [rtime+L, rtime+U]`, so the accepted pairs are
+        # exactly Catalyst's under IEEE double arithmetic
+        orig = self._orig
+        if orig is not None:
+            L_, U_ = orig
+
+            def match(plt, prt):
+                return _in_range(plt, prt + L_, prt + U_)
+        else:
+            def match(plt, prt):
+                return _in_range(prt, plt + lo, plt + hi)
+
+        # dA ⋈θ B_new — bands from the declared bounds: exact when
+        # they are the predicate's own values; ulp slack when they are
+        # the float-rearranged form (orig set ⇒ never exact ints)
+        s1 = 1 if orig is not None else 0
         for a_data, wa in da_pairs:
             ltv = a_data[alt]
             k = tuple(a_data[i] for i in akp)
@@ -1152,13 +1181,14 @@ class _ThetaBandKernel:
             plt = conv_l(ltv)
             lo_v, hi_v = plt + lo, plt + hi
             for b_data, wb in _probe_bands(mb.idx, db_idx, k,
-                                           lo_v, hi_v, 0, W):
-                if _in_range(conv_r(b_data[brt]), lo_v, hi_v):
+                                           lo_v, hi_v, s1, W):
+                if match(plt, conv_r(b_data[brt])):
                     emit(a_data, b_data, wa * wb)
-        # A_old ⋈θ dB — the rearranged band range is approximate for
-        # doubles (rounding), hence the slack; the predicate re-check
-        # below is the original, exact form
-        slack = 0 if self._exact else 1
+        # A_old ⋈θ dB — the REARRANGED side swaps with orig: for band
+        # metas [prt-hi, prt-lo] is the rearrangement (slack on
+        # doubles); for orig metas it equals the original [prt+L,
+        # prt+U] — the predicate's own bounds, slack-free
+        s2 = 0 if (self._exact or orig is not None) else 1
         for b_data, wb in db_pairs:
             rtv = b_data[brt]
             k = tuple(b_data[i] for i in bkp)
@@ -1166,9 +1196,9 @@ class _ThetaBandKernel:
                 continue
             prt = conv_r(rtv)
             for a_data, wa in _probe_bands(ma.idx, None, k,
-                                           prt - hi, prt - lo, slack, W):
+                                           prt - hi, prt - lo, s2, W):
                 plt = conv_l(a_data[alt])
-                if _in_range(prt, plt + lo, plt + hi):
+                if match(plt, prt):
                     emit(a_data, b_data, wa * wb)
 
         if da.rows:
@@ -1242,8 +1272,30 @@ class _KeyedRecomputeUnaryKernel:
             # top-k) can skip the per-tick Spark round trip; returning
             # None (NULL/NaN ordering corners, anything unhandled)
             # falls back to the authoritative Spark op
-            py = getattr(node, "_py_op", None)
+            py = (None if getattr(node, "_py_op_off", False)
+                  else getattr(node, "_py_op", None))
             res = py(in_rows, s_cols) if py is not None else None
+            if res is not None and self.eng.PYOP_CHECK_EVERY:
+                # debug insurance on the _py_op trust surface (r9
+                # verdict #7): every Nth resident tick, cross-check the
+                # claimed exact-Python result against the authoritative
+                # Spark op; a mismatch revokes the hook for this node,
+                # and the Spark result flows either way on check ticks
+                self._pyop_n = getattr(self, "_pyop_n", 0) + 1
+                if self._pyop_n % self.eng.PYOP_CHECK_EVERY == 0:
+                    df = node._op(rows_to_df(self.eng.spark, in_rows,
+                                             self._in_schema))
+                    sc_, sr = df.columns, collect_rows(df)
+                    pc, pr_ = res
+                    same = set(pc) == set(sc_)
+                    if same:
+                        ix = [pc.index(c) for c in sc_]
+                        same = ([tuple(map(repr, (raw[i] for i in ix)))
+                                 for raw in pr_]
+                                == [tuple(map(repr, r)) for r in sr])
+                    if not same:
+                        node._py_op_off = True
+                    res = (sc_, sr)
             if res is None:
                 df = node._op(rows_to_df(self.eng.spark, in_rows,
                                          self._in_schema))
@@ -1798,6 +1850,16 @@ class ResidentEngine:
     runs the distributed path (after `detach`)."""
 
     COOLDOWN_TICKS = 8
+    # debug insurance on the pyexpr trust surface: when >0, an "on"
+    # node is cross-checked against the Catalyst fold every Nth tick
+    # (tests set this; production default trusts the first-tick
+    # verification + escape hatch)
+    PYEXPR_CHECK_EVERY = 0
+    # same insurance for library `_py_op` hooks (exact-Python op
+    # equivalents, e.g. incremental_bm25's top-k): every Nth resident
+    # tick the hook's result is byte-compared against the Spark op; a
+    # mismatch revokes the hook for that node (r9 verdict #7)
+    PYOP_CHECK_EVERY = 0
 
     def __init__(self, graph: "DifferentialGraph"):
         self.graph = graph
@@ -1809,6 +1871,13 @@ class ResidentEngine:
         self._elig: dict[tuple, bool] = {}
         self._memo: dict[int, tuple[int, RDelta]] = {}
         self._arrow_cache: dict[int, Any] = {}
+        # verified-Python expression evaluation per linear node
+        # (pyexpr.py): {id(node): {"state": verify|on|off, "cc", "n"}}
+        self._pyexpr: dict[int, dict] = {}
+        # observability: admission/detach event counters, surfaced on
+        # /status so a driver-OOM near-miss is visible BEFORE the byte
+        # cap trips (r9 verdict #8)
+        self.events = {"mirror_admissions": 0, "cap_detaches": 0}
 
     # -- store mirrors -------------------------------------------------------
 
@@ -1828,6 +1897,7 @@ class ResidentEngine:
         if not m.load():
             return None
         self.mirrors[id(store)] = m
+        self.events["mirror_admissions"] += 1
         return m
 
     def _banded_mirror_for(self, store, key_cols: list[str],
@@ -1846,6 +1916,7 @@ class ResidentEngine:
         if not m.load():
             return None
         self.mirrors[id(store)] = m
+        self.events["mirror_admissions"] += 1
         return m
 
     _tz_fixed_memo: bool | None = None
@@ -1972,6 +2043,7 @@ class ResidentEngine:
         for m in self.mirrors.values():
             if (m.n_rows > g.RESIDENT_MAX_STATE_ROWS
                     or m.est_bytes > g.RESIDENT_MAX_STATE_BYTES):
+                self.events["cap_detaches"] += 1
                 self.detach()
                 self._cooldown = self.COOLDOWN_TICKS
                 return None
@@ -2210,7 +2282,12 @@ class ResidentEngine:
             lt = getattr(ln, "_res_lit", None)
             hp = getattr(ln, "_res_hopping", None)
             if ex is None and pr is None and lt is None and hp is None:
-                fns.append(ln._fn)
+                ent = self._pyexpr_entry(ln, schema)
+                if ent["state"] == "off":
+                    fns.append(ln._fn)
+                    continue
+                flush()
+                cur, schema = self._pyexpr_advance(ent, ln, cur, schema)
                 continue
             if hp is not None:
                 flush()
@@ -2227,6 +2304,103 @@ class ResidentEngine:
                 cur, schema = self._route(cur, ln, pr, lt)
         flush()
         return cur
+
+    # -- verified-Python expression evaluation (pyexpr.py) --------------------
+
+    def _pyexpr_entry(self, ln, schema: T.StructType) -> dict:
+        """Compile the node's fn ONCE against its (fixed) input schema;
+        an un-compilable fn is pinned "off" and keeps its Catalyst
+        fold forever."""
+        ent = self._pyexpr.get(id(ln))
+        if ent is None:
+            from .pyexpr import compile_fn
+            cc = compile_fn(self.spark, ln._fn, schema)
+            ent = {"state": "verify" if cc is not None else "off",
+                   "cc": cc, "n": 0}
+            self._pyexpr[id(ln)] = ent
+        return ent
+
+    def _pyexpr_advance(self, ent: dict, ln, cur: RDelta,
+                        schema: T.StructType):
+        """One linear hop through the compiled Python chain.  States:
+        verify → dual-run vs the Catalyst fold, byte-compare (repr,
+        ordered) — a match on a non-empty tick turns the node "on", a
+        mismatch pins it "off" (the Catalyst result is returned either
+        way, so a bad compile can never corrupt output); on → Python
+        only, except every PYEXPR_CHECK_EVERY-th tick in debug mode;
+        PyEvalEscape (runtime value outside the exact domain) falls
+        back for this tick without changing state."""
+        from .pyexpr import PyEvalEscape
+
+        cc = ent["cc"]
+        ent["n"] += 1
+
+        def spark_eval():
+            df = ln._fn(rows_to_df(self.spark, cur.rows,
+                                   self._reorder_schema(schema, cur.cols)))
+            return RDelta(df.columns, collect_rows(df)), df.schema
+
+        if ent["state"] == "on" and not (
+                self.PYEXPR_CHECK_EVERY
+                and ent["n"] % self.PYEXPR_CHECK_EVERY == 0):
+            try:
+                rows = cc.run(cur.rows, cur.cols)
+            except PyEvalEscape:
+                return spark_eval()
+            except Exception:               # evaluator bug: pin Catalyst
+                ent["state"] = "off"
+                return spark_eval()
+            return RDelta(list(cc.out_cols), rows), cc.out_schema
+
+        out, out_schema = spark_eval()
+        try:
+            prows = cc.run(cur.rows, cur.cols)
+            srows = out.rows if out.cols == cc.out_cols else None
+            ok = (srows is not None
+                  and [tuple(map(repr, r)) for r in prows]
+                  == [tuple(map(repr, r)) for r in srows])
+        except PyEvalEscape:
+            return out, out_schema          # inconclusive: keep state
+        except Exception:
+            ent["state"] = "off"
+            return out, out_schema
+        if ok and cur.rows:
+            ent["state"] = "on"
+        elif not ok:
+            ent["state"] = "off"
+        return out, out_schema
+
+    def pyexpr_stats(self) -> dict[str, int]:
+        """Counts per state — surfaced on /status (monitoring)."""
+        out = {"on": 0, "verify": 0, "off": 0}
+        for ent in self._pyexpr.values():
+            out[ent["state"]] += 1
+        return out
+
+    def memory_stats(self) -> dict:
+        """Per-mirror driver-heap telemetry for /status (r9 verdict
+        #8): est_bytes against the cap per store, band counts on
+        banded arrangements, admission/detach event counters, pyexpr
+        states — so an approaching byte cap is observable before it
+        trips mid-stream."""
+        stores = []
+        for m in self.mirrors.values():
+            ent = {"kind": type(m).__name__.lstrip("_"),
+                   "rows": m.n_rows, "est_bytes": m.est_bytes}
+            idx = getattr(m, "idx", None)
+            if isinstance(m, _BandedMirror) and idx is not None:
+                ent["bands"] = len(idx)
+            stores.append(ent)
+        return {
+            "stores": stores,
+            "est_bytes_total": sum(s["est_bytes"] for s in stores),
+            "max_state_bytes_per_store":
+                self.graph.RESIDENT_MAX_STATE_BYTES,
+            "max_state_rows_per_store":
+                self.graph.RESIDENT_MAX_STATE_ROWS,
+            "events": dict(self.events),
+            "pyexpr": self.pyexpr_stats(),
+        }
 
     def _hopping_rows(self, d: RDelta, schema: T.StructType, ln,
                       tname: str, window):

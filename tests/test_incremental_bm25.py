@@ -103,3 +103,54 @@ def test_bm25_query_probes_not_corpus_rescan(spark):
     (x2,) = g.step(out, q=_qs(spark, [(10, "streaming checkpoints")]))
     rows = _snap(DifferentialGraph.integrate(x2.localCheckpoint(eager=True)))
     assert [r[:2] for r in rows] == [(10, 1)]
+
+
+def test_pyop_debug_check_revokes_on_mismatch(spark):
+    """The `_py_op` debug assert mode (r10): with PYOP_CHECK_EVERY=1
+    every resident top-k tick is byte-compared against the Spark op —
+    a healthy hook stays on and matches; a corrupted hook is REVOKED
+    (node pinned to the Spark op) and the emitted rows stay correct."""
+    from pathway_spark.streaming.resident import ResidentEngine
+
+    def run(corrupt: bool):
+        g = DifferentialGraph(spark)
+        d = g.source("d", _docs(spark, []).filter(F.lit(False)))
+        q = g.source("q", _qs(spark, []).filter(F.lit(False)))
+        out = incremental_bm25_topk(d, q, k=3)
+        (x1,) = g.step(out, d=_docs(spark, [(i, _D[i]) for i in (1, 2, 3)]),
+                       q=_qs(spark, [(100, _Q[100])]))
+        chunks = [x1.localCheckpoint(eager=True)]
+        if corrupt:
+            real = out._py_op
+
+            def bad(rows, cols):
+                res = real(rows, cols)
+                if res is None:
+                    return None
+                c, r = res
+                return c, [row[:-1] + (row[-1] + 1.0,) for row in r]
+            out._py_op = bad
+        (x2,) = g.step(out, q=_qs(spark, [(101, _Q[101]),
+                                          (102, _Q[102])]))
+        chunks.append(x2.localCheckpoint(eager=True))
+        (x3,) = g.step(out, q=_qs(spark, [(100, _Q[100])])
+                       .withColumn("_pw_diff", F.lit(-1)))
+        chunks.append(x3.localCheckpoint(eager=True))
+        g.restore_session_confs()
+        trace = chunks[0]
+        for c in chunks[1:]:
+            trace = trace.unionByName(c)
+        revoked = getattr(out, "_py_op_off", False)
+        return _snap(DifferentialGraph.integrate(trace)), revoked
+
+    want = sorted(_snap(_batch_bm25(spark, (1, 2, 3), (101, 102), 3)))
+    old = ResidentEngine.PYOP_CHECK_EVERY
+    ResidentEngine.PYOP_CHECK_EVERY = 1
+    try:
+        good, rev_good = run(False)
+        bad, rev_bad = run(True)
+    finally:
+        ResidentEngine.PYOP_CHECK_EVERY = old
+    assert good == bad == want      # output correct either way
+    assert not rev_good
+    assert rev_bad, "corrupted _py_op must be revoked by the check"

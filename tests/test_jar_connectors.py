@@ -79,3 +79,43 @@ def test_kafka_json_envelope_roundtrip(spark):
     got = sorted((r["id"], r["v"]) for r in back.to_df()
                  .select("id", "v").collect())
     assert got == [(1, "x"), (2, "y")]
+
+
+@pytest.mark.jars
+def test_kafka_shard_worker_wire(spark, tmp_path):
+    """The one piece the always-on protocol-parity test can't reach:
+    KafkaShardFeed's real fetch + write_kafka_feed_batch through a
+    broker.  Needs the kafka jars AND PW_KAFKA_BOOTSTRAP."""
+    if not _has_class(
+            spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"):
+        pytest.skip("spark-sql-kafka jars not on the classpath")
+    bootstrap = os.environ.get("PW_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("PW_KAFKA_BOOTSTRAP not set")
+    from pathway_spark.streaming.shard_worker import (
+        KafkaShardFeed, run_shard_worker, write_kafka_feed_batch)
+
+    topic = f"pwshard_{uuid.uuid4().hex[:8]}"
+    root = str(tmp_path)
+    with open(f"{root}/program.py", "w") as f:
+        f.write(
+            "from pyspark.sql import functions as F\n"
+            "def build(g):\n"
+            "    tpl = g.spark.createDataFrame([], 'user long, amount long')\n"
+            "    src = g.source('t', tpl)\n"
+            "    return src.reduce(['user'], total=('sum', 'amount'))\n")
+    for t, rows in enumerate([[(1, 10), (2, 5)], [(1, 3), (3, 7)]], start=1):
+        write_kafka_feed_batch(
+            spark, spark.createDataFrame(rows, "user long, amount long"),
+            bootstrap_servers=bootstrap, topic=topic, t=t,
+            shards=2, key=["user"])
+    total = 0
+    for shard in (0, 1):
+        feed = KafkaShardFeed(bootstrap_servers=bootstrap,
+                              topic_of=lambda s: topic)
+        total += run_shard_worker(
+            spark, f"{root}/program.py", shard_id=shard, shards=2,
+            key=["user"], state_root=f"{root}/state",
+            transport=feed, out_dir=f"{root}/out",
+            poll_interval=0.5, stop_after_time=2, idle_timeout=60)
+    assert total == 4      # 2 batches x 2 shards

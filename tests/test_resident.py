@@ -1042,34 +1042,47 @@ def test_global_keyless_reduce(spark):
     assert a == b
 
 
-def test_intervals_over_live_resident_equivalence(spark):
+@pytest.mark.parametrize("axis", ["long", "double"])
+def test_intervals_over_live_resident_equivalence(spark, axis):
     """Live intervals_over (θ join against at-points, banded with the
     rearranged int-only metadata) + per-point reduce: resident vs
-    distributed traces through data and at-point churn."""
+    distributed traces through data and at-point churn.  The double
+    axis (r10) exercises orig_bounds: bands generate with ulp slack on
+    the rearranged side and every candidate re-checks the ORIGINAL
+    `t ∈ [p+lo, p+up]` in IEEE doubles — Catalyst-identical, including
+    inexact decimal bounds and on-boundary values."""
     import pathway_spark as pw
     from pathway_spark import this, reducers as r
     from pathway_spark.streaming.diff_table import DifferentialTableGraph
 
-    dtpl = spark.createDataFrame([], "t long, v long")
-    atpl = spark.createDataFrame([], "p long")
+    dbl = axis == "double"
+
+    def tv(x):       # 0.1 steps: deliberately inexact doubles
+        return x * 0.1 if dbl else x
+
+    dtpl = spark.createDataFrame([], f"t {axis}, v long")
+    atpl = spark.createDataFrame([], f"p {axis}")
     d0 = spark.createDataFrame(
-        [(i * 3 % 50, i) for i in range(60)], dtpl.schema)
-    a0 = spark.createDataFrame([(5,), (20,), (37,)], atpl.schema)
+        [(tv(i * 3 % 50), i) for i in range(60)], dtpl.schema)
+    a0 = spark.createDataFrame([(tv(5),), (tv(20),), (tv(37),)],
+                               atpl.schema)
+    dsch = f"t {axis}, v long, _pw_diff long"
+    asch = f"p {axis}, _pw_diff long"
     ticks = [
-        dict(d=spark.createDataFrame([(21, 500, 1), (0, 0, -1)],
-                                     "t long, v long, _pw_diff long")),
-        dict(a=spark.createDataFrame([(11, 1)], "p long, _pw_diff long")),
-        dict(a=spark.createDataFrame([(20, -1)], "p long, _pw_diff long"),
-             d=spark.createDataFrame([(39, 7, 1)],
-                                     "t long, v long, _pw_diff long")),
+        dict(d=spark.createDataFrame([(tv(21), 500, 1), (tv(0), 0, -1)],
+                                     dsch)),
+        dict(a=spark.createDataFrame([(tv(11), 1)], asch)),
+        dict(a=spark.createDataFrame([(tv(20), -1)], asch),
+             d=spark.createDataFrame([(tv(39), 7, 1)], dsch)),
     ]
+    lo, up = (-0.43, 0.62) if dbl else (-4, 6)
 
     def drive(resident):
         g = DifferentialTableGraph(spark, resident=resident)
         data, pts = g.input("d", dtpl), g.input("a", atpl)
         win = data.windowby(
             this.t, window=pw.temporal.intervals_over(
-                at=pts, lower_bound=-4, upper_bound=6)
+                at=pts, lower_bound=lo, upper_bound=up)
         ).reduce(n=r.count(), s=r.sum(this.v))
         (o0,) = g.step(win.node, d=d0, a=a0)
         traces = [_trace(tuple(x) for x in o0.collect())]
@@ -1084,6 +1097,7 @@ def test_intervals_over_live_resident_equivalence(spark):
     a, act = drive(True)
     b, _ = drive(False)
     assert a == b
+    assert any(len(t) > 1 for t in a)       # windows actually populated
     assert all(act), f"intervals_over ticks should run resident: {act}"
 
 

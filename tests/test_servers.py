@@ -278,6 +278,20 @@ def test_monitoring_differential_topology(spark):
         assert red["dist_ticks"] >= 1, red     # batch 0 ran distributed
         assert red["res_ticks"] >= 1, red      # the steady tick resident
         assert red["inputs"], red              # edges present
+        # r10: mirror-memory telemetry — bytes/rows per store, caps,
+        # admission/detach events, pyexpr states — observable before
+        # a cap trips
+        mem = topo["resident_memory"]
+        assert mem["events"]["mirror_admissions"] >= 1, mem
+        assert mem["est_bytes_total"] > 0, mem
+        assert mem["stores"] and all(
+            s["est_bytes"] > 0 and s["rows"] > 0 for s in mem["stores"])
+        assert mem["max_state_bytes_per_store"] > 0
+        assert set(mem["pyexpr"]) == {"on", "verify", "off"}
+        # and the Prometheus face carries the totals
+        metrics = _json.load(urllib.request.urlopen(f"{url}/metrics"))
+        assert any(k.startswith("pathway_spark_resident_state_bytes")
+                   for k in metrics), sorted(metrics)[:8]
     finally:
         mon.stop()
         g.restore_session_confs()

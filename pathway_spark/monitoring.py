@@ -259,6 +259,21 @@ async function tick() {
       head.textContent = `differential graph #${gr.graph} — t=${gr.t}, ` +
         `${gr.n_nodes} nodes` + (gr.resident_active ? " (resident)" : "");
       dv.appendChild(head);
+      const mem = gr.resident_memory;
+      if (mem && mem.stores.length) {
+        const ml = document.createElement("div");
+        ml.className = "mem";
+        const mb = (b) => (b / 1048576).toFixed(2) + " MiB";
+        ml.textContent =
+          `resident state ${mb(mem.est_bytes_total)} across ` +
+          `${mem.stores.length} mirrors (cap ` +
+          `${mb(mem.max_state_bytes_per_store)}/store) — ` +
+          `admissions ${mem.events.mirror_admissions}, ` +
+          `cap detaches ${mem.events.cap_detaches}; pyexpr ` +
+          `on/verify/off ${mem.pyexpr.on}/${mem.pyexpr.verify}/` +
+          `${mem.pyexpr.off}`;
+        dv.appendChild(ml);
+      }
       const tbl = document.createElement("table");
       tbl.innerHTML = "<thead><tr><th>#</th><th>operator</th>" +
         "<th>inputs</th><th>res ticks</th><th>res ms</th>" +

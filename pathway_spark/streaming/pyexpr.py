@@ -511,7 +511,11 @@ def compile_fn(spark: SparkSession, fn, in_schema: T.StructType
         cols = in_cols
         ops: list = []
         for nd in reversed(stack):
-            cmap = {c: i for i, c in enumerate(cols)}
+            if len(set(cols)) != len(cols):
+                # duplicate names between chained ops: Spark resolves
+                # by exprId, name-based lookup would guess — refuse
+                return None
+            cmap = {c: j for j, c in enumerate(cols)}
             ec = _ExprCompiler(cmap, ansi)
             if nd.getClass().getSimpleName() == "Project":
                 nes = _scala_seq(nd.projectList())

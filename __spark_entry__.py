@@ -898,7 +898,14 @@ def q39_graduations(spark, sf):
       withdraws its vertices and re-settles every surviving rank.
       1e-9 fixed-point integer ranks hash-match the q51 unrolled-CTE
       recurrence over the live edge set (reference
-      stdlib/graphs/pagerank/impl.py, live with retraction)."""
+      stdlib/graphs/pagerank/impl.py, live with retraction).
+    - part='bf_live' (round 10): cascade Bellman-Ford
+      (`incremental_bellman_ford_cascade`) — cutting the 100<->101
+      chain link flips region 0's component to unreachable (d NULL)
+      and re-settles every distance that routed through it; float
+      path sums are per-path deterministic, so the trace hash-matches
+      an unrolled relaxation in DuckDB (reference
+      stdlib/graphs/bellman_ford)."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -1144,6 +1151,44 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("rank").cast("double").alias("num"))
 
+    # ---- bf_live: cascade Bellman-Ford shortest paths w/ RETRACTION -
+    # single-source shortest paths over the symmetric nation↔hub star
+    # plus a hub chain; tick 3 cuts the 100↔101 chain link, so region
+    # 0's whole component flips to unreachable (d -> NULL) and every
+    # distance that routed through it re-settles.  Float path sums are
+    # deterministic per path (one addition per hop, MIN selection
+    # only), so the integrated (w, d) trace hash-matches an unrolled
+    # relaxation in DuckDB (reference stdlib/graphs/bellman_ford).
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_bellman_ford_cascade)
+
+    dist9 = ((F.pmod(F.col("u") * 7 + F.col("v") * 3, F.lit(13)) + 1)
+             .cast("double") * 0.1)
+    star9 = sym_pr.select("u", "v", dist9.alias("dist"), "r")
+    chain9 = spark.createDataFrame(
+        [(100 + r, 101 + r) for r in range(4)]
+        + [(101 + r, 100 + r) for r in range(4)],
+        "u long, v long").select("u", "v", dist9.alias("dist"))
+    g9 = DifferentialGraph(spark)
+    e9 = g9.source("e", star9.select("u", "v", "dist").limit(0))
+    bf9 = incremental_bellman_ford_cascade(e9, 1)
+    ev9b = F.pmod(F.col("u"), F.lit(2)) == 0
+    (b1,) = g9.step(bf9, e=star9.filter(ev9b).select("u", "v", "dist"))
+    (b2,) = g9.step(bf9, e=star9.filter(~ev9b).select("u", "v", "dist")
+                    .unionByName(chain9))
+    (b3,) = g9.step(bf9, e=chain9.filter(
+        F.col("u").isin(100, 101) & F.col("v").isin(100, 101))
+        .withColumn("_pw_diff", F.lit(-1)))
+    g9.restore_session_confs()
+    bf_trace = (b1.localCheckpoint(eager=True)
+                .unionByName(b2.localCheckpoint(eager=True))
+                .unionByName(b3.localCheckpoint(eager=True)))
+    bfl = DifferentialGraph.integrate(bf_trace).select(
+        F.lit("bf_live").alias("part"),
+        F.col("w").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("d").cast("double").alias("num"))
+
     # ---- interval_live: banded θ kernel, live temporal join (r9) ----
     # stream-stream interval join WITH retraction over the orders
     # table: left/right halves arrive on different ticks, a third tick
@@ -1185,7 +1230,7 @@ def q39_graduations(spark, sf):
             .unionByName(bm).unionByName(ccl)
             .unionByName(tkl).unionByName(anl)
             .unionByName(ddl).unionByName(itl).unionByName(prl)
-            .unionByName(ivo))
+            .unionByName(bfl).unionByName(ivo))
 
 
 def q40_iterate(spark, sf):
@@ -2030,6 +2075,31 @@ def _pagerank_chain_sql(steps: int = 5) -> str:
     return ",\n    ".join(ctes)
 
 
+def _bf_chain_sql(start: int, rounds: int = 40) -> str:
+    """Bellman-Ford relaxation unrolled into chained CTEs d0..d{rounds}
+    over pre-existing CTEs `e` (u, v, dist) and `verts` — mirrors
+    `incremental_bellman_ford_cascade`'s round bit-for-bit: each
+    candidate is ONE double addition `d + dist` (per-path
+    deterministic), MIN/LEAST select among candidates and skip NULLs
+    in both engines, unreachable stays NULL.  `rounds` must exceed the
+    max hop count of any shortest path (vertex count bounds it)."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one TWICE, and DuckDB inlines plain CTEs — 2^rounds expansion
+    # (it surfaced as "Too many open files" re-scanning nation.parquet)
+    ctes = [f"""d0 AS MATERIALIZED (
+        SELECT w, CASE WHEN w = {start} THEN 0.0::DOUBLE END AS d
+        FROM verts)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+        SELECT v.w, LEAST(p.d, c.nd) AS d
+        FROM verts v
+        LEFT JOIN d{k - 1} p ON v.w = p.w
+        LEFT JOIN (SELECT e.v AS w, MIN(r.d + e.dist) AS nd
+                   FROM e JOIN d{k - 1} r ON e.u = r.w
+                   GROUP BY e.v) c ON v.w = c.w)""")
+    return ",\n    ".join(ctes)
+
+
 def _pagerank_oracle_sql(steps: int = 5) -> str:
     chain = _pagerank_chain_sql(steps)
     return f"""
@@ -2239,6 +2309,39 @@ def oracle_sql() -> dict[str, str]:
                 """ + _pagerank_chain_sql(5) + """
                 SELECT w, rank FROM r5
             ) pl
+            UNION ALL
+            SELECT 'bf_live' AS part, CAST(w AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(d AS DOUBLE) AS num
+            FROM (
+                WITH e AS (
+                    SELECT u, v,
+                           ((u * 7 + v * 3) % 13 + 1)::DOUBLE * 0.1
+                               AS dist
+                    FROM (
+                        SELECT CAST(n_nationkey AS BIGINT) AS u,
+                               CAST(100 + n_regionkey AS BIGINT) AS v
+                        FROM nation
+                        UNION ALL
+                        SELECT CAST(100 + n_regionkey AS BIGINT),
+                               CAST(n_nationkey AS BIGINT)
+                        FROM nation
+                        UNION ALL
+                        SELECT CAST(100 + r AS BIGINT),
+                               CAST(101 + r AS BIGINT)
+                        FROM range(4) t(r) WHERE r <> 0
+                        UNION ALL
+                        SELECT CAST(101 + r AS BIGINT),
+                               CAST(100 + r AS BIGINT)
+                        FROM range(4) t(r) WHERE r <> 0
+                    )
+                ), verts AS (
+                    SELECT DISTINCT w FROM (
+                        SELECT u AS w FROM e UNION ALL SELECT v FROM e)
+                ),
+                """ + _bf_chain_sql(1, 40) + """
+                SELECT w, d FROM d40
+            ) bl
             UNION ALL
             SELECT 'dedup_live' AS part,
                    CAST(id_a AS VARCHAR) || ':'

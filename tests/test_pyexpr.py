@@ -254,3 +254,75 @@ def test_engine_escape_falls_back_per_tick(spark):
     b, _, _ = _drain(spark, batches, resident=False)
     assert a == b
     assert g._res_engine.pyexpr_stats()["on"] == 1
+
+
+def test_math_and_string_extensions(spark):
+    """r10 second batch: Divide (ANSI-aware), Abs, Sqrt, Log/Exp (JVM
+    handle — bit-identical by construction), space-only trims, string
+    predicates, concat_ws — all repr-exact vs the Catalyst fold."""
+    rows = [(1, 2, 0.5, " \tpad me ", True, 1, 0),
+            (2, -3, 4.0, "", False, 1, 0),
+            (None, None, None, None, None, 1, 1),
+            (3, 5, -1.5, "abc def", True, -1, 1),
+            (4, 7, NAN, "xyz", False, 1, 2),
+            (5, 9, INF, " s", None, 1, 2)]
+    _dual(spark, lambda df: df.select(
+        (F.col("d") / 2.0).alias("dv"),
+        (F.col("d") / F.col("d")).alias("dd"),
+        F.abs(F.col("d")).alias("ad"),
+        F.abs(F.col("j")).alias("aj"),
+        F.sqrt(F.col("d")).alias("sq"),
+        F.log(F.col("d") + 1.0).alias("lg"),
+        F.exp(F.col("d")).alias("ex"),
+        F.trim("s").alias("tr"),
+        F.ltrim("s").alias("lt"),
+        F.rtrim("s").alias("rt"),
+        F.col("s").contains("a").alias("ct"),
+        F.col("s").startswith(" ").alias("sw"),
+        F.col("s").endswith("e ").alias("ew"),
+        F.concat_ws("-", F.col("s"), F.lit("k")).alias("cw"),
+        "_pw_diff", "_pw_time"), rows=rows)
+
+
+def test_divide_by_zero_ansi_escape(spark):
+    cc = compile_fn(spark, lambda df: df.select(
+        (F.col("d") / F.col("d")).alias("x"), "_pw_diff", "_pw_time"), SCH)
+    assert cc is not None
+    bad = [(1, 1, 0.0, "x", True, 1, 0)]
+    with pytest.raises(PyEvalEscape):
+        cc.run(bad, COLS)
+
+
+def test_bm25_score_shape_compiles_exactly(spark):
+    """The exact expression shape incremental_bm25's fan-out select
+    uses — log/divide/casts over long columns — must compile and match
+    Catalyst byte-for-byte, so serving ticks stay JVM-free."""
+    sch = T.StructType([
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("__dlsum", T.LongType()),
+        T.StructField("__dln", T.LongType()),
+        T.StructField("_pw_diff", T.LongType()),
+        T.StructField("_pw_time", T.LongType()),
+    ])
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("__dlsum") / F.col("__dln")
+    s = (idf * (F.col("tf") * (k1 + 1))
+         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    fn = lambda df: df.select(s.alias("__s"), "_pw_diff", "_pw_time")
+    cc = compile_fn(spark, fn, sch)
+    assert cc is not None, "BM25 score shape must compile"
+    import random as _rnd
+    rng = _rnd.Random(4242)
+    rows = [(rng.randint(1, 40), rng.randint(5, 400), rng.randint(1, 90),
+             100, 20000, 100, 1, 0) for _ in range(120)]
+    cols = [f.name for f in sch.fields]
+    from pathway_spark.streaming.resident import collect_rows
+    prows = cc.run(rows, cols)
+    srows = collect_rows(fn(spark.createDataFrame(rows, sch)))
+    assert [tuple(map(repr, r)) for r in prows] \
+        == [tuple(map(repr, r)) for r in srows]

@@ -1577,7 +1577,22 @@ class _ReduceKernel:
     """Affected-key reduce with output-trace retraction.  `acc`
     strategy mirrors `_advance_acc` (per-key partials, Neumaier float
     merge); `slice` mirrors `_advance` (per-key recompute over the
-    input multiset)."""
+    input multiset).
+
+    FLOAT-SUM FOLD-ORDER NOTE (r10, adversarially probed): float
+    strict sums are fold-order-dependent in principle and NO layout
+    has a canonical order — the distributed slice path folds in Spark
+    partition order (itself unstable under repartitioning; that is
+    exactly why retraction uses the output TRACE, never a recompute),
+    the resident path folds in mirror order.  On NON-representable
+    data the two engines agree only to fold-order rounding (the
+    test_resident module docstring's long-standing caveat).  The r10
+    adversarial probe (±1e18 terms straddling tiny values, churn +
+    retraction) confirms both engines match an exact-Decimal ground
+    truth bit-for-bit at those magnitudes
+    (`test_float_sum_cancellation_exactness`); self-consistency (one
+    live row per key, trace retraction always cancels) holds
+    unconditionally."""
 
     def __init__(self, eng, node):
         self.eng = eng

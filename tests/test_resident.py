@@ -1330,3 +1330,61 @@ def test_live_left_asof_null_key_pads_like_batch(spark):
     # the surviving NULL-key left row is padded, the retracted one gone
     assert any(x[2] == 888 for x in snap), snap
     assert not any(x[2] == 999 for x in snap), snap
+
+
+def test_float_sum_cancellation_exactness(spark):
+    """Adversarial float strict sums: ±1e18 terms straddling tiny
+    values, with churn AND retraction.  At these magnitudes every
+    partial is exactly representable, so BOTH engines must match an
+    exact-Decimal ground truth bit-for-bit and integrate to exactly
+    one live row per key (trace retraction always cancels).  Data is
+    pre-built (never drawn inside the drive) so both engines see the
+    SAME multiset — a shared-RNG variant of this test once
+    manufactured a phantom 2e18 "divergence"."""
+    import collections
+    import decimal
+
+    rng = random.Random(7)
+    rows = [(i % 3, rng.choice([1e18, -1e18, 1.0, 1e-6, 3.14159,
+                                -2.71828])) for i in range(500)]
+    deltas = []
+    for i in range(3):
+        deltas.append([(i % 3, rng.choice([1e18, -1e18, 2.5]), 1),
+                       rows[i * 7] + (-1,)])
+
+    live = collections.Counter()
+    for r in rows:
+        live[r] += 1
+    for d in deltas:
+        for (k, v, w) in d:
+            live[(k, v)] += w
+    gt_s = collections.defaultdict(lambda: decimal.Decimal(0))
+    gt_n = collections.Counter()
+    for (k, v), w in live.items():
+        gt_s[k] += decimal.Decimal(v) * w
+        gt_n[k] += w
+
+    def run(resident):
+        base = spark.createDataFrame(rows, "k long, v double")
+        g = DifferentialGraph(spark, resident=resident)
+        src = g.source("t", base.limit(0))
+        out = src.reduce(["k"], s=("sum_strict", "v"), n=("count",))
+        (d0,) = g.step(out, t=base)
+        chunks = [d0.localCheckpoint(eager=True)]
+        for d in deltas:
+            (x,) = g.step(out, t=spark.createDataFrame(
+                d, "k long, v double, _pw_diff long"))
+            chunks.append(x.localCheckpoint(eager=True))
+        g.restore_session_confs()
+        tr = chunks[0]
+        for c in chunks[1:]:
+            tr = tr.unionByName(c)
+        snap = DifferentialGraph.integrate(tr).collect()
+        return {r["k"]: (r["s"], r["n"]) for r in snap}, len(snap)
+
+    for resident in (True, False):
+        got, nrows = run(resident)
+        assert nrows == len(got) == 3          # one live row per key
+        for k in got:
+            assert got[k][1] == gt_n[k]
+            assert got[k][0] == float(gt_s[k]), (resident, k, got[k])

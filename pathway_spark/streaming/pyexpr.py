@@ -369,6 +369,49 @@ class _ExprCompiler:
     def _c_EndsWith(self, e):
         return self._str_pred(e, lambda a, b: a.endswith(b))
 
+    def _c_In(self, e):
+        # col.isin(...): literals only; SQL IN three-valued logic —
+        # NULL value -> NULL, no match with a NULL in the list -> NULL
+        ldt = e.value().dataType().simpleString()
+        if ldt not in _CMP_DTS:
+            raise _Unsupported(f"in:{ldt}")
+        def const(x) -> bool:   # no column refs anywhere in the tree
+            if x.getClass().getSimpleName() == "AttributeReference":
+                return False
+            ch = x.children()
+            return all(const(ch.apply(i)) for i in range(ch.size()))
+
+        kids = _scala_seq(e.list())
+        vals = []
+        has_null = False
+        for x in kids:
+            if not const(x):    # analyzer wraps literals in casts
+                raise _Unsupported("in:non-constant list")
+            v = self.compile(x)(())
+            if v is None:
+                has_null = True
+            else:
+                vals.append(v)
+        c = self.compile(e.value())
+        if ldt == "double":
+            def ev(r):
+                v = c(r)
+                if v is None:
+                    return None
+                if any(_dcmp(v, x) == 0 for x in vals):
+                    return True
+                return None if has_null else False
+        else:
+            vset = set(vals)
+            def ev(r):
+                v = c(r)
+                if v is None:
+                    return None
+                if v in vset:
+                    return True
+                return None if has_null else False
+        return ev
+
     def _c_ConcatWs(self, e):
         kids = _scala_seq(e.children())
         for x in kids:

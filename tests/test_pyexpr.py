@@ -326,3 +326,19 @@ def test_bm25_score_shape_compiles_exactly(spark):
     srows = collect_rows(fn(spark.createDataFrame(rows, sch)))
     assert [tuple(map(repr, r)) for r in prows] \
         == [tuple(map(repr, r)) for r in srows]
+
+
+def test_isin_three_valued(spark):
+    """col.isin(...) under SQL IN semantics: NULL value -> NULL; a
+    NULL in the literal list turns a miss into NULL; double membership
+    uses Spark's NaN-equals-NaN comparison."""
+    rows = [(1, 1, 1.0, "a", True, 1, 0),
+            (2, 2, NAN, "b", False, 1, 0),
+            (None, None, None, None, None, 1, 1),
+            (7, 7, 2.5, "zz", True, -1, 1)]
+    _dual(spark, lambda df: df.select(
+        F.col("i").isin(1, 7).alias("a"),
+        F.col("s").isin("a", "zz").alias("b"),
+        F.col("i").isin(F.lit(2), F.lit(None).cast("long")).alias("c"),
+        F.col("d").isin(float("nan"), 9.9).alias("dn"),
+        "_pw_diff", "_pw_time"), rows=rows)

@@ -83,7 +83,10 @@ def _dcmp(a: float, b: float) -> int:
 _SPLIT_TOKEN = re.compile(
     r"""(?: \\[sSwWdD.\\+*?\[\]{}|^$-]   # escaped class / metachar
           | [A-Za-z0-9 _,:;!@#%&=<>/~'"`-]  # ASCII literal
-          | [.+*?|]                      # metachars, same both sides
+          | [+*?|]                       # metachars, same both sides;
+                                         # bare '.' is OUT -- Java '.'
+                                         # excludes CR/NEL/LS/PS, Python
+                                         # '.' excludes only LF
           | \[ \^? (?:\\[sSwWdD\\\]-]|[A-Za-z0-9 _,:;.!@#%&=<>/~'"`]
                      |-)+ \]             # simple char class
           | \{\d+(?:,\d*)?\}             # counted quantifier
@@ -99,6 +102,14 @@ def _split_pattern_ok(pat: str) -> bool:
         if m is None:
             return False
         pos = m.end()
+    # Zero-width-matchable patterns (e.g. 'a*') are OUT: Java split
+    # emits a leading empty field for a zero-width match at position 0,
+    # Python re.split does not -- input-dependent divergence.
+    try:
+        if re.compile(pat, re.ASCII).match("") is not None:
+            return False
+    except re.error:
+        return False
     return True
 
 
@@ -249,6 +260,10 @@ class _ExprCompiler:
             def ev(r):
                 a, b = l(r), r_(r)
                 if a is None or b is None:
+                    return None
+                if b == 0.0:            # fmod raises; Spark: NULL/throw
+                    if ansi:
+                        raise PyEvalEscape()
                     return None
                 return math.fmod(a, b)
         else:

@@ -1865,11 +1865,17 @@ class ResidentEngine:
     runs the distributed path (after `detach`)."""
 
     COOLDOWN_TICKS = 8
-    # debug insurance on the pyexpr trust surface: when >0, an "on"
-    # node is cross-checked against the Catalyst fold every Nth tick
-    # (tests set this; production default trusts the first-tick
-    # verification + escape hatch)
-    PYEXPR_CHECK_EVERY = 0
+    # insurance on the pyexpr trust surface: an "on" node is
+    # cross-checked against the Catalyst fold every Nth tick (r11:
+    # non-zero in production too — one dual-run per 1000 steady ticks
+    # is noise, and it bounds how long a latent divergence could run)
+    PYEXPR_CHECK_EVERY = 1000
+    # r11 (r10 verdict #1 hardening): "verify" flips to "on" only
+    # after this many non-empty byte-matching ticks OR this many
+    # cumulative byte-verified rows — a single thin first tick (e.g.
+    # all-NULL column) is no longer a sufficient witness
+    PYEXPR_VERIFY_TICKS = 3
+    PYEXPR_VERIFY_ROWS = 1000
     # same insurance for library `_py_op` hooks (exact-Python op
     # equivalents, e.g. incremental_bm25's top-k): every Nth resident
     # tick the hook's result is byte-compared against the Spark op; a
@@ -2331,7 +2337,7 @@ class ResidentEngine:
             from .pyexpr import compile_fn
             cc = compile_fn(self.spark, ln._fn, schema)
             ent = {"state": "verify" if cc is not None else "off",
-                   "cc": cc, "n": 0}
+                   "cc": cc, "n": 0, "vticks": 0, "vrows": 0}
             self._pyexpr[id(ln)] = ent
         return ent
 
@@ -2339,10 +2345,12 @@ class ResidentEngine:
                         schema: T.StructType):
         """One linear hop through the compiled Python chain.  States:
         verify → dual-run vs the Catalyst fold, byte-compare (repr,
-        ordered) — a match on a non-empty tick turns the node "on", a
-        mismatch pins it "off" (the Catalyst result is returned either
-        way, so a bad compile can never corrupt output); on → Python
-        only, except every PYEXPR_CHECK_EVERY-th tick in debug mode;
+        ordered) — the node turns "on" only after PYEXPR_VERIFY_TICKS
+        non-empty matches or PYEXPR_VERIFY_ROWS cumulative verified
+        rows (r11: one thin tick is not a witness); a mismatch pins it
+        "off" (the Catalyst result is returned either way, so a bad
+        compile can never corrupt output); on → Python only, except
+        every PYEXPR_CHECK_EVERY-th tick (non-zero by default in r11);
         PyEvalEscape (runtime value outside the exact domain) falls
         back for this tick without changing state."""
         from .pyexpr import PyEvalEscape
@@ -2379,9 +2387,17 @@ class ResidentEngine:
         except Exception:
             ent["state"] = "off"
             return out, out_schema
-        if ok and cur.rows:
-            ent["state"] = "on"
-        elif not ok:
+        if ok:
+            if cur.rows:
+                ent["vticks"] += 1
+                ent["vrows"] += len(cur.rows)
+            # an already-"on" node (periodic cross-check) stays on; a
+            # "verify" node needs the cumulative witness floor (r11)
+            if (ent["state"] == "on"
+                    or ent["vticks"] >= self.PYEXPR_VERIFY_TICKS
+                    or ent["vrows"] >= self.PYEXPR_VERIFY_ROWS):
+                ent["state"] = "on"
+        else:
             ent["state"] = "off"
         return out, out_schema
 

@@ -52,6 +52,12 @@ from pyspark.sql import functions as F
 from .differential import DifferentialGraph
 from .sharding import _shard_col, _validate_shardable
 
+# to_json's default timestampFormat truncates to milliseconds; the wire
+# protocol must round-trip the full microsecond precision parquet
+# transport carries, or "N workers == single-process run" breaks on
+# timestamp columns.  Same option string on BOTH producer and consumer.
+_WIRE_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 _T_RE = re.compile(r"^t=(\d+)$")
 
 
@@ -204,7 +210,8 @@ class KafkaShardFeed:
                 sch = T.StructType(fields)
                 raw = spark.createDataFrame(
                     [(json.dumps(r),) for r in rows], "v string")
-                df = (raw.select(F.from_json("v", sch).alias("r"))
+                df = (raw.select(
+                          F.from_json("v", sch, _WIRE_TS_OPTS).alias("r"))
                       .select("r.*"))
                 out.setdefault(batch_t, {})[src] = df
         return out
@@ -311,7 +318,8 @@ def kafka_feed_records(df, t: int, shards: int, key: list[str]
     import json
 
     part = df.select(_shard_col(key, shards).alias("__p"),
-                     F.to_json(F.struct(*df.columns)).alias("__v"))
+                     F.to_json(F.struct(*df.columns),
+                               _WIRE_TS_OPTS).alias("__v"))
     counts = {p: 0 for p in range(shards)}
     out = []
     for r in part.collect():

@@ -168,6 +168,12 @@ def test_refusals(spark):
         lambda df: df.withColumn("x", F.col("i").cast("string")),
         lambda df: df.withColumn("x", F.split(F.col("s"), r"(a)")),
         lambda df: df.withColumn("x", F.split(F.col("s"), "é")),
+        # bare '.': Java '.' excludes \r/NEL/LS/PS, Python '.' only \n
+        lambda df: df.withColumn("x", F.split(F.col("s"), ".")),
+        lambda df: df.withColumn("x", F.split(F.col("s"), "a.b")),
+        # zero-width-matchable: Java emits a leading empty field
+        lambda df: df.withColumn("x", F.split(F.col("s"), "a*")),
+        lambda df: df.withColumn("x", F.split(F.col("s"), r"\s*")),
         lambda df: df.withColumn("x", F.split(F.col("s"), " ", 2)),
         lambda df: df.groupBy("s").count(),
         lambda df: df.withColumn("x", F.explode(F.split("s", " "))),
@@ -216,8 +222,9 @@ def _drain(spark, batches, *, resident=True, check_every=0, corrupt=None):
 
 
 def test_engine_wordcount_pyexpr_on_and_equal(spark):
-    """The wordcount chain verifies on the first resident tick, flips
-    on, and the full trace equals the distributed run."""
+    """The wordcount chain flips on after PYEXPR_VERIFY_TICKS
+    non-empty byte-matching ticks (r11), and the full trace equals
+    the distributed run."""
     batches = [[(i, f"w{i % 3} common tok{i}")] for i in range(6)]
     a, states, g = _drain(spark, batches, resident=True)
     b, _, _ = _drain(spark, batches, resident=False)
@@ -245,15 +252,55 @@ def test_engine_mismatch_injection_pins_catalyst(spark):
 
 
 def test_engine_escape_falls_back_per_tick(spark):
-    """A non-ASCII document escapes to Catalyst for that tick only;
-    the node stays on and the trace equals distributed."""
+    """A non-ASCII document escapes to Catalyst for that tick only
+    (inconclusive — does not count toward the verify floor); enough
+    ascii ticks still flip the node on and the trace equals
+    distributed."""
     batches = [[(1, "plain ascii words")],
                [(2, "unicode ÉCLAIR")],
-               [(3, "back to ascii")]]
+               [(3, "back to ascii")],
+               [(4, "more ascii here")],
+               [(5, "and a final tick")]]
     a, states, g = _drain(spark, batches, resident=True)
     b, _, _ = _drain(spark, batches, resident=False)
     assert a == b
     assert g._res_engine.pyexpr_stats()["on"] == 1
+
+
+def test_engine_thin_first_tick_does_not_flip_on(spark):
+    """r11 hardening (r10 verdict flaw #1): ONE non-empty matching
+    tick — even several, below the floor — must leave the node in
+    "verify", still dual-running; and an all-NULL-text tick is as
+    thin a witness as any other single tick."""
+    from pathway_spark.streaming.resident import ResidentEngine
+
+    assert ResidentEngine.PYEXPR_VERIFY_TICKS >= 2
+    assert ResidentEngine.PYEXPR_CHECK_EVERY > 0   # production default
+
+    for first in [(1, None)], [(1, "real words here")]:
+        n = ResidentEngine.PYEXPR_VERIFY_TICKS - 1
+        batches = [first] + [[(10 + i, f"tail w{i}")] for i in range(n - 1)]
+        a, states, g = _drain(spark, batches, resident=True)
+        b, _, _ = _drain(spark, batches, resident=False)
+        assert a == b
+        stats = g._res_engine.pyexpr_stats()
+        assert stats["verify"] == 1 and stats["on"] == 0, stats
+
+    # a bulk tick crossing PYEXPR_VERIFY_ROWS flips on immediately
+    # (floor lowered so the batch stays under resident admission caps)
+    old = ResidentEngine.PYEXPR_VERIFY_ROWS
+    ResidentEngine.PYEXPR_VERIFY_ROWS = 40
+    try:
+        # first tick is never resident (warmup); the second carries
+        # 50 rows >= the lowered floor in ONE verified tick
+        bulk = [[(0, "warmup tick")],
+                [(i, f"w{i % 5} common") for i in range(1, 51)]]
+        a, states, g = _drain(spark, bulk, resident=True)
+        b, _, _ = _drain(spark, bulk, resident=False)
+        assert a == b
+        assert g._res_engine.pyexpr_stats()["on"] == 1
+    finally:
+        ResidentEngine.PYEXPR_VERIFY_ROWS = old
 
 
 def test_math_and_string_extensions(spark):
@@ -291,6 +338,27 @@ def test_divide_by_zero_ansi_escape(spark):
     bad = [(1, 1, 0.0, "x", True, 1, 0)]
     with pytest.raises(PyEvalEscape):
         cc.run(bad, COLS)
+
+
+def test_double_mod_zero_matches_spark(spark):
+    """5.0D % 0.0D: Spark yields NULL (non-ANSI) or throws (ANSI);
+    math.fmod raises ValueError, which before r11 pinned the node off
+    through the generic handler instead of returning NULL/escaping."""
+    cc = compile_fn(spark, lambda df: df.select(
+        (F.col("d") % F.lit(0.0)).alias("x"), "_pw_diff", "_pw_time"), SCH)
+    assert cc is not None
+    bad = [(1, 1, 5.0, "x", True, 1, 0)]
+    ansi = str(spark.conf.get("spark.sql.ansi.enabled")).lower() == "true"
+    if ansi:
+        with pytest.raises(PyEvalEscape):
+            cc.run(bad, COLS)
+    else:
+        assert cc.run(bad, COLS) == [(None, 1, 0)]
+    # non-zero divisor still evaluates (Java sign = dividend's)
+    ok = [(1, 1, 5.5, "x", True, 1, 0)]
+    cc2 = compile_fn(spark, lambda df: df.select(
+        (F.col("d") % F.lit(2.0)).alias("x"), "_pw_diff", "_pw_time"), SCH)
+    assert cc2.run(ok, COLS) == [(1.5, 1, 0)]
 
 
 def test_bm25_score_shape_compiles_exactly(spark):

@@ -318,6 +318,34 @@ def test_cross_process_shard_workers_crash_restore(spark, tmp_path):
     gref.restore_session_confs()
 
 
+def test_kafka_wire_timestamp_microseconds(spark):
+    """r11 (ADVICE): to_json's default timestampFormat writes
+    milliseconds, so 123456us silently round-tripped as 123000us on
+    the Kafka wire while the parquet transport kept full precision.
+    Producer-encode then consumer-decode (the exact from_json options
+    `poll` uses) must be lossless at microsecond granularity."""
+    import datetime
+    import json
+
+    from pathway_spark.streaming.shard_worker import (
+        _WIRE_TS_OPTS, kafka_feed_records)
+
+    ts = datetime.datetime(2026, 3, 1, 12, 30, 45, 123456)
+    rows = [(1, ts), (2, ts.replace(microsecond=999999)),
+            (3, ts.replace(microsecond=0)), (4, None)]
+    df = spark.createDataFrame(rows, "user long, ev timestamp")
+    recs = kafka_feed_records(df, 1, shards=1, key=["user"])
+    decoded = [json.loads(v)["row"] for _p, v in recs
+               if not json.loads(v).get("commit")]
+    raw = spark.createDataFrame([(json.dumps(r),) for r in decoded],
+                                "v string")
+    back = (raw.select(F.from_json("v", df.schema,
+                                   _WIRE_TS_OPTS).alias("r"))
+            .select("r.*"))
+    got = sorted(((r["user"], r["ev"]) for r in back.collect()), key=repr)
+    assert got == sorted(rows, key=repr)
+
+
 def test_kafka_transport_protocol_parity(spark, tmp_path):
     """KafkaShardFeed protocol parity (r10): the same logical batches
     shipped (a) through the directory feed and (b) through the Kafka

@@ -905,7 +905,14 @@ def q39_graduations(spark, sf):
       and re-settles every distance that routed through it; float
       path sums are per-path deterministic, so the trace hash-matches
       an unrolled relaxation in DuckDB (reference
-      stdlib/graphs/bellman_ford)."""
+      stdlib/graphs/bellman_ford).
+    - part='louvain_live' (round 11): cascade Louvain-LPA
+      (`incremental_louvain`) driven insert/insert/RETRACT —
+      retracting region 0 withdraws its vertices and re-settles every
+      surviving community label; unit weights keep the label sums
+      integer-exact and ties break by smallest label, so the trace
+      hash-matches a 4-round unrolled-CTE LPA over the live edge set
+      (reference stdlib/graphs/louvain_communities/impl.py)."""
     from pathway_spark.operators.sketches import (
         approx_count_distinct_portable)
 
@@ -1189,6 +1196,38 @@ def q39_graduations(spark, sf):
         F.lit(None).cast("string").alias("txt"),
         F.col("d").cast("double").alias("num"))
 
+    # ---- louvain_live: cascade Louvain-LPA with RETRACTION (r11) ----
+    # weighted-LPA community detection on the generic level cascade
+    # (`incremental_louvain`, reference
+    # stdlib/graphs/louvain_communities/impl.py) driven
+    # insert/insert/RETRACT over the directed nation->region-hub edges
+    # (the operator symmetrizes internally); tick 3 retracts region 0,
+    # so its nations and hub leave the vertex set and every surviving
+    # label re-settles through the cascade.  Unit weights keep label
+    # sums integer-exact and ties break by smallest label, so the
+    # integrated (n, label) trace hash-matches a 4-round unrolled-CTE
+    # LPA in DuckDB over the live edge set.
+    from pathway_spark.streaming.incremental_graph import (
+        incremental_louvain)
+
+    g10 = DifferentialGraph(spark)
+    e10 = g10.source("e", nat.select("u", "v").limit(0))
+    lv = incremental_louvain(e10, max_iterations=4)
+    ev10 = F.pmod(F.col("u"), F.lit(2)) == 0
+    (v1,) = g10.step(lv, e=nat.filter(ev10).select("u", "v"))
+    (v2,) = g10.step(lv, e=nat.filter(~ev10).select("u", "v"))
+    (v3,) = g10.step(lv, e=nat.filter(F.col("r") == 0).select("u", "v")
+                     .withColumn("_pw_diff", F.lit(-1)))
+    g10.restore_session_confs()
+    lv_trace = (v1.localCheckpoint(eager=True)
+                .unionByName(v2.localCheckpoint(eager=True))
+                .unionByName(v3.localCheckpoint(eager=True)))
+    lvl = DifferentialGraph.integrate(lv_trace).select(
+        F.lit("louvain_live").alias("part"),
+        F.col("n").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("label").cast("double").alias("num"))
+
     # ---- interval_live: banded θ kernel, live temporal join (r9) ----
     # stream-stream interval join WITH retraction over the orders
     # table: left/right halves arrive on different ticks, a third tick
@@ -1230,7 +1269,7 @@ def q39_graduations(spark, sf):
             .unionByName(bm).unionByName(ccl)
             .unionByName(tkl).unionByName(anl)
             .unionByName(ddl).unionByName(itl).unionByName(prl)
-            .unionByName(bfl).unionByName(ivo))
+            .unionByName(bfl).unionByName(lvl).unionByName(ivo))
 
 
 def q40_iterate(spark, sf):
@@ -2056,6 +2095,31 @@ _WAV_ORACLE = """
 """
 
 
+def _louvain_chain_sql(rounds: int = 4) -> str:
+    """Weighted-LPA rounds unrolled into chained CTEs l0..l{rounds}
+    over a pre-existing CTE `sym` (u, v, w) — mirrors
+    `incremental_louvain`'s round exactly: per vertex, sum incident
+    weight by neighbor label (integer w keeps the sums exact), adopt
+    the max-weight label with ties to the SMALLEST label, keep the
+    old label when no incident edge survives.  MATERIALIZED: each
+    round reads the previous one twice (see _bf_chain_sql note)."""
+    ctes = ["""l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS n, u AS label FROM sym)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+        SELECT l.n, COALESCE(b.new_label, l.label) AS label
+        FROM l{k - 1} l LEFT JOIN (
+            SELECT u, label AS new_label FROM (
+                SELECT i.u, lab.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY i.u
+                           ORDER BY SUM(i.w) DESC, lab.label ASC) AS rn
+                FROM sym i JOIN l{k - 1} lab ON lab.n = i.v
+                GROUP BY i.u, lab.label) q
+            WHERE rn = 1) b ON b.u = l.n)""")
+    return ",\n    ".join(ctes)
+
+
 def _pagerank_chain_sql(steps: int = 5) -> str:
     """pagerank_exact recurrence (1e-9 fixed-point integers) unrolled
     into chained CTEs r0..r{steps} over pre-existing CTEs `e`, `verts`,
@@ -2342,6 +2406,25 @@ def oracle_sql() -> dict[str, str]:
                 """ + _bf_chain_sql(1, 40) + """
                 SELECT w, d FROM d40
             ) bl
+            UNION ALL
+            SELECT 'louvain_live' AS part, CAST(n AS VARCHAR) AS key,
+                   CAST(NULL AS VARCHAR) AS txt,
+                   CAST(label AS DOUBLE) AS num
+            FROM (
+                WITH sym AS (
+                    SELECT CAST(n_nationkey AS BIGINT) AS u,
+                           CAST(100 + n_regionkey AS BIGINT) AS v,
+                           CAST(1 AS BIGINT) AS w
+                    FROM nation WHERE n_regionkey <> 0
+                    UNION ALL
+                    SELECT CAST(100 + n_regionkey AS BIGINT),
+                           CAST(n_nationkey AS BIGINT),
+                           CAST(1 AS BIGINT)
+                    FROM nation WHERE n_regionkey <> 0
+                ),
+                """ + _louvain_chain_sql(4) + """
+                SELECT n, label FROM l4
+            ) lvq
             UNION ALL
             SELECT 'dedup_live' AS part,
                    CAST(id_a AS VARCHAR) || ':'

@@ -73,6 +73,7 @@ driver.
 
 from __future__ import annotations
 
+import math as _math
 import weakref
 from contextlib import contextmanager
 from time import perf_counter as _perf_counter
@@ -1121,6 +1122,66 @@ def _band_explode(df: DataFrame, t_expr: Column, rlo: int, rhi: int,
     ).drop(_BAND_T)
 
 
+_DBAND_CLAMP = float(2 ** 50)   # |quotient| beyond this: overflow band
+_DBAND_P = float(2 ** 51)       # +overflow sentinel band (also +inf)
+_DBAND_N = -float(2 ** 51)      # -overflow sentinel band (also -inf)
+
+
+def _dband_assign_dbl(df: DataFrame, t_expr: Column,
+                      width: float) -> DataFrame:
+    """Double-axis POINT-side banding (r11): band = ⌊t/W⌋ as a DOUBLE
+    join key.  NaN quotients keep a NaN band (Spark join keys treat
+    NaN = NaN as true), quotients beyond ±2^50 (incl. ±inf) collapse
+    to overflow sentinel bands, NULL time ⇒ NULL band ⇒ no match.
+    floor() only runs on the clamped branch, so the long cast is exact
+    and ANSI-safe."""
+    q = t_expr.cast("double") / F.lit(width)
+    band = (F.when(F.isnan(q), F.lit(float("nan")))
+             .when(q > F.lit(_DBAND_CLAMP), F.lit(_DBAND_P))
+             .when(q < F.lit(-_DBAND_CLAMP), F.lit(_DBAND_N))
+             .otherwise(F.floor(q).cast("double")))
+    return df.withColumn(_BAND, band)
+
+
+def _dband_explode_dbl(df: DataFrame, t_expr: Column, rlo: float,
+                       rhi: float, width: float) -> DataFrame:
+    """Double-axis INTERVAL-side banding: explode to every band a
+    match could occupy for the range [t+rlo, t+rhi] — computed with
+    the PREDICATE'S OWN float operations (`t + bound`, literal-typed
+    double), then divided by W.  Coverage is exact with NO slack:
+    round-to-nearest double division and floor are both monotone, so
+    a point p satisfying `fl(t+rlo) <= p <= fl(t+rhi)` (the predicate,
+    evaluated on computed doubles) has ⌊fl(p/W)⌋ between the exploded
+    endpoints' bands.  This is why the interval side always explodes
+    and the point side always assigns, whichever of the two is the
+    delta: a REARRANGED probe range (the resident kernel's backward
+    direction) would need ulp slack and a blowup fallback; the
+    predicate-form range needs neither.  Quotients beyond ±2^50 attach
+    the overflow sentinel bands; NaN times band to the NaN sentinel;
+    NULL times produce an empty band array and drop (predicate
+    no-match)."""
+    t = t_expr.cast("double")
+    qlo = (t + F.lit(rlo)) / F.lit(width)
+    qhi = (t + F.lit(rhi)) / F.lit(width)
+    C, C1 = F.lit(_DBAND_CLAMP), F.lit(_DBAND_CLAMP + 1.0)
+    empty = F.array().cast("array<double>")
+    # clamp BEFORE floor: inputs land in [-(2^50+1), 2^50+1], so the
+    # long-typed floor is exact and cannot overflow under ANSI
+    lo_l = F.floor(F.greatest(-C, F.least(qlo, C1)))
+    hi_l = F.floor(F.greatest(-C1, F.least(qhi, C)))
+    main = F.when(lo_l <= hi_l,
+                  F.transform(F.sequence(lo_l, hi_l),
+                              lambda v: v.cast("double"))
+                  ).otherwise(empty)
+    pb = F.when(qhi > C, F.array(F.lit(_DBAND_P))).otherwise(empty)
+    nb = F.when(qlo < -C, F.array(F.lit(_DBAND_N))).otherwise(empty)
+    bands = (F.when(qlo.isNull() | qhi.isNull(), empty)
+              .when(F.isnan(qlo) | F.isnan(qhi),
+                    F.array(F.lit(float("nan"))))
+              .otherwise(F.concat(nb, main, pb)))
+    return df.withColumn(_BAND, F.explode(bands))
+
+
 class _ThetaJoinNode(DiffNode):
     """Bilinear delta join under an arbitrary θ predicate (interval /
     range joins): d(A ⋈θ B) = dA ⋈θ B_new ∪ A_old ⋈θ dB — the
@@ -1164,40 +1225,92 @@ class _ThetaJoinNode(DiffNode):
             self._sb = self.graph._make_store(db)
 
     def _dband_init(self, da: DataFrame, db: DataFrame) -> None:
-        """Decide ONCE whether the distributed probe can band: needs
-        band metadata, integer bounds, and both time axes either
-        int-typed or (under micros) timestamp/date — unix_micros is
-        exact long arithmetic, and band assignment + probe range use
-        the SAME Spark expressions as the predicate, so no session-tz
-        gating is needed here (unlike the Python resident kernel).
-        Doubles are out: the rearranged probe range rounds, and the
-        resident kernel's ulp-slack trick buys nothing on the
-        DataFrame path where the un-banded join is already a hash join
-        whenever equi keys exist."""
+        """Decide ONCE whether (and how) the distributed probe bands.
+
+        "int": integer bounds on int axes, or (under micros)
+        timestamp/date axes — exact long arithmetic; band assignment +
+        probe range use the SAME Spark expressions as the predicate,
+        so no session-tz gating is needed here (unlike the Python
+        resident kernel).
+
+        "dbl" (r11, the last BroadcastNestedLoop case): double axes
+        and/or float bounds band too.  Exactness comes from banding in
+        the predicate's own computed arithmetic — the interval side
+        explodes [t+lo, t+hi] with the predicate's literal-typed
+        double ops, the point side assigns ⌊t/W⌋, and monotonicity of
+        IEEE round-to-nearest division makes the explode range cover
+        every matching point band with no slack (`_dband_explode_dbl`).
+        The gate below only admits axis/bound combinations whose
+        Catalyst type coercion provably computes in doubles the same
+        way the band expressions do: a double axis with any real
+        bounds, an int axis with float bounds (coerced to double), or
+        an int32-or-narrower axis with int bounds (integer add exact
+        in double).  A LONG axis with int bounds against a double
+        other side is out (Catalyst adds in int64, lossy above 2^53
+        when cast); float32 axes are out (the predicate computes in
+        float32)."""
         self._dband_done = True
         meta = self._theta_band
         if not meta:
             return
         lo, hi = meta["lo"], meta["hi"]
-        if not (isinstance(lo, int) and isinstance(hi, int)
-                and not isinstance(lo, bool) and not isinstance(hi, bool)):
-            return
+
+        def real(v):
+            return (isinstance(v, (int, float))
+                    and not isinstance(v, bool) and _math.isfinite(v)
+                    and abs(v) < 2 ** 53)
+        int_bounds = (isinstance(lo, int) and isinstance(hi, int)
+                      and not isinstance(lo, bool)
+                      and not isinstance(hi, bool))
         l_by = {f.name: f.dataType for f in da.schema.fields}
         r_by = {f.name: f.dataType for f in db.schema.fields}
         lt, rt = l_by.get(meta["ltime"]), r_by.get(meta["rtime"])
+        INTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         if meta["micros"]:
+            if not int_bounds:
+                return
             ok_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
             if not (isinstance(lt, ok_types) and isinstance(rt, ok_types)):
                 return
+
             def conv(c: Column) -> Column:
                 return F.unix_micros(c.cast("timestamp"))
-        else:
-            ok_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-            if not (isinstance(lt, ok_types) and isinstance(rt, ok_types)):
+            self._dband = dict(kind="int", conv=conv, lo=lo, hi=hi,
+                               width=hi - lo if hi > lo else 1)
+            return
+        if int_bounds and isinstance(lt, INTS) and isinstance(rt, INTS):
+            self._dband = dict(kind="int", conv=lambda c: c, lo=lo, hi=hi,
+                               width=hi - lo if hi > lo else 1)
+            return
+        # double path: which side is the INTERVAL side (its axis does
+        # the predicate's `t + bound` additions)?
+        if not (real(lo) and real(hi)):
+            return
+        orig = meta.get("orig_bounds")
+        if orig is not None:
+            if not (real(orig[0]) and real(orig[1])):
                 return
-            def conv(c: Column) -> Column:
-                return c
-        self._dband = (conv, lo, hi, hi - lo if hi > lo else 1)
+            iv_t, pt_t = rt, lt          # predicate: lt ∈ [rt+L, rt+U]
+            b_lo, b_hi = orig
+        else:
+            iv_t, pt_t = lt, rt          # predicate: rt ∈ [lt+lo, lt+hi]
+            b_lo, b_hi = lo, hi
+        if not isinstance(pt_t, INTS + (T.DoubleType,)):
+            return
+        float_bounds = isinstance(b_lo, float) or isinstance(b_hi, float)
+        if isinstance(iv_t, T.DoubleType):
+            pass                          # double + int/double lit: ok
+        elif isinstance(iv_t, INTS):
+            if not float_bounds:
+                return   # int+int add wraps/overflows in int space —
+                         # not the double arithmetic the bands use
+        else:
+            return                        # float32 / decimal / etc.
+        width = float(b_hi) - float(b_lo) if b_hi > b_lo else 1.0
+        if not (_math.isfinite(width) and width > 0):
+            return
+        self._dband = dict(kind="dbl", lo=float(b_lo), hi=float(b_hi),
+                           width=width, orig=orig is not None)
 
     def _weighted(self, a: DataFrame, b: DataFrame, t: int,
                   delta_side: str | None = None) -> DataFrame:
@@ -1206,16 +1319,34 @@ class _ThetaJoinNode(DiffNode):
         b = b.select(*self._rcols, F.col(DIFF).alias(wb))
         dband = self._dband if delta_side else None
         if dband is not None:
-            conv, lo, hi, width = dband
             meta = self._theta_band
-            if delta_side == "l":   # dA probes B: bands of [lt+lo, lt+hi]
-                a = _band_explode(a, conv(F.col(meta["ltime"])),
-                                  lo, hi, width)
-                b = _band_assign(b, conv(F.col(meta["rtime"])), width)
-            else:                   # dB probes A: bands of [rt-hi, rt-lo]
-                b = _band_explode(b, conv(F.col(meta["rtime"])),
-                                  -hi, -lo, width)
-                a = _band_assign(a, conv(F.col(meta["ltime"])), width)
+            if dband["kind"] == "int":
+                conv, lo, hi = dband["conv"], dband["lo"], dband["hi"]
+                width = dband["width"]
+                if delta_side == "l":  # dA probes B: bands of [lt+lo, lt+hi]
+                    a = _band_explode(a, conv(F.col(meta["ltime"])),
+                                      lo, hi, width)
+                    b = _band_assign(b, conv(F.col(meta["rtime"])), width)
+                else:                  # dB probes A: bands of [rt-hi, rt-lo]
+                    b = _band_explode(b, conv(F.col(meta["rtime"])),
+                                      -hi, -lo, width)
+                    a = _band_assign(a, conv(F.col(meta["ltime"])), width)
+            else:
+                # "dbl" (r11): predicate-form banding — the interval
+                # side ALWAYS explodes (even as state) and the point
+                # side always assigns, so neither probe direction ever
+                # uses a rearranged (rounding) range; see
+                # `_dband_explode_dbl` for the no-slack coverage
+                # argument
+                lo, hi, width = dband["lo"], dband["hi"], dband["width"]
+                if dband["orig"]:      # predicate: lt ∈ [rt+lo, rt+hi]
+                    b = _dband_explode_dbl(b, F.col(meta["rtime"]),
+                                           lo, hi, width)
+                    a = _dband_assign_dbl(a, F.col(meta["ltime"]), width)
+                else:                  # predicate: rt ∈ [lt+lo, lt+hi]
+                    a = _dband_explode_dbl(a, F.col(meta["ltime"]),
+                                           lo, hi, width)
+                    b = _dband_assign_dbl(b, F.col(meta["rtime"]), width)
         a, b = a.alias("l"), b.alias("r")
         cond = self._cond_fn(a, b)
         if dband is not None:

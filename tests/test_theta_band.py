@@ -89,17 +89,145 @@ def test_keyed_state_probe_hashes_on_band(spark):
     assert hash_joins and all("_pw_theta_band" in ln for ln in hash_joins)
 
 
-def test_double_axis_keeps_unbanded_join(spark):
-    """Float time axes can't band exactly on the DataFrame path —
-    `_dband_init` must leave them on the plain Catalyst join."""
-    ldf = spark.createDataFrame([(1, 1.0)], "lid long, lt double")
-    rdf = spark.createDataFrame([(1, 1.5)], "rid long, rt double")
+def test_double_axis_bands_no_bnl(spark):
+    """r11 (r10 verdict #2): a key-less DOUBLE-axis interval join's
+    state probe bands too — predicate-form explode on the interval
+    side, point assign on the other — and plans a hash join in BOTH
+    probe directions, no BroadcastNestedLoop left anywhere."""
+    ldf = spark.createDataFrame(
+        [(i, i * 0.7 - 20.0) for i in range(200)], "lid long, lt double")
+    rdf = spark.createDataFrame(
+        [(i, i * 1.1 - 20.0) for i in range(80)], "rid long, rt double")
     g = DifferentialTableGraph(spark, resident=False)
     out = g.input("l", ldf).interval_join(
-        g.input("r", rdf), this.lt, this.rt, (-1, 1))
-    (d0,) = g.step(out.node, l=ldf, r=rdf)
+        g.input("r", rdf), this.lt, this.rt, (-1.0, 1.0))
+    node = out.node
+    (d0,) = g.step(node, l=ldf, r=rdf)
+    d0.collect()
+    assert node._dband is not None and node._dband["kind"] == "dbl"
+    # direction 2: A_old state probed by dB
+    strategies = _join_strategies(
+        _state_probe(spark, node, [(9000, 7.3, 1)], "rid long, rt double"))
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert any("HashJoin" in s or "SortMergeJoin" in s
+               for s in strategies), strategies
+    # direction 1: dA probes B_new
+    da = spark.createDataFrame([(9001, 3.2, 1)],
+                               "lid long, lt double, _pw_diff long")
+    probe_l = node._weighted(node._small(da, node.inputs[0]),
+                             as_delta(node._sb.get(), time=1), 1,
+                             delta_side="l")
+    strategies = _join_strategies(probe_l)
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_unbandable_axes_keep_catalyst_join(spark):
+    """Gates that must NOT band: float32 axes (predicate computes in
+    float32), and an int axis with int bounds against a double other
+    side (Catalyst adds in int space)."""
+    g = DifferentialTableGraph(spark, resident=False)
+    lf = spark.createDataFrame([(1, 1.0)], "lid long, lt float")
+    rf = spark.createDataFrame([(1, 1.5)], "rid long, rt float")
+    out = g.input("l", lf).interval_join(
+        g.input("r", rf), this.lt, this.rt, (-1.0, 1.0))
+    (d0,) = g.step(out.node, l=lf, r=rf)
     assert d0.count() == 1
     assert out.node._dband is None and out.node._dband_done
+
+    g2 = DifferentialTableGraph(spark, resident=False)
+    li = spark.createDataFrame([(1, 10)], "lid long, lt long")
+    rd = spark.createDataFrame([(1, 10.5)], "rid long, rt double")
+    out2 = g2.input("l", li).interval_join(
+        g2.input("r", rd), this.lt, this.rt, (-1, 1))
+    (d1,) = g2.step(out2.node, l=li, r=rd)
+    d1.collect()
+    assert out2.node._dband is None and out2.node._dband_done
+
+
+def test_banded_equivalence_randomized_double(spark):
+    """Randomized double axes with NULL/NaN/±inf/huge-magnitude times
+    and inserts/retracts: the banded trace must equal the unbanded
+    Catalyst join tick for tick (Spark NaN semantics included)."""
+    rng = random.Random(1311)
+    NAN, INF = float("nan"), float("inf")
+
+    def tval():
+        return rng.choice(
+            [None, NAN, INF, -INF, 1e300, -1e300, 2.0 ** 51,
+             rng.uniform(-30.0, 30.0), rng.uniform(-30.0, 30.0),
+             rng.uniform(-30.0, 30.0)])
+
+    lsch, rsch = "lid long, g long, lt double", "rid long, rg long, rt double"
+    lrows = [(i, i % 3, tval()) for i in range(120)]
+    rrows = [(i, i % 3, tval()) for i in range(60)]
+    ldf = spark.createDataFrame(lrows, lsch)
+    rdf = spark.createDataFrame(rrows, rsch)
+    ticks = []
+    for t in range(4):
+        feed = {}
+        if t % 2 == 0:
+            feed["l"] = spark.createDataFrame(
+                [(1000 + t, t % 3, tval(), 1), lrows[t] + (-1,)],
+                lsch + ", _pw_diff long")
+        else:
+            feed["r"] = spark.createDataFrame(
+                [(2000 + t, t % 3, tval(), 1), rrows[t] + (-1,)],
+                rsch + ", _pw_diff long")
+        ticks.append(feed)
+    for keys in ((), (("g", "rg"),)):
+        a, on_a = _drive(spark, True, ldf, rdf, ticks, keys=keys,
+                         interval=(-2.5, 1.5))
+        b, on_b = _drive(spark, False, ldf, rdf, ticks, keys=keys,
+                         interval=(-2.5, 1.5))
+        assert on_a and not on_b
+        assert a == b
+        assert any(len(t) for t in a)
+
+
+def test_banded_intervals_over_float_bounds(spark):
+    """intervals_over with FLOAT bounds on an int axis rides the dbl
+    banding via orig_bounds (the right side explodes the predicate's
+    own [p+lo, p+up] range); window contents must match the unbanded
+    control through the grouped reduce."""
+    data = spark.createDataFrame(
+        [(i, i % 25, float(i)) for i in range(200)],
+        "id long, t long, v double")
+    pts = spark.createDataFrame([(5,), (12,), (24,)], "p long")
+    import pathway_spark as pw
+
+    def run(banded):
+        g = DifferentialTableGraph(spark, resident=False)
+        d = g.input("data", data)
+        at = g.input("pts", pts)
+        w = pw.temporal.intervals_over(
+            at=at, lower_bound=-4.5, upper_bound=3.5)
+        grouped = d.windowby(this.t, window=w)
+        out = grouped.reduce(s=pw.reducers.sum(this.v),
+                             n=pw.reducers.count())
+        theta = None
+        for node in g._nodes:
+            if hasattr(node, "_theta_band"):
+                theta = node
+                if not banded:
+                    node._theta_band = None
+        traces = []
+        (d0,) = g.step(out.node, data=data, pts=pts)
+        traces.append(_trace(d0.collect()))
+        (d1,) = g.step(out.node, pts=spark.createDataFrame(
+            [(18, 1), (5, -1)], "p long, _pw_diff long"))
+        traces.append(_trace(d1.collect()))
+        (d2,) = g.step(out.node, data=spark.createDataFrame(
+            [(900, 13, 2.5, 1), (0, 0, 0.0, -1)],
+            "id long, t long, v double, _pw_diff long"))
+        traces.append(_trace(d2.collect()))
+        return traces, theta
+
+    a, ta = run(True)
+    b, tb = run(False)
+    assert a == b
+    assert ta._dband is not None and ta._dband["kind"] == "dbl" \
+        and ta._dband["orig"]
+    assert tb._dband is None
 
 
 def _trace(rows):

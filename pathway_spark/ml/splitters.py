@@ -20,11 +20,21 @@ def token_chunks(col: Column, *, max_tokens: int = 100, overlap: int = 0) -> Col
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     step = max_tokens - overlap
-    toks = F.split(F.trim(col), r"\s+")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
-    return F.transform(
-        starts, lambda s: F.array_join(F.slice(toks, s + 1, max_tokens), " ")
-    )
+
+    def mk(toks: Column) -> Column:
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+        return F.transform(
+            starts,
+            lambda s: F.array_join(F.slice(toks, s + 1, max_tokens), " "),
+        )
+
+    # bind the token array once — slice(toks, ...) inside the transform
+    # lambda would re-split the whole document per chunk start
+    # (interpreted HOFs have no CSE)
+    from ..operators.dedup import bind_once
+
+    return bind_once(F.split(F.trim(col), r"\s+"), mk)
 
 
 class TokenCountSplitter:

@@ -71,14 +71,20 @@ def hash64_cross(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int) -> Column:
     """Array of word n-gram shingles (distinct)."""
-    toks = _tokens(col)
     if n == 1:
-        return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array())
-    )
+        return F.array_distinct(_tokens(col))
+
+    def mk(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, grams).otherwise(F.array())
+        )
+
+    # bind tokens once: slice(toks, ...) inside the transform lambda
+    # would otherwise re-split the whole string per gram index
+    return bind_once(_tokens(col), mk)
 
 
 def exploded_word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int,
@@ -112,11 +118,31 @@ def exploded_word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int,
     return out.distinct() if distinct else out
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate `expr` once per row and pass it to `fn` as a bound
+    higher-order-function lambda variable.
+
+    Catalyst evaluates HOF lambdas interpreted (no codegen, no common-
+    subexpression elimination), so an expression referenced INSIDE a
+    lambda body is re-evaluated per element — `transform(idx, i ->
+    f(big, i))` costs O(|idx| · cost(big)).  Wrapping `big` as the
+    single element of an outer transform binds it to a lambda variable,
+    which the interpreter evaluates exactly once per row (guide §4:
+    per-task work; measured 41 min → seconds on the winnowing
+    fingerprint at 500 docs)."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def char_ngrams(col: Column, n: int) -> Column:
-    s = F.lower(F.trim(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
-    return F.array_distinct(F.when(F.length(s) >= n, grams).otherwise(F.array()))
+    def mk(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+        grams = F.transform(idx, lambda i: F.substring(s, i, F.lit(n)))
+        return F.array_distinct(
+            F.when(F.length(s) >= n, grams).otherwise(F.array()))
+
+    # bind the lowered string once: substring(s, i, n) inside the
+    # transform lambda would otherwise re-run lower(trim(col)) per index
+    return bind_once(F.lower(F.trim(col)), mk)
 
 
 # ------------------------------------------------------------------ exact

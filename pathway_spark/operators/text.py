@@ -124,13 +124,23 @@ def fingerprint(col: Column, *, n: int = 5, window: int = 4,
     char n-gram hashes -> sliding min over `window` -> distinct sorted
     fingerprint hash set. ``hash_fn="md5"`` uses the 60-bit cross-engine
     hash so an external SQL oracle can reproduce the exact set."""
-    from .dedup import hash64_cross
+    from .dedup import bind_once, hash64_cross
 
     gram_hash = F.xxhash64 if hash_fn == "xxhash64" else hash64_cross
-    hashes = F.transform(char_ngrams(col, n), lambda g: gram_hash(g))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
-    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
-    return F.array_sort(F.array_distinct(mins))
+
+    def winnow(hashes: Column) -> Column:
+        idx = F.sequence(
+            F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0)))
+        mins = F.transform(
+            idx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+        return F.array_sort(F.array_distinct(mins))
+
+    # bind the gram-hash array once (HOF lambdas are interpreted with no
+    # CSE): slice(hashes, ...) inside the winnow lambda re-evaluated the
+    # whole char_ngrams+hash pipeline per window position — O(L²) md5
+    # calls per document, measured at ~5 s/row on 300-char docs
+    return bind_once(
+        F.transform(char_ngrams(col, n), lambda g: gram_hash(g)), winnow)
 
 
 def fingerprint64(col: Column, *, n: int = 5, window: int = 4) -> Column:

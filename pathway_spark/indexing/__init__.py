@@ -82,33 +82,64 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     inverted-index join. No python UDFs."""
     from ..operators.dedup import _tokens
 
+    d = docs._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    # dl (BM25 document length) == the token-occurrence count == the SIZE
+    # of the token array: attach it at tokenize time, so no separate
+    # per-doc aggregation + doc-keyed join is needed (guide §2.4: one
+    # exchange fewer; r11 — the old dl derivation also made every
+    # broadcast build depend on the tokenize→tf shuffle, and Spark runs
+    # broadcast builds as concurrent jobs that RACED to materialize the
+    # persisted tf, re-running the tokenize stage 2-3x per invocation)
+    toks = d.select(
+        "doc",
+        F.size(_tokens(F.col("t"))).alias("dl"),
+        F.explode(_tokens(F.col("t"))).alias("term"),
+    )
     from pyspark.storagelevel import StorageLevel
 
-    d = docs._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-    toks = d.select("doc", F.explode(_tokens(F.col("t"))).alias("term"))
-    # ONE tokenization pass: tf is the inverted index, persisted because
-    # dl, docfreq, corpus stats and the scoring join all derive from it —
-    # without the persist every broadcast build re-tokenizes the corpus
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")) \
+    # ONE tokenization pass: tf is the inverted index (now carrying dl),
+    # persisted because the candidate slice and the docfreq aggregation
+    # both read it — and repeated retrievals over the same corpus reuse
+    # the arrangement, the batch mirror of the live BM25 index state
+    tf = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    # corpus stats as a broadcast 1-row frame — NO driver-side actions in
-    # the build path (a count() + collect() here would serialize the
-    # whole pipeline behind two extra jobs at 100 TB)
-    stats = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
+    # corpus stats as a broadcast 1-row frame built MAP-ONLY from the raw
+    # docs (no tokenize shuffle, no tf dependency): avg(size(tokens)) is
+    # exactly avg(dl) — both are exact long sums divided by the count —
+    # and NO driver-side actions in the build path (a count() + collect()
+    # here would serialize the whole pipeline behind extra jobs at 100 TB)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # when(isNotNull): a NULL text produced no exploded rows, so the
+        # old avg(dl) skipped it — size(NULL) is -1, so guard explicitly
+        F.avg(F.when(F.col("t").isNotNull(),
+                     F.size(_tokens(F.col("t"))))).alias("avgdl"),
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # ONE broadcast frame carries idf AND avgdl — a second stats
-    # crossJoin would force a second broadcast build (a full extra job)
-    idf = df_.crossJoin(F.broadcast(stats)).withColumn(
-        "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    )
-    q = queries._df.select(F.col("query_id"), F.explode(_tokens(F.col(query_col))).alias("term")).distinct()
+    qex = queries._df.select(
+        F.col("query_id"),
+        F.explode(_tokens(F.col(query_col))).alias("term")).distinct()
+    qterms = qex.select("term").distinct()
+    # docfreq only for the query's terms: filtering tf by term BEFORE the
+    # per-term aggregation keeps the per-term counts exact while never
+    # aggregating (or shipping) the rest of the vocabulary — at corpus
+    # scale the old plan aggregated and broadcast idf for EVERY term
+    # (guide §2.3: shuffle fewer bytes; §3.2: pre-filter the big side)
+    tfq = tf.join(F.broadcast(qterms), "term")
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dfq joins in-plan via shuffle (hint), NOT broadcast: a broadcast
+    # build here would be another concurrent job racing to recompute the
+    # tokenize→tf lineage; as a shuffle join both sides reuse the ONE tf
+    # exchange (ReusedExchange) inside the same job
     scored = (
-        q.join(tf, "term")
-        .join(F.broadcast(idf.select("term", "idf", "avgdl")), "term")
-        .join(dl, "doc")
+        tfq.join(F.broadcast(qex), "term")
+        .join(dfq.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0),
+        )
         .withColumn(
             "s",
             F.col("idf") * (F.col("tf") * (k1 + 1))

@@ -481,8 +481,15 @@ def simhash_pairs(table: Table, text_col: str, id_col: str, *,
     ).select("doc", "sh", "p.chunk", "p.ck")
     a = parts.select(F.col("doc").alias("a"), F.col("sh").alias("sha"), "chunk", "ck")
     b = parts.select(F.col("doc").alias("b"), F.col("sh").alias("shb"), "chunk", "ck")
+    # SHUFFLE_HASH, not the planner's broadcast: with a broadcast join
+    # the build side is a BroadcastExchange, so the expensive simhash
+    # subtree (explode → window → distinct → md5 → 64 vote sums) is
+    # computed TWICE — once per join side.  Forcing a shuffle join puts
+    # an identical Exchange(chunk, ck) over both sides and Spark's
+    # ReuseExchange computes the subtree once (guide §2.4/§3.1; plan
+    # gate: tests/test_plans.py asserts the ReusedExchange)
     out = (
-        a.join(b, ["chunk", "ck"])
+        a.join(b.hint("shuffle_hash"), ["chunk", "ck"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "sha", "shb")
         .distinct()

@@ -153,6 +153,21 @@ def test_string_concat_stays_codegen(spark):
     assert rep["python_evals"] == 0
 
 
+def test_simhash_self_join_reuses_exchange(spark):
+    """q33's pigeonhole self-join must compute the simhash subtree
+    (explode → 60 vote sums → bit-pack) ONCE: the forced shuffle join
+    puts an identical Exchange(chunk, ck) over both sides and AQE's
+    stage cache collapses the second build into a ReusedExchange.  A
+    broadcast join here would materialize the subtree twice — once per
+    side.  Reuse only appears in the FINAL adaptive plan, so execute
+    first and read executedPlan (r11)."""
+    df = QUERIES["q33_simhash"](spark, SF_DIR)
+    df.collect()  # small (pair rows); drives AQE to the final plan
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in txt, txt
+    assert "BroadcastHashJoin" not in txt, txt
+
+
 def test_differential_step_plans_stay_jvm_side(spark):
     """Every per-batch differential rule (join delta, reduce affected-key,
     distinct presence) must compile to pure JVM DataFrame algebra — no

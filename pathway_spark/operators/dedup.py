@@ -683,9 +683,17 @@ def _embedding_neardup_exact_blocked(df: DataFrame, *, threshold: float,
     # repartitioning by cell keeps one-or-few cells per Arrow batch.
     pa = packed.select(F.col("blk").alias("bi"), F.col("rows").alias("rows_a"))
     pb = packed.select(F.col("blk").alias("bj"), F.col("rows").alias("rows_b"))
+    # partition count == the number of (bi ≤ bj) cells, capped: the old
+    # max(32, nb) floor scheduled 32 mapInPandas tasks even when there
+    # was ONE cell — 31 empty Python-worker round trips per run (r11
+    # stage metrics: 32 tasks, 12.4 s executorRunTime, 0.27 s CPU), and
+    # the explicit count also pinned AQE.  A cell is the unsplittable
+    # unit of gram work, so tasks beyond the cell count are pure
+    # overhead; beyond the cap each task loops over a few cells.
+    n_cells = nb * (nb + 1) // 2
     cells = (
         pa.join(pb, F.col("bi") <= F.col("bj"))
-        .repartition(max(32, nb), "bi", "bj")
+        .repartition(min(n_cells, 4096), "bi", "bj")
     )
 
     vid_type = df.schema["vid"].dataType

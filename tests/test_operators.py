@@ -214,6 +214,23 @@ def test_embedding_neardup(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_neardup_exact_tasks_match_cells(spark):
+    """The blocked-gram stage must schedule one mapInPandas partition
+    per (bi ≤ bj) block-pair cell, not a fixed floor: a cell is the
+    unsplittable unit of gram work, so extra partitions are pure empty
+    Python-worker round trips (r11: the old max(32, nb) floor cost 31
+    empty tasks per run at one cell — 12.4 s executorRunTime for
+    0.27 s of CPU).  With n < block_size there is exactly 1 cell."""
+    from pathway_spark.operators.dedup import embedding_neardup_pairs
+
+    vecs = T(spark, [
+        (i, [float(i == j) for j in range(4)]) for i in range(20)
+    ], "vec_id long, embedding array<double>", ["vec_id"])
+    out = embedding_neardup_pairs(vecs, "embedding", "vec_id",
+                                  threshold=0.99, exact=True)
+    assert out._df.rdd.getNumPartitions() == 1
+
+
 # ---------------------------------------------------------------- similarity
 
 

@@ -249,12 +249,33 @@ def windowby(table: Table, time_expr, *, window: Window, instance=None,
             raise TypeError("intervals_over: pass at=Table with a single time column")
         lo, up = window.lower, window.upper
         pts = at_tbl._df.select(F.col(at_tbl.column_names[0]).alias("__pw_at")).distinct()
-        j = df.join(
-            pts,
-            (t >= F.col("__pw_at") + F.lit(_dur_us(lo) if _is_ts(df, t) else lo))
-            & (t <= F.col("__pw_at") + F.lit(_dur_us(up) if _is_ts(df, t) else up)),
-            "inner",
-        )
+        lo_v = _dur_us(lo) if _is_ts(df, t) else lo
+        up_v = _dur_us(up) if _is_ts(df, t) else up
+        cond = (t >= F.col("__pw_at") + F.lit(lo_v)) & (
+            t <= F.col("__pw_at") + F.lit(up_v))
+        INTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        t_dt = df.select(t.alias("_t")).schema[0].dataType
+        at_dt = pts.schema[0].dataType
+        if (isinstance(t_dt, INTS) and isinstance(at_dt, INTS)
+                and type(lo_v) is int and type(up_v) is int
+                and up_v >= lo_v):
+            # Banded θ join (mirrors differential._ThetaJoinNode and the
+            # reference's time-bucketed arrangements): points carry band
+            # ⌊t/W⌋, each at-point explodes to the ≤2 bands its interval
+            # [at+lo, at+up] can touch, and the join hash-partitions on
+            # the band with the ORIGINAL predicate re-checked — bands
+            # only generate candidates.  The un-banded form is a
+            # BroadcastNestedLoopJoin: every point row is tested against
+            # every at-point, O(rows × at-points) comparisons.
+            from ..streaming.differential import (_BAND, _band_assign,
+                                                  _band_explode)
+            width = max(up_v - lo_v, 1)
+            dfb = _band_assign(df, t, width)
+            ptsb = _band_explode(pts, F.col("__pw_at"), lo_v, up_v, width)
+            j = dfb.join(ptsb, on=[_BAND], how="inner").where(cond).drop(
+                _BAND)
+        else:
+            j = df.join(pts, cond, "inner")
         aug = j.withColumn(WSTART, F.col("__pw_at")).withColumn(WEND, F.col("__pw_at")).drop("__pw_at")
     else:
         raise ValueError(window.kind)

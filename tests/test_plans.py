@@ -297,3 +297,45 @@ def test_differential_forget_amplified_delta_not_broadcast(spark, monkeypatch):
     a2, b2 = g2.source("a", tpl_a), g2.source("b", tpl_b)
     q2 = a2.ignore_late("ts", 10).join(b2, on=["k"])
     assert q2._delta_bounded()
+
+
+def test_intervals_over_batch_bands_to_hash_join(spark):
+    """Batch intervals_over on an integral axis must band: points carry
+    ⌊t/W⌋, at-points explode to their ≤2 candidate bands, and the join
+    plans as a HASH join on the band with the original range predicate
+    as a re-check — NOT a BroadcastNestedLoopJoin of every point against
+    every at-point (r11; mirrors the distributed/resident θ banding).
+    Control: a DOUBLE axis falls back to the un-banded θ join and the
+    BNL reappears, proving the gate bites."""
+    import pathway_spark as pw
+    from pathway_spark import reducers as R
+    from pathway_spark import this
+    from pathway_spark.plans import plan_text
+
+    rows = [(i, i * 7 % 100) for i in range(50)]
+    tbl = pw.Table(spark.createDataFrame(rows, "eid long, ts_us long"))
+    at = pw.Table(spark.createDataFrame([(5,), (40,), (77,)], "at_t long"))
+    wt = tbl.windowby(
+        this.ts_us,
+        window=pw.temporal.intervals_over(at=at, lower_bound=-10,
+                                          upper_bound=10),
+    )
+    out = wt.reduce(at_t=this._pw_window_start, n=R.count())
+    txt = plan_text(out.to_df())
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "_pw_theta_band" in txt, txt
+
+    # control: double axis -> un-banded fallback -> BNL present
+    tbl_d = pw.Table(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "eid long, ts_d double"))
+    at_d = pw.Table(spark.createDataFrame([(5.0,)], "at_t double"))
+    wt_d = tbl_d.windowby(
+        this.ts_d,
+        window=pw.temporal.intervals_over(at=at_d, lower_bound=-2.0,
+                                          upper_bound=2.0),
+    )
+    out_d = wt_d.reduce(at_t=this._pw_window_start, n=R.count())
+    txt_d = plan_text(out_d.to_df())
+    assert ("BroadcastNestedLoopJoin" in txt_d
+            or "CartesianProduct" in txt_d), txt_d

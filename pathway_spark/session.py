@@ -31,6 +31,17 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.shuffle.partitions", _DEFAULT_CPUS),
         ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
+        # mirror get_spark's join-strategy split (guide §3.1) on
+        # externally-created sessions: static estimates only for tiny
+        # sides, AQE-measured sizes for the rest
+        ("spark.sql.autoBroadcastJoinThreshold",
+         os.environ.get("SPARK_GRAFT_BROADCAST_STATIC", str(1 * 1024 * 1024))),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold",
+         os.environ.get("SPARK_GRAFT_BROADCAST_ADAPTIVE",
+                        str(64 * 1024 * 1024))),
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        ("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+         str(64 * 1024 * 1024)),
     ]:
         try:
             spark.conf.set(k, v)
@@ -53,7 +64,26 @@ def get_spark(app_name: str = "pathway-spark", cpus: str | int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (guide §3.1): trust SIZE ESTIMATES only when the
+        # side is provably tiny (1 MB static threshold — true dims), and
+        # let AQE decide the rest from MEASURED runtime sizes (64 MB
+        # adaptive threshold).  A single static 64 MB threshold made the
+        # planner broadcast FACT-table scans: a join output's no-CBO
+        # estimate is a sizeL×sizeR product (always over threshold), so
+        # the projected fact scan "sneaks under" and the plan collects
+        # the big side to the driver for a single-threaded hash build
+        # (q03: 600 k-row lineitem broadcast, A/B −35% after the split).
+        # Same values are sane on a real cluster: AQE-measured ≤64 MB
+        # broadcasts and AQE-gated shuffled-hash joins are scale-safe.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_STATIC",
+                               str(1 * 1024 * 1024)))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_ADAPTIVE",
+                               str(64 * 1024 * 1024)))
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # nanosecond parquet timestamps (reference datetimes are ns —
         # SURVEY §1.2): read as LongType ns; expr.dt.from_timestamp('ns')

@@ -309,6 +309,36 @@ def interval_join(lt: Table, rt: Table, t_left, t_right, interval, on: list,
         conds = list(on) + [lbound, ubound]
     else:
         conds = list(on) + [tl >= tr + lb, tl <= tr + ub]
+    if (not on and how == "inner" and not is_delta
+            and type(lb) is int and type(ub) is int and ub >= lb
+            and isinstance(t_left, ColumnReference)
+            and isinstance(t_right, ColumnReference)
+            and t_left._name in lt.column_names
+            and t_right._name in rt.column_names):
+        # Key-less integral-axis interval join: without equi keys the
+        # raw range condition plans as a nested-loop/cartesian of left
+        # against right.  Band exactly like the batch intervals_over and
+        # differential._ThetaJoinNode — the point (left) side carries
+        # ⌊t/W⌋, the interval (right) side explodes to the ≤2 bands
+        # [t+lb, t+ub] can touch, the join hashes on the band, and the
+        # original predicate re-checks every candidate, so results are
+        # identical.  Each pair matches in exactly one band (the left
+        # row's), so inner-join multiplicity is unchanged; outer joins
+        # stay un-banded (an exploded unmatched right row would null-
+        # extend once per band).
+        INTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        l_dt = {f.name: f.dataType for f in lt._df.schema.fields}
+        r_dt = {f.name: f.dataType for f in rt._df.schema.fields}
+        if (isinstance(l_dt[t_left._name], INTS)
+                and isinstance(r_dt[t_right._name], INTS)):
+            from ..streaming.differential import (_BAND, _band_assign,
+                                                  _band_explode)
+            width = max(ub - lb, 1)
+            lt = Table(_band_assign(lt._df, F.col(t_left._name), width))
+            rt = Table(_band_explode(rt._df, F.col(t_right._name), lb, ub,
+                                     width))
+            conds = [BinaryOp("==", ColumnReference("left", _BAND),
+                              ColumnReference("right", _BAND))] + conds
     return JoinResult(lt, rt, conds, how)
 
 

@@ -339,3 +339,31 @@ def test_intervals_over_batch_bands_to_hash_join(spark):
     txt_d = plan_text(out_d.to_df())
     assert ("BroadcastNestedLoopJoin" in txt_d
             or "CartesianProduct" in txt_d), txt_d
+
+
+def test_interval_join_keyless_bands_and_matches_unbanded(spark):
+    """Key-less integral-axis inner interval_join must band (hash join
+    on ⌊t/W⌋, no nested-loop/cartesian) and return exactly the
+    un-banded result — negative times and NULLs included (r11)."""
+    import pathway_spark as pw
+    from pathway_spark import this
+    from pathway_spark.plans import plan_text
+
+    lrows = [(i, (i * 37) % 400 - 200) for i in range(300)] + [(900, None)]
+    rrows = [(i + 1000, (i * 53) % 400 - 200) for i in range(300)] + [
+        (1900, None)]
+    l = pw.Table(spark.createDataFrame(lrows, "lid long, lt long"))
+    r = pw.Table(spark.createDataFrame(rrows, "rid long, rt long"))
+    jr = pw.temporal.interval_join(l, r, this.lt, this.rt, (-7, 7), [])
+    out = jr.select(lid=pw.left.lid, rid=pw.right.rid).to_df()
+    txt = plan_text(out)
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "_pw_theta_band" in txt, txt
+    got = sorted(map(tuple, out.select("lid", "rid").collect()))
+    want = sorted(
+        (lid, rid)
+        for lid, lt_ in lrows for rid, rt_ in rrows
+        if lt_ is not None and rt_ is not None
+        and rt_ - 7 <= lt_ <= rt_ + 7)
+    assert got == want

@@ -173,11 +173,13 @@ def _assign_session(df: DataFrame, t: Column, window: Window, inst: Column | Non
     )
     d = d.withColumn("__pw_sess", F.sum("__pw_new").over(
         w.rowsBetween(W.unboundedPreceding, 0)))
-    wp = W.partitionBy(*part, F.col("__pw_sess"))
     back = (lambda c: F.timestamp_micros(c)) if is_ts else (lambda c: c)
-    d = d.withColumn(WSTART, back(F.min("__pw_t").over(wp)))
-    d = d.withColumn(WEND, back(F.max("__pw_t").over(wp) + F.lit(gap)))
-    return d.drop("__pw_t", "__pw_new", "__pw_sess")
+    # bounds are NOT materialized per row here: a third window pass
+    # (min/max over the full session frame) plus its re-sort would run
+    # over every row only to be deduplicated by the reduce — windowby
+    # defers them into the reduce aggregation instead (r11, guide §2.4:
+    # same-keyed window + aggregation need one pass, not two).
+    return d.drop("__pw_new"), gap, back
 
 
 def windowby(table: Table, time_expr, *, window: Window, instance=None,
@@ -241,7 +243,31 @@ def windowby(table: Table, time_expr, *, window: Window, instance=None,
     if window.kind in ("tumbling", "sliding"):
         aug = _assign_hopping(df, t, window)
     elif window.kind == "session":
-        aug = _assign_session(df, t, window, inst)
+        # Deferred-bounds session windows: group on the session counter
+        # (+instance) and compute _pw_window_start/_end as hidden
+        # min/max aggregates INSIDE the reduce — the per-row bounds
+        # window (a third window pass + a re-sort by session) only
+        # existed to be deduplicated by the groupby.  Bounds keyed by
+        # (instance, session) are identical either way: sessions of one
+        # instance are disjoint in time.
+        d, gap, back = _assign_session(df, t, window, inst)
+        if inst is not None:
+            d = d.withColumn(INSTANCE, inst)
+        wt = WindowedTable(
+            Table(d.withColumn(ID, F.lit(0))),
+            [ColumnReference("this", "__pw_sess")]
+            + ([ColumnReference("this", INSTANCE)] if inst is not None else []),
+        )
+        wt._extra_aggs = {
+            "__pw_ws": back(F.min(F.col("__pw_t"))),
+            "__pw_we": back(F.max(F.col("__pw_t")) + F.lit(gap)),
+        }
+        wt._key_aliases = {WSTART: F.col("__pw_ws"), WEND: F.col("__pw_we")}
+        wt._id_expr = F.xxhash64(
+            F.col("__pw_ws"), F.col("__pw_we"),
+            *( [F.col(INSTANCE)] if inst is not None else [] ),
+        )
+        return wt
     elif window.kind == "intervals_over":
         at = window.at  # a column reference on another table, or a Table
         at_tbl: Table = at if isinstance(at, Table) else None

@@ -829,6 +829,9 @@ class GroupedTable:
         # post-agg column aliases (e.g. window struct fields) + id override
         self._key_aliases: dict[str, Column] = {}
         self._id_expr: Column | None = None
+        # hidden aggregates computed alongside the user's reducers (e.g.
+        # deferred session bounds min/max — r11): {out_name: agg Column}
+        self._extra_aggs: dict[str, Column] = {}
 
     def reduce(self, *args, **kwargs) -> Table:
         """reference groupbys.py:158 → Spark groupBy().agg() with
@@ -880,6 +883,7 @@ class GroupedTable:
         # shuffled-by-key) input once.
         plain_cols = [compile_agg(k, r) for k, r in reducers.items()
                       if not getattr(r, "_is_pandas_agg", False)]
+        plain_cols += [c.alias(n) for n, c in self._extra_aggs.items()]
         pandas_cols = [compile_agg(k, r) for k, r in reducers.items()
                        if getattr(r, "_is_pandas_agg", False)]
 

@@ -88,6 +88,35 @@ def _is_ts(df: DataFrame, col: Column) -> bool:
                       (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
+_INT_DTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _dbl_bandable(point_dt, interval_dt, lo, up) -> bool:
+    """Gate for double-axis banding of a batch θ range join (mirrors
+    differential._dband_init): admitted only when Catalyst's coercion
+    provably computes the predicate in doubles the same way the band
+    expressions do.  An integral interval axis with INTEGER bounds is
+    out — the predicate then adds in int64 (exact), while the band
+    explode computes in doubles (lossy above 2^53); float32 axes are
+    out (the predicate computes in float32)."""
+    import math as _m
+
+    def real(v):
+        return (isinstance(v, (int, float)) and not isinstance(v, bool)
+                and _m.isfinite(v) and abs(v) < 2 ** 53)
+
+    if not (real(lo) and real(up)) or not float(up) > float(lo):
+        return False
+    ok = (T.DoubleType,) + _INT_DTS
+    if not isinstance(point_dt, ok) or not isinstance(interval_dt, ok):
+        return False
+    int_bounds = (isinstance(lo, int) and isinstance(up, int)
+                  and not isinstance(lo, bool) and not isinstance(up, bool))
+    if isinstance(interval_dt, _INT_DTS) and int_bounds:
+        return False
+    return True
+
+
 def _assign_hopping(df: DataFrame, t: Column, window: Window) -> DataFrame:
     """Add WSTART/WEND for tumbling/sliding — no shuffle, pure projection."""
     is_ts = _is_ts(df, t)
@@ -300,6 +329,20 @@ def windowby(table: Table, time_expr, *, window: Window, instance=None,
             ptsb = _band_explode(pts, F.col("__pw_at"), lo_v, up_v, width)
             j = dfb.join(ptsb, on=[_BAND], how="inner").where(cond).drop(
                 _BAND)
+        elif _dbl_bandable(t_dt, at_dt, lo_v, up_v):
+            # Double-axis banding (mirrors differential._dband_*): the
+            # interval side explodes with the PREDICATE'S OWN double
+            # arithmetic, the point side assigns ⌊t/W⌋ — IEEE division
+            # monotonicity makes coverage exact with no slack, and the
+            # original predicate still re-checks every candidate.
+            from ..streaming.differential import (_BAND, _dband_assign_dbl,
+                                                  _dband_explode_dbl)
+            width = float(up_v) - float(lo_v)
+            dfb = _dband_assign_dbl(df, t, width)
+            ptsb = _dband_explode_dbl(pts, F.col("__pw_at"), float(lo_v),
+                                      float(up_v), width)
+            j = dfb.join(ptsb, on=[_BAND], how="inner").where(cond).drop(
+                _BAND)
         else:
             j = df.join(pts, cond, "inner")
         aug = j.withColumn(WSTART, F.col("__pw_at")).withColumn(WEND, F.col("__pw_at")).drop("__pw_at")
@@ -336,7 +379,8 @@ def interval_join(lt: Table, rt: Table, t_left, t_right, interval, on: list,
     else:
         conds = list(on) + [tl >= tr + lb, tl <= tr + ub]
     if (not on and how == "inner" and not is_delta
-            and type(lb) is int and type(ub) is int and ub >= lb
+            and isinstance(lb, (int, float)) and isinstance(ub, (int, float))
+            and not isinstance(lb, bool) and not isinstance(ub, bool)
             and isinstance(t_left, ColumnReference)
             and isinstance(t_right, ColumnReference)
             and t_left._name in lt.column_names
@@ -352,17 +396,26 @@ def interval_join(lt: Table, rt: Table, t_left, t_right, interval, on: list,
         # row's), so inner-join multiplicity is unchanged; outer joins
         # stay un-banded (an exploded unmatched right row would null-
         # extend once per band).
-        INTS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         l_dt = {f.name: f.dataType for f in lt._df.schema.fields}
         r_dt = {f.name: f.dataType for f in rt._df.schema.fields}
-        if (isinstance(l_dt[t_left._name], INTS)
-                and isinstance(r_dt[t_right._name], INTS)):
+        pt_dt, iv_dt = l_dt[t_left._name], r_dt[t_right._name]
+        if (isinstance(pt_dt, _INT_DTS) and isinstance(iv_dt, _INT_DTS)
+                and type(lb) is int and type(ub) is int and ub >= lb):
             from ..streaming.differential import (_BAND, _band_assign,
                                                   _band_explode)
             width = max(ub - lb, 1)
             lt = Table(_band_assign(lt._df, F.col(t_left._name), width))
             rt = Table(_band_explode(rt._df, F.col(t_right._name), lb, ub,
                                      width))
+            conds = [BinaryOp("==", ColumnReference("left", _BAND),
+                              ColumnReference("right", _BAND))] + conds
+        elif _dbl_bandable(pt_dt, iv_dt, lb, ub):
+            from ..streaming.differential import (_BAND, _dband_assign_dbl,
+                                                  _dband_explode_dbl)
+            width = float(ub) - float(lb)
+            lt = Table(_dband_assign_dbl(lt._df, F.col(t_left._name), width))
+            rt = Table(_dband_explode_dbl(rt._df, F.col(t_right._name),
+                                          float(lb), float(ub), width))
             conds = [BinaryOp("==", ColumnReference("left", _BAND),
                               ColumnReference("right", _BAND))] + conds
     return JoinResult(lt, rt, conds, how)

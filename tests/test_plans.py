@@ -305,8 +305,10 @@ def test_intervals_over_batch_bands_to_hash_join(spark):
     plans as a HASH join on the band with the original range predicate
     as a re-check — NOT a BroadcastNestedLoopJoin of every point against
     every at-point (r11; mirrors the distributed/resident θ banding).
-    Control: a DOUBLE axis falls back to the un-banded θ join and the
-    BNL reappears, proving the gate bites."""
+    Control: a FLOAT32 axis (excluded from both the int and the double
+    banding gates — the predicate computes in float32) falls back to the
+    un-banded θ join and the quadratic join reappears, proving the gate
+    bites."""
     import pathway_spark as pw
     from pathway_spark import reducers as R
     from pathway_spark import this
@@ -326,19 +328,73 @@ def test_intervals_over_batch_bands_to_hash_join(spark):
     assert "CartesianProduct" not in txt, txt
     assert "_pw_theta_band" in txt, txt
 
-    # control: double axis -> un-banded fallback -> BNL present
-    tbl_d = pw.Table(spark.createDataFrame(
-        [(i, float(i)) for i in range(10)], "eid long, ts_d double"))
-    at_d = pw.Table(spark.createDataFrame([(5.0,)], "at_t double"))
-    wt_d = tbl_d.windowby(
-        this.ts_d,
-        window=pw.temporal.intervals_over(at=at_d, lower_bound=-2.0,
+    # control: float32 axis -> un-banded fallback -> quadratic join
+    tbl_f = pw.Table(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "eid long, ts_f float"))
+    at_f = pw.Table(spark.createDataFrame([(5.0,)], "at_t float"))
+    wt_f = tbl_f.windowby(
+        this.ts_f,
+        window=pw.temporal.intervals_over(at=at_f, lower_bound=-2.0,
                                           upper_bound=2.0),
     )
-    out_d = wt_d.reduce(at_t=this._pw_window_start, n=R.count())
-    txt_d = plan_text(out_d.to_df())
-    assert ("BroadcastNestedLoopJoin" in txt_d
-            or "CartesianProduct" in txt_d), txt_d
+    out_f = wt_f.reduce(at_t=this._pw_window_start, n=R.count())
+    txt_f = plan_text(out_f.to_df())
+    assert ("BroadcastNestedLoopJoin" in txt_f
+            or "CartesianProduct" in txt_f), txt_f
+
+
+def test_intervals_over_and_interval_join_double_axis_band_and_match(spark):
+    """Double axes band too (r11, via differential._dband_*): plan shows
+    a hash join on the band, and the result equals a brute-force
+    evaluation of the predicate — negative times, NULLs, and values that
+    are not exactly representable sums included."""
+    import pathway_spark as pw
+    from pathway_spark import reducers as R
+    from pathway_spark import this
+    from pathway_spark.plans import plan_text
+
+    lrows = [(i, (i * 37 % 400 - 200) / 7.0) for i in range(300)] + [
+        (900, None)]
+    rrows = [(i + 1000, (i * 53 % 400 - 200) / 7.0) for i in range(300)] + [
+        (1900, None)]
+    lo, up = -1.3, 1.3
+
+    # intervals_over
+    tbl = pw.Table(spark.createDataFrame(lrows, "eid long, ts_d double"))
+    at = pw.Table(spark.createDataFrame(
+        [(v,) for _, v in rrows], "at_t double"))
+    wt = tbl.windowby(
+        this.ts_d,
+        window=pw.temporal.intervals_over(at=at, lower_bound=lo,
+                                          upper_bound=up))
+    out = wt.reduce(at_t=this._pw_window_start, n=R.count()).to_df()
+    txt = plan_text(out)
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "_pw_theta_band" in txt, txt
+    got = sorted(map(tuple, out.collect()))
+    ats = sorted({v for _, v in rrows if v is not None})
+    want = sorted(
+        (a, sum(1 for _, t in lrows
+                if t is not None and a + lo <= t <= a + up))
+        for a in ats)
+    want = [(a, n) for a, n in want if n > 0]
+    assert got == want
+
+    # key-less interval_join
+    l = pw.Table(spark.createDataFrame(lrows, "lid long, lt double"))
+    r = pw.Table(spark.createDataFrame(rrows, "rid long, rt double"))
+    jr = pw.temporal.interval_join(l, r, this.lt, this.rt, (lo, up), [])
+    jout = jr.select(lid=pw.left.lid, rid=pw.right.rid).to_df()
+    jtxt = plan_text(jout)
+    assert "BroadcastNestedLoopJoin" not in jtxt, jtxt
+    assert "CartesianProduct" not in jtxt, jtxt
+    jgot = sorted(map(tuple, jout.select("lid", "rid").collect()))
+    jwant = sorted(
+        (lid, rid)
+        for lid, t in lrows for rid, rt_ in rrows
+        if t is not None and rt_ is not None and rt_ + lo <= t <= rt_ + up)
+    assert jgot == jwant
 
 
 def test_interval_join_keyless_bands_and_matches_unbanded(spark):

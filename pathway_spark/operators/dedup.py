@@ -197,32 +197,35 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
     the ones pruned. Pass ``max_doc_freq=None`` for the exact all-pairs
     result (opt-in; safe only on bounded corpora).
     """
-    from pyspark.storagelevel import StorageLevel
-
     df = table._df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
     # hash shingles to 8-byte keys BEFORE the distinct: the set-semantics
     # shuffle then carries (doc, long) instead of (doc, string) —
-    # collision odds ~|shingles|²/2⁶⁴, nil. Persisted because the
-    # inverted-index self-join + sizes reference it 3×.
+    # collision odds ~|shingles|²/2⁶⁴, nil.  NOT persisted, although
+    # sizes/hot/self-join reference it 4×: every consumer hangs off the
+    # same distinct Exchange(doc, g), which Spark materializes once and
+    # reuses, while an InMemoryRelation here made the concurrent
+    # broadcast-build jobs RACE to fill the cache — each recomputed the
+    # tokenize→explode lineage and paid the cache-store write on top
+    # (guide §5 "caching is only worth it ...": measured r11 stage
+    # metrics, total executorRunTime 4.6 s persisted → 2.2 s without;
+    # results hash-identical).  Contrast minhash_lsh_pairs below, whose
+    # 64-min-aggregate signature IS worth its persist (measured 2.8 s
+    # with → 5.7 s without).
     sh = (
         exploded_word_ngrams(df, "t", "doc", n, distinct=False)
         .select("doc", F.xxhash64("g").alias("g"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # the OVER-bound gram list is small by construction (only grams
         # hot enough to be join bombs), so prune with a broadcast
-        # anti-join — map-side filter, no extra shuffle of sh — and
-        # persist the pruned frame: both self-join sides reference it
+        # anti-join — map-side filter, no extra shuffle of sh
         hot = (
             sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_doc_freq).select("g")
         )
-        sh = sh.join(F.broadcast(hot), "g", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sh = sh.join(F.broadcast(hot), "g", "left_anti")
     a = sh.select(F.col("doc").alias("a"), "g")
     b = sh.select(F.col("doc").alias("b"), "g")
     common = (

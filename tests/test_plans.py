@@ -168,6 +168,22 @@ def test_simhash_self_join_reuses_exchange(spark):
     assert "BroadcastHashJoin" not in txt, txt
 
 
+def test_ngram_jaccard_has_no_cache_scan(spark):
+    """q31's shingle relation must NOT be persisted: an InMemoryRelation
+    there made the concurrent broadcast-build jobs (hot-gram list, the
+    two sizes attaches) race to fill the cache — each recomputed the
+    tokenize→explode lineage and paid the cache-store write on top
+    (r11 stage metrics: total executorRunTime 4.6 s → 2.2 s without the
+    persist, results hash-identical).  The consumers all hang off the
+    one distinct Exchange(doc, g) instead, which Spark materializes
+    once.  Guard against the persist creeping back."""
+    from pathway_spark.plans import plan_text
+
+    txt = plan_text(QUERIES["q31_ngram_jaccard"](spark, SF_DIR))
+    assert "InMemoryTableScan" not in txt, txt
+    assert "InMemoryRelation" not in txt, txt
+
+
 def test_differential_step_plans_stay_jvm_side(spark):
     """Every per-batch differential rule (join delta, reduce affected-key,
     distinct presence) must compile to pure JVM DataFrame algebra — no

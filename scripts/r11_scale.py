@@ -118,7 +118,18 @@ def main() -> None:
         if t == "events":
             ts = pc.cast(base.column("ts"), pa.int64())
             span_us = pc.max(ts).as_py() - pc.min(ts).as_py()
-        parts = []
+        # one FILE per copy under a <table>.parquet directory, each with
+        # sf0.1's own row-group layout: a real 10x corpus arrives as 10x
+        # more files/objects, not one monolithic file whose single
+        # 128 MB-split scan task decodes every row group serially.  The
+        # first (monolithic) layout measured input skew, not scaling
+        # (guide §2.5 "one huge unsplittable file": q01 ratio 11.4,
+        # q09 ratio 49.6 — both scan-serialization artifacts).
+        tdir = f"{OUT}/{t}.parquet"
+        if os.path.isfile(tdir):
+            os.remove(tdir)
+        os.makedirs(tdir, exist_ok=True)
+        n = 0
         for c in range(COPIES):
             p = _shift_keys(base, keys, c)
             if t == "documents":
@@ -127,10 +138,9 @@ def main() -> None:
                 p = _permute_dims(p, c)
             if t == "events":
                 p = _shift_time(p, "ts", c, span_us)
-            parts.append(p)
-        out = pa.concat_tables(parts)
-        pq.write_table(out, f"{OUT}/{t}.parquet")
-        print(t, base.num_rows, "->", out.num_rows)
+            pq.write_table(p, f"{tdir}/part-{c:02d}.parquet")
+            n += p.num_rows
+        print(t, base.num_rows, "->", n)
     print("done:", OUT)
 
 

@@ -84,11 +84,24 @@ def main() -> None:
             "overwrite").save()                      # warm, untimed
         best = float("inf")
         for _ in range(3 if name in BEST_OF_3 else 2):
+            # measurement fix (r11): queries that persist an interior
+            # relation (minhash sh/sig, simhash parts, blocked-gram
+            # packs, BM25 tf) had the CacheManager rewrite every LATER
+            # invocation's plan to read the PREVIOUS invocation's cache
+            # (canonical-plan lookup; verified usesCachedData=True from
+            # invocation 1 on), so the warm pass filled the cache and
+            # the timed passes never recomputed from parquet.  Clearing
+            # the SQL cache before each timed pass keeps intra-query
+            # persists (legitimate: reuse WITHIN one execution) while
+            # forcing every timed invocation to compute from the
+            # parquet inputs.  JVM/codegen warmth is unaffected.
+            spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     # streaming wordcount — the reference's own benchmark shape
     # (integration_tests/wordcount): drain a file-replayed document

@@ -747,12 +747,25 @@ def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
         "vid", "i",
         F.floor(F.col("x") * F.lit(1_000_000.0)).cast("long").alias("xi"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # plane components depend only on (plane, dimension index): at most
+    # num_planes × dim distinct values.  Evaluating the md5-derived
+    # component expression per exploded row recomputed the identical
+    # value |rows| × num_planes times (~8.2M md5+conv calls at sf0.1,
+    # nearly all of the query's honest-from-parquet cost); build the
+    # (i, c0..c63) table ONCE from the distinct dimension indexes
+    # (dim × num_planes md5 calls) and broadcast-join it onto the
+    # exploded rows.  Values are identical integers, so the candidate
+    # set and verified pairs — and the SQL-mirror oracle — are
+    # unchanged bit-for-bit.
+    comp = F.broadcast(ex.select("i").distinct().select(
+        "i", *[plane_component_cross(p, F.col("i")).alias(f"c{p}")
+               for p in range(num_planes)]))
     # per-vector: integer norm² + one integer projection per plane.
     # xi ≤ ~1e6(+) and c ≤ 1000 so per-term ≤ 1e9; dims ≤ ~1e4 keeps the
     # sums far under 2^63.
-    per_vec = ex.groupBy("vid").agg(
+    per_vec = ex.join(comp, "i").groupBy("vid").agg(
         F.sum(F.col("xi") * F.col("xi")).alias("n2"),
-        *[F.sum(F.col("xi") * plane_component_cross(p, F.col("i"))).alias(f"p{p}")
+        *[F.sum(F.col("xi") * F.col(f"c{p}")).alias(f"p{p}")
           for p in range(num_planes)],
     ).persist(StorageLevel.MEMORY_AND_DISK)
     per_band = num_planes // bands

@@ -71,6 +71,12 @@ def main() -> None:
                     "overwrite").save()
             for _ in range(args.reps):
                 for sf in (SF01, SF1):
+                    # same measurement fix as bench.py (r11): clear the
+                    # SQL cache so persist-carrying queries (q32/q46/
+                    # q52) compute from parquet on every timed pass
+                    # instead of reading the previous invocation's
+                    # cache via canonical-plan lookup
+                    spark.catalog.clearCache()
                     df = qs[name](spark, sf)
                     s0 = _sentinel()
                     t0 = time.perf_counter()

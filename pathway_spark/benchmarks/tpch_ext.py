@@ -89,8 +89,12 @@ def ensure_ext(sf_dir: str) -> str:
     con = duckdb.connect()
     q = con.execute
     for t in ("part", "supplier", "lineitem", "orders"):
-        q(f"CREATE VIEW {t} AS SELECT * FROM "
-          f"read_parquet('{sf_dir}/{t}.parquet')")
+        # <table>.parquet may be a single file (driver testdata) or a
+        # directory of part files (the scaled corpora written by
+        # scripts/r11_scale.py) — DuckDB needs a glob for the latter
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        q(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
 
     # partsupp: 4 suppliers per part via the dbgen stride formula;
     # availqty/supplycost hash-derived from the composite key

@@ -103,15 +103,18 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
         F.size("toks").alias("dl"),
         F.explode("toks").alias("term"),
     )
-    from pyspark.storagelevel import StorageLevel
-
-    # ONE tokenization pass: tf is the inverted index (now carrying dl),
-    # persisted because the candidate slice and the docfreq aggregation
-    # both read it — and repeated retrievals over the same corpus reuse
-    # the arrangement, the batch mirror of the live BM25 index state
+    # ONE tokenization pass: tf is the inverted index (now carrying dl);
+    # its only consumer is the query-term slice tfq below, which is
+    # lazily localCheckpointed — so the tokenize→tf lineage runs exactly
+    # once per execution and the FULL-vocabulary tf is never persisted
+    # (r12: the old MEMORY_AND_DISK persist wrote the whole inverted
+    # index to executor storage per call — cluster-storage pressure at
+    # corpus scale — and SQL persists leak across structurally-equal
+    # invocations via the CacheManager, the cross-run reuse the bench
+    # rules forbid; the live BM25 store keeps its own arrangement in
+    # streaming/incremental_bm25.py and never reads this persist)
     tf = toks.groupBy("doc", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     # corpus stats as a broadcast 1-row frame built MAP-ONLY from the raw
     # docs (no tokenize shuffle, no tf dependency): avg(size(tokens)) is
     # exactly avg(dl) — both are exact long sums divided by the count —
@@ -133,12 +136,20 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     # aggregating (or shipping) the rest of the vocabulary — at corpus
     # scale the old plan aggregated and broadcast idf for EVERY term
     # (guide §2.3: shuffle fewer bytes; §3.2: pre-filter the big side)
-    tfq = tf.join(F.broadcast(qterms), "term")
+    # tfq — the candidate postings (only the query's terms) — is TINY
+    # relative to tf and is read twice (docfreq aggregation + scoring
+    # join).  A lazy localCheckpoint materializes the tokenize→tf→filter
+    # lineage once per execution and both consumers scan the checkpointed
+    # rows (the branches prune different columns, so without it each
+    # would recompute the full tokenize+aggregate — the q31 lesson);
+    # being an RDD checkpoint it is invisible to the CacheManager, so a
+    # fresh invocation recomputes from parquet.
+    tfq = tf.join(F.broadcast(qterms), "term").localCheckpoint(eager=False)
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # dfq joins in-plan via shuffle (hint), NOT broadcast: a broadcast
-    # build here would be another concurrent job racing to recompute the
-    # tokenize→tf lineage; as a shuffle join both sides reuse the ONE tf
-    # exchange (ReusedExchange) inside the same job
+    # build here would be another concurrent job racing to materialize
+    # the same checkpoint; as a shuffle join both sides hang off the one
+    # checkpointed tfq scan inside the same job
     scored = (
         tfq.join(F.broadcast(qex), "term")
         .join(dfq.hint("shuffle_hash"), "term")

@@ -216,8 +216,13 @@ def ngram_jaccard_pairs(table: Table, text_col: str, id_col: str, *,
     # invisible to the CacheManager, and dies with the DataFrame —
     # a fresh invocation recomputes from parquet.  Honest interleaved
     # A/B medians 1.51 → 0.84 s (−44%), results identical.  Lineage
-    # truncation (executor loss → query retry) is the same trade the
-    # iterate/differential paths already make.
+    # truncation trade-off: Spark CANNOT recompute local-checkpointed
+    # partitions, so losing an executor that holds checkpoint blocks
+    # (dynamic allocation, decommission, OOM kill) fails the
+    # in-flight query outright — the CALLER must re-run it.  Same
+    # trade the iterate/differential paths already make; deployments
+    # with preemptible executors should re-submit failed queries (or
+    # swap this for persist() at the cost of the CacheManager leak).
     sh = (
         exploded_word_ngrams(df, "t", "doc", n, distinct=False)
         .select("doc", F.xxhash64("g").alias("g"))

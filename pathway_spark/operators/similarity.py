@@ -67,16 +67,7 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
         F.col(id_col).alias("query_id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "qx"),
     )
-    cnorm = cex.groupBy("neighbor_id").agg(
-        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("cn"))
-    qnorm = qex.groupBy("query_id").agg(
-        F.sqrt(F.sum(F.col("qx") * F.col("qx"))).alias("qn"))
-    # ONE size-estimate call decides both broadcast hints: qnorm is one
-    # row per query, strictly smaller than qex — same verdict applies
-    # (each _maybe_broadcast costs a driver-side Catalyst optimization
-    # pass; paying it twice doubled the per-call fixed overhead).
     qex_b = _maybe_broadcast(qex)
-    broadcast_ok = qex_b is not qex
     parts = cex.join(qex_b, "i")
     if self_exclude:
         parts = parts.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -84,18 +75,28 @@ def brute_force_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding
         agg = F.sum((F.col("cx") - F.col("qx")) * (F.col("cx") - F.col("qx")))
         scored = (parts.groupBy("query_id", "neighbor_id")
                   .agg((-F.sqrt(agg)).alias("score")))
-    else:
-        dots = (parts.groupBy("query_id", "neighbor_id")
-                .agg(F.sum(F.col("cx") * F.col("qx")).alias("dot")))
-        if metric == "cosine":
-            scored = (
-                dots.join(F.broadcast(qnorm) if broadcast_ok else qnorm,
-                          "query_id")
-                .join(cnorm, "neighbor_id")
-                .withColumn("score", F.col("dot") / (F.col("cn") * F.col("qn")))
-            )
-        else:  # dot
-            scored = dots.withColumn("score", F.col("dot"))
+    elif metric == "cosine":
+        # fused norms (r12): every dimension of both vectors is present
+        # in each (query, neighbor) group (dense posexplode + inner join
+        # on i), so Σcx² and Σqx² within the group ARE the two squared
+        # norms — computing them as sibling aggregates removes the two
+        # norm aggregations AND the two re-attach joins (one of which,
+        # the corpus-norms join, lost its static broadcast under the
+        # r11 1 MB threshold and paid an extra shuffle round: q34 bench
+        # 0.333 → 0.547 s).  Same float ops per value, same (already
+        # nondeterministic) partial-agg addition order as the separate
+        # aggregates; score expression unchanged: dot / (√Σcx² · √Σqx²).
+        scored = (
+            parts.groupBy("query_id", "neighbor_id")
+            .agg(F.sum(F.col("cx") * F.col("qx")).alias("dot"),
+                 F.sum(F.col("cx") * F.col("cx")).alias("cn2"),
+                 F.sum(F.col("qx") * F.col("qx")).alias("qn2"))
+            .withColumn("score",
+                        F.col("dot") / (F.sqrt("cn2") * F.sqrt("qn2")))
+        )
+    else:  # dot
+        scored = (parts.groupBy("query_id", "neighbor_id")
+                  .agg(F.sum(F.col("cx") * F.col("qx")).alias("score")))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -172,24 +173,26 @@ def ivf_topk(corpus: Table, queries: Table, *, vec_col: str = "embedding",
     q_cells = _assign_cells(qex.withColumnRenamed("qid", "vid"), cents, nprobe, "vid") \
         .withColumnRenamed("vid", "qid")
 
-    cnorm = cex.groupBy("vid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
-    qnorm = qex.groupBy("qid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("qn"))
     # candidates: corpus rows in any probed cell of the query
     cand = c_cells.join(q_cells, "cell")
     if self_exclude:
         # see brute_force_topk: only valid for one shared id space
         cand = cand.filter(F.col("qid") != F.col("vid"))
     cand = cand.select("qid", "vid").distinct()
-    dots = (
+    # fused norms (r12, same argument as brute_force_topk): every dim of
+    # both vectors is present per (qid, vid) group, so the squared norms
+    # ride the dot aggregate as siblings — no separate norm aggregations,
+    # no re-attach joins.
+    scored = (
         cand.join(cex, "vid")
         .join(F.broadcast(qex.select(F.col("qid"), "i", F.col("x").alias("qx"))),
               ["qid", "i"])
         .groupBy("qid", "vid")
-        .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"))
-    )
-    scored = (
-        dots.join(cnorm, "vid").join(F.broadcast(qnorm), "qid")
-        .withColumn("score", F.col("dot") / (F.col("vn") * F.col("qn")))
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("dot"),
+             F.sum(F.col("x") * F.col("x")).alias("vn2"),
+             F.sum(F.col("qx") * F.col("qx")).alias("qn2"))
+        .withColumn("score",
+                    F.col("dot") / (F.sqrt("vn2") * F.sqrt("qn2")))
     )
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid"))
     out = (

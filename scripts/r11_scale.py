@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import sys
 
 import numpy as np
@@ -128,6 +129,10 @@ def main() -> None:
         tdir = f"{OUT}/{t}.parquet"
         if os.path.isfile(tdir):
             os.remove(tdir)
+        # clear stale part files from a prior run (different COPIES or
+        # naming): Spark's directory scan silently includes any leftover
+        # part-*.parquet, corrupting the corpus and every ratio
+        shutil.rmtree(tdir, ignore_errors=True)
         os.makedirs(tdir, exist_ok=True)
         n = 0
         for c in range(COPIES):

@@ -6,6 +6,19 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# `pytest -m quick` — the fast correctness core (oracle gates, physical-
+# plan gates, operator goldens, TPC-H results): the set a time-budgeted
+# verifier should run first.  Kept under ~10 minutes; the full suite is
+# unchanged (plain `pytest tests/` runs everything).
+_QUICK_MODULES = {"test_oracle", "test_plans", "test_operators", "test_tpch"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        if mod is not None and mod.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -168,15 +168,38 @@ def test_simhash_self_join_reuses_exchange(spark):
     assert "BroadcastHashJoin" not in txt, txt
 
 
+def test_static_plans_keep_smj_for_table_sized_joins(spark):
+    """Under `preferSortMergeJoin=false` the planner may statically pick
+    ShuffledHashJoin from SIZE ESTIMATES alone; a bad under-estimate on a
+    table-sized build side is an executor OOM at scale, and SHJ spills
+    far less gracefully than SMJ (guide §3.1/§5).  q05 (full-width outer
+    join on _pw_id) and q67 (semi+anti over lineitem) are the table-vs-
+    table shapes: their INITIAL plans must keep SortMergeJoin for those
+    joins — an AQE conversion to SHJ at runtime (from measured post-
+    shuffle sizes under maxShuffledHashJoinLocalMapThreshold) is fine
+    and is not what this gate reads (plan_text shows the pre-execution
+    plan).  Guards against estimate drift or a Spark upgrade silently
+    re-picking an OOM-prone static build."""
+    from pathway_spark.plans import plan_text
+
+    for name in ("q05_update_rows", "q67_semijoin_exists"):
+        txt = plan_text(QUERIES[name](spark, SF_DIR))
+        assert "ShuffledHashJoin" not in txt, f"{name} statically plans SHJ:\n{txt}"
+        assert "SortMergeJoin" in txt, f"{name} lost its SMJ shape:\n{txt}"
+
+
 def test_ngram_jaccard_has_no_cache_scan(spark):
-    """q31's shingle relation must NOT be persisted: an InMemoryRelation
-    there made the concurrent broadcast-build jobs (hot-gram list, the
-    two sizes attaches) race to fill the cache — each recomputed the
-    tokenize→explode lineage and paid the cache-store write on top
-    (r11 stage metrics: total executorRunTime 4.6 s → 2.2 s without the
-    persist, results hash-identical).  The consumers all hang off the
-    one distinct Exchange(doc, g) instead, which Spark materializes
-    once.  Guard against the persist creeping back."""
+    """q31's shingle relation must NOT be SQL-persisted: an
+    InMemoryRelation there made the concurrent broadcast-build jobs
+    (hot-gram list, the two sizes attaches) race to fill the cache —
+    each recomputed the tokenize→explode lineage and paid the
+    cache-store write on top (r11 stage metrics: total executorRunTime
+    4.6 s → 2.2 s without the persist, results hash-identical).  Since
+    9696028 the shingle relation is shared via a lazy RDD
+    localCheckpoint instead — consumers hang off one Scan ExistingRDD,
+    not a reused Exchange — so this gate guards against an SQL-level
+    persist (InMemoryRelation, CacheManager-visible and leaky across
+    structurally-equal invocations) creeping back."""
     from pathway_spark.plans import plan_text
 
     txt = plan_text(QUERIES["q31_ngram_jaccard"](spark, SF_DIR))

@@ -627,7 +627,6 @@ def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
     ex = df.select("vid", F.posexplode("v").alias("i", "x")) \
         .localCheckpoint(eager=False)
     per_vec = ex.groupBy("vid").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm"),
         *[F.sum(F.col("x") * plane(p)).alias(f"p{p}") for p in range(num_planes)],
     ).localCheckpoint(eager=False)
     per_band = num_planes // bands
@@ -647,17 +646,21 @@ def embedding_neardup_pairs(table: Table, vec_col: str, id_col: str, *,
     b = banded.select(F.col("vid").alias("b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    dots = (
+    # fused norms (r12, same argument as brute_force_topk): every dim of
+    # both vectors is present per (a, b) candidate group (dense
+    # posexplode + inner dimension join), so Σxa² and Σxb² within the
+    # group ARE the squared norms — the two norm re-attach joins (and
+    # their exchanges) drop out of the verify stage, and per_vec no
+    # longer needs to carry a norm column through its checkpoint.
+    out = (
         cand.join(ex.select(F.col("vid").alias("a"), "i", F.col("x").alias("xa")), "a")
         .join(ex.select(F.col("vid").alias("b"), "i", F.col("x").alias("xb")), ["b", "i"])
         .groupBy("a", "b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    norms = per_vec.select("vid", "norm")
-    out = (
-        dots.join(norms.select(F.col("vid").alias("a"), F.col("norm").alias("na")), "a")
-        .join(norms.select(F.col("vid").alias("b"), F.col("norm").alias("nb")), "b")
-        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+             F.sum(F.col("xa") * F.col("xa")).alias("na2"),
+             F.sum(F.col("xb") * F.col("xb")).alias("nb2"))
+        .withColumn("cosine",
+                    F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("cosine"))
     )
@@ -778,7 +781,6 @@ def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
     # xi ≤ ~1e6(+) and c ≤ 1000 so per-term ≤ 1e9; dims ≤ ~1e4 keeps the
     # sums far under 2^63.
     per_vec = ex.join(comp, "i").groupBy("vid").agg(
-        F.sum(F.col("xi") * F.col("xi")).alias("n2"),
         *[F.sum(F.col("xi") * F.col(f"c{p}")).alias(f"p{p}")
           for p in range(num_planes)],
     ).localCheckpoint(eager=False)
@@ -796,18 +798,22 @@ def _embedding_neardup_cross(df: DataFrame, *, threshold: float,
     b = banded.select(F.col("vid").alias("b"), "band", "bh")
     cand = (a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    dots = (
-        cand.join(ex.select(F.col("vid").alias("a"), "i", F.col("xi").alias("xa")), "a")
-        .join(ex.select(F.col("vid").alias("b"), "i", F.col("xi").alias("xb")), ["b", "i"])
-        .groupBy("a", "b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    n2 = per_vec.select("vid", "n2")
+    # fused norms (r12): Σxa² / Σxb² within the (a, b) candidate group
+    # equal the per-vector integer norms² EXACTLY (integer addition is
+    # associative-commutative — no float caveat), so the two n2
+    # re-attach joins drop out of the verify stage and per_vec no
+    # longer carries n2 through its checkpoint.  The gate condition and
+    # every value it reads are bit-identical, so the verified pair set
+    # (and the SQL-mirror oracle) are unchanged.
     cond = integer_cosine_gate(threshold, F.col("dot"),
                                F.col("na2"), F.col("nb2"))
     out = (
-        dots.join(n2.select(F.col("vid").alias("a"), F.col("n2").alias("na2")), "a")
-        .join(n2.select(F.col("vid").alias("b"), F.col("n2").alias("nb2")), "b")
+        cand.join(ex.select(F.col("vid").alias("a"), "i", F.col("xi").alias("xa")), "a")
+        .join(ex.select(F.col("vid").alias("b"), "i", F.col("xi").alias("xb")), ["b", "i"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+             F.sum(F.col("xa") * F.col("xa")).alias("na2"),
+             F.sum(F.col("xb") * F.col("xb")).alias("nb2"))
         .filter(cond)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
     )

@@ -146,13 +146,17 @@ def tfidf_score(docs: Table, queries: Table, *, text_col="text", id_col="doc_id"
     # fresh invocation recomputes from parquet.
     tfq = tf.join(F.broadcast(qterms), "term").localCheckpoint(eager=False)
     dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # dfq joins in-plan via shuffle (hint), NOT broadcast: a broadcast
-    # build here would be another concurrent job racing to materialize
-    # the same checkpoint; as a shuffle join both sides hang off the one
-    # checkpointed tfq scan inside the same job
+    # dfq — one row per query term, bounded by the query vocabulary —
+    # joins as a BROADCAST now (r12): the r11 objection (a broadcast
+    # build was a concurrent job racing to recompute the tokenize→tf
+    # lineage) is gone since tfq is checkpointed — the build job
+    # materializes the checkpoint once and every other consumer reuses
+    # the blocks.  The scored branch then stays map-side from the
+    # checkpoint scan to the per-(query, doc) partial aggregate: two
+    # exchanges fewer than the shuffle_hash form.
     scored = (
         tfq.join(F.broadcast(qex), "term")
-        .join(dfq.hint("shuffle_hash"), "term")
+        .join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
